@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.schemas.{Chunk, Doc}
+import graft.text.{Chunker, TextKernel}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's whole program as one declarative Spark pipeline
+  * (SURVEY.md §3 EP1):
+  *
+  *   documents → normalize (A7) → chunk (A8, flatMap — narrow, no shuffle)
+  *     → md5 (A9) → exact dedup BEFORE embedding (A12; §4 reorder — the
+  *     reference pays for the embedding first, main.py:297 vs db_utils.py:135)
+  *     → embed per partition (A11) → canonical projection (A13) → sink (A14).
+  *
+  * Scale notes (100 TB): chunking and embedding are narrow maps — they scale
+  * with input partitions and never shuffle. The only shuffle is the dedup
+  * exchange on `text_hash` (32-byte key, uniformly distributed — no skew).
+  * Cross-load dedup against an existing store is a left-anti join on the same
+  * key; with both sides bucketed by `text_hash` it is shuffle-free.
+  */
+object Ingest {
+
+  /** Normalize + chunk each document into canonical chunk rows. Pure flatMap:
+    * one input row → N chunk rows, no state, no shuffle.
+    */
+  def chunkDocuments(spark: SparkSession, docs: DataFrame): Dataset[Chunk] = {
+    import spark.implicits._
+    docs.select("doc_id", "text", "lang", "source", "n_chars").as[Doc].flatMap { d =>
+      Chunker.chunkText(d.text).zipWithIndex.map { case (content, i) =>
+        Chunk(
+          // ref builds sanitize_key(f"{file}_{i}") (main.py:309); doc_id added
+          // because our corpus has many docs per source file.
+          id = TextKernel.sanitizeKey(s"${d.source}_${d.doc_id}_$i"),
+          content = content,
+          filename = d.source,
+          chunk_id = i,
+          text_hash = TextKernel.md5Hex(content),
+          // ref stores chunk_id+1 here (main.py:305 — a provenance bug we
+          // reproduce only in shape; true page numbers don't exist for text docs)
+          page_number = i + 1)
+      }
+    }
+  }
+
+  /** Exact dedup with a deterministic first-arrival survivor (A12; SURVEY §7
+    * hard-part 3): `row_number` over the hash ordered by provenance — not
+    * `dropDuplicates`, whose surviving row is partition-order dependent and
+    * would make oracle hash-compares flaky.
+    */
+  def dedupExactDeterministic(chunks: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(orderCols.map(col): _*)
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Cross-load dedup: drop rows whose `text_hash` already exists in the
+    * store (reference queries the index per chunk, db_utils.py:135-146; here
+    * one distributed anti-join instead of N lookups).
+    */
+  def dedupAgainstExisting(fresh: DataFrame, existing: DataFrame): DataFrame =
+    fresh.join(existing.select("text_hash").distinct(), Seq("text_hash"), "left_anti")
+
+  /** Attach `content_vector` by embedding per partition (batched — §4). */
+  def withEmbeddings(spark: SparkSession, chunks: Dataset[Chunk], embedder: Embedder): DataFrame = {
+    import spark.implicits._
+    val embedded = chunks.mapPartitions { it =>
+      it.map(c => (c, embedder.embed(c.content)))
+    }
+    embedded.select(
+      col("_1.id").as("id"),
+      col("_1.content").as("content"),
+      col("_2").as("content_vector"),
+      col("_1.filename").as("filename"),
+      col("_1.chunk_id").as("chunk_id"),
+      col("_1.text_hash").as("text_hash"),
+      col("_1.page_number").as("page_number"))
+  }
+
+  /** Final canonical projection (A13): full 10-field chunk-store schema.
+    * `ingestTime` is injected (not wall-clock) so outputs stay deterministic.
+    */
+  def toCanonical(df: DataFrame, fileType: String = "txt",
+                  ingestTime: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")): DataFrame = {
+    val vec = if (df.columns.contains("content_vector")) col("content_vector")
+              else lit(null).cast("array<float>")
+    df.select(
+      col("id"),
+      col("content"),
+      vec.as("content_vector"),
+      col("filename"),
+      col("chunk_id"),
+      col("text_hash"),
+      lit(ingestTime).as("timestamp"),
+      lit(fileType).as("file_type"),
+      col("page_number"),
+      to_json(struct(col("filename").as("source"), col("chunk_id"))).as("metadata"))
+  }
+
+  /** End-to-end pipeline (the flagship `SparkEntry.entry` path). */
+  def pipeline(spark: SparkSession, docs: DataFrame,
+               embedder: Embedder = new HashingEmbedder()): DataFrame = {
+    val chunks = chunkDocuments(spark, docs)
+    val deduped = dedupExactDeterministic(chunks.toDF(), Seq("filename", "chunk_id", "id"))
+    import spark.implicits._
+    val withVec = withEmbeddings(spark, deduped.as[Chunk], embedder)
+    toCanonical(withVec)
+  }
+}

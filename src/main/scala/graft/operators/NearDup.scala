@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.text.TextKernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Near-duplicate detection for the LLM-data-pipeline surface (§2.C):
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard — all deterministic
+  * (seeded murmur3 hash families; no RNG at runtime).
+  *
+  * Scale design (100 TB): the pair-generation step never does a cross join.
+  * MinHash/SimHash reduce each document to a small signature (narrow map),
+  * candidate pairs come from a shuffle on (band, bucket) — cost proportional
+  * to actual collisions, which is the standard LSH trade. Exact Jaccard is
+  * only computed on candidates.
+  */
+object NearDup {
+
+  val NumHashes = 64
+  val Bands = 16          // 16 bands x 4 rows: catches Jaccard >~ 0.5
+  val RowsPerBand: Int = NumHashes / Bands
+  val ShingleSize = 3
+
+  /** Deterministic minhash signature from word-shingle set. */
+  def minhashSignature(text: String, numHashes: Int = NumHashes): Array[Long] = {
+    val sh = TextKernel.shingles(text, ShingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { g =>
+      var i = 0
+      while (i < numHashes) {
+        // hash family: murmur with per-function seed
+        val h = (MurmurHash3.stringHash(g, i * 0x9E3779B9 + 17).toLong & 0xffffffffL)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over word tokens (weighted bit voting). */
+  def simhash(text: String): Long = {
+    val toks = TextKernel.tokens(if (text == null) "" else text.toLowerCase)
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    toks.foreach { tk =>
+      val h1 = MurmurHash3.stringHash(tk, 0x51ed270b).toLong & 0xffffffffL
+      val h2 = MurmurHash3.stringHash(tk, 0x2545f491).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val inter = a.intersect(b).size
+    val union = a.size + b.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** docs(id, text) → (id, band, bucket): LSH banding of minhash signatures.
+    * One narrow map + explode; the downstream self-join on (band, bucket) is
+    * the only shuffle.
+    */
+  def minhashBuckets(spark: SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(text)
+        (0 until Bands).map { band =>
+          val rows = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
+          (id, band, MurmurHash3.arrayHash(rows).toLong & 0xffffffffL)
+        }
+      }
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Candidate near-dup pairs from LSH band collisions (id_a < id_b),
+    * verified with exact shingle Jaccard >= `threshold`.
+    */
+  def minhashNearDupPairs(spark: SparkSession, docs: DataFrame, threshold: Double,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val buckets = minhashBuckets(spark, docs, idCol, textCol)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
+    val withTexts = candidates
+      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("ttext", "text_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("ttext", "text_b"), Seq("id_b"))
+    val verified = withTexts.as[(Long, Long, String, String)].map { case (idB, idA, ta, tb) =>
+      (idA, idB, jaccard(TextKernel.shingles(ta, ShingleSize), TextKernel.shingles(tb, ShingleSize)))
+    }.toDF("id_a", "id_b", "jaccard")
+    verified.filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** docs → (id, simhash, band buckets) for hamming-near-dup candidate
+    * generation (4 x 16-bit bands: catches distance <= 3 pairs).
+    */
+  def simhashBuckets(spark: SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val h = simhash(text)
+        (0 until 4).map(band => (id, h, band, (h >>> (band * 16)) & 0xffffL))
+      }
+      .toDF("id", "simhash", "band", "bucket")
+  }
+
+  /** SimHash near-dup pairs: band-bucket candidates, verified by full hamming
+    * distance <= maxDistance.
+    */
+  def simhashNearDupPairs(spark: SparkSession, docs: DataFrame, maxDistance: Int,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val buckets = simhashBuckets(spark, docs, idCol, textCol)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    import spark.implicits._
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (ia, ib, sa, sb) => (ia, ib, hammingDistance(sa, sb)) }
+      .toDF("id_a", "id_b", "hamming")
+      .filter(col("hamming") <= maxDistance)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.operators.{HashingEmbedder, Ingest}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ingestion surface as declarative queries over `documents`
+  * (SURVEY.md §2.A): normalize (A7), hash (A9), key sanitization (A10), exact
+  * dedup (A12), chunking (A8), canonical projection (A13), count/facet stats
+  * (A15/A16). SQL-expressible steps carry DuckDB oracles; the chunker is
+  * checked by golden/property unit tests and rows-only here.
+  */
+object PipelineQueries extends QuerySet {
+
+  private val normExpr = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("d01_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), trim(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, $normExpr AS norm_text FROM documents ORDER BY doc_id")),
+
+    Q("d02_content_hash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, md5($normExpr) AS text_hash FROM documents ORDER BY doc_id")),
+
+    Q("d03_sanitize_key",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(concat(col("source"), lit("/"), col("doc_id"), lit(".txt")),
+            "[^a-zA-Z0-9_\\-=]", "_").as("doc_key"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, regexp_replace(source || '/' || CAST(doc_id AS VARCHAR) || '.txt', " +
+        "'[^a-zA-Z0-9_\\-=]', '_', 'g') AS doc_key FROM documents ORDER BY doc_id")),
+
+    // Deterministic first-arrival survivor (A12; SURVEY §7 hard-part 3).
+    Q("d04_exact_dedup",
+      (s, d) => {
+        val hashed = t(s, d, "documents").select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+        val w = Window.partitionBy("text_hash").orderBy("doc_id")
+        hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn").orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, md5($normExpr) AS text_hash FROM documents)
+        |SELECT doc_id, text_hash FROM (
+        |  SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM h)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    Q("d05_dedup_stats",
+      (s, d) => {
+        val hashed = t(s, d, "documents")
+          .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+        hashed.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text_hash")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("text_hash"))).as("n_dupes"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT md5($normExpr)) AS BIGINT) AS n_unique,
+        | CAST(count(*) - count(DISTINCT md5($normExpr)) AS BIGINT) AS n_dupes
+        |FROM documents""".stripMargin)),
+
+    // A16 facet-by-filename analog.
+    Q("d06_source_facet",
+      (s, d) => t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // A15 count(*) + A16 distinct-file count in one row.
+    Q("d07_index_stats",
+      (s, d) => t(s, d, "documents")
+        .agg(count(lit(1)).as("total_count"), countDistinct("source").as("n_files")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS total_count, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_files FROM documents")),
+
+    // A8 chunker output — not SQL-expressible; unit-tested + rows-only here.
+    Q("d08_chunks",
+      (s, d) => Ingest.chunkDocuments(s, t(s, d, "documents")).toDF().orderBy("id")),
+
+    Q("d09_chunk_stats",
+      (s, d) => Ingest.chunkDocuments(s, t(s, d, "documents")).toDF()
+        .groupBy("filename")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("text_hash").as("n_unique_chunks"),
+          max(length(col("content"))).as("max_chunk_len"))
+        .orderBy("filename")),
+
+    // Full A1→A14 pipeline to the canonical 10-field chunk store.
+    Q("d10_ingest_canonical",
+      (s, d) => Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()).orderBy("id"))
+  )
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: a Spark (DataFrame-first) implementation plus, when
+  * the semantics are ANSI-SQL-expressible, the equivalent DuckDB oracle SQL the
+  * driver hash-compares against (SURVEY.md §5.1).
+  *
+  * Conventions for oracle determinism (SURVEY.md §7 hard-parts):
+  *   - every output column aliased identically on both sides;
+  *   - a total ORDER BY (unique tie-breaker) on both sides;
+  *   - UTC session timezone; timestamps cast to DATE/BIGINT in outputs when
+  *     sub-second representation could differ between engines.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait QuerySet {
+  def queries: Seq[Q]
+
+  /** Shorthand fixture-table loader used inside query bodies. */
+  protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+}
+
+object Registry {
+  def all: Seq[Q] =
+    PipelineQueries.queries ++
+      RelationalQueries.queries ++
+      TextQueries.queries ++
+      VectorQueries.queries ++
+      DedupQueries.queries ++
+      StreamingQueries.queries
+
+  def asMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

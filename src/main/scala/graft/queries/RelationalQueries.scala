@@ -1,0 +1,558 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The standard relational surface (SURVEY.md §2.B): scans, filter/project,
+  * every join type, aggregation (incl. cube/rollup/grouping sets), window
+  * functions, sort/limit/top-k, set ops, and the scalar-function families —
+  * all Spark built-ins over the TPC-H-ish fixtures, each with a DuckDB oracle.
+  *
+  * Scale notes: joins to `nation`/`region`/`customer`/`part`/`supplier` use
+  * `broadcast()` (dimension tables stay small relative to the fact tables at
+  * any SF); fact-fact joins shuffle on their equi-keys where AQE handles
+  * runtime sizing. Window queries partition by high-cardinality keys, so
+  * per-partition state stays bounded.
+  */
+object RelationalQueries extends QuerySet {
+
+  private def sql(tables: Seq[String], q: String): (SparkSession, String) => DataFrame =
+    (s, d) => { tables.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n)); s.sql(q) }
+
+  private val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+
+  def queries: Seq[Q] = Seq(
+
+    // ---- aggregation over a pushed-down scan (TPC-H Q1 shape) ----
+    Q("r01_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- predicate language: IN / LIKE / BETWEEN / <> ----
+    Q("r02_filter_predicates",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_size").isin(1, 5, 10, 15, 20) &&
+          col("p_type").like("%O%") &&
+          col("p_retailprice").between(500, 1500) &&
+          col("p_brand") =!= "Brand#1")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size IN (1,5,10,15,20) AND p_type LIKE '%O%'
+        |  AND p_retailprice BETWEEN 500 AND 1500 AND p_brand <> 'Brand#1'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape); dim side broadcast ----
+    Q("r03_top_revenue_orders",
+      (s, d) => {
+        val c = broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(o("o_orderkey"), date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- left outer join preserving zero-order customers ----
+    Q("r04_join_left",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"), c("c_name"))
+          .agg(count(o("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, c.c_name, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+        | round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin)),
+
+    // ---- right outer join preserving never-ordered parts ----
+    Q("r05_join_right",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        l.join(p, l("l_partkey") === p("p_partkey"), "right")
+          .groupBy(p("p_partkey"))
+          .agg(count(l("l_orderkey")).as("n_lineitems"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p.p_partkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems
+        |FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin)),
+
+    // ---- full outer join over two aggregated sides ----
+    Q("r06_join_full",
+      (s, d) => {
+        val cn = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, Seq("nk"), "full")
+          .select(col("nk").as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH cn AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk ORDER BY nationkey""".stripMargin)),
+
+    // ---- left-semi join (EXISTS) ----
+    Q("r07_join_semi",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-anti join (NOT EXISTS): orders with no lineitems ----
+    Q("r08_join_anti",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- cross join (small × small) ----
+    Q("r09_join_cross",
+      (s, d) => {
+        val r = t(s, d, "region").select("r_name")
+        val st = t(s, d, "orders").select(col("o_orderstatus")).distinct()
+        r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+      },
+      Some("""SELECT r.r_name, s.o_orderstatus
+        |FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r.r_name, s.o_orderstatus""".stripMargin)),
+
+    // ---- 5-way star join, dims broadcast ----
+    Q("r10_star_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = broadcast(t(s, d, "customer"))
+        val n = broadcast(t(s, d, "nation"))
+        val r = broadcast(t(s, d, "region"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r.r_name, n.n_name,
+        | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin)),
+
+    // ---- global aggregate stats incl. variance family ----
+    Q("r11_agg_stats",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        countDistinct("l_orderkey").as("n_orders"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        avg("l_quantity").as("avg_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(stddev("l_extendedprice"), 4).as("sd_price"),
+        round(var_samp("l_extendedprice"), 4).as("var_price")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | avg(l_quantity) AS avg_qty, round(sum(l_extendedprice), 2) AS sum_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_extendedprice), 4) AS var_price
+        |FROM lineitem""".stripMargin)),
+
+    // ---- group by + having ----
+    Q("r12_groupby_having",
+      (s, d) => t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin)),
+
+    // ---- rollup ----
+    Q("r13_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // ---- cube ----
+    Q("r14_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+
+    // ---- grouping sets (SQL surface) ----
+    Q("r15_grouping_sets",
+      sql(Seq("lineitem"),
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          | coalesce(l_linestatus, 'ALL') AS linestatus,
+          | round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // ---- window: row_number / rank / dense_rank, per-group top-k ----
+    Q("r16_window_rank",
+      (s, d) => {
+        val wSeq = Window.partitionBy("l_suppkey")
+          .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wTies = Window.partitionBy("l_suppkey").orderBy(desc("l_extendedprice"))
+        t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            row_number().over(wSeq).as("rn"),
+            rank().over(wTies).as("rk"),
+            dense_rank().over(wTies).as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT * FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+        |  rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS rk,
+        |  dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS drk
+        | FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ---- window: lag / lead ----
+    Q("r17_window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        | lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- window: running total ----
+    Q("r18_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- window: ntile quartiles summarized ----
+    Q("r19_window_ntile",
+      (s, d) => {
+        val w = Window.orderBy("o_totalprice", "o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_totalprice"), ntile(8).over(w).as("tile"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("min_p"), max("o_totalprice").as("max_p"))
+          .orderBy("tile")
+      },
+      Some("""SELECT tile, CAST(count(*) AS BIGINT) AS n,
+        | min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+        |FROM (SELECT o_totalprice, ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders)
+        |GROUP BY tile ORDER BY tile""".stripMargin)),
+
+    // ---- global top-k ----
+    Q("r20_topk_global",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // ---- union all ----
+    Q("r21_union_all",
+      (s, d) => {
+        val c = t(s, d, "customer").select(lit("cust").as("side"), col("c_nationkey").as("nk"))
+        val sp = t(s, d, "supplier").select(lit("supp").as("side"), col("s_nationkey").as("nk"))
+        c.unionByName(sp).groupBy("side", "nk").agg(count(lit(1)).as("n"))
+          .orderBy("side", "nk")
+      },
+      Some("""SELECT side, nk, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT 'cust' AS side, c_nationkey AS nk FROM customer
+        | UNION ALL
+        | SELECT 'supp' AS side, s_nationkey AS nk FROM supplier)
+        |GROUP BY side, nk ORDER BY side, nk""".stripMargin)),
+
+    // ---- intersect (set semantics) ----
+    Q("r22_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin)),
+
+    // ---- except (set semantics) ----
+    Q("r23_except",
+      (s, d) => t(s, d, "orders").select(col("o_orderkey").as("k"))
+        .except(t(s, d, "lineitem").select(col("l_orderkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT o_orderkey AS k FROM orders
+        |EXCEPT SELECT l_orderkey AS k FROM lineitem ORDER BY k""".stripMargin)),
+
+    // ---- string function family ----
+    Q("r24_string_functions",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_name"), 1, 8).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          regexp_replace(col("p_name"), " ", "_").as("undersc"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        | substring(p_name, 1, 8) AS prefix, CAST(length(p_name) AS INT) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS bt,
+        | regexp_replace(p_name, ' ', '_', 'g') AS undersc
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date function family: monthly order rollup ----
+    Q("r25_date_functions",
+      (s, d) => t(s, d, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month"),
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- date extraction + arithmetic, row level ----
+    Q("r26_date_extract",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAY"), "yyyy-MM-dd").as("due_date"),
+          datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate")).as("days_to_2002"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS dy, CAST(quarter(o_orderdate) AS INT) AS q,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        | CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- conditional aggregation (CASE WHEN) ----
+    Q("r27_conditional_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)), 2).as("disc_price"),
+          sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_bulk"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_taxy"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS disc_price,
+        | CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+        | CAST(count(CASE WHEN l_tax > 0.04 THEN 1 END) AS BIGINT) AS n_taxy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- math function family ----
+    Q("r28_math_functions",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_discount") * 100).as("fl"),
+          ceil(col("l_tax") * 100).as("ce"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          abs(col("l_quantity") - 25).as("ab"),
+          (col("l_quantity").cast("int") % 7).as("md"),
+          round(log(col("l_extendedprice")), 6).as("lg"),
+          round(pow(col("l_quantity"), 2), 6).as("pw"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice, 1) AS r1,
+        | CAST(floor(l_discount * 100) AS BIGINT) AS fl,
+        | CAST(ceil(l_tax * 100) AS BIGINT) AS ce,
+        | round(sqrt(l_quantity), 6) AS sq,
+        | abs(l_quantity - 25) AS ab,
+        | CAST(l_quantity AS INT) % 7 AS md,
+        | round(ln(l_extendedprice), 6) AS lg,
+        | round(pow(l_quantity, 2), 6) AS pw
+        |FROM lineitem WHERE l_orderkey <= 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- scalar subquery ----
+    Q("r29_scalar_subquery",
+      sql(Seq("orders"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- correlated subquery ----
+    Q("r30_correlated_subquery",
+      sql(Seq("customer", "orders"),
+        """SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n_above_avg
+          |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          |WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+          |                        WHERE o2.o_custkey = c.c_custkey)
+          |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+      Some("""SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n_above_avg
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                        WHERE o2.o_custkey = c.c_custkey)
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)),
+
+    // ---- JSON extraction (A13 metadata analog) ----
+    Q("r31_json_extract",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // ---- distinct projection ----
+    Q("r32_distinct",
+      (s, d) => t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ---- as-of join: last click before each purchase, per user ----
+    Q("r33_asof_last_click",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select("user_id", "event_id", "ts", "event_type")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("last_click_ts",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts", "last_click_ts")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM e)
+        |SELECT user_id, event_id, ts, last_click_ts FROM m
+        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- range (interval) join ----
+    Q("r34_range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id").as("e_user"), col("event_id").as("e_event"), col("ts").as("e_ts"))
+        val signups = t(s, d, "events").filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+        signups.join(ev,
+            col("e_user") === col("s_user") &&
+            col("e_ts") > col("s_ts") &&
+            col("e_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left")
+          .groupBy(col("s_user").as("user_id"), col("signup_id"))
+          .agg(count(col("e_event")).as("n_following"))
+          .orderBy("user_id", "signup_id")
+      },
+      Some("""SELECT s.user_id, s.event_id AS signup_id, CAST(count(e.event_id) AS BIGINT) AS n_following
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN events e ON e.user_id = s.user_id
+        |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.user_id, s.event_id ORDER BY s.user_id, signup_id""".stripMargin))
+  )
+}

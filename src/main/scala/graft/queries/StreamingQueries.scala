@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Streaming surface declared as verifiable queries: each runs a genuine
+  * Structured Streaming query (file source → memory sink, drained
+  * synchronously) and is oracle-checked against the batch-equivalent SQL —
+  * Spark's unified semantics make the streaming result identical to the
+  * batch result on bounded input.
+  *
+  * Complete output mode is used for windowed aggregates (append would hold
+  * back the final un-closed windows on a bounded source); dedup streams in
+  * append mode. Watermarks are declared on every aggregation — on an
+  * unbounded source they bound state size, which is the 100 TB concern.
+  */
+object StreamingQueries extends QuerySet {
+
+  private val castTs = "CAST(ts AS TIMESTAMP)"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("s01_tumbling_window",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.tumblingAgg(StreamingOps.readEventsStream(s, d)),
+          "s01_tumbling", "complete")
+        out.withColumn("total", round(col("total"), 2)).orderBy("w_start", "event_type")
+      },
+      Some(s"""SELECT time_bucket(INTERVAL 6 HOUR, $castTs) AS w_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    Q("s02_sliding_window",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.slidingAgg(StreamingOps.readEventsStream(s, d)),
+          "s02_sliding", "complete")
+        out.withColumn("total", round(col("total"), 2)).orderBy("w_start", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT $castTs AS ts, event_type, value FROM events),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) - INTERVAL 6 HOUR AS w_start, event_type, value FROM e)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    Q("s03_session_window",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.sessionAgg(StreamingOps.readEventsStream(s, d)),
+          "s03_session", "complete")
+        out.orderBy("user_id", "s_start")
+      },
+      Some(s"""WITH e AS (SELECT user_id, $castTs AS ts, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        | user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
+
+    Q("s04_streaming_dedup",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.dedupKeys(StreamingOps.readEventsStream(s, d)),
+          "s04_dedup", "append")
+        out.orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin))
+  )
+}

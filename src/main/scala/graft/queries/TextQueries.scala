@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.operators.TextAnalysis
+import graft.text.TextKernel
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents` (§2.C): token counting, quality
+  * ratios, length histograms, vocabulary stats — SQL-expressible parts carry
+  * DuckDB oracles; the heuristic language-ID and fingerprint operators are
+  * pure-Scala (unit-tested) with rows-only checks here.
+  *
+  * All are embarrassingly parallel scans — no shuffle except the final
+  * aggregates, which run map-side partial first (Catalyst default).
+  */
+object TextQueries extends QuerySet {
+
+  private val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  private def normC = trim(regexp_replace(col("text"), "\\s+", " "))
+
+  def queries: Seq[Q] = Seq(
+
+    Q("t01_token_stats",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), normC.as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_chars_norm"),
+          size(split(col("norm"), " ")).as("n_tokens"),
+          round((length(col("norm")) - (size(split(col("norm"), " ")) - 1))
+            / size(split(col("norm"), " ")).cast("double"), 6).as("mean_token_len"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars_norm,
+        | CAST(array_length(string_split(norm, ' ')) AS INT) AS n_tokens,
+        | round((length(norm) - (array_length(string_split(norm, ' ')) - 1))
+        |   / CAST(array_length(string_split(norm, ' ')) AS DOUBLE), 6) AS mean_token_len
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    Q("t02_quality_ratios",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), normC.as("norm"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("norm"), lit("[.,;:!?]"), lit(0))).as("n_punct"),
+          size(regexp_extract_all(col("norm"), lit("[0-9]"), lit(0))).as("n_digits"),
+          size(regexp_extract_all(col("norm"), lit("[A-Z]"), lit(0))).as("n_upper"),
+          round(size(regexp_extract_all(col("norm"), lit("[.,;:!?]"), lit(0)))
+            / greatest(length(col("norm")), lit(1)).cast("double"), 6).as("punct_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(norm, '[.,;:!?]')) AS INT) AS n_punct,
+        | CAST(len(regexp_extract_all(norm, '[0-9]')) AS INT) AS n_digits,
+        | CAST(len(regexp_extract_all(norm, '[A-Z]')) AS INT) AS n_upper,
+        | round(len(regexp_extract_all(norm, '[.,;:!?]'))
+        |   / CAST(greatest(length(norm), 1) AS DOUBLE), 6) AS punct_ratio
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    Q("t03_stopword_ratio",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), lower(normC).as("norm"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("norm"),
+            lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0))).as("n_stop"),
+          size(split(col("norm"), " ")).as("n_tokens"),
+          round(size(regexp_extract_all(col("norm"), lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0)))
+            / size(split(col("norm"), " ")).cast("double"), 6).as("stop_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, lower($norm) AS norm FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|in|to|is)\\b')) AS INT) AS n_stop,
+        | CAST(array_length(string_split(norm, ' ')) AS INT) AS n_tokens,
+        | round(len(regexp_extract_all(norm, '\\b(the|a|of|and|in|to|is)\\b'))
+        |   / CAST(array_length(string_split(norm, ' ')) AS DOUBLE), 6) AS stop_ratio
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    Q("t04_length_histogram",
+      (s, d) => t(s, d, "documents")
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    Q("t05_lang_distribution",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("t06_vocabulary_stats",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(normC, " ")).as("tok"))
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct("tok").as("distinct_tokens"),
+          max(length(col("tok"))).as("max_token_len")),
+      Some(s"""WITH n AS (SELECT $norm AS norm FROM documents),
+        |toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM n)
+        |SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+        | CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+        | CAST(max(length(tok)) AS INT) AS max_token_len
+        |FROM toks""".stripMargin)),
+
+    Q("t07_top_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(lower(normC), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok"))
+        .limit(20),
+      Some(s"""WITH n AS (SELECT lower($norm) AS norm FROM documents),
+        |toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM n)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
+    // Heuristic language-ID (pure Scala, §2.C) — rows-only check here,
+    // behavior unit-tested on real-language samples in TextAnalysisSpec.
+    Q("t08_langid",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (id, lang, text) => (id, lang, TextAnalysis.detectLanguage(text)) }
+          .toDF("doc_id", "lang", "predicted_lang")
+          .orderBy("doc_id")
+      }),
+
+    // Rolling-hash document fingerprint (§2.C) — deterministic, rows-only.
+    Q("t09_fingerprint",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => (id, TextKernel.rollingFingerprint(TextKernel.normalize(text))) }
+          .toDF("doc_id", "fingerprint")
+          .orderBy("doc_id")
+      }),
+
+    // Quality scoring (pure Scala composite) — rows-only, unit-tested.
+    Q("t10_quality_score",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val q = TextAnalysis.quality(text)
+            (id, q.nTokens, math.rint(q.meanTokenLen * 1e6) / 1e6,
+              math.rint(q.stopwordRatio * 1e6) / 1e6, q.score)
+          }
+          .toDF("doc_id", "n_tokens", "mean_token_len", "stop_ratio", "quality_score")
+          .orderBy("doc_id")
+      })
+  )
+}

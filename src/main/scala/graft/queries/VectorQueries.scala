@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Similarity-search surface over `embeddings` (§2.A A18, §2.C): brute-force
+  * cosine top-k (the exact baseline), per-group top-k, threshold self-join
+  * near-dup, centroids — plus an LSH-bucketed ANN variant (the 100 TB scale
+  * path: signatures are a narrow map, candidates come from a bucket join, and
+  * only candidates pay the full-precision distance).
+  */
+object VectorQueries extends QuerySet {
+
+  private val embD = "CAST(embedding AS DOUBLE[])"
+
+  def queries: Seq[Q] = Seq(
+
+    // Exact cosine top-k for one query vector. Corpus scan is a narrow map
+    // over a broadcast query row; top-k is a global sort-limit (Catalyst
+    // rewrites to per-partition top-k + merge).
+    Q("v01_knn_bruteforce",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+        emb.crossJoin(q)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("label"),
+            round(cosineSim(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Per-query top-k over a small query set (window top-k after a
+    // broadcast-joined similarity computation).
+    Q("v02_knn_per_query",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qs = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+        val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+        emb.crossJoin(qs)
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosineSim(col("embedding"), col("qv")), 6).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("query_id", "vec_id", "sim", "rn")
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, $embD AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity($embD, q.qv), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin)),
+
+    // Embedding-cosine near-duplicate pairs above a threshold (exact
+    // baseline; LSH variant below is the scale path).
+    Q("v03_cosine_neardup_pairs",
+      (s, d) => {
+        val a = t(s, d, "embeddings").select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = t(s, d, "embeddings").select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", cosineSim(col("ea"), col("eb")))
+          .filter(col("sim") > 0.45)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-label centroid, dimension-wise.
+    Q("v04_centroids",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "val")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("idx"))
+        .agg(round(avg("val"), 6).as("centroid_val"))
+        .orderBy("label", "idx"),
+      Some(s"""SELECT label, CAST(idx AS INT) AS idx, round(avg(val), 6) AS centroid_val
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+        |        unnest($embD) AS val FROM embeddings)
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin)),
+
+    // Norm statistics per label.
+    Q("v05_norm_stats",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label"),
+      Some(s"""SELECT label, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
+        | round(max(nrm), 6) AS max_norm
+        |FROM (SELECT label, sqrt(list_dot_product($embD, $embD)) AS nrm FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // LSH-bucketed ANN (scale path): deterministic random-hyperplane signs
+    // bucket the corpus; each query only scans its bucket. Rows-only check —
+    // recall vs. the exact baseline is asserted in VectorOpsSpec.
+    Q("v06_lsh_ann",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val dims = 64
+        val planes = 8
+        // Seeded hyperplanes: component h(p, i) in {-1, +1} from murmur3.
+        val hyper = (0 until planes).map { p =>
+          (0 until dims).map { i =>
+            if ((MurmurHash3.productHash((p, i)) & 1) == 0) 1.0 else -1.0
+          }.toArray
+        }
+        val bHyper = spark.sparkContext.broadcast(hyper)
+        val sigs = emb.select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])]
+          .map { case (id, label, e) =>
+            var sig = 0
+            var p = 0
+            while (p < bHyper.value.length) {
+              val plane = bHyper.value(p)
+              var dot = 0.0
+              var i = 0
+              val n = math.min(plane.length, e.length)
+              while (i < n) { dot += plane(i) * e(i); i += 1 }
+              if (dot >= 0) sig |= (1 << p)
+              p += 1
+            }
+            (id, label, sig)
+          }
+          .toDF("vec_id", "label", "bucket")
+        sigs.groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+          .orderBy("bucket")
+      })
+  )
+}

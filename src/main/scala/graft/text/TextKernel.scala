@@ -1,0 +1,73 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Pure text utilities of the ingestion pipeline (SURVEY.md §2.A A7/A9/A10).
+  *
+  * All functions are deterministic, null-tolerant, and Spark-free so they can
+  * run inside codegen'd expressions, `Dataset.flatMap` closures, and plain unit
+  * tests alike.
+  */
+object TextKernel {
+
+  /** Whitespace normalization: collapse runs of whitespace to one space and
+    * trim (reference embedding_utils.py:44-50). Matches Spark's
+    * `trim(regexp_replace(col, "\\s+", " "))` and the DuckDB oracle's
+    * `trim(regexp_replace(text, '\s+', ' ', 'g'))`.
+    */
+  def normalize(text: String): String =
+    if (text == null) "" else text.replaceAll("\\s+", " ").trim
+
+  /** Restrict a document key to `[a-zA-Z0-9_\-=]`, replacing everything else
+    * with `_` (reference embedding_utils.py:16-21).
+    */
+  def sanitizeKey(key: String): String =
+    if (key == null) "" else key.replaceAll("[^a-zA-Z0-9_\\-=]", "_")
+
+  /** Lowercase-hex md5 of the UTF-8 bytes (reference embedding_utils.py:39-41);
+    * bit-identical to Spark's `md5` and DuckDB's `md5`.
+    */
+  def md5Hex(text: String): String = {
+    val digest = MessageDigest.getInstance("MD5")
+    val bytes = digest.digest((if (text == null) "" else text).getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Whitespace tokenization used by token counting and shingling. */
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else {
+      val t = text.trim
+      if (t.isEmpty) Array.empty else t.split("\\s+")
+    }
+
+  /** Word n-gram shingles for MinHash / Jaccard dedup. */
+  def shingles(text: String, n: Int): Set[String] = {
+    val toks = tokens(if (text == null) null else text.toLowerCase)
+    if (toks.length < n) {
+      if (toks.isEmpty) Set.empty else Set(toks.mkString(" "))
+    } else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Character n-gram set (used by n-gram Jaccard similarity). */
+  def charNgrams(text: String, n: Int): Set[String] = {
+    val t = if (text == null) "" else text
+    if (t.length < n) { if (t.isEmpty) Set.empty else Set(t) }
+    else t.sliding(n).toSet
+  }
+
+  /** Deterministic 64-bit polynomial rolling hash of the whole string
+    * (document fingerprinting). Base/modulus chosen from the standard
+    * Rabin-Karp construction.
+    */
+  def rollingFingerprint(text: String): Long = {
+    var h = 1125899906842597L // large prime seed
+    val t = if (text == null) "" else text
+    var i = 0
+    while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+    h
+  }
+}
