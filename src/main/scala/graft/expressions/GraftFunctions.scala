@@ -1,0 +1,25 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftShim
+
+/** Column wrappers + SQL registration for the engine's native Catalyst
+  * expressions. After `register(spark)`, `cosine_sim` / `dot_product` are
+  * callable from `spark.sql` as well.
+  */
+object GraftFunctions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

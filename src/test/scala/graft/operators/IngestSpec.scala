@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.schemas.Schemas
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("pipeline output matches the canonical 10-field chunk-store schema") {
+    val out = Ingest.pipeline(spark, docs)
+    assert(out.schema.fieldNames.toSeq == Schemas.chunkStore.fieldNames.toSeq)
+    assert(out.count() > 0)
+  }
+
+  test("pipeline is deterministic (two runs, identical rows)") {
+    val a = Ingest.pipeline(spark, docs).drop("timestamp").orderBy("id")
+    val b = Ingest.pipeline(spark, docs).drop("timestamp").orderBy("id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("dedup idempotence: ingest(x ++ x) == ingest(x) on text_hash set") {
+    val doubled = docs.unionAll(docs)
+    val once = Ingest.pipeline(spark, docs).select("text_hash").distinct()
+    val twice = Ingest.pipeline(spark, doubled).select("text_hash").distinct()
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    // and dedup keeps exactly one row per hash
+    val cnts = Ingest.pipeline(spark, doubled).groupBy("text_hash").count()
+      .filter(col("count") > 1).count()
+    assert(cnts == 0)
+  }
+
+  test("dedup survivor is deterministic first-arrival (min filename, chunk_id)") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("b_src_1_0", "same text", "b_src", 0, "h1", 1),
+      ("a_src_5_0", "same text", "a_src", 0, "h1", 1),
+      ("a_src_5_1", "other", "a_src", 1, "h2", 2)
+    ).toDF("id", "content", "filename", "chunk_id", "text_hash", "page_number")
+    val out = Ingest.dedupExactDeterministic(chunks, Seq("filename", "chunk_id", "id"))
+    val survivors = out.select("id").as[String].collect().toSet
+    assert(survivors == Set("a_src_5_0", "a_src_5_1"))
+  }
+
+  test("cross-load dedup drops only already-present hashes") {
+    import spark.implicits._
+    val existing = Seq("h1", "h3").toDF("text_hash")
+    val fresh = Seq(("x", "h1"), ("y", "h2")).toDF("id", "text_hash")
+    val out = Ingest.dedupAgainstExisting(fresh, existing)
+    assert(out.select("id").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("zero-vector fallback on embedder failure (ref embedding_utils.py:207-213)") {
+    import spark.implicits._
+    val chunks = Ingest.chunkDocuments(spark, docs.limit(5))
+    val out = Ingest.withEmbeddings(spark, chunks, new FailingEmbedder())
+    val norms = out.select(graft.functions.VectorFunctions.normSq(col("content_vector")).as("n"))
+      .as[Double].collect()
+    assert(norms.nonEmpty && norms.forall(_ == 0.0))
+    // dimensionality preserved even on failure
+    val sizes = out.select(size(col("content_vector"))).as[Int].collect()
+    assert(sizes.forall(_ == Schemas.VectorDimensions))
+  }
+
+  test("chunk ids are sanitized and carry provenance") {
+    import spark.implicits._
+    val out = Ingest.chunkDocuments(spark, docs.limit(20)).toDF()
+    val ids = out.select("id").as[String].collect()
+    assert(ids.forall(_.matches("[a-zA-Z0-9_\\-=]+")))
+    val chunkIds = out.filter(col("chunk_id") === 0).count()
+    assert(chunkIds == out.select("filename", "id").filter(col("chunk_id") === 0).count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.text.TextKernel
+
+class NearDupSpec extends SparkTestBase {
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps running through the green field"
+  private val nearDup = base.replace("green", "wide")
+  private val unrelated = "completely different content about database engines and vectorized execution plans"
+
+  test("jaccard: identical=1, near-dup high, unrelated low") {
+    val a = TextKernel.shingles(base, 3)
+    val b = TextKernel.shingles(nearDup, 3)
+    val c = TextKernel.shingles(unrelated, 3)
+    assert(NearDup.jaccard(a, a) == 1.0)
+    assert(NearDup.jaccard(a, b) > 0.5)
+    assert(NearDup.jaccard(a, c) < 0.1)
+  }
+
+  test("minhash signature: deterministic and length NumHashes") {
+    val s1 = NearDup.minhashSignature(base)
+    val s2 = NearDup.minhashSignature(base)
+    assert(s1.sameElements(s2))
+    assert(s1.length == NearDup.NumHashes)
+    assert(!s1.sameElements(NearDup.minhashSignature(unrelated)))
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val s1 = NearDup.minhashSignature(base)
+    val s2 = NearDup.minhashSignature(nearDup)
+    val agree = s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+    val trueJac = NearDup.jaccard(TextKernel.shingles(base, 3), TextKernel.shingles(nearDup, 3))
+    assert(math.abs(agree - trueJac) < 0.25)
+  }
+
+  test("simhash: identical texts collide, near-dups are close, unrelated far") {
+    val h1 = NearDup.simhash(base)
+    val h2 = NearDup.simhash(nearDup)
+    val h3 = NearDup.simhash(unrelated)
+    assert(NearDup.hammingDistance(h1, h1) == 0)
+    assert(NearDup.hammingDistance(h1, h2) <= 12)
+    assert(NearDup.hammingDistance(h1, h3) > 12)
+  }
+
+  test("minhashNearDupPairs finds planted duplicates and skips unrelated") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " extra tail words here"), (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.minhashNearDupPairs(spark, docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashNearDupPairs finds planted near-dups") {
+    import spark.implicits._
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = NearDup.simhashNearDupPairs(spark, docs, maxDistance = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}
