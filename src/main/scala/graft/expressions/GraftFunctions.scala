@@ -21,5 +21,7 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("chunk_text",
+      exprs => ChunkTextGenerator(exprs), "built-in")
   }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.text.TextKernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-extraction stage (SURVEY.md §2.A A2-A6): binary document →
+  * page-tagged fragments → assembled text, including the conditional-OCR
+  * branch (A5: pages with < 100 chars of extracted text go through OCR —
+  * threshold from reference embedding_utils.py:143).
+  *
+  * PDF parsing itself is external (BASELINE.json): the extractor contract
+  * takes bytes and returns pages; `TextBytesExtractor` implements it for
+  * plain-text payloads (form-feed = page break) so the whole stage is
+  * runnable and testable here. OCR is likewise a contract (the reference
+  * calls Azure Vision, embedding_utils.py:53-100) with a deterministic stub.
+  */
+object DocExtract {
+
+  final case class Page(page: Int, text: String, hasImage: Boolean)
+
+  trait PageExtractor extends Serializable {
+    /** bytes → ordered pages; never throws (A22 per-row containment). */
+    def extract(bytes: Array[Byte]): Seq[Page]
+  }
+
+  /** Plain-text extractor: UTF-8 decode, form-feed (\f) separates pages. */
+  final class TextBytesExtractor extends PageExtractor {
+    def extract(bytes: Array[Byte]): Seq[Page] =
+      try {
+        if (bytes == null) Seq.empty
+        else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split('\f').toSeq.zipWithIndex
+          .map { case (t, i) => Page(i + 1, t, hasImage = t.trim.length < 100) }
+      } catch { case _: Throwable => Seq.empty }
+  }
+
+  trait Ocr extends Serializable {
+    /** page image bytes → recognized text; errors → "" (ref :98-100). */
+    def recognize(imageBytes: Array[Byte]): String
+  }
+
+  /** STUB OCR: deterministic fake (hash-derived token) standing in for the
+    * external vision service; same contract, same error semantics.
+    */
+  final class StubOcr extends Ocr {
+    def recognize(imageBytes: Array[Byte]): String =
+      try {
+        if (imageBytes == null || imageBytes.isEmpty) ""
+        else s"ocr_text_${TextKernel.md5Hex(new String(imageBytes.take(64), "ISO-8859-1")).take(8)}"
+      } catch { case _: Throwable => "" }
+  }
+
+  /** OCR trigger threshold — semantic constant from the reference
+    * (embedding_utils.py:143).
+    */
+  val OcrThreshold = 100
+
+  /** (doc_id, content: binary) → one row per page with provenance tags
+    * (A2+A3): page text, needs_ocr flag. Narrow flatMap, no shuffle.
+    */
+  def extractPages(spark: SparkSession, docs: DataFrame,
+                   extractor: PageExtractor = new TextBytesExtractor()): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        extractor.extract(bytes).map(p => (id, p.page, p.text, p.text.trim.length < OcrThreshold))
+      }
+      .toDF("doc_id", "page", "page_text", "needs_ocr")
+  }
+
+  /** A5 conditional OCR + A6 fragment tagging: short pages get OCR'd (their
+    * payload passed as the page image), every fragment gets the reference's
+    * provenance prefix ("[Page N OCR Text]:" / "[Page N Text]:",
+    * embedding_utils.py:153,157), then pages are reassembled per document
+    * joined by "\n\n" in page order (A6, :167).
+    */
+  def assembleWithOcr(spark: SparkSession, pages: DataFrame,
+                      ocr: Ocr = new StubOcr()): DataFrame = {
+    import spark.implicits._
+    val tagged = pages.select(col("doc_id"), col("page"), col("page_text"), col("needs_ocr"))
+      .as[(Long, Int, String, Boolean)]
+      .map { case (id, page, text, needsOcr) =>
+        val fragment =
+          if (needsOcr) {
+            val recognized = ocr.recognize(text.getBytes("UTF-8"))
+            if (recognized.nonEmpty) s"[Page $page OCR Text]:\n$recognized"
+            else s"[Page $page Text]:\n$text"
+          } else s"[Page $page Text]:\n$text"
+        (id, page, fragment)
+      }
+      .toDF("doc_id", "page", "fragment")
+    tagged
+      .groupBy("doc_id")
+      .agg(concat_ws("\n\n", array_sort(collect_list(struct(col("page"), col("fragment"))))
+        .getField("fragment")).as("document_text"))
+  }
+}

@@ -33,7 +33,8 @@ object Registry {
       TextQueries.queries ++
       VectorQueries.queries ++
       DedupQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++
+      MultimodalQueries.queries
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

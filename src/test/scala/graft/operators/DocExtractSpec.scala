@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class DocExtractSpec extends SparkTestBase {
+
+  private val longPage = "this page has plenty of extracted text content " * 5
+  private val shortPage = "tiny"
+
+  test("page extraction splits on form-feed and flags short pages for OCR (A2/A5)") {
+    import spark.implicits._
+    val docs = Seq((1L, (longPage + "\f" + shortPage).getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val pages = DocExtract.extractPages(spark, docs).orderBy("page").collect()
+    assert(pages.length == 2)
+    assert(pages(0).getInt(1) == 1 && !pages(0).getBoolean(3))
+    assert(pages(1).getInt(1) == 2 && pages(1).getBoolean(3)) // < 100 chars → OCR
+  }
+
+  test("assembly tags fragments with page provenance and OCR marker (A5/A6)") {
+    import spark.implicits._
+    val docs = Seq((7L, (longPage + "\f" + shortPage).getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val pages = DocExtract.extractPages(spark, docs)
+    val out = DocExtract.assembleWithOcr(spark, pages).collect()
+    assert(out.length == 1)
+    val text = out(0).getString(1)
+    assert(text.contains("[Page 1 Text]:"))
+    assert(text.contains("[Page 2 OCR Text]:")) // short page went through OCR stub
+    assert(text.contains("ocr_text_"))
+    // page order preserved, joined by blank line (ref :167)
+    assert(text.indexOf("[Page 1") < text.indexOf("[Page 2"))
+    assert(text.contains("\n\n"))
+  }
+
+  test("extractor never throws on garbage bytes (A22 containment)") {
+    import spark.implicits._
+    val docs = Seq((1L, Array[Byte](-1, -2, -3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "content")
+    val pages = DocExtract.extractPages(spark, docs)
+    assert(pages.count() >= 0) // executes without exception; null doc → no pages
+    assert(pages.filter("doc_id = 2").count() == 0)
+  }
+
+  test("chunk_text Generator (SQL surface) matches Dataset.flatMap chunking") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(50)
+    docs.createOrReplaceTempView("docs_gen_spec")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.chunk_id, c.chunk FROM docs_gen_spec
+        |LATERAL VIEW chunk_text(text) c AS chunk_id, chunk""".stripMargin)
+      .as[(Long, Int, String)].collect().toSet
+    val viaFlatMap = docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.text.Chunker.chunkText(text).zipWithIndex.map { case (c, i) => (id, i, c) }
+      }.collect().toSet
+    assert(viaSql == viaFlatMap)
+  }
+
+  test("observe metrics count chunks without an extra pass (A19)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(30)
+    val canonical = Ingest.pipeline(spark, docs)
+    val (observed, obs) = Metrics.observeIngest(canonical)
+    val n = observed.count()
+    val row = obs.get
+    assert(row("n_chunks") == n)
+    assert(row("n_zero_vectors") == 0L)
+    assert(row("total_chars").asInstanceOf[Long] > 0L)
+  }
+}
