@@ -22,15 +22,34 @@ object NearDup {
   val RowsPerBand: Int = NumHashes / Bands
   val ShingleSize = 3
 
-  /** Deterministic minhash signature from word-shingle set. */
+  /** Per-function universal-hash parameters (splitmix64 of the function
+    * index — deterministic across JVMs, no RNG at runtime).
+    */
+  private val hashMult: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 1) | 1L)
+  private val hashAdd: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 2))
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic minhash signature from the word-shingle set. Each shingle
+    * is string-hashed ONCE (128-bit via two murmur seeds); the NumHashes
+    * permutations are cheap universal hashes of that value — 64x fewer
+    * string hashes than hashing per function, which dominates at corpus
+    * scale.
+    */
   def minhashSignature(text: String, numHashes: Int = NumHashes): Array[Long] = {
     val sh = TextKernel.shingles(text, ShingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { g =>
+      val base = (MurmurHash3.stringHash(g, 0x12345678).toLong << 32) |
+        (MurmurHash3.stringHash(g, 0x9E3779B9).toLong & 0xffffffffL)
       var i = 0
       while (i < numHashes) {
-        // hash family: murmur with per-function seed
-        val h = (MurmurHash3.stringHash(g, i * 0x9E3779B9 + 17).toLong & 0xffffffffL)
+        val h = (base * hashMult(i) + hashAdd(i)) >>> 1 // non-negative
         if (h < sig(i)) sig(i) = h
         i += 1
       }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Physical-plan assertions: the plans the engine would want on a 1000-node
+  * cluster, checked at sf0.001 — predicate pushdown reaches the parquet scan,
+  * projection prunes columns, small dimensions broadcast, hot expressions stay
+  * inside WholeStageCodegen, per-group top-k uses the window-group-limit
+  * rewrite. Failing any of these means a scale regression even if results
+  * are still correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  /** Final physical plan — the query is executed first so AQE re-planning
+    * has happened (isFinalPlan=true) and WholeStageCodegen stages (printed
+    * as `*(n)` prefixes) are visible.
+    */
+  private def plan(name: String): String = {
+    val df: DataFrame = graft.queries.Registry.asMap(name)(spark, sf)
+    df.collect() // execute THIS plan (count() would build a different one)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("r01: shipdate filter is pushed down to the parquet scan") {
+    val p = plan("r01_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("r02: IN predicate pushed to scan") {
+    // (the full PushedFilters list is truncated in toString; In(p_size is
+    // the discriminating prefix)
+    val p = plan("r02_filter_predicates")
+    assert(p.contains("PushedFilters: [IsNotNull") && p.contains("In(p_size"), p)
+  }
+
+  test("d01: column pruning — scan reads only doc_id and text") {
+    val p = plan("d01_normalize")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("r03: dimension side is broadcast (BroadcastHashJoin)") {
+    val p = plan("r03_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("r10: star join broadcasts all dimension tables") {
+    val p = plan("r10_star_join")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast joins, got $n\n$p")
+  }
+
+  test("r07/r08: semi and anti joins planned as hash joins, not NLJ") {
+    assert(plan("r07_join_semi").contains("LeftSemi"), "semi")
+    val anti = plan("r08_join_anti")
+    assert(anti.contains("LeftAnti"), "anti")
+    assert(!anti.contains("BroadcastNestedLoopJoin"), "anti must not be NLJ")
+  }
+
+  test("v01: cosine expression runs inside WholeStageCodegen") {
+    val p = plan("v01_knn_bruteforce")
+    assert(p.contains("*("), p) // codegen stage marker
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("v02: per-query top-k uses the WindowGroupLimit rewrite") {
+    // (r16 computes rank+dense_rank over a second window spec, which
+    // legitimately blocks the rewrite; the single-window v02 must use it)
+    val p = plan("v02_knn_per_query")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("r20: global top-k is TakeOrderedAndProject, not full sort") {
+    val p = plan("r20_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x01: cross-load dedup is a broadcast or shuffled hash anti-join on text_hash") {
+    val p = plan("x01_crossload_dedup")
+    assert(p.contains("LeftAnti"), p)
+  }
+}
