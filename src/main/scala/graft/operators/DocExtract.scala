@@ -17,21 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object DocExtract {
 
-  final case class Page(page: Int, text: String, hasImage: Boolean)
+  final case class Page(page: Int, text: String, tables: Seq[String], hasImage: Boolean)
 
   trait PageExtractor extends Serializable {
     /** bytes → ordered pages; never throws (A22 per-row containment). */
     def extract(bytes: Array[Byte]): Seq[Page]
   }
 
-  /** Plain-text extractor: UTF-8 decode, form-feed (\f) separates pages. */
+  /** Plain-text extractor: UTF-8 decode, form-feed (\f) separates pages.
+    * A4 table extraction: tab-separated line blocks inside a page are pulled
+    * out as stringified tables (the reference flattens tables to text too —
+    * pandas to_string, embedding_utils.py:112-115; tabular structure is
+    * intentionally NOT preserved).
+    */
   final class TextBytesExtractor extends PageExtractor {
     def extract(bytes: Array[Byte]): Seq[Page] =
       try {
         if (bytes == null) Seq.empty
         else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           .split('\f').toSeq.zipWithIndex
-          .map { case (t, i) => Page(i + 1, t, hasImage = t.trim.length < 100) }
+          .map { case (t, i) =>
+            val lines = t.split('\n')
+            val (tableLines, textLines) = lines.partition(l => l.contains('\t') && l.trim.nonEmpty)
+            val tables =
+              if (tableLines.isEmpty) Seq.empty[String]
+              else Seq(tableLines.map(_.replace('\t', ' ')).mkString("\n"))
+            val text = textLines.mkString("\n")
+            Page(i + 1, text, tables, hasImage = text.trim.length < 100)
+          }
       } catch { case _: Throwable => Seq.empty }
   }
 
@@ -57,7 +70,8 @@ object DocExtract {
   val OcrThreshold = 100
 
   /** (doc_id, content: binary) → one row per page with provenance tags
-    * (A2+A3): page text, needs_ocr flag. Narrow flatMap, no shuffle.
+    * (A2+A3+A4): page text, stringified tables joined by blank lines
+    * (embedding_utils.py:140), needs_ocr flag. Narrow flatMap, no shuffle.
     */
   def extractPages(spark: SparkSession, docs: DataFrame,
                    extractor: PageExtractor = new TextBytesExtractor()): DataFrame = {
@@ -65,9 +79,10 @@ object DocExtract {
     docs.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        extractor.extract(bytes).map(p => (id, p.page, p.text, p.text.trim.length < OcrThreshold))
+        extractor.extract(bytes).map(p =>
+          (id, p.page, p.text, p.tables.mkString("\n\n"), p.text.trim.length < OcrThreshold))
       }
-      .toDF("doc_id", "page", "page_text", "needs_ocr")
+      .toDF("doc_id", "page", "page_text", "page_tables", "needs_ocr")
   }
 
   /** A5 conditional OCR + A6 fragment tagging: short pages get OCR'd (their
@@ -79,15 +94,20 @@ object DocExtract {
   def assembleWithOcr(spark: SparkSession, pages: DataFrame,
                       ocr: Ocr = new StubOcr()): DataFrame = {
     import spark.implicits._
-    val tagged = pages.select(col("doc_id"), col("page"), col("page_text"), col("needs_ocr"))
-      .as[(Long, Int, String, Boolean)]
-      .map { case (id, page, text, needsOcr) =>
-        val fragment =
+    val tagged = pages
+      .select(col("doc_id"), col("page"), col("page_text"), col("page_tables"), col("needs_ocr"))
+      .as[(Long, Int, String, String, Boolean)]
+      .map { case (id, page, text, tables, needsOcr) =>
+        val textFragment =
           if (needsOcr) {
             val recognized = ocr.recognize(text.getBytes("UTF-8"))
             if (recognized.nonEmpty) s"[Page $page OCR Text]:\n$recognized"
             else s"[Page $page Text]:\n$text"
           } else s"[Page $page Text]:\n$text"
+        // A4: tables appended as their own tagged fragment (ref :139-140)
+        val fragment =
+          if (tables.nonEmpty) s"$textFragment\n\n[Page $page Table]:\n$tables"
+          else textFragment
         (id, page, fragment)
       }
       .toDF("doc_id", "page", "fragment")

@@ -553,6 +553,30 @@ object RelationalQueries extends QuerySet {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
         |LEFT JOIN events e ON e.user_id = s.user_id
         |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
-        |GROUP BY s.user_id, s.event_id ORDER BY s.user_id, signup_id""".stripMargin))
+        |GROUP BY s.user_id, s.event_id ORDER BY s.user_id, signup_id""".stripMargin)),
+
+    // ---- except all (multiset semantics) ----
+    Q("r35_except_all",
+      (s, d) => t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+        .exceptAll(t(s, d, "orders").select(col("o_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT l_orderkey AS k FROM lineitem
+        | EXCEPT ALL
+        | SELECT o_orderkey AS k FROM orders)
+        |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ---- from_json to typed struct (A13 metadata parse) ----
+    Q("r36_from_json",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "view")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_type = 'view' ORDER BY event_id""".stripMargin))
   )
 }

@@ -155,6 +155,23 @@ object TextQueries extends QuerySet {
           }
           .toDF("doc_id", "n_tokens", "mean_token_len", "stop_ratio", "quality_score")
           .orderBy("doc_id")
-      })
+      }),
+
+    // BPE-ish pre-tokenization (letters / digits / single punctuation as
+    // separate tokens — the GPT-2-style regex split, simplified).
+    Q("t11_bpe_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), lower(normC).as("norm"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("norm"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_subtokens"),
+          size(array_distinct(regexp_extract_all(col("norm"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("n_distinct"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, lower($norm) AS norm FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
+        | CAST(len(list_distinct(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct
+        |FROM n ORDER BY doc_id""".stripMargin))
   )
 }

@@ -148,6 +148,26 @@ object VectorQueries extends QuerySet {
         sigs.groupBy("bucket")
           .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
           .orderBy("bucket")
-      })
+      }),
+
+    // Custom typed Aggregator (UDAF): per-label centroid with map-side
+    // partial merge — same oracle as the posexplode formulation (v04),
+    // proving the two strategies agree.
+    Q("v07_centroid_udaf",
+      (s, d) => {
+        val centroid = udaf(graft.functions.VectorCentroid,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        t(s, d, "embeddings")
+          .groupBy("label")
+          .agg(centroid(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "val")))
+          .select(col("label"), (col("pos") + 1).cast("int").as("idx"),
+            round(col("val"), 6).as("centroid_val"))
+          .orderBy("label", "idx")
+      },
+      Some(s"""SELECT label, CAST(idx AS INT) AS idx, round(avg(val), 6) AS centroid_val
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+        |        unnest($embD) AS val FROM embeddings)
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin))
   )
 }

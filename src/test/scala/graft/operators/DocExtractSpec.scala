@@ -13,8 +13,21 @@ class DocExtractSpec extends SparkTestBase {
       .toDF("doc_id", "content")
     val pages = DocExtract.extractPages(spark, docs).orderBy("page").collect()
     assert(pages.length == 2)
-    assert(pages(0).getInt(1) == 1 && !pages(0).getBoolean(3))
-    assert(pages(1).getInt(1) == 2 && pages(1).getBoolean(3)) // < 100 chars → OCR
+    assert(pages(0).getInt(1) == 1 && !pages(0).getBoolean(4))
+    assert(pages(1).getInt(1) == 2 && pages(1).getBoolean(4)) // < 100 chars → OCR
+  }
+
+  test("table lines are extracted as stringified tables (A4)") {
+    import spark.implicits._
+    val pageWithTable = longPage + "\ncol1\tcol2\tcol3\nv1\tv2\tv3\ntail text"
+    val docs = Seq((3L, pageWithTable.getBytes("UTF-8"))).toDF("doc_id", "content")
+    val pages = DocExtract.extractPages(spark, docs).collect()
+    assert(pages.length == 1)
+    val tables = pages(0).getString(3)
+    assert(tables.contains("col1 col2 col3") && tables.contains("v1 v2 v3"))
+    assert(!pages(0).getString(2).contains("col1")) // pulled out of page text
+    val assembled = DocExtract.assembleWithOcr(spark, DocExtract.extractPages(spark, docs)).collect()
+    assert(assembled(0).getString(1).contains("[Page 1 Table]:"))
   }
 
   test("assembly tags fragments with page provenance and OCR marker (A5/A6)") {

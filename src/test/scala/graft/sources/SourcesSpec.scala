@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.operators.{HashingEmbedder, Ingest}
+import graft.schemas.Schemas
+import java.nio.file.Files
+
+/** Source/sink matrix (SURVEY.md §2.B scans row): parquet is primary (every
+  * query), binaryFile is covered in MultimodalSpec; CSV and JSON roundtrips
+  * + the idempotent chunk-store DDL and batch upsert are covered here.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("CSV roundtrip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/docs"
+    docs.write.option("header", "true").csv(dir)
+    val back = spark.read.schema(Schemas.documents).option("header", "true").csv(dir)
+    assert(back.count() == docs.count())
+    assert(back.schema == Schemas.documents)
+    // content equality modulo row order (CSV quoting round-trips text)
+    assert(back.select("doc_id", "n_chars").exceptAll(docs.select("doc_id", "n_chars")).isEmpty)
+  }
+
+  test("JSON roundtrip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/docs"
+    docs.write.json(dir)
+    val back = spark.read.schema(Schemas.documents).json(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "text").exceptAll(docs.select("doc_id", "text")).isEmpty)
+  }
+
+  test("chunk store ensure is idempotent and never truncates (A21)") {
+    val path = Files.createTempDirectory("graft_store").toString + "/chunks"
+    ChunkStore.ensure(spark, path)
+    assert(spark.read.parquet(path).schema.fieldNames.sameElements(Schemas.chunkStore.fieldNames))
+    assert(spark.read.parquet(path).count() == 0)
+    // write data, re-ensure, data survives
+    val batch = Ingest.pipeline(spark, docs.limit(10), new HashingEmbedder())
+    ChunkStore.upsert(spark, batch, path)
+    val n = spark.read.parquet(path).count()
+    assert(n > 0)
+    ChunkStore.ensure(spark, path)
+    assert(spark.read.parquet(path).count() == n)
+  }
+
+  test("chunk store upsert keeps first arrival per hash (A14/A12)") {
+    val path = Files.createTempDirectory("graft_store2").toString + "/chunks"
+    val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
+    ChunkStore.upsert(spark, batch, path)
+    val n1 = spark.read.parquet(path).count()
+    ChunkStore.upsert(spark, batch, path) // identical batch → no-op
+    val n2 = spark.read.parquet(path).count()
+    assert(n1 == n2)
+    val dups = spark.read.parquet(path).groupBy("text_hash").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dups == 0)
+  }
+}
