@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor (§2.C similarity-search
+  * scale path, alternative to random-hyperplane LSH): a small k-means coarse
+  * quantizer partitions the corpus into cells; a query probes only the
+  * `nProbe` nearest cells, turning a full scan into a pruned partition scan.
+  *
+  * Deterministic: centroid init = lowest-id vectors, fixed Lloyd iteration
+  * count, no RNG. The quantizer trains on a bounded driver-side sample
+  * (independent of corpus size); assignment is a narrow map over the corpus.
+  * At 100 TB the cell id becomes the table's partition column so probes are
+  * partition-pruned at the source.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) extends Serializable {
+    def nearestCell(v: Seq[Float]): Int = nearestCells(v, 1).head
+
+    def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
+      val dists = centroids.indices.map { c =>
+        var d = 0.0
+        val cent = centroids(c)
+        var i = 0
+        val lim = math.min(cent.length, v.length)
+        while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+        (c, d)
+      }
+      dists.sortBy { case (c, d) => (d, c) }.take(n).map(_._1)
+    }
+  }
+
+  /** Train the coarse quantizer: deterministic k-means (init = first k
+    * vectors by id, `iters` Lloyd steps) on a driver-side sample.
+    */
+  def train(spark: SparkSession, embeddings: DataFrame, k: Int,
+            iters: Int = 5, sampleSize: Int = 2048): Model = {
+    import spark.implicits._
+    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dims = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dims) { val t = centroids(c)(i) - v(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Assign every corpus vector to its cell (narrow map, no shuffle). */
+  def assign(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) => (id, label, e, bc.value.nearestCell(e)) }
+      .toDF("vec_id", "label", "embedding", "cell")
+  }
+
+  /** Approximate top-k: scan only the `nProbe` cells nearest to the query
+    * vector, exact cosine within them.
+    */
+  def search(spark: SparkSession, assigned: DataFrame, model: Model,
+             query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = model.nearestCells(query, nProbe)
+    val qCol = lit(query.toArray).cast("array<float>")
+    assigned
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+}

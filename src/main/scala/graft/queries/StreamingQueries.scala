@@ -76,6 +76,18 @@ object StreamingQueries extends QuerySet {
         out.orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin))
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Custom-state streaming (flatMapGroupsWithState): cross-batch
+    // first-arrival dedup. Key set equals batch DISTINCT on bounded input.
+    Q("s05_stateful_dedup",
+      (s, d) => {
+        val streamed = graft.streaming.StatefulOps.statefulDedup(s,
+          graft.streaming.StreamingOps.readEventsStream(s, d), Seq("user_id", "event_type"))
+        graft.streaming.StreamingOps.runToMemory(s, streamed.toDF("k"), "s05_stateful", "append")
+          .orderBy("k")
+      },
+      Some("""SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS k
+        |FROM events ORDER BY k""".stripMargin))
   )
 }

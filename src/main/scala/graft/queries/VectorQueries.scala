@@ -168,6 +168,22 @@ object VectorQueries extends QuerySet {
       Some(s"""SELECT label, CAST(idx AS INT) AS idx, round(avg(val), 6) AS centroid_val
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
         |        unnest($embD) AS val FROM embeddings)
-        |GROUP BY label, idx ORDER BY label, idx""".stripMargin))
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin)),
+
+    // IVF ANN (coarse-quantizer cells + pruned probe): with nProbe = all
+    // cells the result equals exact brute force (asserted in IvfIndexSpec);
+    // here the partial-probe top-k — rows-only check, recall unit-tested.
+    Q("v08_ivf_ann",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val model = graft.operators.IvfIndex.train(s, emb, k = 16)
+        val assigned = graft.operators.IvfIndex.assign(s, emb, model)
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        graft.operators.IvfIndex.search(s,
+          assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4)
+      })
   )
 }
