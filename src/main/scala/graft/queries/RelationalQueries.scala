@@ -577,6 +577,27 @@ object RelationalQueries extends QuerySet {
             .getField("k").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-        |FROM events WHERE event_type = 'view' ORDER BY event_id""".stripMargin))
+        |FROM events WHERE event_type = 'view' ORDER BY event_id""".stripMargin)),
+
+    // ---- native as-of join (custom LogicalPlan + Strategy + SparkPlan):
+    // strictly-before backward join, O(1) merge state per partition ----
+    Q("r37_asof_native",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "c_user", "c_ts")
+          .select(col("user_id"), col("event_id"), col("ts"), col("c_ts").as("last_click_ts"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts < p.ts) AS last_click_ts
+        |FROM p ORDER BY p.user_id, p.event_id""".stripMargin))
   )
 }
