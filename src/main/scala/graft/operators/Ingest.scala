@@ -99,6 +99,21 @@ object Ingest {
       to_json(struct(col("filename").as("source"), col("chunk_id"))).as("metadata"))
   }
 
+  /** Dead-letter split (A22): classify rows once, route failures to a side
+    * output instead of throwing — per-row errors never kill the job (the
+    * reference wraps every chunk/file in try/except and counts failures,
+    * main.py:291-346). Returns (good, dead) frames; `dead` carries a reason.
+    */
+  def withDeadLetter(docs: DataFrame): (DataFrame, DataFrame) = {
+    val classified = docs.withColumn("__err",
+      when(col("text").isNull, lit("null_text"))
+        .when(length(trim(col("text"))) === 0, lit("empty_text"))
+        .otherwise(lit(null)))
+    (classified.filter(col("__err").isNull).drop("__err"),
+      classified.filter(col("__err").isNotNull)
+        .select(col("doc_id"), col("source"), col("__err").as("error")))
+  }
+
   /** End-to-end pipeline (the flagship `SparkEntry.entry` path). */
   def pipeline(spark: SparkSession, docs: DataFrame,
                embedder: Embedder = new HashingEmbedder()): DataFrame = {

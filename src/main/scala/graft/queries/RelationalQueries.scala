@@ -598,6 +598,46 @@ object RelationalQueries extends QuerySet {
         |           FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.ts,
         |  (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts < p.ts) AS last_click_ts
-        |FROM p ORDER BY p.user_id, p.event_id""".stripMargin))
+        |FROM p ORDER BY p.user_id, p.event_id""".stripMargin)),
+
+    // ---- exact percentiles (interpolated) + median ----
+    Q("r38_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          round(expr("median(l_quantity)"), 4).as("med_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        | round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- null-safe equality (<=> / IS NOT DISTINCT FROM) over outer-join nulls ----
+    Q("r39_nullsafe_eq",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(max("l_linenumber").as("max_line"))
+        // left join -> null max_line for lineitem-less orders; null-safe
+        // compare classifies them deterministically
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            (col("max_line") <=> lit(null)).as("no_lines"),
+            (col("max_line") <=> lit(7)).as("has_seven"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey,
+        | (l.max_line IS NOT DISTINCT FROM NULL) AS no_lines,
+        | (l.max_line IS NOT DISTINCT FROM 7) AS has_seven
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, CAST(max(l_linenumber) AS INT) AS max_line
+        |  FROM lineitem GROUP BY l_orderkey) l
+        |ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin))
   )
 }

@@ -64,6 +64,32 @@ class IngestSpec extends SparkTestBase {
     assert(sizes.forall(_ == Schemas.VectorDimensions))
   }
 
+  test("dead-letter split routes bad rows without failing the job (A22)") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "good text here", "en", "s1", 14L),
+      (2L, null.asInstanceOf[String], "en", "s1", 0L),
+      (3L, "   ", "en", "s2", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (good, dead) = Ingest.withDeadLetter(mixed)
+    assert(good.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = dead.select("doc_id", "error").as[(Long, String)].collect().toMap
+    assert(reasons == Map(2L -> "null_text", 3L -> "empty_text"))
+    // good side flows through the pipeline unchanged
+    assert(Ingest.pipeline(spark, good).count() > 0)
+  }
+
+  test("approx_count_distinct stays within 5% of exact (HLL sanity)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val row = li.agg(
+      countDistinct("l_orderkey").as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("chunk ids are sanitized and carry provenance") {
     import spark.implicits._
     val out = Ingest.chunkDocuments(spark, docs.limit(20)).toDF()
