@@ -132,6 +132,44 @@ object NearDup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate clusters from near-dup pairs: distributed connected
+    * components via iterative min-label propagation (each node adopts the
+    * minimum label in its neighborhood until fixpoint — SURVEY.md §2.C
+    * "connected components via iterative join"). Returns (id, cluster)
+    * where cluster = min doc id of the component.
+    *
+    * Scale notes: one shuffle per iteration, iterations bounded by component
+    * diameter (near-dup components are shallow); `localCheckpoint` truncates
+    * the growing lineage each round (on a cluster: checkpoint to durable
+    * storage instead).
+    */
+  def duplicateClusters(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("dcluster")), Seq("dst"))
+        .groupBy("src").agg(min("dcluster").as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** docs → (id, simhash, band buckets) for hamming-near-dup candidate
     * generation (4 x 16-bit bands: catches distance <= 3 pairs).
     */

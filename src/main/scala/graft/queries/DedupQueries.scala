@@ -90,6 +90,14 @@ object DedupQueries extends QuerySet {
         .groupBy("band")
         .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
           round(avg("n"), 6).as("avg_bucket"))
-        .orderBy("band"))
+        .orderBy("band")),
+
+    // Duplicate clusters: near-dup pairs -> connected components -> one
+    // row per clustered doc (cluster = min member id).
+    Q("x06_dup_clusters",
+      (s, d) => {
+        val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.4)
+        NearDup.duplicateClusters(s, pairs).orderBy("id")
+      })
   )
 }

@@ -56,6 +56,25 @@ class NearDupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicateClusters: transitive closure over pairs (a-b, b-c => one cluster)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = NearDup.duplicateClusters(spark, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(7L) == 7L && clusters(9L) == 7L)
+    assert(clusters.size == 5) // only clustered docs appear
+  }
+
+  test("duplicateClusters handles a chain (worst-case diameter)") {
+    import spark.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = NearDup.duplicateClusters(spark, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet == Set(1L))
+    assert(clusters.size == 12)
+  }
+
   test("simhashNearDupPairs finds planted near-dups") {
     import spark.implicits._
     val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
