@@ -638,6 +638,86 @@ object RelationalQueries extends QuerySet {
         |  SELECT l_orderkey, CAST(max(l_linenumber) AS INT) AS max_line
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o.o_orderkey = l.l_orderkey
-        |ORDER BY o.o_orderkey""".stripMargin))
+        |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---- window navigation: first/last/nth value, percent_rank, cume_dist ----
+    Q("r40_window_navigation",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_totalprice").over(wFull).as("first_price"),
+            last("o_totalprice").over(wFull).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER wf AS first_price,
+        | last_value(o_totalprice) OVER wf AS last_price,
+        | nth_value(o_totalprice, 2) OVER wf AS second_price,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- extended string functions ----
+    Q("r41_string_extra",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          reverse(col("p_type")).as("rev"),
+          repeat(col("p_type"), 2).as("rep"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          substring(col("p_name"), 1, 4).as("lft"),
+          ascii(col("p_brand")).as("asc"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("brand_num"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS lp,
+        | rpad(p_brand, 12, '#') AS rp,
+        | reverse(p_type) AS rev,
+        | repeat(p_type, 2) AS rep,
+        | translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        | substring(p_name, 1, 4) AS lft,
+        | CAST(ascii(p_brand) AS INT) AS asc,
+        | regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- array functions over deterministic collect_list ----
+    Q("r42_array_functions",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(col("l_orderkey"),
+          // arrays serialized to strings so the oracle compare is
+          // representation-independent
+          concat_ws(",", col("lines")).as("lines_str"),
+          size(col("lines")).as("n"),
+          array_contains(col("lines"), 3).as("has3"),
+          element_at(col("lines"), 1).as("first_line"),
+          concat_ws(",", slice(col("lines"), 1, 2)).as("first_two"),
+          concat_ws(",", array_distinct(col("lines"))).as("dist"),
+          concat_ws(",", reverse(col("lines"))).as("rev"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        | array_to_string(lines, ',') AS lines_str,
+        | CAST(len(lines) AS INT) AS n,
+        | list_contains(lines, 3) AS has3,
+        | lines[1] AS first_line,
+        | array_to_string(lines[1:2], ',') AS first_two,
+        | array_to_string(list_sort(list_distinct(lines)), ',') AS dist,
+        | array_to_string(list_reverse(lines), ',') AS rev
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin))
   )
 }

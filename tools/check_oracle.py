@@ -26,7 +26,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.map(lambda v: "nan" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(float(v)))
         else:
-            out[c] = s.map(lambda v: str(v))
+            def norm(v):
+                try:
+                    import numpy as np
+                    if isinstance(v, np.ndarray):
+                        v = v.tolist()
+                except ImportError:
+                    pass
+                if isinstance(v, (list, tuple)):
+                    return "[" + ",".join(str(x) for x in v) + "]"
+                return str(v)
+            out[c] = s.map(norm)
     r = pd.DataFrame(out)
     r = r.sort_values(by=list(r.columns), kind="mergesort").reset_index(drop=True)
     return r
