@@ -718,6 +718,41 @@ object RelationalQueries extends QuerySet {
         | array_to_string(list_reverse(lines), ',') AS rev
         |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
         |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
-        |ORDER BY l_orderkey""".stripMargin))
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- higher-order functions (lambdas over arrays) ----
+    Q("r43_higher_order",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(col("l_orderkey"),
+          concat_ws(",", transform(col("lines"), x => x * 2)).as("doubled"),
+          concat_ws(",", filter(col("lines"), x => x > 2)).as("gt2"),
+          exists(col("lines"), x => x === 7).as("has7"),
+          aggregate(col("lines"), lit(0), (acc, x) => acc + x).as("line_sum"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        | array_to_string(list_transform(lines, x -> x * 2), ',') AS doubled,
+        | coalesce(array_to_string(list_filter(lines, x -> x > 2), ','), '') AS gt2,
+        | CAST(len(list_filter(lines, x -> x = 7)) > 0 AS BOOLEAN) AS has7,
+        | CAST(list_aggregate(lines, 'sum') AS INT) AS line_sum
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- pivot (wide conditional aggregation) ----
+    Q("r44_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
