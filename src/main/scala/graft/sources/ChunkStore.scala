@@ -30,14 +30,24 @@ object ChunkStore {
     * already exists in the store are skipped (the reference's
     * skip-if-hash-exists insert, db_utils.py:131-146), new rows appended.
     * One anti-join instead of one lookup per row.
+    *
+    * `partitionBy` (e.g. `Seq("file_type")` or an ingest-date column) turns
+    * the store into a hive-partitioned layout so downstream readers get
+    * partition pruning — the 100 TB layout; empty = flat local layout. The
+    * anti-join reads only the key column either way (column pruning).
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
-             keyCol: String = "text_hash"): Unit = {
-    ensure(spark, path)
-    val existing = spark.read.parquet(path).select(keyCol).distinct()
-    batch.dropDuplicates(keyCol)
-      .join(existing, Seq(keyCol), "left_anti")
+             keyCol: String = "text_hash", partitionBy: Seq[String] = Nil): Unit = {
+    // absent/empty store → everything is fresh (don't mix ensure()'s flat
+    // empty marker into a partitioned layout)
+    val existing =
+      try Some(spark.read.parquet(path).select(keyCol).distinct())
+      catch { case _: Throwable => None }
+    val deduped = batch.dropDuplicates(keyCol)
+    val fresh = existing.fold(deduped)(e => deduped.join(e, Seq(keyCol), "left_anti"))
+    val writer = fresh
       .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Append).parquet(path)
+      .write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
   }
 }

@@ -45,6 +45,23 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == n)
   }
 
+  test("partitioned chunk store: hive layout + partition pruning") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft_store_part").toString + "/chunks"
+    val batch = Ingest.pipeline(spark, docs.limit(30), new HashingEmbedder())
+    ChunkStore.upsert(spark, batch, path, partitionBy = Seq("filename"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == batch.count())
+    // partition dirs exist and the scan prunes on the partition column
+    val one = back.filter(col("filename") === "src0")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(filename"), plan)
+    // second identical upsert is a no-op
+    ChunkStore.upsert(spark, batch, path, partitionBy = Seq("filename"))
+    assert(spark.read.parquet(path).count() == batch.count())
+  }
+
   test("chunk store upsert keeps first arrival per hash (A14/A12)") {
     val path = Files.createTempDirectory("graft_store2").toString + "/chunks"
     val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
