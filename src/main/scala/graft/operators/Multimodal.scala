@@ -103,6 +103,25 @@ object Multimodal {
     }.toDF("media_id", "modality", "features", "width", "height")
   }
 
+  /** Resize stub: a real implementation decodes, resamples to (targetW,
+    * targetH), and re-encodes; the stub deterministically truncates/pads the
+    * payload to the target pixel budget and records the new dimensions in
+    * the typed metadata. Same narrow-map batch shape as a codec-backed
+    * resize.
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    val budget = math.max(1, targetW * targetH / 16)
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .map { case (id, modality, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val out = java.util.Arrays.copyOf(b, budget) // truncate or zero-pad
+        (id, modality, out, targetW, targetH)
+      }
+      .toDF("media_id", "modality", "content", "width", "height")
+  }
+
   /** Frame/window sampling stub: pick every k-th 16-byte window as a "frame"
     * payload — the partition/batch plumbing of video frame-sampling with the
     * codec stubbed out.

@@ -47,6 +47,14 @@ object MultimodalQueries extends QuerySet {
         DocExtract.assembleWithOcr(s, pages).orderBy("doc_id")
       }),
 
+    // Resize plumbing: payload renormalized to the target pixel budget,
+    // dims recorded in metadata (codec stubbed).
+    Q("m05_resize",
+      (s, d) => Multimodal.resize(s, synthMedia(s, d), targetW = 32, targetH = 32)
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("content")).as("byte_len"))
+        .orderBy("media_id")),
+
     // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator.
     Q("m04_chunks_sql",
       (s, d) => {

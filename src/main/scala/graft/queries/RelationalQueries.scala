@@ -753,6 +753,29 @@ object RelationalQueries extends QuerySet {
         | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
         | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- map functions ----
+    Q("r45_map_functions",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          map_from_arrays(array(lit("status"), lit("priority")),
+            array(col("o_orderstatus"), col("o_orderpriority"))).as("m"))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "status").as("status"),
+          element_at(col("m"), "priority").as("priority"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          size(col("m")).as("n_entries"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        | m['status'][1] AS status,
+        | m['priority'][1] AS priority,
+        | array_to_string(map_keys(m), ',') AS keys,
+        | CAST(cardinality(m) AS INT) AS n_entries
+        |FROM (SELECT o_orderkey,
+        |        map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+        |      FROM orders WHERE o_orderkey <= 300)
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

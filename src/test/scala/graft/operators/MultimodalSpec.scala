@@ -35,6 +35,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1(0).getAs[scala.collection.Seq[Float]]("features") != f1(1).getAs[scala.collection.Seq[Float]]("features"))
   }
 
+  test("resize stub renormalizes payload to the pixel budget and sets dims") {
+    import spark.implicits._
+    val media = Seq(
+      ("big", "image", (0 until 500).map(_.toByte).toArray),
+      ("small", "image", Array[Byte](1, 2, 3))
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.resize(spark, media, 32, 32).orderBy("media_id").collect()
+    // 32*32/16 = 64-byte budget: big truncated, small zero-padded
+    assert(out.forall(_.getAs[Array[Byte]]("content").length == 64))
+    assert(out.forall(r => r.getInt(3) == 32 && r.getInt(4) == 32))
+  }
+
   test("frame sampling emits every k-th window with indices") {
     import spark.implicits._
     val media = Seq(("m1", (0 until 100).map(_.toByte).toArray)).toDF("media_id", "content")
