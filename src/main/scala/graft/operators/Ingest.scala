@@ -96,7 +96,11 @@ object Ingest {
       lit(ingestTime).as("timestamp"),
       lit(fileType).as("file_type"),
       col("page_number"),
-      to_json(struct(col("filename").as("source"), col("chunk_id"))).as("metadata"))
+      // same field set as the reference's metadata blob (main.py:300-306)
+      to_json(struct(
+        col("filename"), col("chunk_id"),
+        lit(ingestTime).cast("string").as("timestamp"),
+        col("text_hash"), col("page_number"))).as("metadata"))
   }
 
   /** Dead-letter split (A22): classify rows once, route failures to a side
