@@ -55,6 +55,24 @@ object MultimodalQueries extends QuerySet {
           length(col("content")).as("byte_len"))
         .orderBy("media_id")),
 
+    // The reference's full EP1 lifecycle from bytes (SURVEY.md §3):
+    // binary doc → pages (A2-A4) → conditional OCR + tagged assembly
+    // (A5-A6) → normalize/chunk/hash (A7-A9) → dedup (A12) → embed (A11) →
+    // canonical store rows (A13).
+    Q("m06_e2e_binary_ingest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+            col("source"))
+        val pages = DocExtract.extractPages(s, docs)
+        val assembled = DocExtract.assembleWithOcr(s, pages)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("document_text").as("text"),
+            lit("und").as("lang"), col("source"),
+            length(col("document_text")).cast("long").as("n_chars"))
+        graft.operators.Ingest.pipeline(s, assembled).orderBy("id")
+      }),
+
     // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator.
     Q("m04_chunks_sql",
       (s, d) => {
