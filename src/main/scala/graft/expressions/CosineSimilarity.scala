@@ -27,6 +27,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null when either input is null OR either norm is zero (a NaN would sort
+  // ABOVE every real similarity in a descending top-k — the zero-vector
+  // embedder fallback must never rank first)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -67,7 +72,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     while (i < na) { val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i); sa += x * x; i += 1 }
     i = n
     while (i < nb) { val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i); sb += y * y; i += 1 }
-    dot / math.sqrt(sa * sb)
+    val denom = sa * sb
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / math.sqrt(denom))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -81,6 +87,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
@@ -94,7 +101,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |for (; $i < $na; $i++) { double x = (double) $a.$aGet($i); $sa += x * x; }
          |for ($i = $n; $i < $nb; $i++) { double y = (double) $b.$bGet($i); $sb += y * y; }
-         |${ev.value} = $dot / Math.sqrt($sa * $sb);
+         |double $denom = $sa * $sb;
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / Math.sqrt($denom);
+         |}
        """.stripMargin
     })
   }

@@ -12,22 +12,23 @@ object VectorCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  private def grow(a: Array[Double], n: Int): Array[Double] =
+    if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
+
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     if (v == null) return b
-    val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    // grow to the widest vector seen (ragged inputs: missing tail = 0)
+    val acc = grow(b._1, v.length)
     var i = 0
-    val n = math.min(acc.length, v.length)
-    while (i < n) { acc(i) += v(i); i += 1 }
+    while (i < v.length) { acc(i) += v(i); i += 1 }
     (acc, b._2 + 1)
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) return b
-    if (b._1.isEmpty) return a
-    val out = a._1.clone()
+    // counts always combine, even when one side's sum is empty
+    val out = grow(a._1, b._1.length)
     var i = 0
-    val n = math.min(out.length, b._1.length)
-    while (i < n) { out(i) += b._1(i); i += 1 }
+    while (i < b._1.length) { out(i) += b._1(i); i += 1 }
     (out, a._2 + b._2)
   }
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object DocExtract {
 
-  final case class Page(page: Int, text: String, tables: Seq[String], hasImage: Boolean)
+  final case class Page(page: Int, text: String, tables: Seq[String])
 
   trait PageExtractor extends Serializable {
     /** bytes → ordered pages; never throws (A22 per-row containment). */
@@ -42,8 +42,7 @@ object DocExtract {
             val tables =
               if (tableLines.isEmpty) Seq.empty[String]
               else Seq(tableLines.map(_.replace('\t', ' ')).mkString("\n"))
-            val text = textLines.mkString("\n")
-            Page(i + 1, text, tables, hasImage = text.trim.length < 100)
+            Page(i + 1, textLines.mkString("\n"), tables)
           }
       } catch { case _: Throwable => Seq.empty }
   }

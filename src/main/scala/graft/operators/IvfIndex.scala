@@ -54,13 +54,16 @@ object IvfIndex {
         while (c < k) {
           var d = 0.0
           var i = 0
-          while (i < dims) { val t = centroids(c)(i) - v(i); d += t * t; i += 1 }
+          val lim = math.min(dims, v.length) // ragged vectors: missing tail = 0
+          while (i < lim) { val t = centroids(c)(i) - v(i); d += t * t; i += 1 }
+          while (i < dims) { val t = centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         counts(best) += 1
         var i = 0
-        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+        val lim = math.min(dims, v.length)
+        while (i < lim) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)

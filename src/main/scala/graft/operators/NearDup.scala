@@ -87,6 +87,24 @@ object NearDup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Jaccard over two sorted, distinct arrays — linear merge walk, no Set
+    * allocation per pair.
+    */
+  def jaccardSorted(a: Array[String], b: Array[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** docs(id, text) → (id, band, bucket): LSH banding of minhash signatures.
     * One narrow map + explode; the downstream self-join on (band, bucket) is
     * the only shuffle.
@@ -120,13 +138,17 @@ object NearDup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
-    val withTexts = candidates
-      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("ttext", "text_a"), Seq("id_a"))
-      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("ttext", "text_b"), Seq("id_b"))
-    val verified = withTexts.as[(Long, Long, String, String)].map { case (idB, idA, ta, tb) =>
-      (idA, idB, jaccard(TextKernel.shingles(ta, ShingleSize), TextKernel.shingles(tb, ShingleSize)))
-    }.toDF("id_a", "id_b", "jaccard")
+    // shingle sets computed ONCE per doc (sorted arrays), not once per pair
+    val shingleSets = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextKernel.shingles(text, ShingleSize).toArray.sorted) }
+      .toDF("tid", "tsh")
+    val withSets = candidates
+      .join(shingleSets.withColumnRenamed("tid", "id_a").withColumnRenamed("tsh", "sh_a"), Seq("id_a"))
+      .join(shingleSets.withColumnRenamed("tid", "id_b").withColumnRenamed("tsh", "sh_b"), Seq("id_b"))
+    val verified = withSets.as[(Long, Long, Array[String], Array[String])]
+      .map { case (idB, idA, sa, sb) => (idA, idB, jaccardSorted(sa, sb)) }
+      .toDF("id_a", "id_b", "jaccard")
     verified.filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
@@ -167,12 +189,22 @@ object NearDup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels
   }
 
   /** docs → (id, simhash, band buckets) for hamming-near-dup candidate
-    * generation (4 x 16-bit bands: catches distance <= 3 pairs).
+    * generation. 8 bands x 8 bits: by pigeonhole, any pair with hamming
+    * distance <= 7 shares at least one clean band, so candidate recall is
+    * EXACT for the maxDistance <= 7 used downstream (4 x 16-bit bands would
+    * only guarantee distance <= 3).
     */
+  val SimhashBands = 8
+  val SimhashBandBits = 8
+
   def simhashBuckets(spark: SparkSession, docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import spark.implicits._
@@ -180,16 +212,20 @@ object NearDup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val h = simhash(text)
-        (0 until 4).map(band => (id, h, band, (h >>> (band * 16)) & 0xffffL))
+        val mask = (1L << SimhashBandBits) - 1
+        (0 until SimhashBands).map(band => (id, h, band, (h >>> (band * SimhashBandBits)) & mask))
       }
       .toDF("id", "simhash", "band", "bucket")
   }
 
   /** SimHash near-dup pairs: band-bucket candidates, verified by full hamming
-    * distance <= maxDistance.
+    * distance <= maxDistance. Recall is exact for maxDistance <= 7 (see
+    * simhashBuckets); beyond that candidates become probabilistic.
     */
   def simhashNearDupPairs(spark: SparkSession, docs: DataFrame, maxDistance: Int,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDistance <= SimhashBands - 1,
+      s"banding guarantees recall only for distance <= ${SimhashBands - 1}")
     val buckets = simhashBuckets(spark, docs, idCol, textCol)
     val a = buckets.as("a")
     val b = buckets.as("b")

@@ -82,24 +82,42 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
-        // consume right rows that are strictly before (lk, lt)
-        var advance = true
-        while (advance && buffered.hasNext) {
-          val rRow = buffered.head
-          val rk = rKeyB.eval(rRow)
-          val cmp = keyOrdering.compare(rk, lk)
-          if (cmp < 0) {
-            buffered.next() // earlier key: skip past
-          } else if (cmp == 0 && timeOrdering.compare(rTimeB.eval(rRow), lt) < 0) {
-            matchKey = rk
-            matchRow = buffered.next().copy()
-          } else {
-            advance = false
+        if (lk == null || lt == null) {
+          // null key/time matches nothing (standard join null semantics)
+          project(joined(lRow, nullRight))
+        } else {
+          // consume right rows that are strictly before (lk, lt); null-keyed
+          // or null-timed right rows can never match — skip them (they sort
+          // first under Ascending, so they are drained up front)
+          var advance = true
+          while (advance && buffered.hasNext) {
+            val rRow = buffered.head
+            val rk = rKeyB.eval(rRow)
+            if (rk == null) {
+              buffered.next()
+            } else {
+              val cmp = keyOrdering.compare(rk, lk)
+              if (cmp < 0) {
+                buffered.next() // earlier key: skip past
+              } else if (cmp == 0) {
+                val rt = rTimeB.eval(rRow)
+                if (rt == null) {
+                  buffered.next() // null time sorts first, never matches
+                } else if (timeOrdering.compare(rt, lt) < 0) {
+                  matchKey = rk
+                  matchRow = buffered.next().copy()
+                } else {
+                  advance = false
+                }
+              } else {
+                advance = false
+              }
+            }
           }
+          val matched = matchRow != null && matchKey != null &&
+            keyOrdering.compare(matchKey.asInstanceOf[Any], lk) == 0
+          project(joined(lRow, if (matched) matchRow else nullRight))
         }
-        val matched = matchRow != null && matchKey != null &&
-          keyOrdering.compare(matchKey.asInstanceOf[Any], lk) == 0
-        project(joined(lRow, if (matched) matchRow else nullRight))
       }
     }
   }

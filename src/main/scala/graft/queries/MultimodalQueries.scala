@@ -19,7 +19,7 @@ object MultimodalQueries extends QuerySet {
       concat(col("source"), lit("_"), col("doc_id")).as("media_id"),
       lit("text").as("modality"),
       encode(col("text"), "UTF-8").as("content"),
-      length(col("text")).cast("long").as("byte_len"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
       md5(col("text")).as("content_hash"))
 
   def queries: Seq[Q] = Seq(

@@ -56,6 +56,24 @@ class VectorOpsSpec extends SparkTestBase {
     assert(row.isNullAt(0))
   }
 
+  test("zero-norm vector yields null, never NaN — and never ranks in top-k") {
+    GraftFunctions.register(spark)
+    // interpreted path
+    val r1 = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").collect()(0)
+    assert(r1.isNullAt(0))
+    // codegen path over a frame with one zero vector: desc sort must put it last
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("id", "v")
+    val top = df.select(col("id"),
+        VectorFunctions.cosineSim(col("v"), lit(Array(1.0f, 0.0f))).as("sim"))
+      .orderBy(desc("sim"), col("id"))
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(top(2).isNullAt(1))
+  }
+
   test("brute-force knn returns k rows ordered by similarity desc") {
     import spark.implicits._
     val out = graft.queries.VectorQueries.queries.find(_.name == "v01_knn_bruteforce").get
