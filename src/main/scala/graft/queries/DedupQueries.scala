@@ -11,9 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QuerySet {
 
-  private val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-  private def normC = trim(regexp_replace(col("text"), "\\s+", " "))
-
   def queries: Seq[Q] = Seq(
 
     // Cross-load dedup: rows whose hash is NOT present in the "existing"
@@ -22,14 +19,14 @@ object DedupQueries extends QuerySet {
     Q("x01_crossload_dedup",
       (s, d) => {
         val hashed = t(s, d, "documents")
-          .select(col("doc_id"), md5(normC).as("text_hash"))
+          .select(col("doc_id"), md5(normCol).as("text_hash"))
         val existing = hashed.filter(col("doc_id") < 250).select("text_hash").distinct()
         hashed.filter(col("doc_id") >= 250)
           .join(existing, Seq("text_hash"), "left_anti")
           .select("doc_id", "text_hash")
           .orderBy("doc_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, md5($norm) AS text_hash FROM documents),
+      Some(s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents),
         |existing AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 250)
         |SELECT f.doc_id, f.text_hash FROM h f
         |WHERE f.doc_id >= 250
@@ -41,7 +38,7 @@ object DedupQueries extends QuerySet {
     Q("x02_jaccard_stats",
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        val toks = docs.select(col("doc_id"), explode(split(lower(normC), " ")).as("tok")).distinct()
+        val toks = docs.select(col("doc_id"), explode(split(lower(normCol), " ")).as("tok")).distinct()
         val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = toks.as("a").join(toks.as("b"),
             col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -56,7 +53,7 @@ object DedupQueries extends QuerySet {
           sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_high"),
           round(avg("jac"), 6).as("avg_jac"))
       },
-      Some(s"""WITH n AS (SELECT doc_id, lower($norm) AS norm FROM documents WHERE doc_id < 200),
+      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 200),
         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
@@ -75,8 +72,11 @@ object DedupQueries extends QuerySet {
 
     // MinHash-LSH near-dup pairs (scale path: banding → bucket join →
     // verify). Deterministic hash family; verified Jaccard attached.
+    // Threshold 0.5 matches the 16x4 banding's S-curve (collision prob
+    // ~0.65 at J=0.5, ~0.34 at J=0.4 — advertising a lower threshold would
+    // overstate recall).
     Q("x03_minhash_neardup",
-      (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.4)),
+      (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)),
 
     // SimHash near-dup pairs (hamming distance <= 6 on 64-bit signatures).
     Q("x04_simhash_neardup",
@@ -96,7 +96,7 @@ object DedupQueries extends QuerySet {
     // row per clustered doc (cluster = min member id).
     Q("x06_dup_clusters",
       (s, d) => {
-        val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.4)
+        val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
         NearDup.duplicateClusters(s, pairs).orderBy("id")
       })
   )

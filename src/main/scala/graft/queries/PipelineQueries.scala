@@ -12,22 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries extends QuerySet {
 
-  private val normExpr = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-
   def queries: Seq[Q] = Seq(
 
     Q("d01_normalize",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), trim(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"))
+        .select(col("doc_id"), normCol.as("norm_text"))
         .orderBy("doc_id"),
-      Some(s"SELECT doc_id, $normExpr AS norm_text FROM documents ORDER BY doc_id")),
+      Some(s"SELECT doc_id, $normSql AS norm_text FROM documents ORDER BY doc_id")),
 
     Q("d02_content_hash",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+          md5(normCol).as("text_hash"))
         .orderBy("doc_id"),
-      Some(s"SELECT doc_id, md5($normExpr) AS text_hash FROM documents ORDER BY doc_id")),
+      Some(s"SELECT doc_id, md5($normSql) AS text_hash FROM documents ORDER BY doc_id")),
 
     Q("d03_sanitize_key",
       (s, d) => t(s, d, "documents")
@@ -42,12 +40,12 @@ object PipelineQueries extends QuerySet {
     Q("d04_exact_dedup",
       (s, d) => {
         val hashed = t(s, d, "documents").select(col("doc_id"),
-          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+          md5(normCol).as("text_hash"))
         val w = Window.partitionBy("text_hash").orderBy("doc_id")
         hashed.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn").orderBy("doc_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, md5($normExpr) AS text_hash FROM documents)
+      Some(s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents)
         |SELECT doc_id, text_hash FROM (
         |  SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM h)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
@@ -55,15 +53,15 @@ object PipelineQueries extends QuerySet {
     Q("d05_dedup_stats",
       (s, d) => {
         val hashed = t(s, d, "documents")
-          .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+          .select(md5(normCol).as("text_hash"))
         hashed.agg(
           count(lit(1)).as("n_docs"),
           countDistinct(col("text_hash")).as("n_unique"),
           (count(lit(1)) - countDistinct(col("text_hash"))).as("n_dupes"))
       },
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(count(DISTINCT md5($normExpr)) AS BIGINT) AS n_unique,
-        | CAST(count(*) - count(DISTINCT md5($normExpr)) AS BIGINT) AS n_dupes
+        | CAST(count(DISTINCT md5($normSql)) AS BIGINT) AS n_unique,
+        | CAST(count(*) - count(DISTINCT md5($normSql)) AS BIGINT) AS n_dupes
         |FROM documents""".stripMargin)),
 
     // A16 facet-by-filename analog.

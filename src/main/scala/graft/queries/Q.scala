@@ -24,17 +24,35 @@ trait QuerySet {
   /** Shorthand fixture-table loader used inside query bodies. */
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** THE whitespace normalization (A7) — single definition of the Spark
+    * column and its DuckDB-SQL equivalent, shared by every query that hashes
+    * or tokenizes normalized text (d02/d04/x01/x02/t01/... must all agree).
+    */
+  protected def normCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.trim(
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"), "\\s+", " "))
+
+  protected val normSql: String = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 }
 
 object Registry {
-  def all: Seq[Q] =
-    PipelineQueries.queries ++
-      RelationalQueries.queries ++
-      TextQueries.queries ++
-      VectorQueries.queries ++
-      DedupQueries.queries ++
-      StreamingQueries.queries ++
-      MultimodalQueries.queries
+  def all: Seq[Q] = {
+    val qs =
+      PipelineQueries.queries ++
+        RelationalQueries.queries ++
+        TextQueries.queries ++
+        VectorQueries.queries ++
+        DedupQueries.queries ++
+        StreamingQueries.queries ++
+        MultimodalQueries.queries
+    // a duplicated name would silently shadow a query in asMap (toMap is
+    // last-wins) and drop it from driver verification — fail loudly instead
+    val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    qs
+  }
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

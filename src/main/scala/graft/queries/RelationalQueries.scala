@@ -211,14 +211,17 @@ object RelationalQueries extends QuerySet {
         max("l_quantity").as("max_qty"),
         avg("l_quantity").as("avg_qty"),
         round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(stddev("l_extendedprice"), 4).as("sd_price"),
-        round(var_samp("l_extendedprice"), 4).as("var_price")),
+        // rounding grids sized to value magnitude: stddev ~3e4 -> 2dp,
+        // variance ~9e8 -> whole units (4dp left only ~100 ulps of margin
+        // against cross-engine accumulation-order drift)
+        round(stddev("l_extendedprice"), 2).as("sd_price"),
+        round(var_samp("l_extendedprice"), 0).as("var_price")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS n,
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | avg(l_quantity) AS avg_qty, round(sum(l_extendedprice), 2) AS sum_price,
-        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        | round(var_samp(l_extendedprice), 4) AS var_price
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | round(var_samp(l_extendedprice), 0) AS var_price
         |FROM lineitem""".stripMargin)),
 
     // ---- group by + having ----

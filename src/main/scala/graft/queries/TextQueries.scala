@@ -14,21 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QuerySet {
 
-  private val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-  private def normC = trim(regexp_replace(col("text"), "\\s+", " "))
-
   def queries: Seq[Q] = Seq(
 
     Q("t01_token_stats",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), normC.as("norm"))
+        .select(col("doc_id"), normCol.as("norm"))
         .select(col("doc_id"),
           length(col("norm")).as("n_chars_norm"),
           size(split(col("norm"), " ")).as("n_tokens"),
           round((length(col("norm")) - (size(split(col("norm"), " ")) - 1))
             / size(split(col("norm"), " ")).cast("double"), 6).as("mean_token_len"))
         .orderBy("doc_id"),
-      Some(s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
         |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars_norm,
         | CAST(array_length(string_split(norm, ' ')) AS INT) AS n_tokens,
         | round((length(norm) - (array_length(string_split(norm, ' ')) - 1))
@@ -37,7 +34,7 @@ object TextQueries extends QuerySet {
 
     Q("t02_quality_ratios",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), normC.as("norm"))
+        .select(col("doc_id"), normCol.as("norm"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("norm"), lit("[.,;:!?]"), lit(0))).as("n_punct"),
           size(regexp_extract_all(col("norm"), lit("[0-9]"), lit(0))).as("n_digits"),
@@ -45,7 +42,7 @@ object TextQueries extends QuerySet {
           round(size(regexp_extract_all(col("norm"), lit("[.,;:!?]"), lit(0)))
             / greatest(length(col("norm")), lit(1)).cast("double"), 6).as("punct_ratio"))
         .orderBy("doc_id"),
-      Some(s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(norm, '[.,;:!?]')) AS INT) AS n_punct,
         | CAST(len(regexp_extract_all(norm, '[0-9]')) AS INT) AS n_digits,
@@ -56,7 +53,7 @@ object TextQueries extends QuerySet {
 
     Q("t03_stopword_ratio",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), lower(normC).as("norm"))
+        .select(col("doc_id"), lower(normCol).as("norm"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("norm"),
             lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0))).as("n_stop"),
@@ -64,7 +61,7 @@ object TextQueries extends QuerySet {
           round(size(regexp_extract_all(col("norm"), lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0)))
             / size(split(col("norm"), " ")).cast("double"), 6).as("stop_ratio"))
         .orderBy("doc_id"),
-      Some(s"""WITH n AS (SELECT doc_id, lower($norm) AS norm FROM documents)
+      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|in|to|is)\\b')) AS INT) AS n_stop,
         | CAST(array_length(string_split(norm, ' ')) AS INT) AS n_tokens,
@@ -94,11 +91,11 @@ object TextQueries extends QuerySet {
 
     Q("t06_vocabulary_stats",
       (s, d) => t(s, d, "documents")
-        .select(explode(split(normC, " ")).as("tok"))
+        .select(explode(split(normCol, " ")).as("tok"))
         .agg(count(lit(1)).as("total_tokens"),
           countDistinct("tok").as("distinct_tokens"),
           max(length(col("tok"))).as("max_token_len")),
-      Some(s"""WITH n AS (SELECT $norm AS norm FROM documents),
+      Some(s"""WITH n AS (SELECT $normSql AS norm FROM documents),
         |toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM n)
         |SELECT CAST(count(*) AS BIGINT) AS total_tokens,
         | CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
@@ -107,11 +104,11 @@ object TextQueries extends QuerySet {
 
     Q("t07_top_tokens",
       (s, d) => t(s, d, "documents")
-        .select(explode(split(lower(normC), " ")).as("tok"))
+        .select(explode(split(lower(normCol), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok"))
         .limit(20),
-      Some(s"""WITH n AS (SELECT lower($norm) AS norm FROM documents),
+      Some(s"""WITH n AS (SELECT lower($normSql) AS norm FROM documents),
         |toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM n)
         |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
@@ -161,14 +158,14 @@ object TextQueries extends QuerySet {
     // separate tokens — the GPT-2-style regex split, simplified).
     Q("t11_bpe_tokens",
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), lower(normC).as("norm"))
+        .select(col("doc_id"), lower(normCol).as("norm"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("norm"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_subtokens"),
           size(array_distinct(regexp_extract_all(col("norm"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("n_distinct"))
         .orderBy("doc_id"),
-      Some(s"""WITH n AS (SELECT doc_id, lower($norm) AS norm FROM documents)
+      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
         | CAST(len(list_distinct(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct

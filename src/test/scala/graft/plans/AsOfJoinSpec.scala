@@ -65,6 +65,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("null keys and times match nothing and never crash") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(100L), "ok"),
+      (Option.empty[Long], Option(100L), "null_key"),
+      (Option(1L), Option.empty[Long], "null_time")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(50L), "match"),
+      (Option.empty[Long], Option(10L), "null_rkey"),
+      (Option(1L), Option.empty[Long], "null_rtime")
+    ).toDF("rk", "rt", "rtag")
+    val out = AsOf.asofJoin(left, right, "k", "t", "rk", "rt")
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    assert(out("ok") == "match")
+    assert(out("null_key") == null)
+    assert(out("null_time") == null)
+  }
+
   test("works on empty right side (all nulls)") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
