@@ -197,13 +197,14 @@ object NearDup {
   }
 
   /** docs → (id, simhash, band buckets) for hamming-near-dup candidate
-    * generation. 8 bands x 8 bits: by pigeonhole, any pair with hamming
-    * distance <= 7 shares at least one clean band, so candidate recall is
-    * EXACT for the maxDistance <= 7 used downstream (4 x 16-bit bands would
-    * only guarantee distance <= 3).
+    * generation. 4 bands x 16 bits: by pigeonhole, any pair with hamming
+    * distance <= 3 shares at least one clean band — exact recall for the
+    * standard 64-bit simhash near-dup threshold (d <= 3, Manku et al.,
+    * WWW'07). Narrower bands would cover larger distances but flood the
+    * bucket join with candidates on high-similarity corpora.
     */
-  val SimhashBands = 8
-  val SimhashBandBits = 8
+  val SimhashBands = 4
+  val SimhashBandBits = 16
 
   def simhashBuckets(spark: SparkSession, docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

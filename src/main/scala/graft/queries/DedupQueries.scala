@@ -78,9 +78,10 @@ object DedupQueries extends QuerySet {
     Q("x03_minhash_neardup",
       (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)),
 
-    // SimHash near-dup pairs (hamming distance <= 6 on 64-bit signatures).
+    // SimHash near-dup pairs: the standard 64-bit simhash threshold
+    // (hamming <= 3), exact recall under the 4x16 banding.
     Q("x04_simhash_neardup",
-      (s, d) => NearDup.simhashNearDupPairs(s, t(s, d, "documents"), maxDistance = 6)),
+      (s, d) => NearDup.simhashNearDupPairs(s, t(s, d, "documents"), maxDistance = 3)),
 
     // MinHash LSH bucket-size profile: how balanced are the band buckets
     // (skew diagnostics for the bucket join at scale).

