@@ -154,6 +154,26 @@ object TextQueries extends QuerySet {
           .orderBy("doc_id")
       }),
 
+    // Winnowing fingerprints (partial-overlap dedup): shared-fingerprint
+    // counts for candidate pairs — any shared substring of length >= 11
+    // (k=8, w=4) produces at least one shared fingerprint. Narrow map +
+    // fingerprint self-join; rows-only (unit-tested in TextKernelSpec).
+    Q("t12_winnow_overlap",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val fps = t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) => TextKernel.winnow(text).iterator.map(fp => (id, fp)) }
+          .toDF("doc_id", "fp").distinct()
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared_fps"))
+          .filter(col("shared_fps") >= 10)
+          .orderBy("id_a", "id_b")
+      }),
+
     // BPE-ish pre-tokenization (letters / digits / single punctuation as
     // separate tokens — the GPT-2-style regex split, simplified).
     Q("t11_bpe_tokens",

@@ -70,4 +70,47 @@ object TextKernel {
     while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
     h
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): Rabin
+    * rolling hashes of all k-grams, then the minimum hash in each sliding
+    * window of `window` hashes (rightmost-min tie-break). Guarantees any
+    * shared substring of length >= k + window - 1 between two documents
+    * yields at least one shared fingerprint — the compact index behind
+    * partial-overlap / substring dedup at corpus scale.
+    */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Set[Long] = {
+    val t = normalize(text)
+    if (t.length < k) return Set.empty
+    val nGrams = t.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    // rolling polynomial hash, base 257
+    val base = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + t.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - t.charAt(i - 1) * pow) * base + t.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= window) return Set(hashes.min)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var start = 0
+    while (start + window <= nGrams) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + window) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      out += hashes(minIdx)
+      start += 1
+    }
+    out.toSet
+  }
 }

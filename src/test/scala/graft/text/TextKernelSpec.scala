@@ -48,4 +48,25 @@ class TextKernelSpec extends AnyFunSuite {
     assert(TextKernel.rollingFingerprint("abc") == TextKernel.rollingFingerprint("abc"))
     assert(TextKernel.rollingFingerprint("abc") != TextKernel.rollingFingerprint("abd"))
   }
+
+  test("winnow: shared substring >= k+w-1 guarantees a shared fingerprint") {
+    val shared = "this exact sentence is copied verbatim between both documents for overlap"
+    val a = "prefix text unique to the first document. " + shared + " and a unique tail here"
+    val b = "totally different opening content here. " + shared + " with another distinct ending"
+    val c = "no overlap at all in this one, completely unrelated material throughout it"
+    val fa = TextKernel.winnow(a)
+    val fb = TextKernel.winnow(b)
+    val fc = TextKernel.winnow(c)
+    assert(fa.intersect(fb).nonEmpty, "documents sharing a long substring must share fingerprints")
+    assert(fa.intersect(fc).size <= 1, "unrelated documents share at most coincidental fingerprints")
+    // deterministic + compact (far fewer fingerprints than k-grams)
+    assert(fa == TextKernel.winnow(a))
+    assert(fa.size < a.length - 8 + 1)
+  }
+
+  test("winnow edge cases: short and empty input") {
+    assert(TextKernel.winnow("", 8, 4).isEmpty)
+    assert(TextKernel.winnow("short", 8, 4).isEmpty)
+    assert(TextKernel.winnow("exactly8c", 8, 4).nonEmpty) // 9 chars -> 2 k-grams
+  }
 }
