@@ -70,7 +70,7 @@ object MultimodalQueries extends QuerySet {
           .select(col("doc_id"), col("document_text").as("text"),
             lit("und").as("lang"), col("source"),
             length(col("document_text")).cast("long").as("n_chars"))
-        graft.operators.Ingest.pipeline(s, assembled).orderBy("id")
+        vectorDigest(graft.operators.Ingest.pipeline(s, assembled)).orderBy("id")
       }),
 
     // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator.

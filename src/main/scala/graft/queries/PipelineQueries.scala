@@ -95,8 +95,10 @@ object PipelineQueries extends QuerySet {
           max(length(col("content"))).as("max_chunk_len"))
         .orderBy("filename")),
 
-    // Full A1→A14 pipeline to the canonical 10-field chunk store.
+    // Full A1→A14 pipeline to the canonical 10-field chunk store (vector
+    // reported as dim + L2 digest — see QuerySet.vectorDigest).
     Q("d10_ingest_canonical",
-      (s, d) => Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()).orderBy("id"))
+      (s, d) => vectorDigest(
+        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder())).orderBy("id"))
   )
 }

@@ -35,6 +35,22 @@ trait QuerySet {
         org.apache.spark.sql.functions.col("text"), "\\s+", " "))
 
   protected val normSql: String = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+  /** Replace a raw `content_vector` array column with scalar digests
+    * (dimension + rounded L2 norm). The driver's comparator sorts output
+    * rows with pandas, which cannot order ndarray cells — array columns in
+    * query OUTPUT crash even the rows-only check (CORRECTNESS_r01
+    * d10/m06). The digests keep the embedding verifiable (dim and norm are
+    * deterministic for the hashing embedder) while staying sortable.
+    */
+  protected def vectorDigest(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("vec_dim", size(col("content_vector")))
+      .withColumn("vec_l2", round(
+        sqrt(aggregate(col("content_vector").cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x * x)), 6))
+      .drop("content_vector")
+  }
 }
 
 object Registry {
