@@ -62,7 +62,8 @@ object Registry {
         VectorQueries.queries ++
         DedupQueries.queries ++
         StreamingQueries.queries ++
-        MultimodalQueries.queries
+        MultimodalQueries.queries ++
+        QualityQueries.queries
     // a duplicated name would silently shadow a query in asMap (toMap is
     // last-wins) and drop it from driver verification — fail loudly instead
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation surface (§2.C extension): the document-quality
+  * gates a large-scale LLM pipeline runs between raw text and training
+  * shards — Gopher-style heuristic filters (Rae et al. 2021, arXiv
+  * 2112.11446 §A1.1), repetition ratios, token-distribution entropy,
+  * deterministic hash-based train/val/test splits, stratified sampling,
+  * token-budget sequence packing, PII-style pattern scans, n-gram stats,
+  * and a corpus-unigram log-probability score (the cheap perplexity proxy).
+  *
+  * Every query is SQL-expressible and carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB): all per-document metrics are narrow maps over the
+  * scan followed by one partial-aggregated groupBy on `doc_id` (Catalyst
+  * does map-side combine); nothing here shuffles raw text twice. The
+  * corpus-level aggregates (top bigrams, unigram LM) shuffle only
+  * (token, count) pairs, which are orders of magnitude smaller than the
+  * input. Hash-split/sampling are stateless row-local predicates — they
+  * parallelize perfectly and never need a global pass.
+  */
+object QualityQueries extends QuerySet {
+
+  /** Token-level view: one row per (doc, token), tokens from THE shared
+    * normalization (QuerySet.normCol — must agree with t01/t03/x02).
+    */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
+      explode(split(normCol, " ")).as("tok"))
+
+  private val toksSql =
+    s"""(SELECT doc_id, lang, source, unnest(string_split($normSql, ' ')) AS tok
+       | FROM documents)""".stripMargin
+
+  /** Stopword set shared with t03_stopword_ratio. */
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Deterministic split bucket: first hex nibble of md5(doc_id).
+    * '0'-'b' → train (12/16), 'c'-'d' → val (2/16), else test (2/16).
+    * Hash-based splits are the only split that stays stable when the
+    * corpus is re-sharded or appended to — row_number-based splits don't
+    * survive a repartition.
+    */
+  private def splitCol: Column = {
+    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
+    when(nibble <= "b", "train").when(nibble.isin("c", "d"), "val").otherwise("test")
+  }
+  private val splitSql =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // Gopher-style per-document quality gates: word-count bounds, mean word
+    // length bounds, minimum distinct stopwords. Flags as INT so the
+    // comparator sees identical representations.
+    Q("g01_gopher_filters",
+      (s, d) => toks(s, d)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          round(avg(length(col("tok"))), 6).as("mean_word_len"),
+          countDistinct(when(col("tok").isin(stopwords: _*), col("tok"))).as("n_stop_distinct"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("n_stop_distinct"),
+          col("n_words").between(50, 100000).cast("int").as("word_count_ok"),
+          col("mean_word_len").between(3.0, 10.0).cast("int").as("word_len_ok"),
+          (col("n_stop_distinct") >= 2).cast("int").as("stopwords_ok"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | round(avg(length(tok)), 6) AS mean_word_len,
+        | CAST(count(DISTINCT CASE WHEN tok IN $stopSqlList THEN tok END) AS BIGINT) AS n_stop_distinct,
+        | CAST(count(*) BETWEEN 50 AND 100000 AS INT) AS word_count_ok,
+        | CAST(avg(length(tok)) BETWEEN 3.0 AND 10.0 AS INT) AS word_len_ok,
+        | CAST(count(DISTINCT CASE WHEN tok IN $stopSqlList THEN tok END) >= 2 AS INT) AS stopwords_ok
+        |FROM $toksSql GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Repetition ratios (the Gopher/C4 duplicate-content gates): fraction
+    // of the doc taken by its most common token, duplicate-token fraction.
+    Q("g02_repetition",
+      (s, d) => toks(s, d)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("top_cnt") / col("n_tokens"), 6).as("top_token_frac"),
+          round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6).as("dup_token_frac"),
+          (col("top_cnt") / col("n_tokens") > 0.2).cast("int").as("repetitive"))
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT doc_id, tok, count(*) AS c FROM $toksSql GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac,
+        | round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_token_frac,
+        | CAST(max(c) / CAST(sum(c) AS DOUBLE) > 0.2 AS INT) AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Shannon entropy of the per-document token distribution — low entropy
+    // = TEMPLATE/boilerplate content. round(4): float-sum order differs
+    // between engines; margin sized to the accumulated error.
+    Q("g03_token_entropy",
+      (s, d) => {
+        val cnt = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("doc_id").agg(sum("c").as("n"))
+        cnt.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(max("n").as("n_tokens"),
+            round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 4).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, tok, count(*) AS c FROM $toksSql GROUP BY doc_id, tok),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        | round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4) AS entropy
+        |FROM c JOIN tot ON c.doc_id = tot.doc_id
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // Deterministic hash-based train/val/test split, faceted by language —
+    // the split assignment must be a pure function of the row (doc_id), so
+    // re-running on re-sharded data yields the same membership.
+    Q("g04_hash_split",
+      (s, d) => t(s, d, "documents")
+        .select(splitCol.as("split"), col("lang"), col("n_chars"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("split", "lang"),
+      Some(s"""SELECT $splitSql AS split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // Stratified deterministic sample: ~3/16 of each language stratum by
+    // the same md5-nibble trick. Sampling by content hash (not rand()) is
+    // reproducible across runs, partitionings, and engines.
+    Q("g05_stratified_sample",
+      (s, d) => t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        | round(avg(n_chars), 6) AS avg_chars,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '2'
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Token-budget sequence packing: concatenate docs per source in doc_id
+    // order; a doc's pack is floor(startOffset / budget). One window over
+    // (source, doc_id) — at scale this is the standard pre-tokenization
+    // packing pass, parallel per source shard.
+    Q("g06_sequence_packing",
+      (s, d) => {
+        val budget = 2048
+        val sized = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(normCol, " ")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        sized
+          .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("offset") / budget))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "pack_id")
+      },
+      Some(s"""WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CAST(array_length(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |  FROM sized)
+        |SELECT source, CAST(floor(o / 2048) AS BIGINT) AS pack_id,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        | CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM off GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+
+    // PII-style pattern scan: emails / URLs / IPv4 / long-token counts per
+    // doc. On this synthetic corpus the first three are structurally zero —
+    // the point is the (oracle-checked) scan machinery; character-class
+    // regexes chosen for Java-regex / RE2 agreement.
+    Q("g07_pattern_scan",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), normCol.as("norm"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("norm"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("norm"),
+            lit("https?://[^ ]+"), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("norm"),
+            lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), lit(0))).as("n_ipv4"),
+          size(regexp_extract_all(col("norm"),
+            lit("[a-z]{8,}"), lit(0))).as("n_long_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(norm, 'https?://[^ ]+')) AS INT) AS n_urls,
+        | CAST(len(regexp_extract_all(norm, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(norm, '[a-z]{8,}')) AS INT) AS n_long_tokens
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-level top bigrams: position join within doc. The join key is
+    // (doc_id, pos) — narrow after the explode's co-partition; the global
+    // groupBy shuffles only (bigram, count) pairs.
+    Q("g08_top_bigrams",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(normCol, " ")).as(Seq("pos", "tok")))
+        tk.as("a").join(tk.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+          .select(concat(col("a.tok"), lit(" "), col("b.tok")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(20)
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM n)
+        |SELECT a.tok || ' ' || b.tok AS bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Unigram-LM document score (cheap perplexity proxy): mean ln p(tok)
+    // under the corpus unigram distribution. Two aggregations + one
+    // broadcast-sized join (vocabulary << corpus).
+    Q("g09_unigram_logprob",
+      (s, d) => {
+        val tk = toks(s, d).select("doc_id", "tok")
+        val freq = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum("c").as("total"))
+        tk.join(broadcast(freq), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("c") / col("total"))), 4).as("mean_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, tok FROM $toksSql),
+        |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(avg(ln(c / CAST(total AS DOUBLE))), 4) AS mean_logprob
+        |FROM tk JOIN freq USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The whole curation funnel as one row: how many docs survive each
+    // successive gate (cumulative AND, in pipeline order).
+    Q("g10_filter_funnel",
+      (s, d) => {
+        val m = toks(s, d)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_words"),
+            count(lit(1)).as("n_distinct"),
+            max("c").as("top_cnt"),
+            round(sum(col("c") * length(col("tok"))) / sum("c"), 6).as("mean_word_len"))
+        val wordsOk = col("n_words").between(50, 100000)
+        val lenOk = col("mean_word_len").between(3.0, 10.0)
+        val repOk = col("top_cnt") / col("n_words") <= 0.2
+        m.agg(
+          count(lit(1)).as("n_total"),
+          sum(wordsOk.cast("long")).as("after_word_count"),
+          sum((wordsOk && lenOk).cast("long")).as("after_word_len"),
+          sum((wordsOk && lenOk && repOk).cast("long")).as("after_repetition"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id, tok, count(*) AS c FROM $toksSql GROUP BY doc_id, tok),
+        |m AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_cnt,
+        |        round(sum(c * length(tok)) / CAST(sum(c) AS DOUBLE), 6) AS mean_word_len
+        |      FROM c GROUP BY doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CAST(n_words BETWEEN 50 AND 100000 AS INT)) AS BIGINT) AS after_word_count,
+        | CAST(sum(CAST(n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0 AS INT)) AS BIGINT) AS after_word_len,
+        | CAST(sum(CAST(n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND top_cnt / CAST(n_words AS DOUBLE) <= 0.2 AS INT)) AS BIGINT) AS after_repetition
+        |FROM m""".stripMargin))
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants of the training-data curation queries (g01-g10) that the
+  * DuckDB hash-compare can't express: conservation laws, bounds, and
+  * determinism under repartitioning.
+  */
+class QualityQueriesSpec extends SparkTestBase {
+
+  private def run(name: String) =
+    Registry.asMap(name)(spark, sf)
+
+  test("g04 hash split partitions every document exactly once") {
+    val split = run("g04_hash_split")
+    val total = split.agg(sum("n_docs")).head.getLong(0)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == nDocs)
+    // every doc lands in exactly one of the three splits
+    assert(split.select("split").distinct().count() == 3)
+  }
+
+  test("g05 stratified sample is a subset with per-stratum rows") {
+    val sample = run("g05_stratified_sample")
+    val perLang = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sample.collect().foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val n = r.getAs[Long]("n_sampled")
+      assert(n > 0 && n <= perLang(lang), s"stratum $lang: $n of ${perLang(lang)}")
+    }
+  }
+
+  test("g06 packing conserves tokens and respects pack ordering") {
+    val packs = run("g06_sequence_packing").collect()
+    val totalPacked = packs.map(_.getAs[Long]("pack_tokens")).sum
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(totalPacked == totalTokens)
+    // within a source, docs are packed in doc_id order: first_doc of pack k+1
+    // follows last_doc of pack k
+    packs.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pack_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
+  test("g03 entropy is bounded by ln(n_distinct)") {
+    val ent = run("g03_token_entropy")
+    val rep = run("g02_repetition").select("doc_id", "n_distinct")
+    ent.join(rep, "doc_id").collect().foreach { r =>
+      val e = r.getAs[Double]("entropy")
+      val bound = math.log(r.getAs[Long]("n_distinct").toDouble)
+      assert(e >= -1e-9 && e <= bound + 1e-4)
+    }
+  }
+
+  test("g09 logprob is negative and -entropy-consistent for uniform docs") {
+    run("g09_unigram_logprob").collect().foreach { r =>
+      assert(r.getAs[Double]("mean_logprob") < 0.0)
+    }
+  }
+
+  test("hash split and sample are stable under repartitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = docs.select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("nib"))
+    val b = docs.repartition(17).select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("nib"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+}
