@@ -779,6 +779,224 @@ object RelationalQueries extends QuerySet {
         |FROM (SELECT o_orderkey,
         |        map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
         |      FROM orders WHERE o_orderkey <= 300)
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- EXISTS / NOT EXISTS correlated predicates ----
+    Q("r46_exists_subquery",
+      sql(Seq("customer", "orders"),
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- lateral join (correlated derived table, per-row top-2) ----
+    Q("r47_lateral_join",
+      sql(Seq("customer", "orders"),
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey <= 100
+          |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin),
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // ---- unpivot (wide → long via stack Generator) ----
+    Q("r48_unpivot",
+      sql(Seq("lineitem"),
+        """SELECT l_orderkey, l_linenumber, metric, val FROM (
+          |  SELECT l_orderkey, l_linenumber,
+          |    stack(4, 'discount', CAST(l_discount AS DOUBLE),
+          |             'price', CAST(l_extendedprice AS DOUBLE),
+          |             'quantity', CAST(l_quantity AS DOUBLE),
+          |             'tax', CAST(l_tax AS DOUBLE)) AS (metric, val)
+          |  FROM lineitem WHERE l_orderkey <= 50)
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+      Some("""WITH base AS (SELECT * FROM lineitem WHERE l_orderkey <= 50)
+        |SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS metric, CAST(l_discount AS DOUBLE) AS val FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', CAST(l_quantity AS DOUBLE) FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM base)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // ---- sequence generation (1 row → N rows, bounded per row) ----
+    Q("r49_sequence_explode",
+      sql(Seq("region"),
+        """SELECT r_regionkey, CAST(x AS BIGINT) AS x
+          |FROM region LATERAL VIEW explode(sequence(1, r_regionkey + 2)) t AS x
+          |ORDER BY r_regionkey, x""".stripMargin),
+      Some("""SELECT r_regionkey, CAST(unnest(generate_series(1, r_regionkey + 2)) AS BIGINT) AS x
+        |FROM region ORDER BY r_regionkey, x""".stripMargin)),
+
+    // ---- struct (nested record) construction + field access ----
+    Q("r50_struct_ops",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("rec"))
+        .select(col("o_orderkey"),
+          col("rec.status").as("status"),
+          round(col("rec.price") * 1.1, 2).as("price_with_fee"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, rec.status AS status,
+        | round(rec.price * 1.1, 2) AS price_with_fee
+        |FROM (SELECT o_orderkey,
+        |        struct_pack(status := o_orderstatus, price := o_totalprice) AS rec
+        |      FROM orders WHERE o_orderkey <= 200)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- ordered string aggregation (listagg) ----
+    Q("r51_string_agg",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .groupBy("o_custkey")
+        .agg(concat_ws(",",
+          array_sort(collect_list(col("o_orderkey").cast("string")))).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+        | string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |   ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders WHERE o_orderkey <= 500
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- bitwise operators ----
+    Q("r52_bitwise",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255).as("band"),
+          col("o_orderkey").bitwiseOR(16).as("bor"),
+          col("o_orderkey").bitwiseXOR(85).as("bxor"),
+          shiftleft(col("o_orderkey").bitwiseAND(15), 2).as("shifted"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        | o_orderkey & 255 AS band,
+        | o_orderkey | 16 AS bor,
+        | xor(o_orderkey, 85) AS bxor,
+        | (o_orderkey & 15) << 2 AS shifted
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- regexp capture groups ----
+    Q("r53_regexp_groups",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "(Customer)#(\\d+)", 1).as("prefix"),
+          regexp_extract(col("c_name"), "(Customer)#(\\d+)", 2).cast("long").as("num"),
+          regexp_replace(col("c_name"), "0+(\\d)", "$1").as("compact"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        | regexp_extract(c_name, '(Customer)#(\d+)', 1) AS prefix,
+        | CAST(regexp_extract(c_name, '(Customer)#(\d+)', 2) AS BIGINT) AS num,
+        | regexp_replace(c_name, '0+(\d)', '\1', 'g') AS compact
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin)),
+
+    // ---- date/interval arithmetic ----
+    Q("r54_interval_arith",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("due_date"),
+          date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("quarter_later"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_eoy"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("order_month"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS quarter_later,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- exact decimal aggregation (no float drift) ----
+    Q("r55_decimal_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("dec_sum"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("dec_sum").cast("string").as("total_price"), col("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- gap-based sessionization (batch) ----
+    Q("r56_sessionization",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("gap_s",
+            unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+          .withColumn("new_session",
+            when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("new_session").as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- latest-record-per-key compaction (SCD/upsert semantics) ----
+    Q("r57_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, ts FROM (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- salted two-phase aggregation (skew mitigation), proven against
+    // the plain single-phase oracle: partial sums on (key, salt), then a
+    // final merge on key — same result, but the first exchange spreads a
+    // hot key over `salt` reducers ----
+    Q("r58_salted_agg",
+      (s, d) => {
+        val salted = t(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+          .groupBy("l_returnflag", "salt")
+          .agg(sum("l_quantity").as("part_qty"), count(lit(1)).as("part_n"))
+        salted.groupBy("l_returnflag")
+          .agg(round(sum("part_qty"), 2).as("sum_qty"), sum("part_n").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
