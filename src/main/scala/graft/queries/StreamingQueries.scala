@@ -88,6 +88,37 @@ object StreamingQueries extends QuerySet {
           .orderBy("k")
       },
       Some("""SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS k
-        |FROM events ORDER BY k""".stripMargin))
+        |FROM events ORDER BY k""".stripMargin)),
+
+    // Stream-stream interval self-join (click→purchase attribution) —
+    // watermarked on both sides; equals the batch interval join on
+    // bounded input.
+    Q("s06_stream_stream_join",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.clickPurchaseJoin(StreamingOps.readEventsStream(s, d)),
+          "s06_ssjoin", "append")
+        out.orderBy("purchase_id", "click_id")
+      },
+      Some(s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // Unwindowed stateful aggregation: running totals per event_type in
+    // complete mode (state = one row per key).
+    Q("s07_running_counts",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.runningCounts(StreamingOps.readEventsStream(s, d)),
+          "s07_running", "complete")
+        out.withColumn("total", round(col("total"), 2)).orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -61,11 +61,53 @@ object StreamingOps {
   def dedupKeys(events: DataFrame): DataFrame =
     events.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval self-join: click→purchase attribution. Both
+    * sides carry watermarks and the join condition bounds event time, so
+    * state eviction is possible on an unbounded source — the condition
+    * `c_ts ∈ [p_ts - 1h, p_ts]` lets Spark drop click state older than the
+    * purchase watermark minus one hour. Inner join ⇒ rows emit as soon as
+    * both sides arrive; on bounded input the result equals the batch join.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      expr("c_user = p_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
+  /** Unwindowed stateful aggregation: running per-type counts/totals
+    * (complete mode). State is one row per event_type — bounded by key
+    * cardinality, not input size.
+    */
+  def runningCounts(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+
   /** Execute a streaming transformation to completion against the bounded
     * file source and return the materialized result.
+    *
+    * Stateful-operator partitions are pinned low for the drain: every
+    * shuffle partition owns a state store whose per-batch commit cost is
+    * fixed, so at local scale 8 stores beat 32 (on a real cluster this is
+    * sized to executor count via the same conf). The memory-sink table is
+    * materialized and dropped so repeated streaming queries in one session
+    * don't accumulate sink state.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: String): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // bounded drain: results are emitted by the data batches; skip the
+    // watermark-only empty batches
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
@@ -75,8 +117,15 @@ object StreamingOps {
       q.processAllAvailable()
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData.getOrElse("true"))
     }
-    spark.table(name)
+    import scala.jdk.CollectionConverters._
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(sink.collect().toSeq.asJava, sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** foreachBatch upsert sink (A14): per micro-batch, merge-on-key into a
