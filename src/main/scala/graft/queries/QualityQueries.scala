@@ -210,16 +210,19 @@ object QualityQueries extends QuerySet {
         | CAST(len(regexp_extract_all(norm, '[a-z]{8,}')) AS INT) AS n_long_tokens
         |FROM n ORDER BY doc_id""".stripMargin)),
 
-    // Corpus-level top bigrams: position join within doc. The join key is
-    // (doc_id, pos) — narrow after the explode's co-partition; the global
-    // groupBy shuffles only (bigram, count) pairs.
+    // Corpus-level top bigrams: built per row with zip_with over the token
+    // array (a narrow map — no self-join, no positional shuffle); the only
+    // exchange is the final groupBy, which moves (bigram, count) pairs,
+    // orders of magnitude smaller than the token stream.
     Q("g08_top_bigrams",
       (s, d) => {
-        val tk = t(s, d, "documents")
-          .select(col("doc_id"), posexplode(split(normCol, " ")).as(Seq("pos", "tok")))
-        tk.as("a").join(tk.as("b"),
-            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-          .select(concat(col("a.tok"), lit(" "), col("b.tok")).as("bigram"))
+        val withToks = t(s, d, "documents")
+          .select(split(normCol, " ").as("toks"))
+        withToks
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("bigram"))
           .limit(20)
