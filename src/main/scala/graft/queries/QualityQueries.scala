@@ -287,6 +287,48 @@ object QualityQueries extends QuerySet {
         | CAST(sum(CAST(n_words BETWEEN 50 AND 100000
         |   AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND top_cnt / CAST(n_words AS DOUBLE) <= 0.2 AS INT)) AS BIGINT) AS after_repetition
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // Benchmark-contamination check: corpus documents sharing >= 3 distinct
+    // 8-grams with a holdout ("benchmark") set — the decontamination pass
+    // run before training. 8-grams are built per row (narrow transform over
+    // the token array); the join ships only distinct (doc, gram) pairs, and
+    // the heavy side can be hash-partitioned on gram with the (small)
+    // benchmark side broadcast at scale.
+    Q("g11_contamination",
+      (s, d) => {
+        val k = 8
+        val docsT = t(s, d, "documents")
+          .select(col("doc_id"), split(normCol, " ").as("toks"))
+        val grams = docsT
+          .select(col("doc_id"), explode(
+            when(size(col("toks")) >= k,
+              expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+                s"i -> array_join(slice(toks, i, $k), ' '))"))
+              .otherwise(array().cast("array<string>"))).as("gram"))
+          .distinct()
+        val bench = grams.filter(col("doc_id") % 10 === 0)
+          .withColumnRenamed("doc_id", "bench_id")
+        val corpus = grams.filter(col("doc_id") % 10 =!= 0)
+          .withColumnRenamed("doc_id", "corpus_id")
+        corpus.join(broadcast(bench), "gram")
+          .groupBy("corpus_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some(s"""WITH dt AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |  FROM dt)),
+        |pairs AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |  FROM g c JOIN g b ON c.gram = b.gram
+        |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM pairs WHERE n_shared >= 3 ORDER BY corpus_id, bench_id""".stripMargin))
   )
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth as oracle-checked queries (SURVEY.md §2.B
+  * scans row): each query round-trips a fixture table through a non-parquet
+  * format (CSV, JSON lines) with an explicit schema, then aggregates — the
+  * oracle runs the same aggregate over the original parquet, so a value
+  * corrupted anywhere in write→read would hash-mismatch.
+  *
+  * Scale note: both formats write one file per partition and read back
+  * splittable (JSON lines; CSV without multiline), so the round-trip
+  * parallelizes on both sides.
+  */
+object SourceQueries extends QuerySet {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  def queries: Seq[Q] = Seq(
+
+    Q("c01_csv_roundtrip",
+      (s, d) => {
+        val tmp = tempDir("graft_csv")
+        val cust = t(s, d, "customer")
+        cust.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").schema(cust.schema).csv(tmp)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("c02_json_roundtrip",
+      (s, d) => {
+        val tmp = tempDir("graft_json")
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        ord.write.mode("overwrite").json(tmp)
+        s.read.schema(ord.schema).json(tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"),
+            max("od").as("last_date"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total,
+        | max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+  )
+}

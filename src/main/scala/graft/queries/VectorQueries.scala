@@ -184,6 +184,48 @@ object VectorQueries extends QuerySet {
           .as[Seq[Float]].head()
         graft.operators.IvfIndex.search(s,
           assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4)
-      })
+      }),
+
+    // Maximum-inner-product top-k (MIPS — the retrieval scoring used when
+    // embeddings are NOT length-normalized; distinct from cosine). Same
+    // broadcast-query + per-partition top-k shape as v01.
+    Q("v09_mips_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+        emb.crossJoin(q)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("label"),
+            round(graft.expressions.GraftFunctions.dot_product(col("embedding"), col("qv")), 6)
+              .as("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_dot_product($embD, qv), 6) AS score
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // L2 normalization as a narrow map over the vector column — verified by
+    // scalar digests (unit norm, first component) so output stays sortable.
+    Q("v10_l2_normalize",
+      (s, d) => {
+        val nrm = norm(col("embedding"))
+        val unit = transform(col("embedding").cast("array<double>"), x => x / nrm)
+        t(s, d, "embeddings")
+          .filter(nrm > 0)
+          .select(col("vec_id"),
+            round(sqrt(aggregate(unit, lit(0.0), (acc, x) => acc + x * x)), 6).as("unit_norm"),
+            round(element_at(unit, 1), 6).as("first_val"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id,
+        | round(sqrt(list_dot_product(u, u)), 6) AS unit_norm,
+        | round(u[1], 6) AS first_val
+        |FROM (SELECT vec_id,
+        |        list_transform($embD, x -> x / sqrt(list_dot_product($embD, $embD))) AS u
+        |      FROM embeddings
+        |      WHERE sqrt(list_dot_product($embD, $embD)) > 0)
+        |ORDER BY vec_id""".stripMargin))
   )
 }
