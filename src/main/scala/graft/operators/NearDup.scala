@@ -177,14 +177,16 @@ object NearDup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("dcluster")), Seq("dst"))
         .groupBy("src").agg(min("dcluster").as("nmin"))
+      // change flag computed inline so convergence detection reads the
+      // already-checkpointed frame instead of re-joining old vs new labels
       val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).cast("long").as("chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      val changed = next.agg(sum("chg")).head.getLong(0)
+      labels = next.drop("chg")
       converged = changed == 0
       i += 1
     }

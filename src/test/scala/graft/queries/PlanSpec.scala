@@ -80,4 +80,42 @@ class PlanSpec extends SparkTestBase {
     val p = plan("x01_crossload_dedup")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("g08: bigrams are built without a join (narrow zip_with + one agg)") {
+    val p = plan("g08_top_bigrams")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g11: contamination join broadcasts the benchmark side") {
+    val p = plan("g11_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("g09: vocabulary join is broadcast (freq table << corpus)") {
+    val p = plan("g09_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("g05: stratified sample reads only the columns it outputs") {
+    val p = plan("g05_stratified_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), p)
+  }
+
+  test("v09: MIPS top-k is TakeOrderedAndProject over codegen dot_product") {
+    val p = plan("v09_mips_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("dot_product"), p)
+  }
+
+  test("r47: lateral join does not degrade to a cartesian product") {
+    val p = plan("r47_lateral_join")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r58: salted aggregation is two exchanges with partial aggregation") {
+    val p = plan("r58_salted_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
