@@ -119,6 +119,32 @@ object StreamingQueries extends QuerySet {
       },
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Arbitrary-state v2 (transformWithState + RocksDB store): per-user
+    // running totals; on bounded input the final emit per key equals the
+    // batch aggregate.
+    Q("s08_transform_with_state",
+      (s, d) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          graft.streaming.StatefulOps.RocksDbProvider)
+        try {
+          val streamed = graft.streaming.StatefulOps.runningUserStatsTws(s,
+            StreamingOps.readEventsStream(s, d))
+          StreamingOps.runToMemory(s, streamed.toDF(), "s08_tws", "update")
+            .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+              round(col("total"), 2).as("total"))
+            .orderBy("user_id")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -189,6 +189,42 @@ object TextQueries extends QuerySet {
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
         | CAST(len(list_distinct(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct
-        |FROM n ORDER BY doc_id""".stripMargin))
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF: the top-scoring token per document under ln(N/df) idf.
+    // Three aggregations (tf, df, N) + one window; the df table is
+    // vocabulary-sized, so its join is broadcast at any corpus scale.
+    Q("t13_tfidf_top_token",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(normCol, " ")).as("tok"))
+        val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tk.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = t(s, d, "documents").count()
+        val scored = tf.join(broadcast(df), "tok")
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "tok", "tfidf")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(tf * ln(n / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok), n),
+        |ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok, tfidf FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -226,6 +226,39 @@ object VectorQueries extends QuerySet {
         |        list_transform($embD, x -> x / sqrt(list_dot_product($embD, $embD))) AS u
         |      FROM embeddings
         |      WHERE sqrt(list_dot_product($embD, $embD)) > 0)
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // Symmetric int8 scalar quantization (4x memory for ANN shards) with
+    // reconstruction-error stats. floor(x/s + 0.5) instead of round() so
+    // both engines use the identical tie rule; all folds are sequential
+    // left-folds, so the doubles agree bit-for-bit.
+    Q("v11_int8_quantize",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val maxAbs = aggregate(transform(v, x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x))
+        val sc = maxAbs / lit(127.0)
+        val errs = transform(v, x => abs(x - floor(x / sc + 0.5) * sc))
+        t(s, d, "embeddings")
+          .filter(maxAbs > 0)
+          .select(col("vec_id"),
+            round(sc, 6).as("scale"),
+            round(aggregate(errs, lit(0.0), (acc, x) => acc + x) / size(v), 6).as("mae"),
+            round(aggregate(errs, lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id, $embD AS v,
+        |    list_aggregate(list_transform($embD, x -> abs(x)), 'max') / 127.0 AS s
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, s,
+        |    list_transform(v, x -> abs(x - floor(x / s + 0.5) * s)) AS errs,
+        |    len(v) AS dim
+        |  FROM q WHERE s > 0)
+        |SELECT vec_id, round(s, 6) AS scale,
+        | round(list_aggregate(errs, 'sum') / dim, 6) AS mae,
+        | round(list_aggregate(errs, 'max'), 6) AS max_err
+        |FROM e ORDER BY vec_id""".stripMargin))
   )
 }

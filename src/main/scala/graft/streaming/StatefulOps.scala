@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming (SURVEY.md §2.B UDF/streaming rows:
   * `KeyValueGroupedDataset.flatMapGroupsWithState`): explicit per-key state
@@ -53,5 +54,39 @@ object StatefulOps {
           state.update((n, total))
           Iterator.single(UserStats(userId, n, total))
       }
+  }
+
+  /** Per-user running totals on the transformWithState API (Spark 4.x
+    * arbitrary-state v2): typed ValueState, explicit TimeMode, optional
+    * per-state TTL. Unlike flatMapGroupsWithState, state variables are
+    * named and independently evolvable, and the processor supports timers —
+    * the API the engine standardizes on for new stateful operators.
+    */
+  class UserTotalsProcessor extends StatefulProcessor[Long, (Long, Double), UserStats] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserStats] = {
+      var (n, total) = Option(totals.get()).getOrElse((0L, 0.0))
+      rows.foreach { case (_, v) => n += 1; total += v }
+      totals.update((n, total))
+      Iterator.single(UserStats(key, n, total))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def runningUserStatsTws(spark: SparkSession, events: DataFrame): Dataset[UserStats] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }
