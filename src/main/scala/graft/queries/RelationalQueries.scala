@@ -997,6 +997,53 @@ object RelationalQueries extends QuerySet {
       },
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- RANGE window frame (value-based, not row-based): per-user count
+    // and sum of events in the trailing hour, inclusive of current ----
+    Q("r59_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("es"))
+          .rangeBetween(-3600, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("es"), col("value"))
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .withColumn("sum_last_hour", round(sum("value").over(w), 2))
+          .select("user_id", "event_id", "n_last_hour", "sum_last_hour")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS es, value
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        | round(sum(value) OVER w, 2) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- arg-max / arg-min aggregation. The tie-breaker is a composite
+    // string key (zero-padded shifted balance + name) because the two
+    // engines' arg_max accept different tuple types but order identical
+    // strings identically ----
+    Q("r60_argmax",
+      (s, d) => {
+        val key = concat(format_string("%012.2f", col("c_acctbal") + 10000.0),
+          lit("|"), col("c_name"))
+        t(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            max_by(col("c_name"), key).as("richest"),
+            min_by(col("c_name"), key).as("poorest"),
+            round(max("c_acctbal"), 2).as("max_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        | arg_max(c_name, printf('%012.2f', c_acctbal + 10000.0) || '|' || c_name) AS richest,
+        | arg_min(c_name, printf('%012.2f', c_acctbal + 10000.0) || '|' || c_name) AS poorest,
+        | round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
