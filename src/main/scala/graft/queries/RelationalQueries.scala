@@ -1013,8 +1013,12 @@ object RelationalQueries extends QuerySet {
           .select("user_id", "event_id", "n_last_hour", "sum_last_hour")
           .orderBy("user_id", "event_id")
       },
+      // oracle floors epoch() to whole seconds: DuckDB's epoch() is
+      // fractional while Spark's unix_timestamp truncates — frames must be
+      // computed over the same integer axis
       Some("""WITH e AS (
-        |  SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS es, value
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, value
         |  FROM events)
         |SELECT user_id, event_id,
         | CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
@@ -1044,6 +1048,58 @@ object RelationalQueries extends QuerySet {
         | arg_max(c_name, printf('%012.2f', c_acctbal + 10000.0) || '|' || c_name) AS richest,
         | arg_min(c_name, printf('%012.2f', c_acctbal + 10000.0) || '|' || c_name) AS poorest,
         | round(max(c_acctbal), 2) AS max_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- time-spine gap filling: dense hourly series per event_type with
+    // zeros for empty hours (the resample/asfreq operation). The spine is
+    // generated per group from its own min/max — no driver-side ranges ----
+    Q("r61_gap_fill",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+        val spine = e.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val hourly = e.groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM e GROUP BY event_type),
+        |hourly AS (
+        |  SELECT event_type, h, count(*) AS n, round(sum(value), 2) AS total
+        |  FROM e GROUP BY event_type, h)
+        |SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(coalesce(n, 0) AS BIGINT) AS n, coalesce(total, 0.0) AS total
+        |FROM spine s LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY event_type, hour""".stripMargin)),
+
+    // ---- bivariate statistics family ----
+    Q("r62_stats_family",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
