@@ -21,7 +21,12 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("norm_sq",
+      exprs => NormSq(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkTextGenerator(exprs), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSq))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotToNormSq
   }
 }

@@ -30,6 +30,8 @@ object AsOf {
   * production-cluster alternative to experimental.extraStrategies.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.expressions.SelfDotToNormSq)
+  }
 }

@@ -99,6 +99,39 @@ object DedupQueries extends QuerySet {
       (s, d) => {
         val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
         NearDup.duplicateClusters(s, pairs).orderBy("id")
-      })
+      }),
+
+    // Jaccard CONTAINMENT |A∩B| / |A| — directional: detects a document
+    // embedded inside a larger one, which symmetric Jaccard misses when
+    // the sizes differ a lot (the quote/boilerplate-absorption case).
+    Q("x07_containment",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(normCol), " ")).as("tok")).distinct()
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        toks.as("a").join(toks.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), Seq("da"))
+          .withColumn("containment", round(col("i") / col("sa").cast("double"), 6))
+          .filter(col("containment") >= 0.8)
+          .select(col("da").as("contained_id"), col("db").as("container_id"),
+            col("containment"))
+          .orderBy("contained_id", "container_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS contained_id, db AS container_id,
+        | round(i / CAST(sz AS DOUBLE), 6) AS containment
+        |FROM inter JOIN sizes ON sizes.doc_id = da
+        |WHERE round(i / CAST(sz AS DOUBLE), 6) >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

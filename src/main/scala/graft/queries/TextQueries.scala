@@ -225,6 +225,19 @@ object TextQueries extends QuerySet {
         |  SELECT doc_id, tok, tfidf,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
         |  FROM scored)
-        |SELECT doc_id, tok, tfidf FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+        |SELECT doc_id, tok, tfidf FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Distinct-count sketch (Apache DataSketches HLL, built into Spark):
+    // exact vs sketched vocabulary size per source. The sketch is the 100 TB
+    // path — mergeable, fixed-size state vs countDistinct's full shuffle of
+    // the key set. Rows-only (estimates are engine-specific); the <5%
+    // relative-error bound is asserted in TextAnalysisSpec.
+    Q("t14_hll_sketch",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), explode(split(lower(normCol), " ")).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct("tok").as("exact_distinct"),
+          hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("hll_estimate"))
+        .orderBy("source"))
   )
 }

@@ -31,4 +31,5 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.quality("").nTokens == 0)
     assert(TextAnalysis.quality(null).nTokens == 0)
   }
+
 }

@@ -67,6 +67,15 @@ class QualityQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t14: HLL sketch estimate stays within 5% of exact distinct count") {
+    run("t14_hll_sketch").collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Long]("hll_estimate").toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"source=${r.get(0)} exact=$exact est=$est")
+    }
+  }
+
   test("hash split and sample are stable under repartitioning") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val a = docs.select(col("doc_id"),
