@@ -1100,6 +1100,46 @@ object RelationalQueries extends QuerySet {
         | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
         | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- SQL-defined UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    // declarative, catalog-managed, fully optimizable — unlike JVM UDFs the
+    // body inlines into the plan and stays inside codegen ----
+    Q("r63_sql_udf",
+      (s, d) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION net_price(price DOUBLE, disc DOUBLE, tax DOUBLE)
+                |RETURNS DOUBLE RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+        s.sql("""SELECT l_returnflag, round(sum(net_price(l_extendedprice, l_discount, l_tax)), 2) AS net
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- VARIANT semi-structured type (Spark 4): parse once, extract with
+    // type coercion — the open-schema path for the props blob ----
+    Q("r64_variant",
+      (s, d) => {
+        Tables.load(s, d, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT event_id, variant_get(parse_json(props), '$.k', 'int') AS k
+                |FROM events WHERE event_type = 'purchase'
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- collated string comparison (Spark 4): case-insensitive equality
+    // via UTF8_LCASE collation instead of lower() rewrites ----
+    Q("r65_collation",
+      (s, d) => {
+        Tables.load(s, d, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT count(*) AS n_matches
+                |FROM part
+                |WHERE collate(p_type, 'UTF8_LCASE') = collate('economy', 'UTF8_LCASE')""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_matches
+        |FROM part WHERE lower(p_type) = 'economy'""".stripMargin))
   )
 }
