@@ -27,9 +27,13 @@ object Bench {
 
     // optional focus filter for local iteration: comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
 
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -33,10 +33,11 @@ case class NormSq(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    val isF = elemIsFloat
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
       s += x * x
       i += 1
     }

@@ -185,7 +185,8 @@ object NearDup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).cast("long").as("chg"))
         .localCheckpoint()
-      val changed = next.agg(sum("chg")).head.getLong(0)
+      // coalesce: sum over an EMPTY label frame is null (no pairs found)
+      val changed = next.agg(coalesce(sum("chg"), lit(0L))).head.getLong(0)
       labels = next.drop("chg")
       converged = changed == 0
       i += 1

@@ -46,9 +46,8 @@ trait QuerySet {
   protected def vectorDigest(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     df.withColumn("vec_dim", size(col("content_vector")))
-      .withColumn("vec_l2", round(
-        sqrt(aggregate(col("content_vector").cast("array<double>"),
-          lit(0.0), (acc, x) => acc + x * x)), 6))
+      .withColumn("vec_l2",
+        round(graft.functions.VectorFunctions.norm(col("content_vector")), 6))
       .drop("content_vector")
   }
 }

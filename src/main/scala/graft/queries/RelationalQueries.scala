@@ -957,9 +957,14 @@ object RelationalQueries extends QuerySet {
             sum("new_session").as("n_sessions"))
           .orderBy("user_id")
       },
+      // floor(epoch()) on both lag terms: DuckDB epoch() is fractional,
+      // Spark unix_timestamp truncates — gaps within 1s of the 1800s
+      // threshold would otherwise split sessions differently (same class
+      // of mismatch r59 floors away)
       Some("""WITH g AS (
         |  SELECT user_id, event_id, ts,
-        |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions

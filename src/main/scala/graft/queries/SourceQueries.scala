@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries extends QuerySet {
 
-  private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Stable per-query scratch path, reused (mode=overwrite) across runs so
+    * repeated Verify/Bench invocations don't accumulate table copies in
+    * the temp dir.
+    */
+  private def tempDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$name"
 
   def queries: Seq[Q] = Seq(
 
     Q("c01_csv_roundtrip",
       (s, d) => {
-        val tmp = tempDir("graft_csv")
+        val tmp = tempDir("c01_csv")
         val cust = t(s, d, "customer")
         cust.write.mode("overwrite").option("header", "true").csv(tmp)
         s.read.option("header", "true").schema(cust.schema).csv(tmp)
@@ -35,7 +39,7 @@ object SourceQueries extends QuerySet {
 
     Q("c02_json_roundtrip",
       (s, d) => {
-        val tmp = tempDir("graft_json")
+        val tmp = tempDir("c02_json")
         val ord = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))

@@ -231,7 +231,7 @@ object TextQueries extends QuerySet {
     // exact vs sketched vocabulary size per source. The sketch is the 100 TB
     // path — mergeable, fixed-size state vs countDistinct's full shuffle of
     // the key set. Rows-only (estimates are engine-specific); the <5%
-    // relative-error bound is asserted in TextAnalysisSpec.
+    // relative-error bound is asserted in QualityQueriesSpec.
     Q("t14_hll_sketch",
       (s, d) => t(s, d, "documents")
         .select(col("source"), explode(split(lower(normCol), " ")).as("tok"))

@@ -215,7 +215,7 @@ object VectorQueries extends QuerySet {
         t(s, d, "embeddings")
           .filter(nrm > 0)
           .select(col("vec_id"),
-            round(sqrt(aggregate(unit, lit(0.0), (acc, x) => acc + x * x)), 6).as("unit_norm"),
+            round(norm(unit), 6).as("unit_norm"),
             round(element_at(unit, 1), 6).as("first_val"))
           .orderBy("vec_id")
       },

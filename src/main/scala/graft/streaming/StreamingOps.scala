@@ -108,18 +108,22 @@ object StreamingOps {
     // bounded drain: results are emitted by the data batches; skip the
     // watermark-only empty batches
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      // start() inside the try: an analysis/startup failure must still
+      // restore the session confs below
+      q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
       q.processAllAvailable()
     } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        prevNoData.getOrElse("true"))
+      try { if (q != null) q.stop() } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          prevNoData.getOrElse("true"))
+      }
     }
     import scala.jdk.CollectionConverters._
     val sink = spark.table(name)

@@ -75,6 +75,12 @@ class NearDupSpec extends SparkTestBase {
     assert(clusters.size == 12)
   }
 
+  test("duplicateClusters returns empty on empty pairs (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(NearDup.duplicateClusters(spark, empty).isEmpty)
+  }
+
   test("simhashNearDupPairs finds planted near-dups at the d<=3 threshold") {
     import spark.implicits._
     val tailDup = base + " tail" // measured hamming distance: 2
