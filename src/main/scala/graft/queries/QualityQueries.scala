@@ -64,11 +64,14 @@ object QualityQueries extends QuerySet {
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_words"),
-          round(avg(length(col("tok"))), 6).as("mean_word_len"),
+          // gate on the UNROUNDED mean (matching the SQL's unrounded
+          // BETWEEN) — rounding only the reported column
+          avg(length(col("tok"))).as("mean_raw"),
           countDistinct(when(col("tok").isin(stopwords: _*), col("tok"))).as("n_stop_distinct"))
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("n_stop_distinct"),
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_raw"), 6).as("mean_word_len"), col("n_stop_distinct"),
           col("n_words").between(50, 100000).cast("int").as("word_count_ok"),
-          col("mean_word_len").between(3.0, 10.0).cast("int").as("word_len_ok"),
+          col("mean_raw").between(3.0, 10.0).cast("int").as("word_len_ok"),
           (col("n_stop_distinct") >= 2).cast("int").as("stopwords_ok"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
@@ -202,6 +205,9 @@ object QualityQueries extends QuerySet {
           size(regexp_extract_all(col("norm"),
             lit("[a-z]{8,}"), lit(0))).as("n_long_tokens"))
         .orderBy("doc_id"),
+      // (the s-interpolator processes escapes even in triple quotes, so
+      // '\\.' below reaches DuckDB as the single-backslash '\.' — same
+      // escaped-dot regex the Spark lit() side compiles to)
       Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_emails,

@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries extends QuerySet {
 
-  /** Stable per-query scratch path, reused (mode=overwrite) across runs so
-    * repeated Verify/Bench invocations don't accumulate table copies in
-    * the temp dir.
+  /** Per-JVM scratch root (unique — concurrent Verify/Bench processes
+    * can't clobber each other), deleted on exit so repeated runs don't
+    * accumulate table copies. Within one JVM, reruns overwrite in place.
     */
-  private def tempDir(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$name"
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_roundtrip")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def tempDir(name: String): String = s"$scratchRoot/$name"
 
   def queries: Seq[Q] = Seq(
 

@@ -132,9 +132,14 @@ object StreamingQueries extends QuerySet {
         try {
           val streamed = graft.streaming.StatefulOps.runningUserStatsTws(s,
             StreamingOps.readEventsStream(s, d))
+          // the memory sink RETAINS every batch's update-mode emissions;
+          // the final state per user is the emission with the highest
+          // running count (monotone across batches) — robust to the
+          // source splitting into >1 micro-batch
           StreamingOps.runToMemory(s, streamed.toDF(), "s08_tws", "update")
-            .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
-              round(col("total"), 2).as("total"))
+            .groupBy(col("userId").as("user_id"))
+            .agg(max(col("nEvents")).as("n_events"),
+              round(max_by(col("total"), col("nEvents")), 2).as("total"))
             .orderBy("user_id")
         } finally {
           prev match {

@@ -201,10 +201,13 @@ object TextQueries extends QuerySet {
         val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val df = tk.select("doc_id", "tok").distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
-        val n = t(s, d, "documents").count()
-        val scored = tf.join(broadcast(df), "tok")
+        // N stays in the lazy plan (broadcast single-row cross join, the
+        // g09 pattern) — no eager count() job at query-construction time
+        val n = broadcast(t(s, d, "documents")
+          .agg(count(lit(1)).cast("double").as("n_docs")))
+        val scored = tf.join(broadcast(df), "tok").crossJoin(n)
           .select(col("doc_id"), col("tok"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
         scored.withColumn("rn", row_number().over(w))

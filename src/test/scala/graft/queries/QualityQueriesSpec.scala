@@ -67,6 +67,20 @@ class QualityQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("g07 patterns fire on real emails/URLs/IPs (not structurally dead)") {
+    import org.apache.spark.sql.functions._
+    val probe = spark.createDataFrame(Seq(
+      (1L, "contact a.b@ex-ample.com or 10.0.0.1 via https://x.io/y now")
+    )).toDF("doc_id", "text")
+    val r = probe.select(
+      size(regexp_extract_all(col("text"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0))).as("e"),
+      size(regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0))).as("u"),
+      size(regexp_extract_all(col("text"),
+        lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), lit(0))).as("i")).head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1, r.toString)
+  }
+
   test("t14: HLL sketch estimate stays within 5% of exact distinct count") {
     run("t14_hll_sketch").collect().foreach { r =>
       val exact = r.getAs[Long]("exact_distinct").toDouble
