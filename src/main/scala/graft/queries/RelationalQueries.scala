@@ -1145,6 +1145,28 @@ object RelationalQueries extends QuerySet {
                 |WHERE collate(p_type, 'UTF8_LCASE') = collate('economy', 'UTF8_LCASE')""".stripMargin)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_matches
-        |FROM part WHERE lower(p_type) = 'economy'""".stripMargin))
+        |FROM part WHERE lower(p_type) = 'economy'""".stripMargin)),
+
+    // ---- explicit null ordering. Spark sorts nulls FIRST ascending by
+    // default, DuckDB LAST — any query exposing nulls in a sort key must
+    // pin NULLS FIRST/LAST explicitly or the engines disagree ----
+    Q("r66_null_ordering",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          // derive nulls deterministically: P-status rows get null price
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_or_null"))
+        // LIMIT makes the ordering observable to the hash compare (the
+        // comparator re-sorts unlimited outputs)
+        .orderBy(col("price_or_null").desc_nulls_last, col("o_orderkey"))
+        .limit(5)
+        .select(col("o_orderkey"),
+          coalesce(col("price_or_null"), lit(-1.0)).as("price_display")),
+      Some("""SELECT o_orderkey, coalesce(price_or_null, -1.0) AS price_display
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null
+        |      FROM orders WHERE o_orderkey <= 200)
+        |ORDER BY price_or_null DESC NULLS LAST, o_orderkey LIMIT 5""".stripMargin))
   )
 }
