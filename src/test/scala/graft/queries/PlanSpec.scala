@@ -118,4 +118,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
+    val df = graft.SparkEntry.entry(spark)
+    df.collect()
+    // AQE's toString appends the pre-adaptive plan — assert on the final one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    // the row_number()=1 dedup must reduce BEFORE the shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
 }
