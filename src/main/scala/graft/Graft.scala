@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Embedder, HashingEmbedder, Ingest, NearDup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public facade: one import for the engine's operator surface, so a
+  * user of the reference tool can drive the same pipelines programmatically
+  * without going through the declared-query registry.
+  *
+  * Every method is a thin delegation to the tested operator modules —
+  * semantics, scale posture, and determinism guarantees are documented on
+  * the delegates (the operators package, SCALE.md).
+  */
+object Graft {
+
+  /** Register native functions (cosine_sim / dot_product / norm_sq /
+    * chunk_text) and the self-dot optimizer rule on a session.
+    */
+  def install(spark: SparkSession): Unit =
+    graft.expressions.GraftFunctions.register(spark)
+
+  // ---- ingestion (the reference's EP1 surface) ----
+
+  /** Whitespace normalization (A7) as a column. */
+  def normalize(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** docs(doc_id, text, lang, source, n_chars) → canonical chunk rows. */
+  def chunk(spark: SparkSession, docs: DataFrame): DataFrame =
+    Ingest.chunkDocuments(spark, docs).toDF()
+
+  /** Full pipeline: normalize → chunk → hash → dedup → embed → canonical. */
+  def ingest(spark: SparkSession, docs: DataFrame,
+             embedder: Embedder = new HashingEmbedder()): DataFrame =
+    Ingest.pipeline(spark, docs, embedder)
+
+  /** Exact dedup with deterministic first-arrival survivor (A12). */
+  def dedupExact(chunks: DataFrame, orderCols: Seq[String]): DataFrame =
+    Ingest.dedupExactDeterministic(chunks, orderCols)
+
+  /** Drop rows whose text_hash already exists in `existing` (cross-load). */
+  def dedupAgainst(fresh: DataFrame, existing: DataFrame): DataFrame =
+    Ingest.dedupAgainstExisting(fresh, existing)
+
+  // ---- near-duplicate detection ----
+
+  /** MinHash-LSH near-dup pairs above a Jaccard threshold (>= 0.5). */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+                   threshold: Double = 0.5): DataFrame =
+    NearDup.minhashNearDupPairs(spark, docs, threshold)
+
+  /** SimHash near-dup pairs at a hamming-distance threshold (<= 3 exact). */
+  def simhashPairs(spark: SparkSession, docs: DataFrame,
+                   maxDistance: Int = 3): DataFrame =
+    NearDup.simhashNearDupPairs(spark, docs, maxDistance)
+
+  /** Connected components over near-dup pairs → (id, cluster) labels. */
+  def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame =
+    NearDup.duplicateClusters(spark, pairs)
+
+  // ---- similarity search ----
+
+  /** Exact cosine top-k of `corpus` rows against one broadcast query row.
+    * corpus needs (idCol, vecCol); returns (idCol, sim) strongest first.
+    */
+  def knn(corpus: DataFrame, queryVec: Array[Float], k: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = lit(queryVec)
+    corpus.select(col(idCol),
+        graft.expressions.GraftFunctions.cosine_sim(col(vecCol), q).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  // ---- training-data curation ----
+
+  /** Deterministic md5-nibble split assignment column for a key column:
+    * 'train' (12/16) / 'val' (2/16) / 'test' (2/16); stable under
+    * re-sharding, append, and re-execution.
+    */
+  def hashSplit(key: Column): Column = {
+    val nibble = substring(md5(key.cast("string")), 1, 1)
+    when(nibble <= "b", "train").when(nibble.isin("c", "d"), "val").otherwise("test")
+  }
+
+  /** Deterministic per-stratum sample predicate: keeps ~(sixteenths/16). */
+  def hashSample(key: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 1 && sixteenths <= 16, "sixteenths in [1,16]")
+    substring(md5(key.cast("string")), 1, 1) <= "0123456789abcdef".charAt(sixteenths - 1).toString
+  }
+
+  /** Token-budget sequence packing: assigns each doc (ordered by orderCol
+    * within groupCol) a pack_id from its cumulative token start offset.
+    */
+  def packSequences(docs: DataFrame, tokenCountCol: String, budget: Int,
+                    groupCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("__offset", coalesce(sum(tokenCountCol).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__offset") / budget))
+      .drop("__offset")
+  }
+}
