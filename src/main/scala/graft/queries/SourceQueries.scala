@@ -65,6 +65,37 @@ object SourceQueries extends QuerySet {
       Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | round(sum(o_totalprice), 2) AS total,
         | max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
-        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("c03_orc_roundtrip",
+      (s, d) => {
+        val tmp = tempDir("c03_orc")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        li.write.mode("overwrite").orc(tmp)
+        s.read.schema(li.schema).orc(tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Spark 4 native XML source (one row element per record).
+    Q("c04_xml_roundtrip",
+      (s, d) => {
+        val tmp = tempDir("c04_xml")
+        val nat = t(s, d, "nation")
+        nat.write.mode("overwrite").option("rowTag", "nation").xml(tmp)
+        s.read.option("rowTag", "nation").schema(nat.schema).xml(tmp)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"),
+            concat_ws(",", array_sort(collect_list("n_name"))).as("names"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        | string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin))
   )
 }
