@@ -1167,6 +1167,68 @@ object RelationalQueries extends QuerySet {
         |FROM (SELECT o_orderkey,
         |        CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null
         |      FROM orders WHERE o_orderkey <= 200)
-        |ORDER BY price_or_null DESC NULLS LAST, o_orderkey LIMIT 5""".stripMargin))
+        |ORDER BY price_or_null DESC NULLS LAST, o_orderkey LIMIT 5""".stripMargin)),
+
+    // ---- sequenced conversion funnel: signup → later view → later
+    // purchase, strictly ordered per user (each stage joins on the
+    // previous stage's first-completion time) ----
+    Q("r67_event_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t0"))
+        val vw = ev.filter(col("event_type") === "view").as("e")
+          .join(su, Seq("user_id"))
+          .filter(col("ts") > col("t0"))
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val pu = ev.filter(col("event_type") === "purchase").as("e")
+          .join(vw, Seq("user_id"))
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        su.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(vw.agg(count(lit(1)).as("n_viewed")))
+          .crossJoin(pu.agg(count(lit(1)).as("n_purchased")))
+      },
+      Some("""WITH s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased""".stripMargin)),
+
+    // ---- cohort retention: users bucketed by first-seen week, counted in
+    // each later activity week. Offsets via epoch arithmetic on the
+    // week-truncated timestamps (exact multiples — no week-boundary
+    // counting semantics to reconcile between engines) ----
+    Q("r68_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val first = ev.groupBy("user_id").agg(min("w").as("cohort"))
+        ev.distinct().join(first, "user_id")
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            ((unix_timestamp(col("w")) - unix_timestamp(col("cohort"))) / 604800)
+              .cast("int").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort FROM ev GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        | CAST((epoch(w) - epoch(cohort)) / 604800 AS INT) AS week_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }

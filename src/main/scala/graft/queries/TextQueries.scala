@@ -241,6 +241,34 @@ object TextQueries extends QuerySet {
         .groupBy("source")
         .agg(countDistinct("tok").as("exact_distinct"),
           hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("hll_estimate"))
-        .orderBy("source"))
+        .orderBy("source"),
+      None),
+
+    // Zipf fit: slope of log(freq) vs log(rank) over the corpus token
+    // distribution — natural text sits near -1; a far-off slope flags
+    // synthetic/templated corpora. Linear regression as an aggregate.
+    Q("t15_zipf_fit",
+      (s, d) => {
+        val freq = t(s, d, "documents")
+          .select(explode(split(lower(normCol), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val ranked = freq.withColumn("r",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("f"), col("tok"))))
+        ranked.agg(
+          count(lit(1)).as("vocab"),
+          round(regr_slope(log(col("f")), log(col("r"))), 4).as("zipf_slope"),
+          round(regr_r2(log(col("f")), log(col("r"))), 4).as("fit_r2"))
+      },
+      Some(s"""WITH freq AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(string_split(lower($normSql), ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        | round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+        | round(regr_r2(ln(f), ln(r)), 4) AS fit_r2
+        |FROM ranked""".stripMargin))
   )
 }
