@@ -55,9 +55,11 @@ object Graft {
                    maxDistance: Int = 3): DataFrame =
     NearDup.simhashNearDupPairs(spark, docs, maxDistance)
 
-  /** Connected components over near-dup pairs → (id, cluster) labels. */
+  /** Connected components over near-dup pairs → (id, cluster) labels
+    * (alternating star algorithm — O(log n) rounds at any diameter).
+    */
   def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame =
-    NearDup.duplicateClusters(spark, pairs)
+    NearDup.duplicateClustersAlternating(spark, pairs)
 
   // ---- similarity search ----
 

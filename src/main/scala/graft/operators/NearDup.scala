@@ -199,6 +199,71 @@ object NearDup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds regardless of component
+    * diameter — the 100 TB path when chains can be deep, where plain
+    * min-label propagation (duplicateClusters) needs diameter rounds.
+    * Same contract: (id, cluster = min member id) for every node that
+    * appears in `pairs`.
+    */
+  def duplicateClustersAlternating(spark: SparkSession, pairs: DataFrame,
+                                   maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+
+    // large-star: every strictly-larger neighbor of u links to the min of
+    // u's closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src")
+        .agg(least(min("dst"), first("src")).as("m"))
+      canon(sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+
+    // small-star: orient large→small; every neighbor (and u) links to the
+    // min neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = canon(e) // src > dst for every row
+      val m = oriented.groupBy("src").agg(min("dst").as("m"))
+      val viaNeighbors = oriented.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      canon(viaNeighbors.union(m))
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    var edges = canon(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating connected components did not converge in $maxIter rounds")
+    // fixpoint: edges form stars (node > center). centers map to themselves.
+    nodes.join(edges.select(col("src").as("id"), col("dst").as("center")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("center"), col("id")).as("cluster"))
+  }
+
   /** docs → (id, simhash, band buckets) for hamming-near-dup candidate
     * generation. 4 bands x 16 bits: by pigeonhole, any pair with hamming
     * distance <= 3 shares at least one clean band — exact recall for the

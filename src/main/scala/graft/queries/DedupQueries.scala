@@ -94,11 +94,13 @@ object DedupQueries extends QuerySet {
         .orderBy("band")),
 
     // Duplicate clusters: near-dup pairs -> connected components -> one
-    // row per clustered doc (cluster = min member id).
+    // row per clustered doc (cluster = min member id). Alternating
+    // large-star/small-star: O(log n) rounds independent of component
+    // diameter (equivalence with plain propagation asserted in NearDupSpec).
     Q("x06_dup_clusters",
       (s, d) => {
         val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
-        NearDup.duplicateClusters(s, pairs).orderBy("id")
+        NearDup.duplicateClustersAlternating(s, pairs).orderBy("id")
       }),
 
     // Jaccard CONTAINMENT |A∩B| / |A| — directional: detects a document

@@ -81,6 +81,32 @@ class NearDupSpec extends SparkTestBase {
     assert(NearDup.duplicateClusters(spark, empty).isEmpty)
   }
 
+  test("alternating CC agrees with label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(50)
+      val edges = (1 to n).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val byProp = NearDup.duplicateClusters(spark, df, maxIter = 100)
+        .as[(Long, Long)].collect().toMap
+      val byStar = NearDup.duplicateClustersAlternating(spark, df)
+        .as[(Long, Long)].collect().toMap
+      assert(byStar == byProp, s"trial $trial: $byStar vs $byProp")
+    }
+  }
+
+  test("alternating CC resolves a chain in O(log n) rounds and empty input") {
+    import spark.implicits._
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = NearDup.duplicateClustersAlternating(spark, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet == Set(1L) && clusters.size == 40)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(NearDup.duplicateClustersAlternating(spark, empty).isEmpty)
+  }
+
   test("simhashNearDupPairs finds planted near-dups at the d<=3 threshold") {
     import spark.implicits._
     val tailDup = base + " tail" // measured hamming distance: 2
