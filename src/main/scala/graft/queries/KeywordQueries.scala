@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval + hybrid fusion (§2.A A15-A18 search surface).
+  *
+  * The reference's chunk store is a *searchable* index: `content` is
+  * full-text searchable (db_utils.py:55-57) and a semantic-ranking
+  * configuration is declared on the same index (db_utils.py:112-118), with
+  * vector search (HNSW, db_utils.py:93-110) beside it. These two queries are
+  * the engine-side equivalents: Okapi BM25 ranked top-k over the document
+  * corpus, and reciprocal-rank fusion of the BM25 ranking with the
+  * cosine-similarity ranking — the standard hybrid-retrieval combination the
+  * reference's index exposes as "semantic + vector" search.
+  *
+  * Scale design (100 TB):
+  *   - BM25 filters to the query's posting lists BEFORE any shuffle (the
+  *     `tok isin terms` predicate sits under the tf aggregation), so shuffle
+  *     volume is proportional to matching postings, not corpus size.
+  *   - Document length is a narrow per-row computation (no corpus-wide
+  *     token shuffle); df/N are one vocabulary-sized and one single-row
+  *     broadcast.
+  *   - Final top-k is an orderBy+limit → TakeOrderedAndProject (per-partition
+  *     top-k + driver merge), never a full sort.
+  *
+  * Determinism: per-term contributions are exact doubles of integer inputs
+  * (tf, df, dl are ints; avgdl is an exact long-sum / count division), the
+  * per-document sum is ≤ |query| terms, and both engines order by the SAME
+  * 6-dp-rounded score with a doc_id tiebreak.
+  */
+object KeywordQueries extends QuerySet {
+
+  /** Fixed benchmark query — one rare term ("dup", df≈5% — the near-dup
+    * marker token of the synthetic corpus) and two common ones, so IDF
+    * separation is actually exercised.
+    */
+  private val Terms = Seq("dup", "vector", "stream")
+  private val termsSqlList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  def queries: Seq[Q] = Seq(
+
+    // Okapi BM25 top-k (k1=1.2, b=0.75; Lucene's smoothed idf
+    // ln(1 + (N-df+0.5)/(df+0.5)) so idf stays positive at any df).
+    Q("k01_bm25_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), lower(normCol).as("norm"))
+          .withColumn("dl", size(split(col("norm"), " ")))
+        // corpus stats: single row, broadcast (exact: long sum / count)
+        val stats = broadcast(docs.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl")))
+        // postings restricted to the query terms BEFORE the tf shuffle
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
+          .filter(col("tok").isin(Terms: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val contrib = tf.join(broadcast(df), "tok").crossJoin(stats)
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("c", col("idf") * (col("tf") * (K1 + 1)) /
+            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+        contrib.groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_terms"),
+            round(sum("c"), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+        |dls AS (
+        |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS tok FROM dls)
+        |  WHERE tok IN $termsSqlList
+        |  GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl)) AS c
+        |  FROM tf JOIN df USING (tok), stats s)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(c), 6) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
+    // ranking and the cosine-similarity ranking over the documents that
+    // carry both a text row and an embedding (doc_id = vec_id; vec 0 is the
+    // query vector, as in v01). Ranks are computed over the SAME
+    // 6-dp-rounded scores on both engines, so the integer rank arithmetic —
+    // and therefore the fused score — is exact.
+    Q("k02_hybrid_rrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), lower(normCol).as("norm"))
+          .withColumn("dl", size(split(col("norm"), " ")))
+        val stats = broadcast(docs.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl")))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
+          .filter(col("tok").isin(Terms: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val bm25 = tf.join(broadcast(df), "tok").crossJoin(stats)
+          .withColumn("c", log(lit(1.0) +
+              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (K1 + 1)) /
+            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
+        val emb = t(s, d, "embeddings")
+        val qv = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val cands = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id").as("doc_id"),
+            round(cosineSim(col("embedding"), col("qv")), 6).as("sim"))
+          .join(bm25, Seq("doc_id"), "left")
+          .withColumn("bm25", coalesce(col("bm25"), lit(0.0)))
+        val rt = Window.orderBy(desc("bm25"), col("doc_id"))
+        val rv = Window.orderBy(desc("sim"), col("doc_id"))
+        cands
+          .withColumn("rank_text", row_number().over(rt))
+          .withColumn("rank_vec", row_number().over(rv))
+          .withColumn("rrf",
+            round(lit(1.0) / (lit(60) + col("rank_text")) +
+              lit(1.0) / (lit(60) + col("rank_vec")), 6))
+          .select("doc_id", "rank_text", "rank_vec", "rrf")
+          .orderBy(desc("rrf"), col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+        |dls AS (
+        |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS tok FROM dls)
+        |  WHERE tok IN $termsSqlList
+        |  GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |bm25 AS (
+        |  SELECT doc_id, round(sum(
+        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl))), 6) AS bm25
+        |  FROM tf JOIN df USING (tok), stats s GROUP BY doc_id),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim,
+        |    coalesce(b.bm25, 0.0) AS bm25
+        |  FROM embeddings e CROSS JOIN q
+        |  LEFT JOIN bm25 b ON b.doc_id = e.vec_id
+        |  WHERE e.vec_id <> 0),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_text,
+        |    row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+        |  FROM cands)
+        |SELECT doc_id, CAST(rank_text AS INT) AS rank_text, CAST(rank_vec AS INT) AS rank_vec,
+        |  round(1.0 / (60 + rank_text) + 1.0 / (60 + rank_vec), 6) AS rrf
+        |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+  )
+}

@@ -63,7 +63,8 @@ object Registry {
         StreamingQueries.queries ++
         MultimodalQueries.queries ++
         QualityQueries.queries ++
-        SourceQueries.queries
+        SourceQueries.queries ++
+        KeywordQueries.queries
     // a duplicated name would silently shadow a query in asMap (toMap is
     // last-wins) and drop it from driver verification — fail loudly instead
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
