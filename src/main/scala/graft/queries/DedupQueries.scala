@@ -1,15 +1,103 @@
 package graft.queries
 
 import graft.operators.NearDup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` (§2.C): exact-hash variants live in
-  * PipelineQueries (d04/d05); here are cross-load anti-join dedup, token-set
-  * Jaccard (SQL-expressible → oracle-checked), and the MinHash-LSH / SimHash
-  * near-dup operators (deterministic, oracle-free, unit-tested in
-  * NearDupSpec).
+  * PipelineQueries (d04/d05); here are cross-load anti-join dedup, shingle
+  * set-similarity (Jaccard + containment, oracle-checked), and the
+  * MinHash-LSH / SimHash near-dup operators.
+  *
+  * Scale design: every pair-producing query generates candidates from an
+  * EQUI-join — either LSH (band, bucket) buckets or a shared shingle — never
+  * a cross join. The shingle joins carry a document-frequency cap
+  * ([[ShingleDfCap]]): a shingle shared by more than that many documents is
+  * boilerplate (licence headers, templates) and is dropped BEFORE the join,
+  * which is the standard prefix-filtering guard that keeps set-similarity
+  * joins skew-free under Zipf-headed shingle distributions. The cap is part
+  * of the declared semantics and is applied identically in the DuckDB
+  * oracles.
   */
 object DedupQueries extends QuerySet {
+
+  /** Df cap for shingle-keyed candidate joins. Sized as a boilerplate guard
+    * (never binds on the synthetic corpus — max shingle df is ~7 at sf0.01 —
+    * but bounds the worst-case join fan-out to cap² rows per hot shingle at
+    * any corpus size). Cap behavior itself is unit-tested in NearDupSpec.
+    */
+  val ShingleDfCap = 1000
+
+  /** (doc_id, shingle) pairs — 3-word shingles of the lowercased normalized
+    * text, distinct per document; pure Catalyst (codegen), matching
+    * TextKernel.shingles semantics (docs shorter than 3 tokens contribute
+    * their whole text as one shingle; empty docs contribute nothing).
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), lower(normCol).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .withColumn("toks", split(col("norm"), " "))
+    val grams = when(size(col("toks")) < 3, array(col("norm")))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+        concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+    docs.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+  }
+
+  /** DuckDB equivalent of [[shingleRows]] (CTE body yielding (doc_id, sh)). */
+  private val shingleSql: String =
+    s"""norms AS (
+       |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+       |tk AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS toks
+       |  FROM norms WHERE length(norm) > 0),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [norm]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END)) AS sh
+       |  FROM tk)""".stripMargin
+
+  /** Shingle rows with the boilerplate df cap applied (both engines). */
+  private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select("sh")
+    // anti-join against the (tiny) hot-shingle set: at any corpus size the
+    // number of shingles above the cap is bounded by total_shingles / cap
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  private val cappedShingleSql: String =
+    s"""$shingleSql,
+       |hot AS (
+       |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+       |  WHERE df > $ShingleDfCap),
+       |csh AS (
+       |  SELECT doc_id, sh FROM sh
+       |  WHERE sh NOT IN (SELECT sh FROM hot))""".stripMargin
+
+  /** Exact pairwise shingle-Jaccard ≥ `thr` from the shared-shingle
+    * candidate join: any pair with J > 0 shares a shingle, so the equi-join
+    * enumerates exactly the nonzero-similarity pairs — no cross join.
+    */
+  private val exactJaccardPairsSql: String =
+    s"""$cappedShingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT da, db, i, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db)""".stripMargin
 
   def queries: Seq[Q] = Seq(
 
@@ -33,15 +121,16 @@ object DedupQueries extends QuerySet {
         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.text_hash = f.text_hash)
         |ORDER BY f.doc_id""".stripMargin)),
 
-    // Token-set Jaccard over candidate pairs (restricted id range keeps the
-    // token join bounded; the unrestricted scale path is MinHash below).
+    // Corpus-wide shingle-Jaccard statistics over candidate pairs sharing
+    // at least one (df-capped) shingle — the full-corpus replacement for the
+    // old doc_id<200 diagnostic: candidates come from the shingle equi-join,
+    // so cost scales with actual shingle collisions, not corpus².
     Q("x02_jaccard_stats",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        val toks = docs.select(col("doc_id"), explode(split(lower(normCol), " ")).as("tok")).distinct()
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = toks.as("a").join(toks.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        val sh = cappedShingleRows(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("i"))
         val jac = inter
@@ -53,30 +142,26 @@ object DedupQueries extends QuerySet {
           sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_high"),
           round(avg("jac"), 6).as("avg_jac"))
       },
-      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 200),
-        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT da, db, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jac
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = da
-        |  JOIN sizes sb ON sb.doc_id = db)
+      Some(s"""WITH $exactJaccardPairsSql
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        | CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-        | round(avg(jac), 6) AS avg_jac
+        | CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | round(avg(j), 6) AS avg_jac
         |FROM jac""".stripMargin)),
 
     // MinHash-LSH near-dup pairs (scale path: banding → bucket join →
     // verify). Deterministic hash family; verified Jaccard attached.
-    // Threshold 0.5 matches the 16x4 banding's S-curve (collision prob
-    // ~0.65 at J=0.5, ~0.34 at J=0.4 — advertising a lower threshold would
-    // overstate recall).
+    // Oracle: the EXACT shingle-Jaccard ≥ 0.5 pair set (computed in DuckDB
+    // from the shared-shingle join). The 16x4 banding's miss probability at
+    // the corpus's duplicate band (J ≥ 0.9) is 1-(1-(1-0.9⁴)¹⁶) ≈ 4e-8, so
+    // the LSH output IS the exact answer here; a corpus with pairs sitting
+    // just above 0.5 would need wider banding for the same guarantee (the
+    // S-curve gives ~0.65 collision at J=0.5).
     Q("x03_minhash_neardup",
-      (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)),
+      (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5),
+      Some(s"""WITH $exactJaccardPairsSql
+        |SELECT da AS id_a, db AS id_b, round(j, 6) AS jaccard
+        |FROM jac WHERE j >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash near-dup pairs: the standard 64-bit simhash threshold
     // (hamming <= 3), exact recall under the 4x16 banding.
@@ -97,43 +182,55 @@ object DedupQueries extends QuerySet {
     // row per clustered doc (cluster = min member id). Alternating
     // large-star/small-star: O(log n) rounds independent of component
     // diameter (equivalence with plain propagation asserted in NearDupSpec).
+    // Oracle: transitive closure (recursive CTE) over the exact ≥ 0.5
+    // pair set — verifies pair generation AND the clustering.
     Q("x06_dup_clusters",
       (s, d) => {
         val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
         NearDup.duplicateClustersAlternating(s, pairs).orderBy("id")
-      }),
+      },
+      Some(s"""WITH RECURSIVE $exactJaccardPairsSql,
+        |pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION
+        |  SELECT db AS s, da AS d FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
-    // Jaccard CONTAINMENT |A∩B| / |A| — directional: detects a document
+    // Shingle CONTAINMENT |A∩B| / |A| — directional: detects a document
     // embedded inside a larger one, which symmetric Jaccard misses when
     // the sizes differ a lot (the quote/boilerplate-absorption case).
+    // Candidates from the same df-capped shared-shingle equi-join.
     Q("x07_containment",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        val toks = docs.select(col("doc_id"),
-          explode(split(lower(normCol), " ")).as("tok")).distinct()
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        toks.as("a").join(toks.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+        val sh = cappedShingleRows(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("i"))
           .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), Seq("da"))
-          .withColumn("containment", round(col("i") / col("sa").cast("double"), 6))
+          .withColumn("containment", col("i") / col("sa").cast("double"))
           .filter(col("containment") >= 0.8)
           .select(col("da").as("contained_id"), col("db").as("container_id"),
-            col("containment"))
+            round(col("containment"), 6).as("containment"))
           .orderBy("contained_id", "container_id")
       },
-      Some(s"""WITH n AS (SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 200),
-        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      Some(s"""WITH $cappedShingleSql,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da AS contained_id, db AS container_id,
-        | round(i / CAST(sz AS DOUBLE), 6) AS containment
-        |FROM inter JOIN sizes ON sizes.doc_id = da
-        |WHERE round(i / CAST(sz AS DOUBLE), 6) >= 0.8
+        |  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT da, db, i / CAST(sz AS DOUBLE) AS c
+        |  FROM inter JOIN sizes ON sizes.doc_id = da)
+        |SELECT da AS contained_id, db AS container_id, round(c, 6) AS containment
+        |FROM cont WHERE c >= 0.8
         |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

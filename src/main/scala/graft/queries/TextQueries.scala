@@ -155,18 +155,28 @@ object TextQueries extends QuerySet {
       }),
 
     // Winnowing fingerprints (partial-overlap dedup): shared-fingerprint
-    // counts for candidate pairs — any shared substring of length >= 11
-    // (k=8, w=4) produces at least one shared fingerprint. Narrow map +
-    // fingerprint self-join; rows-only (unit-tested in TextKernelSpec).
+    // counts for candidate pairs — any shared substring of length >= 19
+    // (k=16, w=4) produces at least one shared fingerprint. Corpus-wide:
+    // the fingerprint self-join is de-skewed by a document-frequency cap
+    // (a fingerprint present in more than FpDfCap documents is boilerplate
+    // and is dropped before the join — the same prefix-filter guard the
+    // shingle joins in DedupQueries use), so join fan-out per fingerprint
+    // is bounded by cap² at any corpus size. Narrow map + equi-join;
+    // rows-only (the winnow kernel is unit-tested in TextKernelSpec).
     Q("t12_winnow_overlap",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val fps = t(s, d, "documents").filter(col("doc_id") < 100)
+        val FpDfCap = 20
+        val fps = t(s, d, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
-          .flatMap { case (id, text) => TextKernel.winnow(text).iterator.map(fp => (id, fp)) }
+          .flatMap { case (id, text) =>
+            TextKernel.winnow(text, k = 16, window = 4).iterator.map(fp => (id, fp)) }
           .toDF("doc_id", "fp").distinct()
-        fps.as("a").join(fps.as("b"),
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > FpDfCap).select("fp")
+        val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+        capped.as("a").join(capped.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("shared_fps"))
