@@ -65,13 +65,35 @@ object VectorQueries extends QuerySet {
         |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
         |ORDER BY query_id, rn""".stripMargin)),
 
-    // Embedding-cosine near-duplicate pairs above a threshold (exact
-    // baseline; LSH variant below is the scale path).
+    // Embedding-cosine near-duplicate pairs above a threshold — the EXACT
+    // baseline (ANN variants v06/v08 are the sub-quadratic scale path; an
+    // exact threshold join over dense vectors is inherently Θ(n²) distance
+    // evaluations — no hash family separates cos=0.45 from this corpus's
+    // cos≈0.1 background with recall 1).
+    //
+    // What IS avoidable at scale is the broadcast-nested-loop PLAN: instead
+    // of `a JOIN b ON id_a < id_b` (which broadcasts a full table and dies
+    // at 100×), pairs are enumerated block-wise — a tiny block-pair grid
+    // (built from spark.range, no join) equi-joined to each side, so the
+    // n² work is sharded across the cluster as (n/B)² independent
+    // bounded-memory tasks: two hash joins, no BNLJ (asserted in PlanSpec).
     Q("v03_cosine_neardup_pairs",
       (s, d) => {
-        val a = t(s, d, "embeddings").select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = t(s, d, "embeddings").select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-        a.join(b, col("id_a") < col("id_b"))
+        val emb = t(s, d, "embeddings")
+        val blockSize = 1024L
+        // one scalar agg sizes the grid (cf. IvfIndex's driver-side coarse
+        // quantizer — a bounded metadata read, not a data collect)
+        val maxId = emb.agg(max("vec_id")).head.getLong(0)
+        val nBlocks = maxId / blockSize + 1
+        val grid = s.range(nBlocks * nBlocks)
+          .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")
+          .filter(col("ba") <= col("bb"))
+        val a = emb.selectExpr("vec_id AS id_a", "embedding AS ea",
+          s"vec_id div $blockSize AS ba")
+        val b = emb.selectExpr("vec_id AS id_b", "embedding AS eb",
+          s"vec_id div $blockSize AS bb")
+        broadcast(grid).join(a, "ba").join(b, "bb")
+          .filter(col("id_a") < col("id_b"))
           .withColumn("sim", cosineSim(col("ea"), col("eb")))
           .filter(col("sim") > 0.45)
           .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

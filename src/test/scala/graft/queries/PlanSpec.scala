@@ -108,6 +108,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("dot_product"), p)
   }
 
+  test("v03: exact pair join is blocked hash joins, no nested-loop or cartesian") {
+    val p = plan("v03_cosine_neardup_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x02/x07: shingle candidate joins carry no nested-loop and no cartesian") {
+    for (q <- Seq("x02_jaccard_stats", "x07_containment")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("k01: BM25 postings filter sits below the tf aggregation and top-k is TakeOrdered") {
+    val p = plan("k01_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the isin(terms) predicate must appear as a Filter, not post-agg
+    assert(p.contains("dup"), p)
+  }
+
   test("r47: lateral join does not degrade to a cartesian product") {
     val p = plan("r47_lateral_join")
     assert(!p.contains("CartesianProduct"), p)
