@@ -150,6 +150,46 @@ object StreamingQueries extends QuerySet {
       },
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | round(sum(value), 2) AS total
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // A1 end-to-end as a STREAM: binary files arriving in a watched folder →
+    // filename key (A10) → decode → normalize (A7) → md5 (A9) → dedup (A12)
+    // → foreachBatch parquet upsert (A14). The fixture docs are materialized
+    // as one .txt file each (capped at 1000 files — the listing-mode file
+    // source's per-file driver cost is linear, see ensureTextFixtureFiles);
+    // the oracle reconstructs the same rows from the documents table under
+    // the same cap (key = sanitized filename, survivor = min doc_key per
+    // hash — matching the deterministic in-batch dedup).
+    Q("s09_binary_arrival_ingest",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val srcDir = s"/tmp/graft_s09/src_$tag"
+        StreamingOps.ensureTextFixtureFiles(s, d, srcDir)
+        val target = s"/tmp/graft_s09/store_$tag"
+        val ckpt = s"/tmp/graft_s09/ckpt_$tag"
+        // fresh store per run: the query is the full arrival-ingest lifecycle
+        for (p <- Seq(target, ckpt)) {
+          val f = new java.io.File(p)
+          if (f.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(f).deleteRecursively()
+          }
+        }
+        StreamingOps.binaryArrivalIngest(s, srcDir, "*.txt", target, ckpt)
+        s.read.parquet(target)
+          .select(col("doc_key"), col("text_hash"), col("n_chars_norm"))
+          .orderBy("doc_key")
+      },
+      Some(s"""WITH k AS (
+        |  SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '_txt' AS doc_key,
+        |    md5($normSql) AS text_hash,
+        |    CAST(length($normSql) AS INT) AS n_chars_norm
+        |  FROM documents WHERE doc_id < 1000),
+        |r AS (
+        |  SELECT doc_key, text_hash, n_chars_norm,
+        |    row_number() OVER (PARTITION BY text_hash ORDER BY doc_key) AS rn
+        |  FROM k)
+        |SELECT doc_key, text_hash, n_chars_norm FROM r WHERE rn = 1
+        |ORDER BY doc_key""".stripMargin))
   )
 }

@@ -132,6 +132,113 @@ object StreamingOps {
     out
   }
 
+  /** Fixture materialization for file-arrival tests: write each document of
+    * the fixture table as an individual text file (doc_<id 0-padded>.txt),
+    * once per (sf, dir). This is harness setup standing in for an external
+    * uploader — the collect here materializes test inputs, it is NOT part
+    * of the streaming operator (which reads the files distributed).
+    *
+    * The file count is capped at `maxDocs` (default 1000): Spark's
+    * listing-mode FileStreamSource pays a fixed per-file driver cost
+    * (seen-files map + source metadata log, measured ~1.3 ms/file here), so
+    * the fixture bounds its own size LINEARLY — this is a test-harness
+    * bound, not an operator bound; the operator itself is unbounded. At
+    * cloud scale the same per-file driver cost is why many-small-files
+    * arrival pipelines use notification-based ingestion or batch files
+    * upstream rather than listing-mode streams.
+    */
+  def ensureTextFixtureFiles(spark: SparkSession, sfDir: String, outDir: String,
+                             maxDocs: Int = 1000): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < maxDocs)
+    val n = docs.count()
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val have = { val s = java.nio.file.Files.list(dir); try s.count() finally s.close() }
+      if (have == n) return
+      // stale fixture from a different cap/SF: rebuild from scratch
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+    java.nio.file.Files.createDirectories(dir)
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val name = f"doc_${r.getLong(0)}%05d.txt"
+      java.nio.file.Files.write(dir.resolve(name),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** A1 streaming variant: binary file-ARRIVAL ingestion (the reference's
+    * watch-a-folder upload loop, main.py:291-346, as a Structured Streaming
+    * query). Each arriving file becomes a document row: key from the
+    * filename (A10), text from the payload, whitespace-normalized (A7),
+    * content-hashed (A9), deduplicated (A12) and merged into the parquet
+    * store via foreachBatch (A14).
+    *
+    * Dedup is deterministic at both levels: within a micro-batch the
+    * survivor is the minimum doc_key per hash (row_number, not
+    * dropDuplicates), across batches the store's existing hashes win
+    * (anti-join — the reference's skip-if-hash-exists insert). On an
+    * unbounded folder this runs forever with state bounded by the store
+    * itself; checkpointing makes redelivery idempotent.
+    */
+  def binaryArrivalIngest(spark: SparkSession, srcDir: String, glob: String,
+                          targetPath: String, checkpoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    // the binaryFile source's schema is fixed; declared explicitly because
+    // streaming file sources do not infer
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    // many-small-files scan: the default 4 MiB per-file open cost padding
+    // fragments a folder of KB-sized documents into hundreds of near-empty
+    // tasks; 8 KiB keeps task count proportional to actual bytes. Pinned
+    // for the drain and restored (same pattern as runToMemory).
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(schema)
+      .load(srcDir)
+    val rows = stream.select(
+        regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),
+          "[^a-zA-Z0-9_\\-=]", "_").as("doc_key"),
+        trim(regexp_replace(decode(col("content"), "UTF-8"), "\\s+", " ")).as("norm"))
+      .select(col("doc_key"), md5(col("norm")).as("text_hash"),
+        length(col("norm")).as("n_chars_norm"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // start() inside the try: a startup failure must still restore confs
+      q = rows.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val dedup = graft.operators.Ingest
+            .dedupExactDeterministic(batch.toDF(), Seq("doc_key"))
+          val existingKeys =
+            try Some(sp.read.parquet(targetPath).select("text_hash").distinct())
+            catch { case _: Throwable => None }
+          val fresh = existingKeys match {
+            case Some(ex) => dedup.join(ex, Seq("text_hash"), "left_anti")
+            case None => dedup
+          }
+          fresh.write.mode("append").parquet(targetPath)
+        }
+        .start()
+      q.processAllAvailable()
+    } finally {
+      try { if (q != null) q.stop() } finally {
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+  }
+
   /** foreachBatch upsert sink (A14): per micro-batch, merge-on-key into a
     * parquet target — new keys appended, existing keys kept (first-arrival
     * semantics, matching the reference's skip-if-hash-exists insert,

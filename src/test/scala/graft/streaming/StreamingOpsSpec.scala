@@ -49,4 +49,30 @@ class StreamingOpsSpec extends SparkTestBase {
       .filter($"count" > 1).count()
     assert(dups == 0)
   }
+
+  test("binary arrival ingest dedups in-batch and is idempotent across loads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_arrival").toString
+    val src = s"$dir/src"
+    val target = s"$dir/store"
+    // two distinct payloads; b.txt and c.txt are duplicates after
+    // whitespace normalization — min doc_key (b_txt) must survive
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.write(java.nio.file.Paths.get(s"$src/a.txt"), "hello world".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b.txt"), "dup   text".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/c.txt"), " dup text ".getBytes)
+    StreamingOps.binaryArrivalIngest(spark, src, "*.txt", target, s"$dir/ckpt1")
+    val first = spark.read.parquet(target)
+    assert(first.count() == 2)
+    assert(first.select("doc_key").as[String].collect().sorted.sameElements(
+      Array("a_txt", "b_txt")))
+    // re-delivery with a fresh checkpoint: store-side anti-join must keep
+    // the run a no-op (first-arrival semantics across loads)
+    StreamingOps.binaryArrivalIngest(spark, src, "*.txt", target, s"$dir/ckpt2")
+    assert(spark.read.parquet(target).count() == 2)
+    // a new arrival alongside the old files is picked up
+    Files.write(java.nio.file.Paths.get(s"$src/d.txt"), "fresh arrival".getBytes)
+    StreamingOps.binaryArrivalIngest(spark, src, "*.txt", target, s"$dir/ckpt3")
+    assert(spark.read.parquet(target).count() == 3)
+  }
 }
