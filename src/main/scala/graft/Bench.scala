@@ -22,18 +22,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
 
-    // warmup: touch every table + exercise codegen once
-    Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
-
     // optional focus filter for local iteration: comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    if (selected.isEmpty)
+    if (selected.isEmpty) {
+      // a typo'd filter must not masquerade as an empty-but-successful run
       System.err.println(
         s"[bench] SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
+      spark.stop()
+      sys.exit(2)
+    }
+
+    // warmup: touch every table + exercise codegen once
+    Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
 
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -92,8 +92,13 @@ object Graft {
     substring(md5(key.cast("string")), 1, 1) <= "0123456789abcdef".charAt(sixteenths - 1).toString
   }
 
-  /** Token-budget sequence packing: assigns each doc (ordered by orderCol
-    * within groupCol) a pack_id from its cumulative token start offset.
+  /** Sequence packing by cumulative start offset: assigns each doc (ordered
+    * by orderCol within groupCol) pack_id = floor(start_offset / budget).
+    * Start-offset semantics, NOT a hard cap: a doc whose tokens straddle a
+    * budget boundary stays in the pack its first token falls in, so a pack
+    * holds at most budget + max(doc tokens) - 1 tokens, and a single doc
+    * longer than the budget is never split. Callers needing a hard cap
+    * should pre-split oversized docs (e.g. via the chunker) first.
     */
   def packSequences(docs: DataFrame, tokenCountCol: String, budget: Int,
                     groupCol: String, orderCol: String): DataFrame = {

@@ -237,9 +237,17 @@ object NearDup {
       canon(viaNeighbors.union(m))
     }
 
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
+    // Two independent digests (32-bit murmur sum + xxhash64 sum) plus count.
+    // Checksum equality is only the FAST filter for convergence — on a match
+    // the fixpoint is confirmed exactly below, so a collision can delay
+    // detection by a round but can never terminate the loop early.
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)),
+        // high 32 bits only: summing full-range xxhash64 longs overflows
+        // under ANSI; a 32-bit-per-row sum is safe to ~2^31 rows
+        coalesce(sum(shiftright(xxhash64(col("src"), col("dst")), 32)), lit(0L))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
     val nodes = pairs.select(col("id_a").as("id"))
@@ -250,9 +258,14 @@ object NearDup {
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val cur = checksum(edges)
-      converged = cur == prev
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      // exact confirmation: both sides are distinct sets, so count-equal +
+      // one empty set-difference ⇒ set-equal. Runs at most once per
+      // convergence (checksums gate it), so the loop stays one cheap agg
+      // per round.
+      converged = cur == prev && next.except(edges).isEmpty
+      edges = next
       prev = cur
       i += 1
     }

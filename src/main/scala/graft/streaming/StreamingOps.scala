@@ -99,15 +99,27 @@ object StreamingOps {
     * sized to executor count via the same conf). The memory-sink table is
     * materialized and dropped so repeated streaming queries in one session
     * don't accumulate sink state.
+    *
+    * `skipNoDataBatches` (default true) disables watermark-only empty
+    * micro-batches for the duration of the drain. This is safe for
+    * complete-mode sinks and eager-emit append operators (dedup,
+    * flatMapGroupsWithState with per-event emission) — every current
+    * caller. An APPEND-MODE WATERMARKED AGGREGATION needs the final
+    * no-data batch to close its last windows: pass false for those, or
+    * results will silently miss the tail windows. The conf mutation is
+    * session-scoped for the drain (saved/restored), so concurrent
+    * streaming queries on the same session should not interleave with
+    * this harness.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-                  mode: String): DataFrame = {
+                  mode: String, skipNoDataBatches: Boolean = true): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // bounded drain: results are emitted by the data batches; skip the
-    // watermark-only empty batches
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // watermark-only empty batches unless the plan needs them (see contract)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      (!skipNoDataBatches).toString)
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       // start() inside the try: an analysis/startup failure must still
