@@ -55,11 +55,13 @@ object Graft {
                    maxDistance: Int = 3): DataFrame =
     NearDup.simhashNearDupPairs(spark, docs, maxDistance)
 
-  /** Connected components over near-dup pairs → (id, cluster) labels
-    * (alternating star algorithm — O(log n) rounds at any diameter).
+  /** Connected components over near-dup pairs → (id, cluster) labels.
+    * Default "alternating" (O(log n) rounds at any diameter — the scale
+    * default); "propagation" is faster on shallow-component corpora.
     */
-  def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame =
-    NearDup.duplicateClustersAlternating(spark, pairs)
+  def dupClusters(spark: SparkSession, pairs: DataFrame,
+                  algorithm: String = "alternating"): DataFrame =
+    NearDup.connectedComponents(spark, pairs, algorithm)
 
   // ---- similarity search ----
 

@@ -154,6 +154,33 @@ object NearDup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Session conf key selecting the connected-components algorithm for
+    * [[connectedComponents]]: "alternating" (default) or "propagation".
+    */
+  val CcAlgorithmConf = "spark.graft.cc.algorithm"
+
+  /** Connected components over near-dup pairs → (id, cluster = min member
+    * id), dispatching on `algorithm`:
+    *
+    *  - "alternating" (default): large-star/small-star rounds, O(log n)
+    *    rounds at ANY component diameter — the 100 TB default, where a
+    *    single deep chain would stall propagation.
+    *  - "propagation": min-label propagation, rounds = component diameter.
+    *    Measured faster on shallow-component corpora at local scale
+    *    (sf0.1/local[32]: see SURVEY §8 round-3 measurement) because each
+    *    round is one join against the label frame instead of two star
+    *    transforms; it loses when diameter grows.
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+                          algorithm: String = "alternating"): DataFrame =
+    algorithm match {
+      case "alternating" => duplicateClustersAlternating(spark, pairs)
+      case "propagation" => duplicateClusters(spark, pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown connected-components algorithm '$other' " +
+        "(expected 'alternating' or 'propagation')")
+    }
+
   /** Duplicate clusters from near-dup pairs: distributed connected
     * components via iterative min-label propagation (each node adopts the
     * minimum label in its neighborhood until fixpoint — SURVEY.md §2.C

@@ -187,7 +187,11 @@ object DedupQueries extends QuerySet {
     Q("x06_dup_clusters",
       (s, d) => {
         val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
-        NearDup.duplicateClustersAlternating(s, pairs).orderBy("id")
+        // algorithm selectable per-session (spark.graft.cc.algorithm);
+        // alternating stays the default — both verified label-identical
+        // (NearDupSpec) and against the oracle's transitive closure
+        val algo = s.conf.getOption(NearDup.CcAlgorithmConf).getOrElse("alternating")
+        NearDup.connectedComponents(s, pairs, algo).orderBy("id")
       },
       Some(s"""WITH RECURSIVE $exactJaccardPairsSql,
         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
