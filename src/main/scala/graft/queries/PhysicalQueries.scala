@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.sources.PhysicalLayout
+import org.apache.spark.sql.functions._
+
+/** Physical-layout / adaptive-execution demonstrations — queries whose
+  * RESULTS are plain oracle-checkable aggregations but whose point is the
+  * physical behavior under them (row-group pruning, AQE skew-join
+  * splitting), asserted behaviorally in PhysicalLayoutSpec.
+  */
+object PhysicalQueries extends QuerySet {
+
+  private val rangeLo = java.sql.Date.valueOf("1995-06-01")
+  private val rangeHi = java.sql.Date.valueOf("1995-09-01")
+
+  /** Per-type value multipliers for the skew-join demo (inline dimension —
+    * the canonical low-cardinality hot-key join: 5 distinct keys fan a
+    * 100k-row fact table into 5 hot shuffle partitions).
+    */
+  private[graft] val typeWeights = Seq(
+    ("click", 2.0), ("error", 0.0), ("purchase", 10.0),
+    ("signup", 5.0), ("view", 1.0))
+
+  override def queries: Seq[Q] = Seq(
+
+    // Min/max row-group pruning via sort-on-write: the query reads a
+    // RANGE-SORTED parquet copy of lineitem with a ~4%-selective shipdate
+    // range. Same answer as scanning the raw table (the oracle does), but
+    // the sorted copy's scan touches only the row groups overlapping the
+    // range — PhysicalLayoutSpec asserts the scan-node row counts sorted
+    // vs unsorted. The day-granular ship timestamp is stored as DATE in
+    // the copy: parquet pushdown covers DATE but not TIMESTAMP_NTZ (see
+    // PhysicalLayout note), and it halves the column's footprint.
+    Q("p01_sorted_scan_prune",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val sorted = s"/tmp/graft_p01/lineitem_by_shipdate_$tag"
+        PhysicalLayout.ensureSortedCopy(sorted, "l_shipdate") {
+          t(s, d, "lineitem").withColumn("l_shipdate", to_date(col("l_shipdate")))
+        }
+        s.read.parquet(sorted)
+          .filter(col("l_shipdate") >= lit(rangeLo) && col("l_shipdate") < lit(rangeHi))
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // AQE skew-join shape: a sort-merge join on a 5-key fact column (every
+    // key is a hot partition). The merge hint keeps the tiny dimension out
+    // of a broadcast so the skewed shuffle join is what executes; under
+    // AQE's skew thresholds each hot partition splits into parallel chunks
+    // with the dim side duplicated (no salting needed) —
+    // PhysicalLayoutSpec asserts the skew=true marker fires.
+    Q("p02_skew_join_agg",
+      (s, d) => {
+        import s.implicits._
+        val dim = typeWeights.toDF("event_type", "weight")
+        // AQE splits a skewed reduce partition along MAP-output boundaries,
+        // so splitting needs >1 upstream map task per hot key. The fixture
+        // is one small file (one mapper — unsplittable); 16 partitions
+        // stand in for the thousands of mappers a 100 TB fact scan has.
+        t(s, d, "events").repartition(16)
+          .join(dim.hint("merge"), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value * CASE event_type
+        |   WHEN 'click' THEN 2.0 WHEN 'error' THEN 0.0
+        |   WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 5.0
+        |   WHEN 'view' THEN 1.0 END), 2) AS weighted_value
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

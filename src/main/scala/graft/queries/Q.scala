@@ -64,7 +64,8 @@ object Registry {
         MultimodalQueries.queries ++
         QualityQueries.queries ++
         SourceQueries.queries ++
-        KeywordQueries.queries
+        KeywordQueries.queries ++
+        PhysicalQueries.queries
     // a duplicated name would silently shadow a query in asMap (toMap is
     // last-wins) and drop it from driver verification — fail loudly instead
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys

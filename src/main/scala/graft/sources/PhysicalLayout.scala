@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout levers that pay off at cluster scale: sort-on-write for
+  * parquet min/max row-group pruning (the z-order-lite for one dimension).
+  *
+  * A parquet scan prunes a row group when the pushed-down predicate falls
+  * outside the group's column min/max statistics. Random writes give every
+  * group the full value range (nothing prunes); range-partitioned sorted
+  * writes give disjoint tight ranges, so a selective range predicate reads
+  * only the few groups it overlaps. At 100 TB this is the difference
+  * between scanning a table and scanning a slice — same query, same plan
+  * shape, 10-100x less IO (asserted behaviorally in PhysicalLayoutSpec via
+  * scan-node numOutputRows on sorted vs unsorted copies).
+  */
+object PhysicalLayout {
+
+  /** Small row groups so multi-group pruning is observable at test SFs; a
+    * production write would keep the 128 MiB default.
+    */
+  val TestBlockSize = 64 * 1024
+
+  /** Write `df` range-partitioned and sorted by `sortCol` — every output
+    * file covers a disjoint range, every row group a tight sub-range.
+    */
+  def writeSorted(df: DataFrame, sortCol: String, path: String,
+                  partitions: Int = 4, blockSize: Int = TestBlockSize): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockSize)
+      .option("parquet.page.size", 16 * 1024)
+      .parquet(path)
+
+  /** Idempotent sorted copy: first caller pays the write (of whatever
+    * `build` produces), later queries in the same run reuse it.
+    *
+    * NOTE: sort on a parquet-pushdown-capable column type. The fixture's
+    * naive timestamps load as TIMESTAMP_NTZ, which Spark 4.1's parquet
+    * filter pushdown does NOT support (measured: zero row groups pruned on
+    * an NTZ sort column, any literal type) — day-granular timestamps
+    * should be cast to DATE before the sorted write.
+    */
+  def ensureSortedCopy(path: String, sortCol: String)(build: => DataFrame): Unit = {
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists())
+      writeSorted(build, sortCol, path)
+  }
+}
