@@ -111,6 +111,19 @@ object StreamingOps {
     * streaming queries on the same session should not interleave with
     * this harness.
     */
+  /** Checkpoint parent for bounded drains: tmpfs when the host has it.
+    * Every state-store commit is a write+rename per partition per batch —
+    * on the local disk that IO is the drain's floor; on tmpfs it's memory
+    * speed. Durability is irrelevant here (the drain is synchronous and
+    * the checkpoint discarded after); a production deployment points
+    * checkpointLocation at durable shared storage instead.
+    */
+  private def ckptParent: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: String, skipNoDataBatches: Boolean = true): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -120,6 +133,7 @@ object StreamingOps {
     // watermark-only empty batches unless the plan needs them (see contract)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       (!skipNoDataBatches).toString)
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptParent, s"graft_ckpt_$name")
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       // start() inside the try: an analysis/startup failure must still
@@ -127,6 +141,7 @@ object StreamingOps {
       q = streamed.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode)
         .start()
       q.processAllAvailable()
@@ -135,6 +150,8 @@ object StreamingOps {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           prevNoData.getOrElse("true"))
+        import scala.reflect.io.Directory
+        new Directory(ckpt.toFile).deleteRecursively()
       }
     }
     import scala.jdk.CollectionConverters._
