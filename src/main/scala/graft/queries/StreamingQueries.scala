@@ -190,6 +190,29 @@ object StreamingQueries extends QuerySet {
         |    row_number() OVER (PARTITION BY text_hash ORDER BY doc_key) AS rn
         |  FROM k)
         |SELECT doc_key, text_hash, n_chars_norm FROM r WHERE rn = 1
-        |ORDER BY doc_key""".stripMargin))
+        |ORDER BY doc_key""".stripMargin)),
+
+    // APPEND-mode watermarked window aggregation — the one stateful shape
+    // that NEEDS the trailing no-data micro-batch (skipNoDataBatches=false):
+    // a window only emits once the watermark (max event time - 1h) passes
+    // its end, so the result is the CLOSED windows only — unlike s01's
+    // complete mode, which re-emits everything. The oracle applies the same
+    // cutoff: windows whose end <= max(ts) - 1h.
+    Q("s10_append_window",
+      (s, d) => {
+        val out = StreamingOps.runToMemory(s,
+          StreamingOps.tumblingAgg(StreamingOps.readEventsStream(s, d)),
+          "s10_append", "append", skipNoDataBatches = false)
+        out.withColumn("total", round(col("total"), 2)).orderBy("w_start", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT $castTs AS ts, event_type, value FROM events),
+        |mx AS (SELECT max(ts) AS m FROM e),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |  FROM e GROUP BY 1, 2)
+        |SELECT w_start, event_type, n, total FROM w, mx
+        |WHERE w_start + INTERVAL 6 HOUR <= m - INTERVAL 1 HOUR
+        |ORDER BY w_start, event_type""".stripMargin))
   )
 }
