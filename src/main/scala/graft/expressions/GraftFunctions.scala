@@ -15,6 +15,9 @@ object GraftFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
 
+  def nfc_normalize(s: Column): Column =
+    GraftShim.column(NfcNormalize(GraftShim.expression(s)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_sim",
@@ -25,6 +28,8 @@ object GraftFunctions {
       exprs => NormSq(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkTextGenerator(exprs), "built-in")
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "built-in")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSq))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNormSq

@@ -279,6 +279,22 @@ object TextQueries extends QuerySet {
         |SELECT CAST(count(*) AS BIGINT) AS vocab,
         | round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
         | round(regr_r2(ln(f), ln(r)), 4) AS fit_r2
-        |FROM ranked""".stripMargin))
+        |FROM ranked""".stripMargin)),
+
+    // Unicode NFC canonicalization (native codegen expression) ahead of
+    // byte-level dedup/shingling: canonically-equal text must hash equal.
+    // The fixture corpus is already NFC, so the oracle verifies the
+    // identity path exactly; the combining-character compose path is
+    // proven in NfcNormalizeSpec ("e"+U+0301 → "é" etc.).
+    Q("t16_nfc_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(graft.expressions.GraftFunctions.nfc_normalize(col("text"))).as("nfc_hash"),
+          (length(graft.expressions.GraftFunctions.nfc_normalize(col("text")))
+            === length(col("text"))).cast("int").as("len_unchanged"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
+        | CAST(length(nfc_normalize(text)) = length(text) AS INT) AS len_unchanged
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
