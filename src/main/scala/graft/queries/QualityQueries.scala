@@ -335,6 +335,40 @@ object QualityQueries extends QuerySet {
         |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         |  GROUP BY 1, 2)
         |SELECT corpus_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM pairs WHERE n_shared >= 3 ORDER BY corpus_id, bench_id""".stripMargin))
+        |FROM pairs WHERE n_shared >= 3 ORDER BY corpus_id, bench_id""".stripMargin)),
+
+    // Temperature-based source mixing (multinomial sampling weights,
+    // alpha = 0.7 as in multilingual/multi-source LM training): per-source
+    // token mass -> natural share p_i -> mixing weight w_i ∝ p_i^alpha,
+    // boost = w/p is the per-source up/down-sampling factor (low-resource
+    // sources get boost > 1, the head gets < 1). One tiny aggregation per
+    // source then driver-free window arithmetic over the 20-row result —
+    // the 100 TB cost is the token-count scan, which t01 already pays.
+    Q("g12_temperature_mix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(normCol, " "))).as("n_tokens"))
+          .withColumn("p", col("n_tokens") / sum("n_tokens").over(w))
+          .withColumn("wgt", pow(col("p"), 0.7) / sum(pow(col("p"), 0.7)).over(w))
+          .select(col("source"), col("n_tokens"),
+            round(col("p"), 6).as("share"),
+            round(col("wgt"), 6).as("weight"),
+            round(col("wgt") / col("p"), 4).as("boost"))
+          .orderBy("source")
+      },
+      Some(s"""WITH src AS (
+        |  SELECT source, sum(len(string_split($normSql, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p
+        |  FROM src)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(p, 6) AS share,
+        | round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight,
+        | round((pow(p, 0.7) / sum(pow(p, 0.7)) OVER ()) / p, 4) AS boost
+        |FROM p ORDER BY source""".stripMargin))
   )
 }

@@ -295,6 +295,36 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
         | CAST(length(nfc_normalize(text)) = length(text) AS INT) AS len_unchanged
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus top trigrams, join-free like g08's bigrams: three offset
+    // slices zipped per document (narrow maps), one aggregation exchange
+    // of (trigram, count) pairs. greatest(.,0) guards docs with <3 tokens
+    // (negative slice length is an error under ANSI).
+    Q("t17_top_trigrams",
+      (s, d) => {
+        val withToks = t(s, d, "documents")
+          .select(split(normCol, " ").as("toks"))
+        val len3 = greatest(size(col("toks")) - 2, lit(0))
+        withToks
+          .select(explode(zip_with(
+            zip_with(
+              slice(col("toks"), lit(1), len3),
+              slice(col("toks"), lit(2), len3),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(col("toks"), lit(3), len3),
+            (ab, c) => concat(ab, lit(" "), c))).as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("trigram"))
+          .limit(20)
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM n)
+        |SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS trigram,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM tk a
+        |JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin))
   )
 }

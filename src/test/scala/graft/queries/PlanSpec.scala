@@ -87,6 +87,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t17: trigrams are built without a join (nested zip_with + one agg)") {
+    val p = plan("t17_top_trigrams")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("g11: contamination join broadcasts the benchmark side") {
     val p = plan("g11_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
