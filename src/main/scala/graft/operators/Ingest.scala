@@ -103,6 +103,23 @@ object Ingest {
         col("text_hash"), col("page_number"))).as("metadata"))
   }
 
+  /** Fallback doc key (A13 detail; reference db_utils.py:147-151): a row
+    * arriving without a key gets sanitize("{filename}_{chunk_id}_{suffix}").
+    * The reference's suffix is uuid4().hex[:6] — random. Random is wrong at
+    * engine scale: re-ingesting the same chunk must regenerate the SAME
+    * key, or first-arrival upserts (A14) and checkpoint replays stop being
+    * idempotent. The engine takes the 6-hex suffix from the content md5
+    * instead — same keyspace and collision behavior, stable across re-runs.
+    */
+  def withFallbackKey(df: DataFrame): DataFrame = {
+    val fb = regexp_replace(
+      concat_ws("_", col("filename"), col("chunk_id"),
+        substring(md5(col("content")), 1, 6)),
+      "[^a-zA-Z0-9_\\-=]", "_")
+    df.withColumn("id",
+      when(col("id").isNull || length(col("id")) === 0, fb).otherwise(col("id")))
+  }
+
   /** Dead-letter split (A22): classify rows once, route failures to a side
     * output instead of throwing — per-row errors never kill the job (the
     * reference wraps every chunk/file in try/except and counts failures,

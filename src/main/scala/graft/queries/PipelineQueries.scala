@@ -99,6 +99,27 @@ object PipelineQueries extends QuerySet {
     // reported as dim + L2 digest — see QuerySet.vectorDigest).
     Q("d10_ingest_canonical",
       (s, d) => vectorDigest(
-        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder())).orderBy("id"))
+        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder())).orderBy("id")),
+
+    // Fallback doc-key generation (reference db_utils.py:147-151) over
+    // keyless rows: sanitize(filename_chunkid_suffix) with the 6-hex
+    // suffix taken from the content md5 — deterministic where the
+    // reference uses uuid4 (see Ingest.withFallbackKey). Exercised here on
+    // the documents table shaped as keyless chunk rows so the oracle can
+    // recompute every key exactly.
+    Q("d11_fallback_key",
+      (s, d) => Ingest.withFallbackKey(
+          t(s, d, "documents").select(
+            lit(null).cast("string").as("id"),
+            normCol.as("content"),
+            col("source").as("filename"),
+            col("doc_id").as("chunk_id")))
+        .select(col("filename"), col("chunk_id"), col("id").as("doc_key"))
+        .orderBy("filename", "chunk_id"),
+      Some(s"""SELECT source AS filename, doc_id AS chunk_id,
+        | regexp_replace(
+        |   source || '_' || CAST(doc_id AS VARCHAR) || '_' || substr(md5($normSql), 1, 6),
+        |   '[^a-zA-Z0-9_\\-=]', '_', 'g') AS doc_key
+        |FROM documents ORDER BY filename, chunk_id""".stripMargin))
   )
 }

@@ -98,4 +98,23 @@ class IngestSpec extends SparkTestBase {
     val chunkIds = out.filter(col("chunk_id") === 0).count()
     assert(chunkIds == out.select("filename", "id").filter(col("chunk_id") === 0).count())
   }
+
+  test("fallback key: deterministic content-hash suffix, existing keys untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (null.asInstanceOf[String], "some chunk text", "report.pdf", 0),
+      ("", "other text", "report.pdf", 1),
+      ("keep_me", "third text", "report.pdf", 2)
+    ).toDF("id", "content", "filename", "chunk_id")
+    val out = Ingest.withFallbackKey(rows).orderBy("chunk_id")
+      .select("id").as[String].collect()
+    // suffix = first 6 hex of md5(content); dot in filename sanitized to _
+    assert(out(0) == "report_pdf_0_" + graft.text.TextKernel.md5Hex("some chunk text").take(6))
+    assert(out(1) == "report_pdf_1_" + graft.text.TextKernel.md5Hex("other text").take(6))
+    assert(out(2) == "keep_me")
+    // re-run stability (the reason the suffix is NOT uuid4 like the ref)
+    val again = Ingest.withFallbackKey(rows).orderBy("chunk_id")
+      .select("id").as[String].collect()
+    assert(out.sameElements(again))
+  }
 }
