@@ -243,16 +243,27 @@ object TextQueries extends QuerySet {
     // Distinct-count sketch (Apache DataSketches HLL, built into Spark):
     // exact vs sketched vocabulary size per source. The sketch is the 100 TB
     // path — mergeable, fixed-size state vs countDistinct's full shuffle of
-    // the key set. Rows-only (estimates are engine-specific); the <5%
-    // relative-error bound is asserted in QualityQueriesSpec.
+    // the key set. The raw estimate is engine-specific, so the DECLARED
+    // output is (exact count, within-5%-tolerance flag): DuckDB recomputes
+    // the exact count and expects every flag = 1, which turns the sketch's
+    // error bound into a driver-graded assertion — an estimator drift
+    // beyond 5% now fails the oracle, not just the unit test.
     Q("t14_hll_sketch",
       (s, d) => t(s, d, "documents")
         .select(col("source"), explode(split(lower(normCol), " ")).as("tok"))
         .groupBy("source")
         .agg(countDistinct("tok").as("exact_distinct"),
-          hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("hll_estimate"))
+          hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).cast("int").as("within_5pct"))
         .orderBy("source"),
-      None),
+      Some(s"""SELECT source,
+        | CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+        | 1 AS within_5pct
+        |FROM (SELECT source, unnest(string_split(lower($normSql), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin)),
 
     // Zipf fit: slope of log(freq) vs log(rank) over the corpus token
     // distribution — natural text sits near -1; a far-off slope flags
