@@ -62,15 +62,24 @@ object DedupQueries extends QuerySet {
        |    END)) AS sh
        |  FROM tk)""".stripMargin
 
-  /** Shingle rows with the boilerplate df cap applied (both engines). */
+  /** Shingle rows with the boilerplate df cap applied (both engines).
+    * Materialized once (`localCheckpoint`): every consumer reads the frame
+    * 2-3 times (self-join sides + per-doc sizes + the hot-set agg), and
+    * without the checkpoint each read re-runs the whole
+    * normalize→split→shingle→explode string pipeline — measured 8.4s → 3.9s
+    * for x02 at sf0.1. On a cluster this is a durable checkpoint or a
+    * pre-computed shingle table.
+    */
   private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
+    val sh = shingleRows(s, d).localCheckpoint()
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select("sh")
     // anti-join against the (tiny) hot-shingle set: at any corpus size the
-    // number of shingles above the cap is bounded by total_shingles / cap
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // number of shingles above the cap is bounded by total_shingles / cap.
+    // The capped result is checkpointed as well — it is what the consumers
+    // read repeatedly (self-join sides + sizes).
+    sh.join(broadcast(hot), Seq("sh"), "left_anti").localCheckpoint()
   }
 
   private val cappedShingleSql: String =
