@@ -168,11 +168,13 @@ object TextQueries extends QuerySet {
         val spark = s
         import spark.implicits._
         val FpDfCap = 20
+        // materialized once: the winnow kernel is the expensive part and
+        // the frame is read three times (hot agg + both self-join sides)
         val fps = t(s, d, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .flatMap { case (id, text) =>
             TextKernel.winnow(text, k = 16, window = 4).iterator.map(fp => (id, fp)) }
-          .toDF("doc_id", "fp").distinct()
+          .toDF("doc_id", "fp").distinct().localCheckpoint()
         val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") > FpDfCap).select("fp")
         val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
