@@ -120,6 +120,24 @@ object Ingest {
       when(col("id").isNull || length(col("id")) === 0, fb).otherwise(col("id")))
   }
 
+  /** Snapshot diff (CDC between two loads of a corpus): classify every key
+    * as added / deleted / changed / unchanged by comparing content hashes
+    * across a full-outer join on the key. One shuffle on the join key at
+    * any scale (bucket both snapshots by the key to make it shuffle-free);
+    * the status column drives incremental re-processing — only added ∪
+    * changed need re-chunking/re-embedding, deleted drives store cleanup.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+                   keyCol: String, hashCol: String): DataFrame =
+    prev.select(col(keyCol).as(keyCol), col(hashCol).as("__h_prev"))
+      .join(cur.select(col(keyCol).as(keyCol), col(hashCol).as("__h_cur")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__h_prev").isNull, "added")
+          .when(col("__h_cur").isNull, "deleted")
+          .when(col("__h_prev") === col("__h_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+
   /** Dead-letter split (A22): classify rows once, route failures to a side
     * output instead of throwing — per-row errors never kill the job (the
     * reference wraps every chunk/file in try/except and counts failures,

@@ -244,6 +244,42 @@ object DedupQueries extends QuerySet {
         |  FROM inter JOIN sizes ON sizes.doc_id = da)
         |SELECT da AS contained_id, db AS container_id, round(c, 6) AS containment
         |FROM cont WHERE c >= 0.8
-        |ORDER BY contained_id, container_id""".stripMargin))
+        |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // Passage-level exact dedup: fixed-width 20-token passages (the
+    // standard granularity when a corpus has no paragraph structure) —
+    // narrow explode → md5 → one groupBy; surfaces passages repeated
+    // across documents (cross-doc boilerplate that document-level dedup
+    // misses). At 100 TB this is the exact-dedup shuffle shape with a
+    // ~20x smaller key space than chunk dedup.
+    Q("x08_passage_dedup",
+      (s, d) => {
+        val w = 20
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(lower(normCol), " ").as("toks"))
+          .filter(size(col("toks")) > 0)
+        val passages = toks.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / w).cast("int")),
+            j => concat_ws(" ", slice(col("toks"), j * w + 1, lit(w))))).as("passage"))
+        passages.select(col("doc_id"), md5(col("passage")).as("ph"))
+          .groupBy("ph")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_total"))
+          .filter(col("n_docs") > 1)
+          .orderBy(desc("n_docs"), col("ph"))
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, string_split(lower($normSql), ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(floor((len(toks) - 1) / 20) AS BIGINT) + 1),
+        |    j -> array_to_string(toks[j*20+1 : j*20+20], ' '))) AS passage
+        |  FROM docs WHERE len(toks) > 0),
+        |g AS (
+        |  SELECT md5(passage) AS ph, count(DISTINCT doc_id) AS n_docs,
+        |    count(*) AS n_total
+        |  FROM p GROUP BY 1)
+        |SELECT ph, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_total AS BIGINT) AS n_total
+        |FROM g WHERE n_docs > 1 ORDER BY n_docs DESC, ph""".stripMargin))
   )
 }

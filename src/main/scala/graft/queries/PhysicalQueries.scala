@@ -84,6 +84,31 @@ object PhysicalQueries extends QuerySet {
         |   WHEN 'view' THEN 1.0 END), 2) AS weighted_value
         |FROM events
         |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Directory partition pruning (hive-style partitionBy layout — the
+    // companion lever to p01's row-group pruning): the documents table is
+    // written once partitioned by lang, and the lang = 'en' query resolves
+    // to PartitionFilters at planning time — non-matching directories are
+    // never listed into the scan. At 100 TB, partition columns carry the
+    // coarse pruning (date/source/lang) and row-group stats the fine
+    // pruning within each directory. PhysicalLayoutSpec asserts the
+    // PartitionFilters plan shape and that no pushed data filter remains.
+    Q("p03_partition_pruned_scan",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val path = s"/tmp/graft_p03/docs_by_lang_$tag"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          t(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

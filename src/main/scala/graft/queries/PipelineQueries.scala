@@ -120,6 +120,39 @@ object PipelineQueries extends QuerySet {
         | regexp_replace(
         |   source || '_' || CAST(doc_id AS VARCHAR) || '_' || substr(md5($normSql), 1, 6),
         |   '[^a-zA-Z0-9_\\-=]', '_', 'g') AS doc_key
-        |FROM documents ORDER BY filename, chunk_id""".stripMargin))
+        |FROM documents ORDER BY filename, chunk_id""".stripMargin)),
+
+    // Snapshot diff (CDC between loads): two modulo-derived snapshots of
+    // the corpus — doc_id % 5 != 0 is the previous load, % 7 != 0 the
+    // current one, and % 11 == 0 rows are "edited" in the current load —
+    // classified added/deleted/changed/unchanged by hash compare across a
+    // full-outer join (Ingest.snapshotDiff). The status column is what an
+    // incremental 100 TB pipeline re-processes by: only added+changed are
+    // re-chunked/re-embedded.
+    Q("d12_snapshot_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("norm"))
+        val prev = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), md5(col("norm")).as("text_hash"))
+        val cur = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 11 === 0, concat(col("norm"), lit(" v2")))
+              .otherwise(col("norm"))).as("text_hash"))
+        Ingest.snapshotDiff(prev, cur, "doc_id", "text_hash").orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |prev AS (
+        |  SELECT doc_id, md5(norm) AS h FROM docs WHERE doc_id % 5 <> 0),
+        |cur AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN norm || ' v2' ELSE norm END) AS h
+        |  FROM docs WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN prev.h IS NULL THEN 'added'
+        |       WHEN cur.h IS NULL THEN 'deleted'
+        |       WHEN prev.h = cur.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -23,13 +23,20 @@ class PhysicalLayoutSpec extends SparkTestBase {
     }
 
   /** Rows the parquet reader actually produced (post row-group/page
-    * pruning, pre post-scan Filter).
+    * pruning, pre post-scan Filter). Traverses INTO query stages — AQE
+    * wraps materialized stages in leaf QueryStageExec nodes that plain
+    * collect() does not descend through.
     */
   private def scanRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
     df.collect()
-    finalPlan(df).collect {
-      case s: FileSourceScanExec => s.metrics("numOutputRows").value
-    }.sum
+    def scans(p: SparkPlan): Seq[Long] = p match {
+      case s: FileSourceScanExec => Seq(s.metrics("numOutputRows").value)
+      case q: QueryStageExec => scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    scans(finalPlan(df)).sum
   }
 
   test("sorted writes enable row-group pruning: scan reads a fraction of the rows") {
@@ -63,6 +70,21 @@ class PhysicalLayoutSpec extends SparkTestBase {
       s"expected ~full scan on unsorted, read $unsortedRead of $total")
     assert(sortedRead >= matching && sortedRead * 5 < unsortedRead,
       s"expected >=5x pruning: sorted read $sortedRead, unsorted $unsortedRead")
+  }
+
+  test("p03: lang filter becomes a partition filter, not a data filter") {
+    val df = graft.queries.Registry.asMap("p03_partition_pruned_scan")(spark, sf01)
+    df.collect()
+    val p = finalPlan(df).toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p)
+    // the partition column never reaches the parquet reader as a pushed
+    // data filter — pruning happened at directory-listing time
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+    val scanned = scanRows(df)
+    val matching = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(scanned == matching,
+      s"scan read $scanned rows, expected only the $matching en-partition rows")
   }
 
   test("AQE splits the hot partitions of the 5-key merge join (skew=true)") {
