@@ -77,28 +77,9 @@ object VectorQueries extends QuerySet {
     // (built from spark.range, no join) equi-joined to each side, so the
     // n² work is sharded across the cluster as (n/B)² independent
     // bounded-memory tasks: two hash joins, no BNLJ (asserted in PlanSpec).
+    // Pair generation shared with v12 (see cosineNearDupPairs below).
     Q("v03_cosine_neardup_pairs",
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val blockSize = 1024L
-        // one scalar agg sizes the grid (cf. IvfIndex's driver-side coarse
-        // quantizer — a bounded metadata read, not a data collect)
-        val maxId = emb.agg(max("vec_id")).head.getLong(0)
-        val nBlocks = maxId / blockSize + 1
-        val grid = s.range(nBlocks * nBlocks)
-          .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")
-          .filter(col("ba") <= col("bb"))
-        val a = emb.selectExpr("vec_id AS id_a", "embedding AS ea",
-          s"vec_id div $blockSize AS ba")
-        val b = emb.selectExpr("vec_id AS id_b", "embedding AS eb",
-          s"vec_id div $blockSize AS bb")
-        broadcast(grid).join(a, "ba").join(b, "bb")
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim", cosineSim(col("ea"), col("eb")))
-          .filter(col("sim") > 0.45)
-          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => cosineNearDupPairs(s, d).orderBy("id_a", "id_b"),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -281,6 +262,55 @@ object VectorQueries extends QuerySet {
         |SELECT vec_id, round(s, 6) AS scale,
         | round(list_aggregate(errs, 'sum') / dim, 6) AS mae,
         | round(list_aggregate(errs, 'max'), 6) AS max_err
-        |FROM e ORDER BY vec_id""".stripMargin))
+        |FROM e ORDER BY vec_id""".stripMargin)),
+
+    // Embedding dup CLUSTERS: the cosine pair set (same generation as v03)
+    // fed through connected components — the embedding-space counterpart of
+    // x06's MinHash clusters. Oracle: transitive closure (recursive CTE)
+    // over DuckDB's own exact cosine pairs, verifying pair generation AND
+    // clustering end-to-end.
+    Q("v12_cosine_dup_clusters",
+      (s, d) => {
+        val pairs = cosineNearDupPairs(s, d)
+        graft.operators.NearDup.connectedComponents(s, pairs).orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION
+        |  SELECT db AS s, da AS d FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin))
   )
+
+  /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
+    * id_a < id_b. See the v03 comment for the block-grid scale rationale.
+    */
+  private def cosineNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                                 threshold: Double = 0.45): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val blockSize = 1024L
+    // one scalar agg sizes the grid (cf. IvfIndex's driver-side coarse
+    // quantizer — a bounded metadata read, not a data collect)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val nBlocks = maxId / blockSize + 1
+    val grid = s.range(nBlocks * nBlocks)
+      .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")
+      .filter(col("ba") <= col("bb"))
+    val a = emb.selectExpr("vec_id AS id_a", "embedding AS ea",
+      s"vec_id div $blockSize AS ba")
+    val b = emb.selectExpr("vec_id AS id_b", "embedding AS eb",
+      s"vec_id div $blockSize AS bb")
+    broadcast(grid).join(a, "ba").join(b, "bb")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineSim(col("ea"), col("eb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 }
