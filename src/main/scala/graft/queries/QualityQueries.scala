@@ -369,6 +369,42 @@ object QualityQueries extends QuerySet {
         | round(p, 6) AS share,
         | round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight,
         | round((pow(p, 0.7) / sum(pow(p, 0.7)) OVER ()) / p, 4) AS boost
-        |FROM p ORDER BY source""".stripMargin))
+        |FROM p ORDER BY source""".stripMargin)),
+
+    // Perplexity-bucket profile: documents deciled by their unigram-LM
+    // score (g09's mean ln p(tok) — the cheap perplexity proxy), one row
+    // per decile with population and score range. This is the shape of
+    // LM-score-based filtering/curriculum pipelines: the bottom deciles
+    // (most improbable token streams) are the drop candidates. Decile
+    // assignment ties broken by doc_id on both engines.
+    Q("g13_perplexity_buckets",
+      (s, d) => {
+        val tk = toks(s, d).select("doc_id", "tok")
+        val freq = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum("c").as("total"))
+        val scored = tk.join(broadcast(freq), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("c") / col("total"))), 6).as("lp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("lp"), col("doc_id"))
+        scored.withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min("lp"), 6).as("min_lp"),
+            round(max("lp"), 6).as("max_lp"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, tok FROM $toksSql),
+        |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total FROM freq),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(c / CAST(total AS DOUBLE))), 6) AS lp
+        |  FROM tk JOIN freq USING (tok), tot GROUP BY doc_id),
+        |deciled AS (
+        |  SELECT lp, ntile(10) OVER (ORDER BY lp, doc_id) AS decile FROM scored)
+        |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(min(lp), 6) AS min_lp, round(max(lp), 6) AS max_lp
+        |FROM deciled GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }

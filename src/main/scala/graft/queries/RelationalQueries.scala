@@ -1229,6 +1229,31 @@ object RelationalQueries extends QuerySet {
         | CAST((epoch(w) - epoch(cohort)) / 604800 AS INT) AS week_offset,
         | CAST(count(*) AS BIGINT) AS n_users
         |FROM ev JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Distribution window functions (percent_rank / cume_dist / nth_value)
+    // completing the window family. The (totalprice, orderkey) ordering is
+    // total, so the rank fractions are deterministic on both engines;
+    // nth_value uses the default running frame (null until the 3rd row of
+    // the partition) identically in Spark and DuckDB.
+    Q("r69_dist_windows",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+            col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            nth_value(col("o_orderkey"), 3).over(w).as("third_cheapest"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | nth_value(o_orderkey, 3) OVER w AS third_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }
