@@ -280,6 +280,63 @@ object DedupQueries extends QuerySet {
         |    count(*) AS n_total
         |  FROM p GROUP BY 1)
         |SELECT ph, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_total AS BIGINT) AS n_total
-        |FROM g WHERE n_docs > 1 ORDER BY n_docs DESC, ph""".stripMargin))
+        |FROM g WHERE n_docs > 1 ORDER BY n_docs DESC, ph""".stripMargin)),
+
+    // Fuzzy string matching: titles (first 40 normalized chars — the
+    // short-key proxy) within edit distance 4, candidates from a shared
+    // character 3-gram (df-capped like the shingle joins) and verified
+    // with levenshtein — the standard q-gram prefix-filter shape for
+    // edit-distance joins: candidate count scales with q-gram collisions,
+    // never corpus². Recall note: edit distance <= 4 can destroy at most 4
+    // of the 38 3-grams of a 40-char string, so true matches always share
+    // a surviving 3-gram unless ALL its survivors are df-capped
+    // boilerplate (cap 1000 — never binds here, x05-style diagnostics
+    // would flag it).
+    Q("x09_fuzzy_title_match",
+      (s, d) => {
+        val titles = t(s, d, "documents")
+          .select(col("doc_id"), substring(lower(normCol), 1, 40).as("title"))
+          .filter(length(col("title")) >= 3)
+          .localCheckpoint() // read by the q-gram explode AND both verify sides
+        val qgrams = titles.select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), length(col("title")) - 2),
+              i => col("title").substr(i, lit(3))))).as("qg"))
+        val hot = qgrams.groupBy("qg").agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select("qg")
+        val capped = qgrams.join(broadcast(hot), Seq("qg"), "left_anti")
+        val cands = capped.as("a").join(capped.as("b"),
+            col("a.qg") === col("b.qg") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cands
+          .join(titles.select(col("doc_id").as("id_a"), col("title").as("ta")), Seq("id_a"))
+          .join(titles.select(col("doc_id").as("id_b"), col("title").as("tb")), Seq("id_b"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .filter(col("dist") <= 4)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH titles AS (
+        |  SELECT doc_id, substr(lower($normSql), 1, 40) AS title FROM documents
+        |  WHERE length(substr(lower($normSql), 1, 40)) >= 3),
+        |qg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(title) - 1), i -> substr(title, CAST(i AS INT), 3)))) AS qg
+        |  FROM titles),
+        |hot AS (
+        |  SELECT qg FROM (SELECT qg, count(*) AS df FROM qg GROUP BY qg)
+        |  WHERE df > $ShingleDfCap),
+        |capped AS (SELECT doc_id, qg FROM qg WHERE qg NOT IN (SELECT qg FROM hot)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b ON a.qg = b.qg AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | CAST(levenshtein(ta.title, tb.title) AS INT) AS dist
+        |FROM cands
+        |JOIN titles ta ON ta.doc_id = id_a
+        |JOIN titles tb ON tb.doc_id = id_b
+        |WHERE levenshtein(ta.title, tb.title) <= 4
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }
