@@ -109,6 +109,32 @@ object PhysicalQueries extends QuerySet {
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin))
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Runtime bloom-filter injection: fact ⋈ selectively-filtered dim on a
+    // non-partition key — Spark builds a bloom filter from the dim's
+    // surviving keys at runtime and applies it as a might_contain predicate
+    // UNDER the fact scan, so most fact rows die before the join shuffle.
+    // At 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~selectivity fraction that can match. Default
+    // thresholds (10 GB application side) are cluster-sized, so injection
+    // is asserted in PhysicalLayoutSpec under tuned confs, like p02's
+    // skew split.
+    Q("p04_bloom_runtime_filter",
+      (s, d) => {
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        t(s, d, "lineitem")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -87,6 +87,32 @@ class PhysicalLayoutSpec extends SparkTestBase {
       s"scan read $scanned rows, expected only the $matching en-partition rows")
   }
 
+  test("p04: a runtime bloom filter lands under the fact scan") {
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local-scale thresholds (defaults are sized for 10 GB cluster scans)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // broadcast joins filter for free; force the shuffle join the filter
+      // is designed to protect
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.Registry.asMap("p04_bloom_runtime_filter")(spark, sf01)
+      df.collect()
+      val p = finalPlan(df).toString
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits the hot partitions of the 5-key merge join (skew=true)") {
     import spark.implicits._
     val restore = Seq(
