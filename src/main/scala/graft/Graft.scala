@@ -43,6 +43,22 @@ object Graft {
   def dedupAgainst(fresh: DataFrame, existing: DataFrame): DataFrame =
     Ingest.dedupAgainstExisting(fresh, existing)
 
+  /** Unicode NFC canonicalization (native codegen expression) — run before
+    * hash-based dedup so canonically-equal text hashes equal.
+    */
+  def nfcNormalize(c: Column): Column =
+    graft.expressions.GraftFunctions.nfc_normalize(c)
+
+  /** Deterministic fallback key for keyless rows (content-hash suffix;
+    * reference's uuid branch, made idempotent).
+    */
+  def withFallbackKey(df: DataFrame): DataFrame = Ingest.withFallbackKey(df)
+
+  /** CDC between two loads: (key, added|deleted|changed|unchanged). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+                   keyCol: String = "doc_id", hashCol: String = "text_hash"): DataFrame =
+    Ingest.snapshotDiff(prev, cur, keyCol, hashCol)
+
   // ---- near-duplicate detection ----
 
   /** MinHash-LSH near-dup pairs above a Jaccard threshold (>= 0.5). */

@@ -60,4 +60,17 @@ class GraftSpec extends SparkTestBase {
     if (pairs.isEmpty) assert(clusters.isEmpty)
     else assert(clusters.count() >= 2 * pairs.select("id_a").distinct().count() / 2)
   }
+
+  test("facade round-3 surface: nfc, fallback key, snapshot diff") {
+    import spark.implicits._
+    Graft.install(spark)
+    val rows = Seq((null.asInstanceOf[String], "abc", "f.txt", 0))
+      .toDF("id", "content", "filename", "chunk_id")
+    assert(Graft.withFallbackKey(rows).select("id").as[String].head.startsWith("f_txt_0_"))
+    val prev = Seq((1L, "h1"), (2L, "h2")).toDF("doc_id", "text_hash")
+    val cur = Seq((2L, "h2x"), (3L, "h3")).toDF("doc_id", "text_hash")
+    val st = Graft.snapshotDiff(prev, cur).as[(Long, String)].collect().toMap
+    assert(st == Map(1L -> "deleted", 2L -> "changed", 3L -> "added"))
+    assert(rows.select(Graft.nfcNormalize(lit("abc")).as("n")).as[String].head == "abc")
+  }
 }
