@@ -20,6 +20,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // same guard as Bench: a typo'd filter must not overwrite a previous
+    // dump with an empty one that reads as success
+    if (only.exists(o => !SparkEntry.queries.keys.exists(o.contains))) {
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY matched no queries: ${only.get.mkString(",")}")
+      spark.stop()
+      sys.exit(2)
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -39,7 +39,7 @@ final class HashingEmbedder(val dims: Int = Schemas.VectorDimensions) extends Em
   protected def embedUnsafe(text: String): Array[Float] = {
     val v = new Array[Float](dims)
     if (text == null) return v
-    val toks = TextKernel.tokens(text.toLowerCase)
+    val toks = TextKernel.tokens(text.toLowerCase(java.util.Locale.ROOT))
     var i = 0
     while (i < toks.length) {
       val h = MurmurHash3.stringHash(toks(i), 0x9747b28c)

@@ -112,9 +112,15 @@ object Ingest {
     * instead — same keyspace and collision behavior, stable across re-runs.
     */
   def withFallbackKey(df: DataFrame): DataFrame = {
+    // coalesce BEFORE building the key: concat_ws silently skips nulls, so
+    // a null filename would shift segments and a null content would drop
+    // the disambiguating suffix (letting same-(filename, chunk_id) rows
+    // collide) — empty-string defaults keep the key shape fixed
     val fb = regexp_replace(
-      concat_ws("_", col("filename"), col("chunk_id"),
-        substring(md5(col("content")), 1, 6)),
+      concat_ws("_",
+        coalesce(col("filename"), lit("")),
+        coalesce(col("chunk_id").cast("string"), lit("")),
+        substring(md5(coalesce(col("content"), lit(""))), 1, 6)),
       "[^a-zA-Z0-9_\\-=]", "_")
     df.withColumn("id",
       when(col("id").isNull || length(col("id")) === 0, fb).otherwise(col("id")))

@@ -59,7 +59,7 @@ object NearDup {
 
   /** 64-bit SimHash over word tokens (weighted bit voting). */
   def simhash(text: String): Long = {
-    val toks = TextKernel.tokens(if (text == null) "" else text.toLowerCase)
+    val toks = TextKernel.tokens(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return 0L
     val votes = new Array[Int](64)
     toks.foreach { tk =>
@@ -116,7 +116,12 @@ object NearDup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = minhashSignature(text)
-        (0 until Bands).map { band =>
+        // a shingle-less (empty/whitespace) doc has the all-MaxValue
+        // signature: it would bucket-collide with every other empty doc on
+        // zero evidence — emit nothing instead (matches the oracle's
+        // exclusion of empty-normalized docs)
+        if (sig(0) == Long.MaxValue) Seq.empty
+        else (0 until Bands).map { band =>
           val rows = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
           (id, band, MurmurHash3.arrayHash(rows).toLong & 0xffffffffL)
         }
@@ -152,6 +157,19 @@ object NearDup {
     verified.filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Document-frequency-cap guard for posting-list self-joins (shingles,
+    * q-grams, fingerprints): keys present in more than `cap` rows are the
+    * Zipf/boilerplate head that makes an equi-join quadratic — drop them
+    * BEFORE the join via a broadcast anti-join against the hot-key set
+    * (which is bounded by total_rows / cap at any corpus size). The
+    * standard prefix-filter guard for set-similarity joins.
+    */
+  def dfCapped(rows: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val hot = rows.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(keyCol)
+    rows.join(broadcast(hot), Seq(keyCol), "left_anti")
   }
 
   /** Session conf key selecting the connected-components algorithm for

@@ -26,7 +26,7 @@ object TextAnalysis {
     val cjk = text.codePoints().filter(cp =>
       (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)).count()
     if (cjk > 0 && cjk.toDouble / text.length > 0.05) return "zh"
-    val toks = TextKernel.tokens(text.toLowerCase)
+    val toks = TextKernel.tokens(text.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return "und"
     val scores = stopwordProfiles.view.mapValues(sw => toks.count(sw.contains)).toMap
     val (bestLang, bestScore) = scores.toSeq.sortBy { case (l, sc) => (-sc, l) }.head
@@ -54,7 +54,7 @@ object TextAnalysis {
     val meanLen = if (nTokens == 0) 0.0 else toks.map(_.length).sum.toDouble / nTokens
     val punct = norm.count(c => ".,;:!?".indexOf(c) >= 0)
     val punctRatio = if (nChars == 0) 0.0 else punct.toDouble / nChars
-    val stopRatio = if (nTokens == 0) 0.0 else toks.count(t => enStop.contains(t.toLowerCase)).toDouble / nTokens
+    val stopRatio = if (nTokens == 0) 0.0 else toks.count(t => enStop.contains(t.toLowerCase(java.util.Locale.ROOT))).toDouble / nTokens
     // Higher = more natural-language-like: bounded word lengths, some
     // punctuation, some function words.
     val score =

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every pair-producing query generates candidates from an
   * EQUI-join — either LSH (band, bucket) buckets or a shared shingle — never
-  * a cross join. The shingle joins carry a document-frequency cap
-  * ([[ShingleDfCap]]): a shingle shared by more than that many documents is
-  * boilerplate (licence headers, templates) and is dropped BEFORE the join,
-  * which is the standard prefix-filtering guard that keeps set-similarity
-  * joins skew-free under Zipf-headed shingle distributions. The cap is part
-  * of the declared semantics and is applied identically in the DuckDB
-  * oracles.
+  * a cross join. The SHINGLE-JOIN queries (x02, x07) carry a
+  * document-frequency cap ([[ShingleDfCap]]): a shingle shared by more than
+  * that many documents is boilerplate (licence headers, templates) and is
+  * dropped BEFORE the join — the standard prefix-filtering guard that keeps
+  * set-similarity joins skew-free under Zipf-headed shingle distributions.
+  * The cap is part of those queries' declared semantics and is applied
+  * identically in their DuckDB oracles. The LSH queries (x03, x06) do NOT
+  * cap: their candidates come from band buckets (no shingle join to
+  * protect) and their verify step uses the full shingle sets — so their
+  * oracles use the UNCAPPED pair CTE. On every fixture the two pair sets
+  * coincide (max shingle df ≈ 7 vs cap 1000).
   */
 object DedupQueries extends QuerySet {
 
@@ -70,17 +74,11 @@ object DedupQueries extends QuerySet {
     * for x02 at sf0.1. On a cluster this is a durable checkpoint or a
     * pre-computed shingle table.
     */
-  private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d).localCheckpoint()
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select("sh")
-    // anti-join against the (tiny) hot-shingle set: at any corpus size the
-    // number of shingles above the cap is bounded by total_shingles / cap.
-    // The capped result is checkpointed as well — it is what the consumers
-    // read repeatedly (self-join sides + sizes).
-    sh.join(broadcast(hot), Seq("sh"), "left_anti").localCheckpoint()
-  }
+  private def cappedShingleRows(s: SparkSession, d: String): DataFrame =
+    // capped result checkpointed too — it is what the consumers read
+    // repeatedly (self-join sides + sizes)
+    NearDup.dfCapped(shingleRows(s, d).localCheckpoint(), "sh", ShingleDfCap)
+      .localCheckpoint()
 
   private val cappedShingleSql: String =
     s"""$shingleSql,
@@ -91,11 +89,29 @@ object DedupQueries extends QuerySet {
        |  SELECT doc_id, sh FROM sh
        |  WHERE sh NOT IN (SELECT sh FROM hot))""".stripMargin
 
-  /** Exact pairwise shingle-Jaccard ≥ `thr` from the shared-shingle
-    * candidate join: any pair with J > 0 shares a shingle, so the equi-join
-    * enumerates exactly the nonzero-similarity pairs — no cross join.
+  /** Exact pairwise shingle-Jaccard from the shared-shingle candidate join:
+    * any pair with J > 0 shares a shingle, so the equi-join enumerates
+    * exactly the nonzero-similarity pairs — no cross join. UNCAPPED — this
+    * is the oracle for the LSH queries (x03, x06), whose Spark verify step
+    * uses full shingle sets (see class doc).
     */
   private val exactJaccardPairsSql: String =
+    s"""$shingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT da, db, i, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db)""".stripMargin
+
+  /** Capped variant of [[exactJaccardPairsSql]] — the oracle side of the
+    * shingle-JOIN queries (x02), whose Spark side applies the same df cap.
+    */
+  private val cappedJaccardPairsSql: String =
     s"""$cappedShingleSql,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
        |inter AS (
@@ -151,7 +167,7 @@ object DedupQueries extends QuerySet {
           sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_high"),
           round(avg("jac"), 6).as("avg_jac"))
       },
-      Some(s"""WITH $exactJaccardPairsSql
+      Some(s"""WITH $cappedJaccardPairsSql
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         | CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         | round(avg(j), 6) AS avg_jac
@@ -302,9 +318,7 @@ object DedupQueries extends QuerySet {
             explode(array_distinct(transform(
               sequence(lit(1), length(col("title")) - 2),
               i => col("title").substr(i, lit(3))))).as("qg"))
-        val hot = qgrams.groupBy("qg").agg(count(lit(1)).as("df"))
-          .filter(col("df") > ShingleDfCap).select("qg")
-        val capped = qgrams.join(broadcast(hot), Seq("qg"), "left_anti")
+        val capped = NearDup.dfCapped(qgrams, "qg", ShingleDfCap)
         val cands = capped.as("a").join(capped.as("b"),
             col("a.qg") === col("b.qg") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

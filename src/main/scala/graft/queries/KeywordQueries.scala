@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +30,11 @@ import org.apache.spark.sql.functions._
   * (tf, df, dl are ints; avgdl is an exact long-sum / count division), the
   * per-document sum is ≤ |query| terms, and both engines order by the SAME
   * 6-dp-rounded score with a doc_id tiebreak.
+  *
+  * The BM25 construction (postings → tf → df → per-term contribution) is
+  * built ONCE — [[bm25Contrib]] / [[bm25ContribSql]] — and shared by both
+  * queries on both engines, so parameter or tokenization changes cannot
+  * de-sync them.
   */
 object KeywordQueries extends QuerySet {
 
@@ -42,53 +48,64 @@ object KeywordQueries extends QuerySet {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Per-(doc, term) Okapi BM25 contribution `c` (k1=1.2, b=0.75; Lucene's
+    * smoothed idf ln(1 + (N-df+0.5)/(df+0.5)) so idf stays positive at any
+    * df). Returns (doc_id, c).
+    */
+  private def bm25Contrib(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), lower(normCol).as("norm"))
+      .withColumn("dl", size(split(col("norm"), " ")))
+    // corpus stats: single row, broadcast (exact: long sum / count)
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")))
+    // postings restricted to the query terms BEFORE the tf shuffle
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok").isin(Terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok").crossJoin(stats)
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("doc_id"), (col("idf") * (col("tf") * (K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
+  }
+
+  /** DuckDB equivalent of [[bm25Contrib]]: CTE chain ending in
+    * `contrib(doc_id, c)`.
+    */
+  private val bm25ContribSql: String =
+    s"""docs AS (
+       |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+       |dls AS (
+       |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS tok FROM dls)
+       |  WHERE tok IN $termsSqlList
+       |  GROUP BY doc_id, dl, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl)) AS c
+       |  FROM tf JOIN df USING (tok), stats s)""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
-    // Okapi BM25 top-k (k1=1.2, b=0.75; Lucene's smoothed idf
-    // ln(1 + (N-df+0.5)/(df+0.5)) so idf stays positive at any df).
+    // Okapi BM25 top-k over the shared contribution frame.
     Q("k01_bm25_topk",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), lower(normCol).as("norm"))
-          .withColumn("dl", size(split(col("norm"), " ")))
-        // corpus stats: single row, broadcast (exact: long sum / count)
-        val stats = broadcast(docs.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dl")).as("avgdl")))
-        // postings restricted to the query terms BEFORE the tf shuffle
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
-          .filter(col("tok").isin(Terms: _*))
-          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val contrib = tf.join(broadcast(df), "tok").crossJoin(stats)
-          .withColumn("idf", log(lit(1.0) +
-            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-          .withColumn("c", col("idf") * (col("tf") * (K1 + 1)) /
-            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-        contrib.groupBy("doc_id")
-          .agg(count(lit(1)).cast("int").as("n_terms"),
-            round(sum("c"), 6).as("score"))
-          .orderBy(desc("score"), col("doc_id"))
-          .limit(10)
-      },
-      Some(s"""WITH docs AS (
-        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
-        |dls AS (
-        |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
-        |tf AS (
-        |  SELECT doc_id, dl, tok, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS tok FROM dls)
-        |  WHERE tok IN $termsSqlList
-        |  GROUP BY doc_id, dl, tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl)) AS c
-        |  FROM tf JOIN df USING (tok), stats s)
+      (s, d) => bm25Contrib(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          round(sum("c"), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10),
+      Some(s"""WITH $bm25ContribSql
         |SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(c), 6) AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
@@ -101,22 +118,7 @@ object KeywordQueries extends QuerySet {
     // and therefore the fused score — is exact.
     Q("k02_hybrid_rrf",
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), lower(normCol).as("norm"))
-          .withColumn("dl", size(split(col("norm"), " ")))
-        val stats = broadcast(docs.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dl")).as("avgdl")))
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
-          .filter(col("tok").isin(Terms: _*))
-          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val bm25 = tf.join(broadcast(df), "tok").crossJoin(stats)
-          .withColumn("c", log(lit(1.0) +
-              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (K1 + 1)) /
-            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+        val bm25 = bm25Contrib(s, d)
           .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
         val emb = t(s, d, "embeddings")
         val qv = broadcast(emb.filter(col("vec_id") === 0)
@@ -138,23 +140,9 @@ object KeywordQueries extends QuerySet {
           .orderBy(desc("rrf"), col("doc_id"))
           .limit(10)
       },
-      Some(s"""WITH docs AS (
-        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
-        |dls AS (
-        |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
-        |tf AS (
-        |  SELECT doc_id, dl, tok, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS tok FROM dls)
-        |  WHERE tok IN $termsSqlList
-        |  GROUP BY doc_id, dl, tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      Some(s"""WITH $bm25ContribSql,
         |bm25 AS (
-        |  SELECT doc_id, round(sum(
-        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl))), 6) AS bm25
-        |  FROM tf JOIN df USING (tok), stats s GROUP BY doc_id),
+        |  SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY doc_id),
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |cands AS (
         |  SELECT e.vec_id AS doc_id,

@@ -33,7 +33,8 @@ object PhysicalQueries extends QuerySet {
     // PhysicalLayout note), and it halves the column's footprint.
     Q("p01_sorted_scan_prune",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + PhysicalLayout.sourceTag(d, "lineitem")
         val sorted = s"/tmp/graft_p01/lineitem_by_shipdate_$tag"
         PhysicalLayout.ensureSortedCopy(sorted, "l_shipdate") {
           t(s, d, "lineitem").withColumn("l_shipdate", to_date(col("l_shipdate")))
@@ -96,7 +97,8 @@ object PhysicalQueries extends QuerySet {
     // PartitionFilters plan shape and that no pushed data filter remains.
     Q("p03_partition_pruned_scan",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + PhysicalLayout.sourceTag(d, "documents")
         val path = s"/tmp/graft_p03/docs_by_lang_$tag"
         if (!new java.io.File(path, "_SUCCESS").exists())
           t(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)

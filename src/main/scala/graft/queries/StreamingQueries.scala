@@ -162,7 +162,8 @@ object StreamingQueries extends QuerySet {
     // hash — matching the deterministic in-batch dedup).
     Q("s09_binary_arrival_ingest",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
         val srcDir = s"/tmp/graft_s09/src_$tag"
         StreamingOps.ensureTextFixtureFiles(s, d, srcDir)
         val target = s"/tmp/graft_s09/store_$tag"

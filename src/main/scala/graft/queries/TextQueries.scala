@@ -175,9 +175,7 @@ object TextQueries extends QuerySet {
           .flatMap { case (id, text) =>
             TextKernel.winnow(text, k = 16, window = 4).iterator.map(fp => (id, fp)) }
           .toDF("doc_id", "fp").distinct().localCheckpoint()
-        val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > FpDfCap).select("fp")
-        val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+        val capped = graft.operators.NearDup.dfCapped(fps, "fp", FpDfCap)
         capped.as("a").join(capped.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

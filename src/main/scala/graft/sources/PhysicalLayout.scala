@@ -34,6 +34,16 @@ object PhysicalLayout {
       .option("parquet.page.size", 16 * 1024)
       .parquet(path)
 
+  /** Short fingerprint of a fixture table file (length + mtime), for
+    * embedding in derived-cache paths: a regenerated fixture (same path,
+    * new content) then misses the cache instead of silently serving stale
+    * derived data.
+    */
+  def sourceTag(sfDir: String, table: String): String = {
+    val f = new java.io.File(s"$sfDir/$table.parquet")
+    java.lang.Long.toHexString(f.length * 31 + f.lastModified)
+  }
+
   /** Idempotent sorted copy: first caller pays the write (of whatever
     * `build` produces), later queries in the same run reuse it.
     *

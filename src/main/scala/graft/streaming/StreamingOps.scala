@@ -249,9 +249,16 @@ object StreamingOps {
           val sp = batch.sparkSession
           val dedup = graft.operators.Ingest
             .dedupExactDeterministic(batch.toDF(), Seq("doc_key"))
+          // first batch only: the store does not exist yet. Any OTHER read
+          // failure (corrupt store, IO error) must propagate — treating it
+          // as "absent" would re-append rows whose hash the store already
+          // holds and silently break first-arrival semantics.
           val existingKeys =
             try Some(sp.read.parquet(targetPath).select("text_hash").distinct())
-            catch { case _: Throwable => None }
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getErrorClass == "PATH_NOT_FOUND" => None
+            }
           val fresh = existingKeys match {
             case Some(ex) => dedup.join(ex, Seq("text_hash"), "left_anti")
             case None => dedup

@@ -46,7 +46,7 @@ object TextKernel {
 
   /** Word n-gram shingles for MinHash / Jaccard dedup. */
   def shingles(text: String, n: Int): Set[String] = {
-    val toks = tokens(if (text == null) null else text.toLowerCase)
+    val toks = tokens(if (text == null) null else text.toLowerCase(java.util.Locale.ROOT))
     if (toks.length < n) {
       if (toks.isEmpty) Set.empty else Set(toks.mkString(" "))
     } else toks.sliding(n).map(_.mkString(" ")).toSet

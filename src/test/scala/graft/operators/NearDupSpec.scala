@@ -107,6 +107,14 @@ class NearDupSpec extends SparkTestBase {
     assert(NearDup.duplicateClustersAlternating(spark, empty).isEmpty)
   }
 
+  test("empty and whitespace-only docs never pair (no zero-evidence buckets)") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real content here for once"))
+      .toDF("doc_id", "text")
+    assert(NearDup.minhashBuckets(spark, docs).filter($"id" =!= 3L).isEmpty)
+    assert(NearDup.minhashNearDupPairs(spark, docs, threshold = 0.5).isEmpty)
+  }
+
   test("connectedComponents dispatches both algorithms and rejects unknown names") {
     import spark.implicits._
     val df = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
