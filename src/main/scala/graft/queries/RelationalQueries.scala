@@ -1254,6 +1254,33 @@ object RelationalQueries extends QuerySet {
         | nth_value(o_orderkey, 3) OVER w AS third_cheapest
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Recursive CTE (new in Spark 4): data-dependent-depth hierarchy walk —
+    // every doc climbs its radix-10 ancestor chain (parent = floor(id/10))
+    // until a single-digit root, returning (doc_id, root, depth). The
+    // recursion is acyclic with UNION ALL, depth = ceil(log10(max id)); the
+    // oracle runs the same recursion in DuckDB.
+    Q("r70_recursive_cte",
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("documents_r70")
+        s.sql("""
+          WITH RECURSIVE chain(doc_id, cur, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents_r70
+            UNION ALL
+            SELECT doc_id, CAST(floor(cur / 10) AS BIGINT), depth + 1
+            FROM chain WHERE cur >= 10)
+          SELECT doc_id, cur AS root, CAST(depth AS INT) AS depth
+          FROM chain WHERE cur < 10
+          ORDER BY doc_id""")
+      },
+      Some("""WITH RECURSIVE chain(doc_id, cur, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(floor(cur / 10) AS BIGINT), depth + 1
+        |  FROM chain WHERE cur >= 10)
+        |SELECT doc_id, cur AS root, CAST(depth AS INT) AS depth
+        |FROM chain WHERE cur < 10
+        |ORDER BY doc_id""".stripMargin))
   )
 }
