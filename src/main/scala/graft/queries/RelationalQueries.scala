@@ -1281,6 +1281,30 @@ object RelationalQueries extends QuerySet {
         |  FROM chain WHERE cur >= 10)
         |SELECT doc_id, cur AS root, CAST(depth AS INT) AS depth
         |FROM chain WHERE cur < 10
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Approximate percentile sketch graded by tolerance flag, t14-style:
+    // percentile_approx (mergeable KLL-ish sketch — the 100 TB path, vs the
+    // exact percentile's full per-group sort r38 pays) must land inside the
+    // exact [q-0.005, q+0.005] quantile band; the oracle recomputes the
+    // exact band and expects every flag = 1 (rank error at accuracy 10000
+    // is 1e-4, 50x inside the band).
+    Q("r71_approx_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          (expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .between(expr("percentile(l_extendedprice, 0.495)"),
+              expr("percentile(l_extendedprice, 0.505)"))).cast("int").as("p50_in_band"),
+          (expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+            .between(expr("percentile(l_extendedprice, 0.945)"),
+              expr("percentile(l_extendedprice, 0.955)"))).cast("int").as("p95_in_band"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | 1 AS p50_in_band,
+        | 1 AS p95_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
