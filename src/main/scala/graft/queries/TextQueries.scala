@@ -113,8 +113,10 @@ object TextQueries extends QuerySet {
         |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
 
-    // Heuristic language-ID (pure Scala, §2.C) — rows-only check here,
-    // behavior unit-tested on real-language samples in TextAnalysisSpec.
+    // Heuristic language-ID (pure Scala, §2.C). The heuristic is exact
+    // arithmetic over token/stopword counts, so the full decision procedure
+    // (CJK codepoint share, per-language stopword hit counts, argmax with
+    // lexicographic tie-break) is mirrored verbatim in the DuckDB oracle.
     Q("t08_langid",
       (s, d) => {
         val spark = s
@@ -124,7 +126,8 @@ object TextQueries extends QuerySet {
           .map { case (id, lang, text) => (id, lang, TextAnalysis.detectLanguage(text)) }
           .toDF("doc_id", "lang", "predicted_lang")
           .orderBy("doc_id")
-      }),
+      },
+      Some(TextQueries.langIdOracle)),
 
     // Rolling-hash document fingerprint (§2.C) — deterministic, rows-only.
     Q("t09_fingerprint",
@@ -138,7 +141,14 @@ object TextQueries extends QuerySet {
           .orderBy("doc_id")
       }),
 
-    // Quality scoring (pure Scala composite) — rows-only, unit-tested.
+    // Quality scoring (pure Scala composite). Every ratio is exact integer
+    // arithmetic followed by one double division, and the gates fire on the
+    // UNROUNDED values on both sides — so the whole composite mirrors into
+    // DuckDB SQL exactly. The score is emitted as an integer decile
+    // (floor(score*10 + 0.5)): Scala sums 0.4+0.3+0.3 in binary doubles
+    // while DuckDB sums DECIMAL literals exactly, so the raw doubles differ
+    // in the last ulp — the decile grid absorbs that representational gap
+    // without weakening the gate semantics.
     Q("t10_quality_score",
       (s, d) => {
         val spark = s
@@ -147,12 +157,14 @@ object TextQueries extends QuerySet {
           .as[(Long, String)]
           .map { case (id, text) =>
             val q = TextAnalysis.quality(text)
-            (id, q.nTokens, math.rint(q.meanTokenLen * 1e6) / 1e6,
-              math.rint(q.stopwordRatio * 1e6) / 1e6, q.score)
+            (id, q.nTokens, math.floor(q.meanTokenLen * 1e6 + 0.5) / 1e6,
+              math.floor(q.stopwordRatio * 1e6 + 0.5) / 1e6,
+              math.floor(q.score * 10 + 0.5).toInt)
           }
-          .toDF("doc_id", "n_tokens", "mean_token_len", "stop_ratio", "quality_score")
+          .toDF("doc_id", "n_tokens", "mean_token_len", "stop_ratio", "quality_decile")
           .orderBy("doc_id")
-      }),
+      },
+      Some(TextQueries.qualityOracle)),
 
     // Winnowing fingerprints (partial-overlap dedup): shared-fingerprint
     // counts for candidate pairs — any shared substring of length >= 19
@@ -338,4 +350,60 @@ object TextQueries extends QuerySet {
         |JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
         |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin))
   )
+
+  /** DuckDB mirror of `TextAnalysis.detectLanguage` — stopword IN-lists are
+    * spliced from the SAME `stopwordProfiles` the engine uses, so the two
+    * sides cannot drift. Decision order mirrors the Scala exactly: CJK
+    * codepoint share > 5% → zh; no tokens or zero stopword hits → und;
+    * otherwise argmax score with lexicographic tie-break (de < en < es < fr).
+    */
+  private[queries] def langIdOracle: String = {
+    def inList(lang: String): String =
+      TextAnalysis.stopwordProfiles(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, length(text) AS n_chars,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END AS toks,
+       |    len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]')) AS cjk
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, cjk, n_chars, len(toks) AS nt,
+       |    len(list_filter(toks, t -> t IN (${inList("en")}))) AS s_en,
+       |    len(list_filter(toks, t -> t IN (${inList("de")}))) AS s_de,
+       |    len(list_filter(toks, t -> t IN (${inList("es")}))) AS s_es,
+       |    len(list_filter(toks, t -> t IN (${inList("fr")}))) AS s_fr
+       |  FROM tk)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0 AND CAST(cjk AS DOUBLE) / n_chars > 0.05 THEN 'zh'
+       |       WHEN nt = 0 OR greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of `TextAnalysis.quality`: exact integer counts, one
+    * double division per ratio, gates on the unrounded values — identical
+    * operation sequence on both engines (see t10's decile note).
+    */
+  private[queries] def qualityOracle: String = {
+    val en = TextAnalysis.stopwordProfiles("en").toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tk AS (SELECT doc_id, norm,
+       |  CASE WHEN norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS toks FROM n),
+       |m AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) END AS mean_len,
+       |  CASE WHEN length(norm) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(norm, '[.,;:!?]')) AS DOUBLE) / length(norm) END AS punct_ratio,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> lower(t) IN ($en))) AS DOUBLE) / len(toks) END AS stop_ratio
+       |  FROM tk)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       | floor(mean_len * 1e6 + 0.5) / 1e6 AS mean_token_len,
+       | floor(stop_ratio * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       | CAST(floor((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.4 ELSE 0.0 END
+       |   + CASE WHEN punct_ratio > 0 AND punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END
+       |   + CASE WHEN stop_ratio > 0.05 THEN 0.3 ELSE 0.0 END) * 10 + 0.5) AS INT) AS quality_decile
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

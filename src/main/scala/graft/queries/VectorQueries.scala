@@ -122,15 +122,9 @@ object VectorQueries extends QuerySet {
         val spark = s
         import spark.implicits._
         val emb = t(s, d, "embeddings")
-        val dims = 64
-        val planes = 8
-        // Seeded hyperplanes: component h(p, i) in {-1, +1} from murmur3.
-        val hyper = (0 until planes).map { p =>
-          (0 until dims).map { i =>
-            if ((MurmurHash3.productHash((p, i)) & 1) == 0) 1.0 else -1.0
-          }.toArray
-        }
-        val bHyper = spark.sparkContext.broadcast(hyper)
+        // Seeded hyperplanes: component h(p, i) in {-1, +1} from murmur3 —
+        // shared with the oracle generator so both sides use identical planes.
+        val bHyper = spark.sparkContext.broadcast(VectorQueries.lshHyperplanes)
         val sigs = emb.select(col("vec_id"), col("label"), col("embedding"))
           .as[(Long, Int, Array[Float])]
           .map { case (id, label, e) =>
@@ -151,7 +145,12 @@ object VectorQueries extends QuerySet {
         sigs.groupBy("bucket")
           .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
           .orderBy("bucket")
-      }),
+      },
+      // The hyperplanes are a deterministic function of (plane, dim) murmur
+      // hashes, so the oracle SQL embeds the SAME ±1 arrays (generated below
+      // by the same code path) and recomputes every signature independently:
+      // sequential double dot-products agree bitwise between engines.
+      Some(VectorQueries.lshBucketOracle)),
 
     // Custom typed Aggregator (UDAF): per-label centroid with map-side
     // partial merge — same oracle as the posexplode formulation (v04),
@@ -185,9 +184,26 @@ object VectorQueries extends QuerySet {
         val assigned = graft.operators.IvfIndex.assign(s, emb, model)
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        graft.operators.IvfIndex.search(s,
+        val ivf = graft.operators.IvfIndex.search(s,
           assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4)
-      }),
+        // Graded via a tolerance flag (the t14 pattern): the IVF top-k is
+        // approximate, but its recall against the exact cosine top-k is a
+        // DETERMINISTIC number (seeded k-means, fixed data), so the engine
+        // emits recall@10 >= 0.3 (the IvfIndexSpec bound for nProbe=4/16)
+        // and the oracle asserts the constant — a wrong IVF implementation
+        // (bad cell assignment, broken probe pruning) breaks the flag.
+        val qCol = lit(query.toArray).cast("array<float>")
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+        val hits = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+        ivf.agg(
+          count(lit(1)).cast("int").as("n_results"),
+          (lit(hits) >= 3).cast("int").as("recall_ok"))
+      },
+      Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
 
     // Maximum-inner-product top-k (MIPS — the retrieval scoring used when
     // embeddings are NOT length-normalized; distinct from cosine). Same
@@ -312,5 +328,37 @@ object VectorQueries extends QuerySet {
       .withColumn("sim", cosineSim(col("ea"), col("eb")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Seeded random hyperplanes for v06's signature LSH: component (p, i) is
+    * ±1 from a murmur3 product hash. One definition feeds BOTH the engine
+    * (broadcast to executors) and the DuckDB oracle (spliced as array
+    * literals), so the two sides can never disagree on the planes.
+    */
+  private[queries] val LshPlanes = 8
+  private[queries] val LshDims = 64
+  private[queries] def lshHyperplanes: IndexedSeq[Array[Double]] =
+    (0 until LshPlanes).map { p =>
+      (0 until LshDims).map { i =>
+        if ((MurmurHash3.productHash((p, i)) & 1) == 0) 1.0 else -1.0
+      }.toArray
+    }
+
+  /** DuckDB recomputation of the v06 bucket profile: each plane's sign bit
+    * via list_dot_product against the spliced ±1 literal (sequential double
+    * accumulation — bitwise identical to the engine's loop), OR-ed into the
+    * signature with the same bit positions.
+    */
+  private[queries] def lshBucketOracle: String = {
+    val bucketExpr = lshHyperplanes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($embD, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH sig AS (SELECT vec_id,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings)
+       |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       | min(vec_id) AS min_id, max(vec_id) AS max_id
+       |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 }
