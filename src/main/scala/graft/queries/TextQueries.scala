@@ -129,7 +129,10 @@ object TextQueries extends QuerySet {
       },
       Some(TextQueries.langIdOracle)),
 
-    // Rolling-hash document fingerprint (§2.C) — deterministic, rows-only.
+    // Rolling-hash document fingerprint (§2.C). The polynomial hash wraps
+    // in 64-bit two's-complement; DuckDB has no wrapping arithmetic, so the
+    // oracle emulates it in HUGEINT (128-bit): fold (31*h + c) mod 2^64 over
+    // the codepoints, then reinterpret values >= 2^63 as negative BIGINT.
     Q("t09_fingerprint",
       (s, d) => {
         val spark = s
@@ -139,7 +142,18 @@ object TextQueries extends QuerySet {
           .map { case (id, text) => (id, TextKernel.rollingFingerprint(TextKernel.normalize(text))) }
           .toDF("doc_id", "fingerprint")
           .orderBy("doc_id")
-      }),
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |fp AS (SELECT doc_id,
+        |  CASE WHEN norm = '' THEN CAST(1125899906842597 AS HUGEINT)
+        |       ELSE list_reduce(
+        |         list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |           list_transform(split(norm, ''), c -> unicode(c))),
+        |         (acc, c) -> (31 * acc + c) % CAST(18446744073709551616 AS HUGEINT)) END AS h
+        |  FROM n)
+        |SELECT doc_id, CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |  THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin)),
 
     // Quality scoring (pure Scala composite). Every ratio is exact integer
     // arithmetic followed by one double division, and the gates fire on the
@@ -173,8 +187,17 @@ object TextQueries extends QuerySet {
     // (a fingerprint present in more than FpDfCap documents is boilerplate
     // and is dropped before the join — the same prefix-filter guard the
     // shingle joins in DedupQueries use), so join fan-out per fingerprint
-    // is bounded by cap² at any corpus size. Narrow map + equi-join;
-    // rows-only (the winnow kernel is unit-tested in TextKernelSpec).
+    // is bounded by cap² at any corpus size. Narrow map + equi-join.
+    //
+    // Oracle: the winnow kernel mirrors into SQL. Each k-gram hash is the
+    // base-257 polynomial mod 2^64 (the rolling recurrence computes exactly
+    // that in Long wrapping arithmetic), emulated in HUGEINT then
+    // reinterpreted as signed BIGINT because the kernel's min-comparison is
+    // over SIGNED longs. The emitted fingerprint per window is the
+    // window-min VALUE, so the kernel's rightmost tie-break (which only
+    // picks a position, not a value) doesn't affect the distinct set; full
+    // windows only (p <= nGrams - window + 1), with the <= window-size
+    // corpus edge case collapsing to the global min at p = 1.
     Q("t12_winnow_overlap",
       (s, d) => {
         val spark = s
@@ -194,7 +217,34 @@ object TextQueries extends QuerySet {
           .agg(count(lit(1)).as("shared_fps"))
           .filter(col("shared_fps") >= 10)
           .orderBy("id_a", "id_b")
-      }),
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |ch AS (SELECT doc_id, list_transform(split(norm, ''), c -> unicode(c)) AS codes,
+        |              length(norm) AS L FROM n WHERE length(norm) >= 16),
+        |pos AS (SELECT doc_id, codes, unnest(range(1, L - 14)) AS p FROM ch),
+        |fph AS (SELECT doc_id, p,
+        |  list_reduce(list_prepend(CAST(0 AS HUGEINT), codes[p : p + 15]),
+        |    (acc, c) -> (257 * acc + c) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM pos),
+        |fps AS (SELECT doc_id, p,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS fp,
+        |  max(p) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM fph),
+        |sel AS (SELECT doc_id, p, n_grams,
+        |  min(fp) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp
+        |  FROM fps),
+        |fpset AS (SELECT DISTINCT doc_id, wfp AS fp FROM sel
+        |          WHERE p <= greatest(1, n_grams - 3)),
+        |capped AS (SELECT doc_id, fp FROM fpset
+        |  WHERE fp IN (SELECT fp FROM fpset GROUP BY fp HAVING count(*) <= 20)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_fps
+        |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_fps FROM pairs
+        |WHERE shared_fps >= 10 ORDER BY id_a, id_b""".stripMargin)),
 
     // BPE-ish pre-tokenization (letters / digits / single punctuation as
     // separate tokens — the GPT-2-style regex split, simplified).
