@@ -158,6 +158,43 @@ object KeywordQueries extends QuerySet {
         |  FROM cands)
         |SELECT doc_id, CAST(rank_text AS INT) AS rank_text, CAST(rank_vec AS INT) AS rank_vec,
         |  round(1.0 / (60 + rank_text) + 1.0 / (60 + rank_vec), 6) AS rrf
-        |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+        |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Positional phrase + proximity search — the full-text operator k01's
+    // bag-of-words ranking can't express ("table hash" as an ADJACENT
+    // phrase, plus an ordered within-3 proximity window). Postings are
+    // filtered to the two query terms BEFORE the position join, so the
+    // join input is proportional to the posting-list lengths, not corpus
+    // size — the standard positional-index evaluation shape. All-integer
+    // output (occurrence counts + 1-based first match position).
+    Q("k03_phrase_search",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(lower(normCol), " ")).as(Seq("pos", "tok")))
+        val p1 = tk.filter(col("tok") === "table").select(col("doc_id"), col("pos"))
+        val p2 = tk.filter(col("tok") === "hash")
+          .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+        p1.join(p2, col("doc_id") === col("d2") &&
+            col("pos2").between(col("pos") + 1, col("pos") + 3))
+          .groupBy("doc_id")
+          .agg(sum((col("pos2") === col("pos") + 1).cast("long")).as("n_phrase"),
+            count(lit(1)).as("n_near"),
+            (min("pos") + 1).cast("int").as("first_pos"))
+          .filter(col("n_phrase") >= 1)
+          .orderBy(desc("n_phrase"), desc("n_near"), col("doc_id"))
+          .limit(15)
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split(lower($normSql), ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM n),
+        |p1 AS (SELECT doc_id, pos FROM tk WHERE tok = 'table'),
+        |p2 AS (SELECT doc_id AS d2, pos AS pos2 FROM tk WHERE tok = 'hash'),
+        |m AS (SELECT doc_id, pos, pos2 FROM p1 JOIN p2 ON doc_id = d2
+        |       AND pos2 BETWEEN pos + 1 AND pos + 3)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN pos2 = pos + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_phrase,
+        | CAST(count(*) AS BIGINT) AS n_near,
+        | CAST(min(pos) AS INT) AS first_pos
+        |FROM m GROUP BY doc_id HAVING n_phrase >= 1
+        |ORDER BY n_phrase DESC, n_near DESC, doc_id LIMIT 15""".stripMargin))
   )
 }

@@ -405,6 +405,48 @@ object QualityQueries extends QuerySet {
         |  SELECT lp, ntile(10) OVER (ORDER BY lp, doc_id) AS decile FROM scored)
         |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
         | round(min(lp), 6) AS min_lp, round(max(lp), 6) AS max_lp
-        |FROM deciled GROUP BY decile ORDER BY decile""".stripMargin))
+        |FROM deciled GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // DSIR-style importance weight (data selection via importance
+    // resampling, Xie et al. 2023 — public method): per-token mean
+    // log-likelihood ratio of a target-domain unigram LM (the lang='en'
+    // slice) against the full-corpus source LM, add-1 smoothed over the
+    // shared corpus vocabulary. Selection resamples ∝ exp(weight); the
+    // weight itself is emitted here. Scale: both LM tables are
+    // vocabulary-sized → broadcast joins; scoring is one narrow pass over
+    // the token stream (same shuffle budget as g09).
+    Q("g14_dsir_weight",
+      (s, d) => {
+        val tk = toks(s, d).select("doc_id", "lang", "tok")
+        val srcFreq = tk.groupBy("tok").agg(count(lit(1)).as("cs"))
+        val tgtFreq = tk.filter(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+        val lm = srcFreq.join(tgtFreq, Seq("tok"), "left").na.fill(0L, Seq("ct"))
+        val consts = broadcast(lm.agg(
+          sum("cs").as("ns"), sum("ct").as("nt"), count(lit(1)).as("v")))
+        tk.join(broadcast(lm), "tok").crossJoin(consts)
+          .groupBy("doc_id")
+          .agg(max("lang").as("lang"),
+            count(lit(1)).as("n_tokens"),
+            // + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 = +0.0):
+            // a tiny negative mean rounds to -0.0 on one engine and 0.0 on
+            // the other; both sides add the same term
+            (round(avg(
+              log((col("ct") + 1).cast("double") / (col("nt") + col("v")))
+                - log((col("cs") + 1).cast("double") / (col("ns") + col("v")))), 4) + 0.0)
+              .as("dsir_weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, tok FROM $toksSql),
+        |src AS (SELECT tok, count(*) AS cs FROM tk GROUP BY tok),
+        |tgt AS (SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY tok),
+        |lm AS (SELECT src.tok, src.cs, coalesce(tgt.ct, 0) AS ct
+        |       FROM src LEFT JOIN tgt USING (tok)),
+        |consts AS (SELECT sum(cs) AS ns, sum(ct) AS nt, count(*) AS v FROM lm)
+        |SELECT doc_id, max(lang) AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(avg(ln((ct + 1) / CAST(nt + v AS DOUBLE))
+        |         - ln((cs + 1) / CAST(ns + v AS DOUBLE))), 4) + 0.0 AS dsir_weight
+        |FROM tk JOIN lm USING (tok), consts
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
