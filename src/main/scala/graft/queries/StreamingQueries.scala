@@ -167,7 +167,10 @@ object StreamingQueries extends QuerySet {
         val srcDir = s"/tmp/graft_s09/src_$tag"
         StreamingOps.ensureTextFixtureFiles(s, d, srcDir)
         val target = s"/tmp/graft_s09/store_$tag"
-        val ckpt = s"/tmp/graft_s09/ckpt_$tag"
+        // checkpoint on tmpfs when present — same rationale as runToMemory's
+        // drain checkpoints (state commits are write+rename per partition
+        // per batch; durability is irrelevant for a bounded demo drain)
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s09/ckpt_$tag"
         // fresh store per run: the query is the full arrival-ingest lifecycle
         for (p <- Seq(target, ckpt)) {
           val f = new java.io.File(p)

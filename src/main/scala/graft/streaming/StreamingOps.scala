@@ -118,7 +118,7 @@ object StreamingOps {
     * the checkpoint discarded after); a production deployment points
     * checkpointLocation at durable shared storage instead.
     */
-  private def ckptParent: java.nio.file.Path = {
+  private[graft] def ckptParent: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))

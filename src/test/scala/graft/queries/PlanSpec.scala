@@ -135,6 +135,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("dup"), p)
   }
 
+  test("k03: phrase search joins term-filtered postings, no nested loop") {
+    val p = plan("k03_phrase_search")
+    // the position-window condition rides on the doc_id equi-join — a
+    // BroadcastNestedLoopJoin/cartesian here would scan corpus² at scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // both posting sides are filtered to the query terms before the join
+    assert(p.contains("table") && p.contains("hash"), p)
+  }
+
+  test("g14: both unigram-LM joins are broadcast (vocabulary << corpus)") {
+    val p = plan("g14_dsir_weight")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("r47: lateral join does not degrade to a cartesian product") {
     val p = plan("r47_lateral_join")
     assert(!p.contains("CartesianProduct"), p)
