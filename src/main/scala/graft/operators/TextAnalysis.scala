@@ -25,7 +25,10 @@ object TextAnalysis {
     if (text == null || text.isEmpty) return "und"
     val cjk = text.codePoints().filter(cp =>
       (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)).count()
-    if (cjk > 0 && cjk.toDouble / text.length > 0.05) return "zh"
+    // ratio over CODEPOINTS (not UTF-16 units): encoding-independent, and
+    // what the DuckDB oracle's length() computes
+    val nCp = text.codePointCount(0, text.length)
+    if (cjk > 0 && cjk.toDouble / nCp > 0.05) return "zh"
     val toks = TextKernel.tokens(text.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return "und"
     val scores = stopwordProfiles.view.mapValues(sw => toks.count(sw.contains)).toMap
@@ -49,9 +52,12 @@ object TextAnalysis {
   def quality(text: String): Quality = {
     val norm = TextKernel.normalize(text)
     val toks = TextKernel.tokens(norm)
-    val nChars = norm.length
+    // all lengths in CODEPOINTS (not UTF-16 units) — encoding-independent
+    // and identical to the DuckDB oracle's length()
+    val nChars = norm.codePointCount(0, norm.length)
     val nTokens = toks.length
-    val meanLen = if (nTokens == 0) 0.0 else toks.map(_.length).sum.toDouble / nTokens
+    val meanLen = if (nTokens == 0) 0.0
+      else toks.map(t => t.codePointCount(0, t.length)).sum.toDouble / nTokens
     val punct = norm.count(c => ".,;:!?".indexOf(c) >= 0)
     val punctRatio = if (nChars == 0) 0.0 else punct.toDouble / nChars
     val stopRatio = if (nTokens == 0) 0.0 else toks.count(t => enStop.contains(t.toLowerCase(java.util.Locale.ROOT))).toDouble / nTokens

@@ -412,16 +412,19 @@ object QualityQueries extends QuerySet {
     // log-likelihood ratio of a target-domain unigram LM (the lang='en'
     // slice) against the full-corpus source LM, add-1 smoothed over the
     // shared corpus vocabulary. Selection resamples ∝ exp(weight); the
-    // weight itself is emitted here. Scale: both LM tables are
-    // vocabulary-sized → broadcast joins; scoring is one narrow pass over
-    // the token stream (same shuffle budget as g09).
+    // weight itself is emitted here. Scale: one aggregation pass builds
+    // both LMs (target count = conditional sum), the combined LM table is
+    // vocabulary-sized → broadcast to the scoring join — same shuffle
+    // budget as g09.
     Q("g14_dsir_weight",
       (s, d) => {
         val tk = toks(s, d).select("doc_id", "lang", "tok")
-        val srcFreq = tk.groupBy("tok").agg(count(lit(1)).as("cs"))
-        val tgtFreq = tk.filter(col("lang") === "en")
-          .groupBy("tok").agg(count(lit(1)).as("ct"))
-        val lm = srcFreq.join(tgtFreq, Seq("tok"), "left").na.fill(0L, Seq("ct"))
+        // both LMs from ONE aggregation pass over the token stream: the
+        // target count is a conditional sum, so no second scan and no
+        // src-tgt join
+        val lm = tk.groupBy("tok").agg(
+          count(lit(1)).as("cs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
         val consts = broadcast(lm.agg(
           sum("cs").as("ns"), sum("ct").as("nt"), count(lit(1)).as("v")))
         tk.join(broadcast(lm), "tok").crossJoin(consts)
@@ -438,10 +441,9 @@ object QualityQueries extends QuerySet {
           .orderBy("doc_id")
       },
       Some(s"""WITH tk AS (SELECT doc_id, lang, tok FROM $toksSql),
-        |src AS (SELECT tok, count(*) AS cs FROM tk GROUP BY tok),
-        |tgt AS (SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY tok),
-        |lm AS (SELECT src.tok, src.cs, coalesce(tgt.ct, 0) AS ct
-        |       FROM src LEFT JOIN tgt USING (tok)),
+        |lm AS (SELECT tok, count(*) AS cs,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |       FROM tk GROUP BY tok),
         |consts AS (SELECT sum(cs) AS ns, sum(ct) AS nt, count(*) AS v FROM lm)
         |SELECT doc_id, max(lang) AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
         | round(avg(ln((ct + 1) / CAST(nt + v AS DOUBLE))

@@ -5,14 +5,27 @@ import graft.text.TextKernel
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over `documents` (§2.C): token counting, quality
-  * ratios, length histograms, vocabulary stats — SQL-expressible parts carry
-  * DuckDB oracles; the heuristic language-ID and fingerprint operators are
-  * pure-Scala (unit-tested) with rows-only checks here.
+  * ratios, length histograms, vocabulary stats, language-ID, fingerprints.
+  * Every query here carries a DuckDB oracle: the pure-Scala kernels
+  * (language-ID, quality composite, rolling/winnow fingerprints) are
+  * mirrored into SQL — codepoint-based lengths, and wrapping 64-bit hash
+  * arithmetic emulated in HUGEINT. Known out-of-scope divergence: Java
+  * toLowerCase(ROOT) vs DuckDB lower() differ on a handful of full-case
+  * mappings (e.g. U+0130); irrelevant for ASCII stopword membership.
   *
   * All are embarrassingly parallel scans — no shuffle except the final
   * aggregates, which run map-side partial first (Catalyst default).
   */
 object TextQueries extends QuerySet {
+
+  /** t12 winnow parameters — single definition shared by the engine body
+    * and (spliced) by its DuckDB oracle: k-gram length, winnow window,
+    * boilerplate document-frequency cap, min shared fingerprints per pair.
+    */
+  private val WinnowK = 16
+  private val WinnowW = 4
+  private val FpDfCap = 20
+  private val WinnowMinShared = 10
 
   def queries: Seq[Q] = Seq(
 
@@ -202,28 +215,30 @@ object TextQueries extends QuerySet {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val FpDfCap = 20
         // materialized once: the winnow kernel is the expensive part and
         // the frame is read three times (hot agg + both self-join sides)
         val fps = t(s, d, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .flatMap { case (id, text) =>
-            TextKernel.winnow(text, k = 16, window = 4).iterator.map(fp => (id, fp)) }
+            TextKernel.winnow(text, k = WinnowK, window = WinnowW)
+              .iterator.map(fp => (id, fp)) }
           .toDF("doc_id", "fp").distinct().localCheckpoint()
         val capped = graft.operators.NearDup.dfCapped(fps, "fp", FpDfCap)
         capped.as("a").join(capped.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("shared_fps"))
-          .filter(col("shared_fps") >= 10)
+          .filter(col("shared_fps") >= WinnowMinShared)
           .orderBy("id_a", "id_b")
       },
+      // every winnow constant below is spliced from the SAME Scala vals the
+      // engine uses (k, window, df cap, min-shared) — they cannot drift
       Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
         |ch AS (SELECT doc_id, list_transform(split(norm, ''), c -> unicode(c)) AS codes,
-        |              length(norm) AS L FROM n WHERE length(norm) >= 16),
-        |pos AS (SELECT doc_id, codes, unnest(range(1, L - 14)) AS p FROM ch),
+        |              length(norm) AS L FROM n WHERE length(norm) >= $WinnowK),
+        |pos AS (SELECT doc_id, codes, unnest(range(1, L - ${WinnowK - 2})) AS p FROM ch),
         |fph AS (SELECT doc_id, p,
-        |  list_reduce(list_prepend(CAST(0 AS HUGEINT), codes[p : p + 15]),
+        |  list_reduce(list_prepend(CAST(0 AS HUGEINT), codes[p : p + ${WinnowK - 1}]),
         |    (acc, c) -> (257 * acc + c) % CAST(18446744073709551616 AS HUGEINT)) AS h
         |  FROM pos),
         |fps AS (SELECT doc_id, p,
@@ -233,18 +248,18 @@ object TextQueries extends QuerySet {
         |  FROM fph),
         |sel AS (SELECT doc_id, p, n_grams,
         |  min(fp) OVER (PARTITION BY doc_id ORDER BY p
-        |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp
+        |                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wfp
         |  FROM fps),
         |fpset AS (SELECT DISTINCT doc_id, wfp AS fp FROM sel
-        |          WHERE p <= greatest(1, n_grams - 3)),
+        |          WHERE p <= greatest(1, n_grams - ${WinnowW - 1})),
         |capped AS (SELECT doc_id, fp FROM fpset
-        |  WHERE fp IN (SELECT fp FROM fpset GROUP BY fp HAVING count(*) <= 20)),
+        |  WHERE fp IN (SELECT fp FROM fpset GROUP BY fp HAVING count(*) <= $FpDfCap)),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(count(*) AS BIGINT) AS shared_fps
         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_fps FROM pairs
-        |WHERE shared_fps >= 10 ORDER BY id_a, id_b""".stripMargin)),
+        |WHERE shared_fps >= $WinnowMinShared ORDER BY id_a, id_b""".stripMargin)),
 
     // BPE-ish pre-tokenization (letters / digits / single punctuation as
     // separate tokens — the GPT-2-style regex split, simplified).

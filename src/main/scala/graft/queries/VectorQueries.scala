@@ -115,8 +115,9 @@ object VectorQueries extends QuerySet {
         |GROUP BY label ORDER BY label""".stripMargin)),
 
     // LSH-bucketed ANN (scale path): deterministic random-hyperplane signs
-    // bucket the corpus; each query only scans its bucket. Rows-only check —
-    // recall vs. the exact baseline is asserted in VectorOpsSpec.
+    // bucket the corpus; each query only scans its bucket. Hash-checked:
+    // the oracle recomputes every signature (see lshBucketOracle); recall
+    // vs. the exact baseline is additionally asserted in VectorOpsSpec.
     Q("v06_lsh_ann",
       (s, d) => {
         val spark = s
@@ -174,7 +175,8 @@ object VectorQueries extends QuerySet {
 
     // IVF ANN (coarse-quantizer cells + pruned probe): with nProbe = all
     // cells the result equals exact brute force (asserted in IvfIndexSpec);
-    // here the partial-probe top-k — rows-only check, recall unit-tested.
+    // here the partial-probe top-k, graded by a deterministic recall
+    // tolerance flag (below).
     Q("v08_ivf_ann",
       (s, d) => {
         val spark = s

@@ -61,13 +61,20 @@ object TextKernel {
 
   /** Deterministic 64-bit polynomial rolling hash of the whole string
     * (document fingerprinting). Base/modulus chosen from the standard
-    * Rabin-Karp construction.
+    * Rabin-Karp construction. Folds UNICODE CODEPOINTS (not UTF-16 code
+    * units) so the definition is encoding-independent and the DuckDB
+    * oracle — which iterates codepoints — recomputes it exactly for any
+    * text, including supplementary-plane characters.
     */
   def rollingFingerprint(text: String): Long = {
     var h = 1125899906842597L // large prime seed
     val t = if (text == null) "" else text
     var i = 0
-    while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = 31 * h + cp
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -76,12 +83,14 @@ object TextKernel {
     * window of `window` hashes (rightmost-min tie-break). Guarantees any
     * shared substring of length >= k + window - 1 between two documents
     * yields at least one shared fingerprint — the compact index behind
-    * partial-overlap / substring dedup at corpus scale.
+    * partial-overlap / substring dedup at corpus scale. k-grams are over
+    * UNICODE CODEPOINTS (see [[rollingFingerprint]]) so the DuckDB oracle's
+    * codepoint iteration recomputes identical hashes for any text.
     */
   def winnow(text: String, k: Int = 8, window: Int = 4): Set[Long] = {
-    val t = normalize(text)
-    if (t.length < k) return Set.empty
-    val nGrams = t.length - k + 1
+    val codes = normalize(text).codePoints().toArray
+    if (codes.length < k) return Set.empty
+    val nGrams = codes.length - k + 1
     val hashes = new Array[Long](nGrams)
     // rolling polynomial hash, base 257
     val base = 257L
@@ -90,11 +99,11 @@ object TextKernel {
     while (i < k - 1) { pow *= base; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * base + t.charAt(i); i += 1 }
+    while (i < k) { h = h * base + codes(i); i += 1 }
     hashes(0) = h
     i = 1
     while (i < nGrams) {
-      h = (h - t.charAt(i - 1) * pow) * base + t.charAt(i + k - 1)
+      h = (h - codes(i - 1) * pow) * base + codes(i + k - 1)
       hashes(i) = h
       i += 1
     }

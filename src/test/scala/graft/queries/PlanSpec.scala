@@ -141,13 +141,17 @@ class PlanSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin/cartesian here would scan corpus² at scale
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     // both posting sides are filtered to the query terms before the join
-    assert(p.contains("table") && p.contains("hash"), p)
+    // ("= term" is the printed Filter predicate; bare "hash" would match
+    // hashpartitioning and assert nothing)
+    assert(p.contains("= table") && p.contains("= hash"), p)
   }
 
-  test("g14: both unigram-LM joins are broadcast (vocabulary << corpus)") {
+  test("g14: the LM scoring join is broadcast (vocabulary << corpus)") {
     val p = plan("g14_dsir_weight")
+    // one LM-vs-token-stream join after the single-pass LM build; it must
+    // broadcast the vocabulary-sized side, never shuffle the token stream
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
   test("r47: lateral join does not degrade to a cartesian product") {
