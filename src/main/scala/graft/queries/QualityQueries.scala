@@ -216,6 +216,60 @@ object QualityQueries extends QuerySet {
         | CAST(len(regexp_extract_all(norm, '[a-z]{8,}')) AS INT) AS n_long_tokens
         |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // PII-style REDACTION (the masking transform g07 only scans for):
+    // email → [EMAIL], URL → [URL], IPv4 → [IP] applied in that order, plus
+    // the long-token class → [LONG] so the transform provably fires on the
+    // synthetic fixtures (emails/URLs/IPs are structurally zero there, as
+    // in g07). A narrow map — no shuffle at all before the final sort; the
+    // oracle applies the identical replacement chain (RE2/Java-agreed
+    // character-class regexes, 'g' flag = Spark's replace-all default) and
+    // must reproduce the redacted text's md5 exactly. Counts are measured
+    // on the pre-redaction text, like g07.
+    Q("g15_pii_redact",
+      (s, d) => {
+        val masked =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("norm"),
+                  "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "[EMAIL]"),
+                "https?://[^ ]+", "[URL]"),
+              "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "[IP]"),
+            "[a-z]{8,}", "[LONG]")
+        t(s, d, "documents")
+          .select(col("doc_id"), normCol.as("norm"))
+          .select(col("doc_id"),
+            (size(regexp_extract_all(col("norm"),
+              lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0)))
+              + size(regexp_extract_all(col("norm"), lit("https?://[^ ]+"), lit(0)))
+              + size(regexp_extract_all(col("norm"),
+                  lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), lit(0)))
+              + size(regexp_extract_all(col("norm"), lit("[a-z]{8,}"), lit(0))))
+              .as("n_masked"),
+            md5(masked).as("redacted_hash"),
+            length(masked).as("n_chars_redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |r AS (SELECT doc_id, norm,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(norm,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
+        |        'https?://[^ ]+', '[URL]', 'g'),
+        |      '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g'),
+        |    '[a-z]{8,}', '[LONG]', 'g') AS masked
+        |  FROM n)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))
+        |   + len(regexp_extract_all(norm, 'https?://[^ ]+'))
+        |   + len(regexp_extract_all(norm, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))
+        |   + len(regexp_extract_all(norm, '[a-z]{8,}')) AS INT) AS n_masked,
+        | md5(masked) AS redacted_hash,
+        | CAST(length(masked) AS INT) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Corpus-level top bigrams: built per row with zip_with over the token
     // array (a narrow map — no self-join, no positional shuffle); the only
     // exchange is the final groupBy, which moves (bigram, count) pairs,
