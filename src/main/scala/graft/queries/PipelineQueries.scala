@@ -153,6 +153,43 @@ object PipelineQueries extends QuerySet {
         |       WHEN prev.h = cur.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Strided token-window chunking (size 64, stride 32): the fixed-size
+    // overlapping training windows an LLM pipeline cuts AFTER curation —
+    // complementary to the char-based recursive chunker (A8, d08) and to
+    // x08's non-overlapping dedup passages. Pure narrow map (sequence →
+    // transform → explode, all codegen), no shuffle before the final sort;
+    // at 100 TB the row multiplier is ~2n/64 windows per n-token doc,
+    // produced without any exchange. Window text is emitted as md5 so the
+    // oracle pins the exact content, not just counts.
+    Q("d13_token_windows",
+      (s, d) => {
+        val W = 64
+        val S = 32
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(lower(normCol), " ").as("toks"))
+          .filter(size(col("toks")) > 0)
+        toks.select(col("doc_id"), size(col("toks")).as("n"),
+            explode(sequence(lit(0),
+              floor((size(col("toks")) - 1) / S).cast("int"))).as("win_id"),
+            col("toks"))
+          .select(col("doc_id"), col("win_id"),
+            least(lit(W), col("n") - col("win_id") * S).cast("int").as("n_win_tokens"),
+            md5(concat_ws(" ",
+              slice(col("toks"), col("win_id") * S + 1, lit(W)))).as("win_hash"))
+          .orderBy("doc_id", "win_id")
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, string_split(lower($normSql), ' ') AS toks
+        |  FROM documents WHERE len(string_split(lower($normSql), ' ')) > 0),
+        |w AS (
+        |  SELECT doc_id, len(toks) AS n, toks,
+        |    unnest(range(0, CAST(floor((len(toks) - 1) / 32) AS BIGINT) + 1)) AS j
+        |  FROM docs)
+        |SELECT doc_id, CAST(j AS INT) AS win_id,
+        | CAST(least(64, n - j * 32) AS INT) AS n_win_tokens,
+        | md5(array_to_string(toks[j*32+1 : j*32+64], ' ')) AS win_hash
+        |FROM w ORDER BY doc_id, win_id""".stripMargin))
   )
 }
