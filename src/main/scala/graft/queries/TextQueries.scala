@@ -342,6 +342,34 @@ object TextQueries extends QuerySet {
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Sketch ALGEBRA (the property that makes sketches matter at 100 TB):
+    // per-source HLL sketches built independently, then merged with
+    // hll_union_agg — the estimate of the union must land within 5% of the
+    // exact corpus-wide distinct count. This is the map-side-mergeable
+    // aggregation shape: fixed-size state per source/partition, one tiny
+    // shuffle of sketch bytes instead of the full token stream. Graded by
+    // the same tolerance-flag oracle pattern as t14.
+    Q("t18_hll_union",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("source"), explode(split(lower(normCol), " ")).as("tok"))
+        val per = tk.groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
+        val merged = per.agg(
+          count(lit(1)).as("n_sketches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = tk.agg(countDistinct("tok").as("exact_distinct"))
+        merged.crossJoin(exact).select(
+          col("n_sketches").cast("int").as("n_sketches"),
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).cast("int").as("within_5pct"))
+      },
+      Some(s"""SELECT CAST(count(DISTINCT source) AS INT) AS n_sketches,
+        | CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+        | 1 AS within_5pct
+        |FROM (SELECT source, unnest(string_split(lower($normSql), ' ')) AS tok
+        |      FROM documents)""".stripMargin)),
+
     // Zipf fit: slope of log(freq) vs log(rank) over the corpus token
     // distribution — natural text sits near -1; a far-off slope flags
     // synthetic/templated corpora. Linear regression as an aggregate.
