@@ -154,6 +154,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("g15/d13: redaction and token-windowing stay narrow (no join, no agg shuffle)") {
+    for (q <- Seq("g15_pii_redact", "d13_token_windows")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join\n$p")
+      assert(!p.contains("hashpartitioning"), s"$q grew an aggregation shuffle\n$p")
+    }
+  }
+
   test("r47: lateral join does not degrade to a cartesian product") {
     val p = plan("r47_lateral_join")
     assert(!p.contains("CartesianProduct"), p)
