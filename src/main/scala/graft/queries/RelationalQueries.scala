@@ -1305,6 +1305,31 @@ object RelationalQueries extends QuerySet {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | 1 AS p50_in_band,
         | 1 AS p95_in_band
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ANSI error-safe arithmetic (Spark 4 try_* family): divide-by-zero and
+    // failed casts yield NULL instead of aborting the job — the semantics a
+    // 100 TB batch needs (one malformed row must not kill a 6-hour run).
+    // try_divide hits a real zero denominator on every first line item
+    // (l_linenumber - 1); try_cast of the flag letters always fails; the
+    // oracle mirrors both with explicit NULL cases / TRY_CAST.
+    Q("r72_try_arithmetic",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          try_divide(col("l_extendedprice"), col("l_linenumber") - 1).as("safe_div"),
+          expr("TRY_CAST(l_returnflag AS INT)").as("flag_as_int"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(col("safe_div")).as("n_divisible"),
+          round(sum("safe_div"), 2).as("sum_safe_div"),
+          count(col("flag_as_int")).as("n_cast_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(CASE WHEN l_linenumber <> 1
+        |   THEN l_extendedprice / (l_linenumber - 1) END) AS BIGINT) AS n_divisible,
+        | round(sum(CASE WHEN l_linenumber <> 1
+        |   THEN l_extendedprice / (l_linenumber - 1) END), 2) AS sum_safe_div,
+        | CAST(count(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_cast_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -96,6 +96,29 @@ object SourceQueries extends QuerySet {
       },
       Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
         | string_agg(n_name, ',' ORDER BY n_name) AS names
-        |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin))
+        |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin)),
+
+    // Line-oriented text source (spark.read.text — the rawest ingest format
+    // a corpus arrives in). One normalized document per line (normalization
+    // strips the newlines that would split records); read-back order is
+    // partition-dependent, so the aggregate is order-insensitive: per-line
+    // md5 XOR-folded via bit_xor + exact count + total chars. The oracle
+    // computes the same fold from the parquet directly — any line lost,
+    // duplicated, or corrupted in write→read flips the fold.
+    Q("c05_text_roundtrip",
+      (s, d) => {
+        val tmp = tempDir("c05_text")
+        val lines = t(s, d, "documents").select(normCol.as("value"))
+        lines.write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .agg(count(lit(1)).as("n_lines"),
+            bit_xor(conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long"))
+              .as("content_fold"),
+            sum(length(col("value"))).as("total_chars"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | bit_xor(CAST(('0x' || substring(md5($normSql), 1, 15)) AS BIGINT)) AS content_fold,
+        | CAST(sum(length($normSql)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin))
   )
 }
