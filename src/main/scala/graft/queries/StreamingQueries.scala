@@ -78,6 +78,26 @@ object StreamingQueries extends QuerySet {
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)),
 
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark): dedup
+    // state is kept only for the watermark horizon and EVICTS — the API an
+    // unbounded 100 TB stream needs, vs s04's dropDuplicates whose state
+    // grows forever. The fixture drains as a single micro-batch (one
+    // parquet file), so every duplicate arrives inside the horizon and the
+    // result deterministically equals exact DISTINCT for the oracle, while
+    // the deployed semantics stay bounded-state.
+    Q("s11_dedup_within_watermark",
+      (s, d) => {
+        val deduped = StreamingOps.readEventsStream(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+        StreamingOps.runToMemory(s, deduped, "s11_wm_dedup", "append")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+
     // Custom-state streaming (flatMapGroupsWithState): cross-batch
     // first-arrival dedup. Key set equals batch DISTINCT on bounded input.
     Q("s05_stateful_dedup",
