@@ -141,6 +141,29 @@ object StreamingQueries extends QuerySet {
         | round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Stream-static enrichment join: each micro-batch of the event stream
+    // joins the static customer dimension (broadcast — the static side is
+    // re-resolvable per batch, never streamed state), then aggregates per
+    // market segment in complete mode. THE standard streaming enrichment
+    // shape: at 100 TB/day the event side shuffles nothing for the join and
+    // dimension updates are picked up at batch boundaries.
+    Q("s12_stream_static_join",
+      (s, d) => {
+        val cust = broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val enriched = StreamingOps.readEventsStream(s, d)
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        val out = StreamingOps.runToMemory(s, enriched, "s12_enrich", "complete")
+        out.withColumn("total_value", round(col("total_value"), 2))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
     // Arbitrary-state v2 (transformWithState + RocksDB store): per-user
     // running totals; on bounded input the final emit per key equals the
     // batch aggregate.
