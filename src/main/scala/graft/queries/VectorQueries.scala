@@ -282,6 +282,51 @@ object VectorQueries extends QuerySet {
         | round(list_aggregate(errs, 'max'), 6) AS max_err
         |FROM e ORDER BY vec_id""".stripMargin)),
 
+    // Quantized retrieval: cosine top-k over int8-DEQUANTIZED vectors (the
+    // memory-for-recall trade v11 prices — ANN shards hold 4x more vectors
+    // at int8). The quantize→dequantize→cosine chain uses v11's exact
+    // floor(x/s + 0.5) formula on both engines, so the whole approximate
+    // ranking is hash-checked, not tolerance-flagged: a drifted scale,
+    // rounding rule, or similarity kernel breaks the oracle.
+    Q("v13_int8_knn",
+      (s, d) => {
+        def dequant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val v = c.cast("array<double>")
+          val maxAbs = aggregate(transform(v, x => abs(x)), lit(0.0),
+            (acc, x) => greatest(acc, x))
+          val sc = maxAbs / lit(127.0)
+          transform(v, x => floor(x / sc + 0.5) * sc)
+        }
+        val emb = t(s, d, "embeddings")
+          .filter(aggregate(transform(col("embedding").cast("array<double>"),
+            x => abs(x)), lit(0.0), (acc, x) => greatest(acc, x)) > 0)
+          .select(col("vec_id"), col("label"), dequant(col("embedding")).as("dv"))
+        val q = broadcast(emb.filter(col("vec_id") === 0).select(col("dv").as("qv")))
+        val dot = aggregate(zip_with(col("dv"), col("qv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+        val na = aggregate(transform(col("dv"), x => x * x), lit(0.0), (acc, x) => acc + x)
+        val nb = aggregate(transform(col("qv"), x => x * x), lit(0.0), (acc, x) => acc + x)
+        emb.filter(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id"), col("label"),
+            round(dot / (sqrt(na) * sqrt(nb)), 6).as("sim_q"))
+          .orderBy(desc("sim_q"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH base AS (
+        |  SELECT vec_id, label, $embD AS v,
+        |    list_aggregate(list_transform($embD, x -> abs(x)), 'max') / 127.0 AS s
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(v, x -> floor(x / s + 0.5) * s) AS dv
+        |  FROM base WHERE s > 0),
+        |q AS (SELECT dv AS qv FROM dq WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_dot_product(dv, qv)
+        |   / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))), 6) AS sim_q
+        |FROM dq, q WHERE vec_id <> 0
+        |ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Embedding dup CLUSTERS: the cosine pair set (same generation as v03)
     // fed through connected components — the embedding-space counterpart of
     // x06's MinHash clusters. Oracle: transitive closure (recursive CTE)
