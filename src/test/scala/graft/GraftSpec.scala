@@ -73,4 +73,49 @@ class GraftSpec extends SparkTestBase {
     assert(st == Map(1L -> "deleted", 2L -> "changed", 3L -> "added"))
     assert(rows.select(Graft.nfcNormalize(lit("abc")).as("n")).as[String].head == "abc")
   }
+
+  test("bm25TopK ranks term-bearing docs and respects k") {
+    val top = Graft.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "vector", "stream"), k = 10).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending scores")
+    assert(top.forall(_.getAs[Int]("n_terms") >= 1))
+  }
+
+  test("rrfFuse merges two rankings with full-outer semantics") {
+    import spark.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.1)).toDF("id", "s1")
+    val b = Seq((2L, 0.95), (4L, 0.5)).toDF("id", "s2")
+    val fused = Graft.rrfFuse(a, "s1", b, "s2", k = 4).collect()
+    assert(fused.length == 4)
+    // id 2 appears in both rankings -> highest fused score
+    assert(fused.head.getAs[Long]("id") == 2L)
+  }
+
+  test("redactPii masks emails, urls and ips") {
+    import spark.implicits._
+    val out = Seq("mail a@b.com or http://x.io or 10.0.0.1 end")
+      .toDF("t").select(Graft.redactPii(col("t")).as("r")).as[String].head
+    assert(out == "mail [EMAIL] or [URL] or [IP] end", out)
+  }
+
+  test("dsirWeights favors target-like documents") {
+    val w = Graft.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+    val byLang = docs.select(col("doc_id").as("id"), col("lang"))
+      .join(w, "id")
+      .groupBy("lang").agg(avg("dsir_weight").as("mw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the en slice must score higher under its own LM than any other slice
+    assert(byLang("en") > byLang.filterNot(_._1 == "en").values.max)
+  }
+
+  test("tokenWindows covers every token with the configured overlap") {
+    val w = Graft.tokenWindows(docs, "doc_id", "text", size = 64, stride = 32)
+    val perDoc = w.groupBy("id").count()
+    assert(perDoc.count() == docs.count())
+    // every window holds at least 1 and at most `size` tokens
+    val bounds = w.agg(min("n_win_tokens"), max("n_win_tokens")).head
+    assert(bounds.getInt(0) >= 1 && bounds.getInt(1) <= 64)
+  }
 }
