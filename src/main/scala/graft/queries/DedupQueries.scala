@@ -188,6 +188,38 @@ object DedupQueries extends QuerySet {
         |FROM jac WHERE j >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // MinHash ESTIMATE accuracy: for every exact near-dup pair, the
+    // signature-agreement estimate (matching components / 64 perms) must
+    // land within 0.25 of the exact shingle Jaccard — 4x the theoretical
+    // std sqrt(J(1-J)/64) ≈ 0.0625 at J = 0.5. Estimates are deterministic
+    // (seeded hash family), so the flag is a stable oracle row, and it
+    // verifies the NUMERIC quality of the signatures themselves — x03 only
+    // checks the emitted pair set.
+    Q("x10_minhash_estimate",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = t(s, d, "documents")
+        val pairs = NearDup.minhashNearDupPairs(s, docs, threshold = 0.5)
+        val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, tx) => (id, NearDup.minhashSignature(tx)) }
+          .toDF("sid", "sig")
+        pairs
+          .join(sigs.withColumnRenamed("sid", "id_a").withColumnRenamed("sig", "sig_a"), Seq("id_a"))
+          .join(sigs.withColumnRenamed("sid", "id_b").withColumnRenamed("sig", "sig_b"), Seq("id_b"))
+          .withColumn("est",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+              .cast("double") / size(col("sig_a")))
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (abs(col("est") - col("jaccard")) <= 0.25).cast("int").as("est_ok"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $exactJaccardPairsSql
+        |SELECT da AS id_a, db AS id_b, round(j, 6) AS jaccard, 1 AS est_ok
+        |FROM jac WHERE j >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // SimHash near-dup pairs: the standard 64-bit simhash threshold
     // (hamming <= 3), exact recall under the 4x16 banding.
     Q("x04_simhash_neardup",
