@@ -137,6 +137,46 @@ object PhysicalQueries extends QuerySet {
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Dynamic partition pruning: the fact side is PARTITIONED on the join
+    // key (directory-per-flag layout) and the dimension side carries a
+    // selective filter — at runtime Spark turns the dim's surviving keys
+    // into a partition filter (`dynamicpruning` subquery reusing the
+    // broadcast), so only 1 of 3 fact partitions is ever read. The
+    // completion of the runtime-filter family next to p04's bloom filter
+    // (key-level) and p03's static pruning (literal predicate); at 100 TB
+    // DPP is what makes star-schema joins read the 2% of partitions that
+    // can match. Plan asserted in PlanSpec ("dynamicpruning" under
+    // PartitionFilters).
+    Q("p05_dynamic_partition_pruning",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + PhysicalLayout.sourceTag(d, "lineitem")
+        val path = s"/tmp/graft_p05/lineitem_by_flag_$tag"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          t(s, d, "lineitem").write.partitionBy("l_returnflag")
+            .mode("overwrite").parquet(path)
+        // the dim must be FILE-backed: a local in-memory relation gets its
+        // filter constant-folded away, and the DPP rule then sees no
+        // selective predicate to derive a partition filter from
+        val dimPath = s"/tmp/graft_p05/flag_dim_$tag"
+        if (!new java.io.File(dimPath, "_SUCCESS").exists())
+          Seq(("A", "accepted"), ("N", "none"), ("R", "returned"))
+            .toDF("flag", "flag_label").write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("flag_label") === "returned")
+        s.read.parquet(path)
+          .join(dim, col("l_returnflag") === col("flag"))
+          .groupBy("flag_label")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("flag_label")
+      },
+      Some("""SELECT 'returned' AS flag_label, CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY flag_label""".stripMargin))
   )
 }

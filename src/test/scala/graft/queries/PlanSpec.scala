@@ -162,6 +162,11 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("p05: partition filter is injected dynamically from the dim side") {
+    val p = plan("p05_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("r47: lateral join does not degrade to a cartesian product") {
     val p = plan("r47_lateral_join")
     assert(!p.contains("CartesianProduct"), p)
