@@ -3,11 +3,12 @@ package graft.operators
 import graft.text.TextKernel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Near-duplicate detection for the LLM-data-pipeline surface (§2.C):
   * MinHash+LSH banding, SimHash, and n-gram Jaccard — all deterministic
-  * (seeded murmur3 hash families; no RNG at runtime).
+  * (md5-derived base hashes + spliced splitmix64 universal-hash constants;
+  * no RNG at runtime, and every hash is recomputable in plain SQL, which
+  * is what lets the x04/x05 oracles check the signatures end-to-end).
   *
   * Scale design (100 TB): the pair-generation step never does a cross join.
   * MinHash/SimHash reduce each document to a small signature (narrow map),
@@ -23,10 +24,12 @@ object NearDup {
   val ShingleSize = 3
 
   /** Per-function universal-hash parameters (splitmix64 of the function
-    * index — deterministic across JVMs, no RNG at runtime).
+    * index — deterministic across JVMs, no RNG at runtime). Exposed so the
+    * DuckDB oracle splices the SAME constants (x05) — like v06's
+    * hyperplanes, the two sides cannot drift.
     */
-  private val hashMult: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 1) | 1L)
-  private val hashAdd: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 2))
+  private[graft] val hashMult: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 1) | 1L)
+  private[graft] val hashAdd: Array[Long] = Array.tabulate(NumHashes)(i => splitmix64(2L * i + 2))
 
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9E3779B97F4A7C15L
@@ -36,17 +39,18 @@ object NearDup {
   }
 
   /** Deterministic minhash signature from the word-shingle set. Each shingle
-    * is string-hashed ONCE (128-bit via two murmur seeds); the NumHashes
-    * permutations are cheap universal hashes of that value — 64x fewer
-    * string hashes than hashing per function, which dominates at corpus
-    * scale.
+    * is string-hashed ONCE (md5-derived, engine-portable — see
+    * TextKernel.md5Hash64); the NumHashes permutations are cheap universal
+    * hashes of that value — 64x fewer string hashes than hashing per
+    * function, which dominates at corpus scale. The base is reduced to 63
+    * bits (>>> 1) so `base * mult` stays below 2^127 and the oracle can
+    * evaluate the same wrapping product in DuckDB's signed HUGEINT.
     */
   def minhashSignature(text: String, numHashes: Int = NumHashes): Array[Long] = {
     val sh = TextKernel.shingles(text, ShingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { g =>
-      val base = (MurmurHash3.stringHash(g, 0x12345678).toLong << 32) |
-        (MurmurHash3.stringHash(g, 0x9E3779B9).toLong & 0xffffffffL)
+      val base = TextKernel.md5Hash64(g) >>> 1
       var i = 0
       while (i < numHashes) {
         val h = (base * hashMult(i) + hashAdd(i)) >>> 1 // non-negative
@@ -57,15 +61,16 @@ object NearDup {
     sig
   }
 
-  /** 64-bit SimHash over word tokens (weighted bit voting). */
+  /** 64-bit SimHash over word tokens (weighted bit voting, multiset — a
+    * token occurring twice votes twice). Token hash is md5-derived
+    * (engine-portable), so the x04 oracle recomputes every simhash.
+    */
   def simhash(text: String): Long = {
     val toks = TextKernel.tokens(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return 0L
     val votes = new Array[Int](64)
     toks.foreach { tk =>
-      val h1 = MurmurHash3.stringHash(tk, 0x51ed270b).toLong & 0xffffffffL
-      val h2 = MurmurHash3.stringHash(tk, 0x2545f491).toLong & 0xffffffffL
-      val h = (h1 << 32) | h2
+      val h = TextKernel.md5Hash64(tk)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -123,7 +128,9 @@ object NearDup {
         if (sig(0) == Long.MaxValue) Seq.empty
         else (0 until Bands).map { band =>
           val rows = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
-          (id, band, MurmurHash3.arrayHash(rows).toLong & 0xffffffffL)
+          // md5 of the '|'-joined decimal band values: engine-portable
+          // (the x05 oracle rebuilds the same string and hash in SQL)
+          (id, band, TextKernel.md5Hash32(rows.mkString("|")))
         }
       }
       .toDF("id", "band", "bucket")

@@ -221,19 +221,27 @@ object DedupQueries extends QuerySet {
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash near-dup pairs: the standard 64-bit simhash threshold
-    // (hamming <= 3), exact recall under the 4x16 banding.
+    // (hamming <= 3), exact recall under the 4x16 banding (pigeonhole: at
+    // most 3 differing bits cannot touch all 4 bands). The oracle
+    // recomputes every simhash from scratch — md5-derived token hashes,
+    // multiset bit voting, banding, candidate join, popcount verify — so
+    // this is a full hash check of the signature pipeline, not rows-only.
     Q("x04_simhash_neardup",
-      (s, d) => NearDup.simhashNearDupPairs(s, t(s, d, "documents"), maxDistance = 3)),
+      (s, d) => NearDup.simhashNearDupPairs(s, t(s, d, "documents"), maxDistance = 3),
+      Some(DedupQueries.simhashPairsOracle)),
 
     // MinHash LSH bucket-size profile: how balanced are the band buckets
-    // (skew diagnostics for the bucket join at scale).
+    // (skew diagnostics for the bucket join at scale). Oracle recomputes
+    // the complete banding — shingle base hashes, the 64 spliced
+    // universal-hash permutations in HUGEINT, per-band md5 buckets.
     Q("x05_minhash_bucket_profile",
       (s, d) => NearDup.minhashBuckets(s, t(s, d, "documents"))
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
           round(avg("n"), 6).as("avg_bucket"))
-        .orderBy("band")),
+        .orderBy("band"),
+      Some(DedupQueries.minhashBucketProfileOracle)),
 
     // Duplicate clusters: near-dup pairs -> connected components -> one
     // row per clustered doc (cluster = min member id). Alternating
@@ -401,4 +409,92 @@ object DedupQueries extends QuerySet {
         |WHERE levenshtein(ta.title, tb.title) <= 4
         |ORDER BY id_a, id_b""".stripMargin))
   )
+
+  private val Two64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private val Two63 = "CAST(9223372036854775808 AS HUGEINT)"
+
+  /** Unsigned 64-bit md5 prefix of `expr` as a HUGEINT. DuckDB's '0x'
+    * string cast only parses values that fit a signed BIGINT, so the 16-hex
+    * prefix is assembled from two 32-bit halves.
+    */
+  private def md5U64Sql(expr: String): String =
+    s"(CAST(CAST(('0x' || substring(md5($expr), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296" +
+      s" + CAST(CAST(('0x' || substring(md5($expr), 9, 8)) AS BIGINT) AS HUGEINT))"
+
+  /** DuckDB recomputation of the complete MinHash banding
+    * (NearDup.minhashSignature + minhashBuckets): md5-derived 63-bit base
+    * per shingle, the 64 universal-hash permutations — constants SPLICED
+    * from NearDup.hashMult/hashAdd, evaluated in HUGEINT with the same
+    * mod-2^64 wrap and >>> 1 — then per-band bucket = md5 of the
+    * '|'-joined decimal band values. CTE yields `bands(doc_id, band,
+    * bucket)`.
+    */
+  private def minhashBandsSql: String = {
+    val sigExprs = (0 until NearDup.NumHashes).map { i =>
+      val m = java.lang.Long.toUnsignedString(NearDup.hashMult(i))
+      val a = java.lang.Long.toUnsignedString(NearDup.hashAdd(i))
+      s"min(((b * $m + $a) % $Two64) // 2) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NearDup.Bands).map { band =>
+      val joined = (band * NearDup.RowsPerBand until (band + 1) * NearDup.RowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, CAST($band AS INT) AS band, CAST(('0x' || substring(md5($joined), 1, 8)) AS BIGINT) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleSql,
+       |hb AS (SELECT doc_id, ${md5U64Sql("sh")} // 2 AS b FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM hb GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  private[queries] def minhashBucketProfileOracle: String =
+    s"""WITH $minhashBandsSql
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       | CAST(max(n) AS BIGINT) AS max_bucket, round(avg(n), 6) AS avg_bucket
+       |FROM (SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket)
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** DuckDB recomputation of the SimHash pipeline (NearDup.simhash +
+    * simhashBuckets + pair verify): md5-derived 64-bit token hash, multiset
+    * bit voting over all 64 bit positions, 4x16-bit banding for candidates,
+    * popcount(xor) verify at hamming <= 3 — banding recall is exact by
+    * pigeonhole, so the SQL pair set equals the engine's.
+    */
+  private[queries] def simhashPairsOracle: String = {
+    val pw = (0 until 64).map(b =>
+      s"(${b}, ${java.lang.Long.toUnsignedString(1L << b)})").mkString(", ")
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n WHERE norm <> ''),
+       |th AS (SELECT doc_id, ${md5U64Sql("tok")} AS hu FROM tk),
+       |bits (bit, pw) AS (VALUES $pw),
+       |votes AS (
+       |  SELECT doc_id, bit, pw,
+       |    sum(CASE WHEN (hu // CAST(pw AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, bits GROUP BY doc_id, bit, pw),
+       |shash AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN CAST(pw AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS hu
+       |  FROM votes GROUP BY doc_id),
+       |sh64 AS (
+       |  SELECT doc_id, CAST(CASE WHEN hu >= $Two63 THEN hu - $Two64 ELSE hu END AS BIGINT) AS sh,
+       |    hu
+       |  FROM shash),
+       |bands AS (
+       |  SELECT doc_id, band, (hu // CAST(p16 AS HUGEINT)) % 65536 AS bucket
+       |  FROM sh64, (VALUES (0, 1), (1, 65536), (2, 4294967296), (3, 281474976710656)) AS bl(band, p16)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+       |FROM cand
+       |JOIN sh64 sa ON sa.doc_id = id_a
+       |JOIN sh64 sb ON sb.doc_id = id_b
+       |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -36,6 +36,19 @@ object TextKernel {
     sb.toString
   }
 
+  /** First 64 bits of md5(s) as a signed Long (big-endian hex prefix,
+    * two's-complement reinterpretation). The base hash of the MinHash /
+    * SimHash signature families: unlike JVM murmur3, any engine that has
+    * md5 (DuckDB, Postgres, Spark SQL itself) recomputes it exactly, which
+    * is what makes the signature queries oracle-checkable end-to-end.
+    */
+  def md5Hash64(s: String): Long =
+    java.lang.Long.parseUnsignedLong(md5Hex(s).substring(0, 16), 16)
+
+  /** First 32 bits of md5(s) as a non-negative Long (bucket ids). */
+  def md5Hash32(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+
   /** Whitespace tokenization used by token counting and shingling. */
   def tokens(text: String): Array[String] =
     if (text == null) Array.empty
