@@ -142,7 +142,10 @@ object NearDup {
   def minhashNearDupPairs(spark: SparkSession, docs: DataFrame, threshold: Double,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    val buckets = minhashBuckets(spark, docs, idCol, textCol)
+    // materialized once: the signature map is the expensive stage and the
+    // frame feeds BOTH sides of the candidate self-join — without the
+    // checkpoint each side re-hashes every shingle of every document
+    val buckets = minhashBuckets(spark, docs, idCol, textCol).localCheckpoint()
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
@@ -150,11 +153,13 @@ object NearDup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // shingle sets computed ONCE per doc (sorted arrays), not once per pair
+    // shingle sets computed ONCE per doc (sorted arrays), not once per pair;
+    // checkpointed for the same both-join-sides reason as buckets
     val shingleSets = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
       .as[(Long, String)]
       .map { case (id, text) => (id, TextKernel.shingles(text, ShingleSize).toArray.sorted) }
       .toDF("tid", "tsh")
+      .localCheckpoint()
     val withSets = candidates
       .join(shingleSets.withColumnRenamed("tid", "id_a").withColumnRenamed("tsh", "sh_a"), Seq("id_a"))
       .join(shingleSets.withColumnRenamed("tid", "id_b").withColumnRenamed("tsh", "sh_b"), Seq("id_b"))
@@ -198,12 +203,18 @@ object NearDup {
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           algorithm: String = "alternating"): DataFrame =
-    algorithm match {
-      case "alternating" => duplicateClustersAlternating(spark, pairs)
-      case "propagation" => duplicateClusters(spark, pairs)
-      case other => throw new IllegalArgumentException(
-        s"unknown connected-components algorithm '$other' " +
-        "(expected 'alternating' or 'propagation')")
+    {
+      // pairs is typically an expensive pipeline (LSH + verify); both
+      // algorithms read it more than once (node set + edge set) — evaluate
+      // it exactly once here
+      val p = pairs.localCheckpoint()
+      algorithm match {
+        case "alternating" => duplicateClustersAlternating(spark, p)
+        case "propagation" => duplicateClusters(spark, p)
+        case other => throw new IllegalArgumentException(
+          s"unknown connected-components algorithm '$other' " +
+          "(expected 'alternating' or 'propagation')")
+      }
     }
 
   /** Duplicate clusters from near-dup pairs: distributed connected
@@ -360,7 +371,8 @@ object NearDup {
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDistance <= SimhashBands - 1,
       s"banding guarantees recall only for distance <= ${SimhashBands - 1}")
-    val buckets = simhashBuckets(spark, docs, idCol, textCol)
+    // checkpointed: the simhash map feeds both self-join sides
+    val buckets = simhashBuckets(spark, docs, idCol, textCol).localCheckpoint()
     val a = buckets.as("a")
     val b = buckets.as("b")
     import spark.implicits._

@@ -25,29 +25,51 @@ object TextKernel {
   def sanitizeKey(key: String): String =
     if (key == null) "" else key.replaceAll("[^a-zA-Z0-9_\\-=]", "_")
 
+  /** Per-thread MessageDigest: getInstance() per call costs more than the
+    * 16-byte digest itself in signature hot loops (millions of shingle
+    * hashes per executor core).
+    */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(text: String): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest((if (text == null) "" else text).getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Lowercase-hex md5 of the UTF-8 bytes (reference embedding_utils.py:39-41);
     * bit-identical to Spark's `md5` and DuckDB's `md5`.
     */
   def md5Hex(text: String): String = {
-    val digest = MessageDigest.getInstance("MD5")
-    val bytes = digest.digest((if (text == null) "" else text).getBytes(StandardCharsets.UTF_8))
+    val bytes = md5Bytes(text)
     val sb = new StringBuilder(32)
     bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
   }
 
-  /** First 64 bits of md5(s) as a signed Long (big-endian hex prefix,
-    * two's-complement reinterpretation). The base hash of the MinHash /
-    * SimHash signature families: unlike JVM murmur3, any engine that has
-    * md5 (DuckDB, Postgres, Spark SQL itself) recomputes it exactly, which
-    * is what makes the signature queries oracle-checkable end-to-end.
+  /** First 64 bits of md5(s) as a signed Long (big-endian byte prefix,
+    * two's-complement reinterpretation — identical to parsing the first 16
+    * hex chars). The base hash of the MinHash / SimHash signature families:
+    * unlike JVM murmur3, any engine that has md5 (DuckDB, Postgres, Spark
+    * SQL itself) recomputes it exactly, which is what makes the signature
+    * queries oracle-checkable end-to-end. Bytes are combined directly — no
+    * hex-string round trip in the hot loop.
     */
-  def md5Hash64(s: String): Long =
-    java.lang.Long.parseUnsignedLong(md5Hex(s).substring(0, 16), 16)
+  def md5Hash64(s: String): Long = {
+    val d = md5Bytes(s)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
 
   /** First 32 bits of md5(s) as a non-negative Long (bucket ids). */
-  def md5Hash32(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+  def md5Hash32(s: String): Long = {
+    val d = md5Bytes(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
   /** Whitespace tokenization used by token counting and shingling. */
   def tokens(text: String): Array[String] =
