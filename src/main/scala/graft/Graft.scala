@@ -129,36 +129,16 @@ object Graft {
 
   // ---- retrieval (k01-k03 as parameterized library calls) ----
 
-  /** Okapi BM25 ranked top-k: (id, score, n_terms) for documents matching
-    * any of `terms` (whitespace tokenization of normalize(textCol),
-    * lowercased; Lucene's smoothed idf so scores stay positive). Postings
-    * are filtered to `terms` BEFORE the tf shuffle — shuffle volume is
-    * proportional to matching postings, not corpus size (see k01's plan).
+  /** Okapi BM25 ranked top-k: (id, n_terms, score) for documents matching
+    * any of `terms`. Thin delegation to
+    * [[graft.operators.Retrieval.bm25TopK]] — the SAME scoring formula the
+    * oracle-checked k01/k02 queries run, with caller-chosen parameters.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    val base = docs
-      .select(col(idCol).as("id"), lower(normalize(col(textCol))).as("norm"))
-      .withColumn("dl", size(split(col("norm"), " ")))
-    val stats = broadcast(base.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
-    val tf = base
-      .select(col("id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok").crossJoin(stats)
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("c", col("idf") * (col("tf") * (k1 + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("id")
-      .agg(count(lit(1)).cast("int").as("n_terms"), sum("c").as("score"))
-      .orderBy(desc("score"), col("id"))
-      .limit(k)
-  }
+               k1: Double = operators.Retrieval.DefaultK1,
+               b: Double = operators.Retrieval.DefaultB): DataFrame =
+    operators.Retrieval.bm25TopK(docs, idCol, textCol, terms, k, k1, b)
 
   /** Reciprocal-rank fusion of two rankings: frames with (id, a score col),
     * fused by 1/(rrfK + rank) each side, descending-score rank with id
@@ -186,59 +166,29 @@ object Graft {
   // ---- curation transforms (g14/g15/d13 as library calls) ----
 
   /** PII-style redaction chain (g15): email → [EMAIL], URL → [URL],
-    * IPv4 → [IP], applied in that order. A narrow map — compose freely.
+    * IPv4 → [IP] (optionally long tokens → [LONG]), applied in that
+    * order. Thin delegation to [[graft.operators.Curation.redactPii]] —
+    * the same patterns the oracle-checked g15 query splices into its SQL.
+    * A narrow map — compose freely, safe on raw (non-normalized) text.
     */
-  def redactPii(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c,
-          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+", "[EMAIL]"),
-        "https?://[^ ]+", "[URL]"),
-      "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "[IP]")
+  def redactPii(c: Column, maskLongTokens: Boolean = false): Column =
+    operators.Curation.redactPii(c, maskLongTokens)
 
   /** DSIR-style importance weight (g14): per-doc mean log-likelihood ratio
-    * of the target-slice unigram LM over the full-corpus LM (add-1
-    * smoothed, shared vocabulary). `isTarget` marks the target-domain rows.
-    * One aggregation pass builds both LMs; the vocabulary-sized LM table
-    * broadcasts to the scoring join.
+    * of the target-slice unigram LM over the full-corpus LM. Thin
+    * delegation to [[graft.operators.Curation.dsirScores]] — the same
+    * scoring core the oracle-checked g14 query runs.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column): DataFrame = {
-    val tk = docs.select(col(idCol).as("id"), isTarget.as("__tgt"),
-      explode(split(lower(normalize(col(textCol))), " ")).as("tok"))
-    val lm = tk.groupBy("tok").agg(
-      count(lit(1)).as("cs"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
-    val consts = broadcast(lm.agg(
-      sum("cs").as("ns"), sum("ct").as("nt"), count(lit(1)).as("v")))
-    tk.join(broadcast(lm), "tok").crossJoin(consts)
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        avg(log((col("ct") + 1).cast("double") / (col("nt") + col("v")))
-          - log((col("cs") + 1).cast("double") / (col("ns") + col("v"))))
-          .as("dsir_weight"))
-  }
+                  isTarget: Column): DataFrame =
+    operators.Curation.dsirScores(docs, idCol, textCol, isTarget)
 
   /** Strided token windows (d13): overlapping fixed-size training windows
-    * (win_id, window text, n_win_tokens) per document — a pure narrow map.
+    * (win_id, n_win_tokens, window_text) per document. Thin delegation to
+    * [[graft.operators.Curation.tokenWindows]] — the same builder the
+    * oracle-checked d13 query hashes.
     */
   def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
-                   size: Int, stride: Int): DataFrame = {
-    require(size > 0 && stride > 0, "size and stride must be positive")
-    docs
-      .select(col(idCol).as("id"),
-        split(lower(normalize(col(textCol))), " ").as("toks"))
-      .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
-      .select(col("id"),
-        org.apache.spark.sql.functions.size(col("toks")).as("n"),
-        explode(sequence(lit(0),
-          floor((org.apache.spark.sql.functions.size(col("toks")) - 1) / stride)
-            .cast("int"))).as("win_id"),
-        col("toks"))
-      .select(col("id"), col("win_id"),
-        least(lit(size), col("n") - col("win_id") * stride).cast("int")
-          .as("n_win_tokens"),
-        concat_ws(" ", slice(col("toks"), col("win_id") * stride + 1, lit(size)))
-          .as("window_text"))
-  }
+                   size: Int, stride: Int): DataFrame =
+    operators.Curation.tokenWindows(docs, idCol, textCol, size, stride)
 }

@@ -356,9 +356,19 @@ object NearDup {
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val h = simhash(text)
-        val mask = (1L << SimhashBandBits) - 1
-        (0 until SimhashBands).map(band => (id, h, band, (h >>> (band * SimhashBandBits)) & mask))
+        // token-less (empty/whitespace) docs: simhash 0 would band-collide
+        // every such doc with every other on zero evidence (an O(m²)
+        // clique) — emit nothing, matching the minhashBuckets guard and
+        // the x04 oracle's empty-norm exclusion
+        val toks = TextKernel.tokens(
+          if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+        if (toks.isEmpty) Seq.empty
+        else {
+          val h = simhash(text)
+          val mask = (1L << SimhashBandBits) - 1
+          (0 until SimhashBands).map(band =>
+            (id, h, band, (h >>> (band * SimhashBandBits)) & mask))
+        }
       }
       .toDF("id", "simhash", "band", "bucket")
   }

@@ -201,7 +201,15 @@ object DedupQueries extends QuerySet {
         import spark.implicits._
         val docs = t(s, d, "documents")
         val pairs = NearDup.minhashNearDupPairs(s, docs, threshold = 0.5)
-        val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .localCheckpoint()
+        // only docs in the verified pair set need a second signature pass —
+        // semi-join BEFORE the (opaque-to-Catalyst) signature map, so the
+        // 64-permutation hashing runs over the handful of near-dup docs,
+        // not the whole corpus again
+        val pairIds = pairs.select(col("id_a").as("doc_id"))
+          .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        val sigs = docs.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, tx) => (id, NearDup.minhashSignature(tx)) }
           .toDF("sid", "sig")
         pairs

@@ -45,33 +45,18 @@ object KeywordQueries extends QuerySet {
   private val Terms = Seq("dup", "vector", "stream")
   private val termsSqlList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
-  private val K1 = 1.2
-  private val B = 0.75
+  private val K1 = graft.operators.Retrieval.DefaultK1
+  private val B = graft.operators.Retrieval.DefaultB
 
-  /** Per-(doc, term) Okapi BM25 contribution `c` (k1=1.2, b=0.75; Lucene's
-    * smoothed idf ln(1 + (N-df+0.5)/(df+0.5)) so idf stays positive at any
-    * df). Returns (doc_id, c).
+  /** Per-(doc, term) Okapi BM25 contribution `c` — delegates to the SHARED
+    * formula in [[graft.operators.Retrieval.bm25Contrib]] (also behind
+    * `Graft.bm25TopK`), so the declared query and the facade cannot drift.
+    * Returns (doc_id, c).
     */
-  private def bm25Contrib(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), lower(normCol).as("norm"))
-      .withColumn("dl", size(split(col("norm"), " ")))
-    // corpus stats: single row, broadcast (exact: long sum / count)
-    val stats = broadcast(docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl")))
-    // postings restricted to the query terms BEFORE the tf shuffle
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
-      .filter(col("tok").isin(Terms: _*))
-      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok").crossJoin(stats)
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .select(col("doc_id"), (col("idf") * (col("tf") * (K1 + 1)) /
-        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
-  }
+  private def bm25Contrib(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval
+      .bm25Contrib(t(s, d, "documents"), "doc_id", "text", Terms, K1, B)
+      .withColumnRenamed("id", "doc_id")
 
   /** DuckDB equivalent of [[bm25Contrib]]: CTE chain ending in
     * `contrib(doc_id, c)`.

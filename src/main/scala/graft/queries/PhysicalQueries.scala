@@ -100,8 +100,8 @@ object PhysicalQueries extends QuerySet {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
           "_" + PhysicalLayout.sourceTag(d, "documents")
         val path = s"/tmp/graft_p03/docs_by_lang_$tag"
-        if (!new java.io.File(path, "_SUCCESS").exists())
-          t(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
+        PhysicalLayout.ensureDir(path)(p =>
+          t(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(p))
         s.read.parquet(path)
           .filter(col("lang") === "en")
           .groupBy("source")
@@ -156,16 +156,16 @@ object PhysicalQueries extends QuerySet {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
           "_" + PhysicalLayout.sourceTag(d, "lineitem")
         val path = s"/tmp/graft_p05/lineitem_by_flag_$tag"
-        if (!new java.io.File(path, "_SUCCESS").exists())
+        PhysicalLayout.ensureDir(path)(p =>
           t(s, d, "lineitem").write.partitionBy("l_returnflag")
-            .mode("overwrite").parquet(path)
+            .mode("overwrite").parquet(p))
         // the dim must be FILE-backed: a local in-memory relation gets its
         // filter constant-folded away, and the DPP rule then sees no
         // selective predicate to derive a partition filter from
         val dimPath = s"/tmp/graft_p05/flag_dim_$tag"
-        if (!new java.io.File(dimPath, "_SUCCESS").exists())
+        PhysicalLayout.ensureDir(dimPath)(p =>
           Seq(("A", "accepted"), ("N", "none"), ("R", "returned"))
-            .toDF("flag", "flag_label").write.mode("overwrite").parquet(dimPath)
+            .toDF("flag", "flag_label").write.mode("overwrite").parquet(p))
         val dim = s.read.parquet(dimPath).filter(col("flag_label") === "returned")
         s.read.parquet(path)
           .join(dim, col("l_returnflag") === col("flag"))

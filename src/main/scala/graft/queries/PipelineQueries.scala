@@ -164,25 +164,18 @@ object PipelineQueries extends QuerySet {
     // produced without any exchange. Window text is emitted as md5 so the
     // oracle pins the exact content, not just counts.
     Q("d13_token_windows",
-      (s, d) => {
-        val W = 64
-        val S = 32
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), split(lower(normCol), " ").as("toks"))
-          .filter(size(col("toks")) > 0)
-        toks.select(col("doc_id"), size(col("toks")).as("n"),
-            explode(sequence(lit(0),
-              floor((size(col("toks")) - 1) / S).cast("int"))).as("win_id"),
-            col("toks"))
-          .select(col("doc_id"), col("win_id"),
-            least(lit(W), col("n") - col("win_id") * S).cast("int").as("n_win_tokens"),
-            md5(concat_ws(" ",
-              slice(col("toks"), col("win_id") * S + 1, lit(W)))).as("win_hash"))
-          .orderBy("doc_id", "win_id")
-      },
+      (s, d) => graft.operators.Curation
+        // SHARED window builder (also behind Graft.tokenWindows) — empty/
+        // whitespace docs are excluded BEFORE the split (split("", " ") is
+        // [""], so a post-split size guard would pass a phantom window)
+        .tokenWindows(t(s, d, "documents"), "doc_id", "text", size = 64, stride = 32)
+        .select(col("id").as("doc_id"), col("win_id"), col("n_win_tokens"),
+          md5(col("window_text")).as("win_hash"))
+        .orderBy("doc_id", "win_id"),
       Some(s"""WITH docs AS (
-        |  SELECT doc_id, string_split(lower($normSql), ' ') AS toks
-        |  FROM documents WHERE len(string_split(lower($normSql), ' ')) > 0),
+        |  SELECT doc_id, string_split(lower(norm), ' ') AS toks
+        |  FROM (SELECT doc_id, $normSql AS norm FROM documents)
+        |  WHERE norm <> ''),
         |w AS (
         |  SELECT doc_id, len(toks) AS n, toks,
         |    unnest(range(0, CAST(floor((len(toks) - 1) / 32) AS BIGINT) + 1)) AS j

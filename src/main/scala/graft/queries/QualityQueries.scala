@@ -227,24 +227,21 @@ object QualityQueries extends QuerySet {
     // on the pre-redaction text, like g07.
     Q("g15_pii_redact",
       (s, d) => {
-        val masked =
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("norm"),
-                  "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "[EMAIL]"),
-                "https?://[^ ]+", "[URL]"),
-              "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "[IP]"),
-            "[a-z]{8,}", "[LONG]")
+        // SHARED masking chain + patterns (operators.Curation, also behind
+        // Graft.redactPii); the oracle below splices the SAME constants
+        val masked = graft.operators.Curation.redactPii(
+          col("norm"), maskLongTokens = true)
         t(s, d, "documents")
           .select(col("doc_id"), normCol.as("norm"))
           .select(col("doc_id"),
             (size(regexp_extract_all(col("norm"),
-              lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0)))
-              + size(regexp_extract_all(col("norm"), lit("https?://[^ ]+"), lit(0)))
+              lit(graft.operators.Curation.EmailPattern), lit(0)))
               + size(regexp_extract_all(col("norm"),
-                  lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), lit(0)))
-              + size(regexp_extract_all(col("norm"), lit("[a-z]{8,}"), lit(0))))
+                  lit(graft.operators.Curation.UrlPattern), lit(0)))
+              + size(regexp_extract_all(col("norm"),
+                  lit(graft.operators.Curation.IpPattern), lit(0)))
+              + size(regexp_extract_all(col("norm"),
+                  lit(graft.operators.Curation.LongTokenPattern), lit(0))))
               .as("n_masked"),
             md5(masked).as("redacted_hash"),
             length(masked).as("n_chars_redacted"))
@@ -256,16 +253,16 @@ object QualityQueries extends QuerySet {
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(norm,
-        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
-        |        'https?://[^ ]+', '[URL]', 'g'),
-        |      '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g'),
-        |    '[a-z]{8,}', '[LONG]', 'g') AS masked
+        |          '${graft.operators.Curation.EmailPattern}', '[EMAIL]', 'g'),
+        |        '${graft.operators.Curation.UrlPattern}', '[URL]', 'g'),
+        |      '${graft.operators.Curation.IpPattern}', '[IP]', 'g'),
+        |    '${graft.operators.Curation.LongTokenPattern}', '[LONG]', 'g') AS masked
         |  FROM n)
         |SELECT doc_id,
-        | CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))
-        |   + len(regexp_extract_all(norm, 'https?://[^ ]+'))
-        |   + len(regexp_extract_all(norm, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))
-        |   + len(regexp_extract_all(norm, '[a-z]{8,}')) AS INT) AS n_masked,
+        | CAST(len(regexp_extract_all(norm, '${graft.operators.Curation.EmailPattern}'))
+        |   + len(regexp_extract_all(norm, '${graft.operators.Curation.UrlPattern}'))
+        |   + len(regexp_extract_all(norm, '${graft.operators.Curation.IpPattern}'))
+        |   + len(regexp_extract_all(norm, '${graft.operators.Curation.LongTokenPattern}')) AS INT) AS n_masked,
         | md5(masked) AS redacted_hash,
         | CAST(length(masked) AS INT) AS n_chars_redacted
         |FROM r ORDER BY doc_id""".stripMargin)),
@@ -472,29 +469,27 @@ object QualityQueries extends QuerySet {
     // budget as g09.
     Q("g14_dsir_weight",
       (s, d) => {
-        val tk = toks(s, d).select("doc_id", "lang", "tok")
-        // both LMs from ONE aggregation pass over the token stream: the
-        // target count is a conditional sum, so no second scan and no
-        // src-tgt join
-        val lm = tk.groupBy("tok").agg(
-          count(lit(1)).as("cs"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-        val consts = broadcast(lm.agg(
-          sum("cs").as("ns"), sum("ct").as("nt"), count(lit(1)).as("v")))
-        tk.join(broadcast(lm), "tok").crossJoin(consts)
-          .groupBy("doc_id")
-          .agg(max("lang").as("lang"),
-            count(lit(1)).as("n_tokens"),
+        // SHARED scoring core (also behind Graft.dsirWeights) — one LM
+        // aggregation pass, broadcast vocabulary join; see
+        // operators.Curation.dsirScores
+        val scores = graft.operators.Curation.dsirScores(
+          t(s, d, "documents"), "doc_id", "text", col("lang") === "en")
+        scores
+          .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")), "id")
+          .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
             // + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 = +0.0):
             // a tiny negative mean rounds to -0.0 on one engine and 0.0 on
             // the other; both sides add the same term
-            (round(avg(
-              log((col("ct") + 1).cast("double") / (col("nt") + col("v")))
-                - log((col("cs") + 1).cast("double") / (col("ns") + col("v")))), 4) + 0.0)
-              .as("dsir_weight"))
+            (round(col("dsir_weight"), 4) + 0.0).as("dsir_weight"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH tk AS (SELECT doc_id, lang, tok FROM $toksSql),
+      // tk mirrors dsirScores' tokenization exactly, including the
+      // empty-normalized-document exclusion (such a doc has no tokens and
+      // no output row)
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok
+        |  FROM (SELECT doc_id, lang, $normSql AS norm FROM documents)
+        |  WHERE norm <> ''),
         |lm AS (SELECT tok, count(*) AS cs,
         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
         |       FROM tk GROUP BY tok),

@@ -53,9 +53,33 @@ object PhysicalLayout {
     * an NTZ sort column, any literal type) — day-granular timestamps
     * should be cast to DATE before the sorted write.
     */
-  def ensureSortedCopy(path: String, sortCol: String)(build: => DataFrame): Unit = {
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists())
-      writeSorted(build, sortCol, path)
+  def ensureSortedCopy(path: String, sortCol: String)(build: => DataFrame): Unit =
+    ensureDir(path)(p => writeSorted(build, sortCol, p))
+
+  /** Idempotent, concurrency-safe materialization of a directory-shaped
+    * artifact: the writer produces into a unique temp sibling, then one
+    * atomic rename publishes it. A bare exists-then-overwrite guard races
+    * between concurrent Verify/Bench JVMs (both see a cold cache, both
+    * overwrite the SAME directory, one reads a half-deleted mix); with the
+    * rename protocol the loser just deletes its temp and reads the
+    * winner's complete copy.
+    */
+  def ensureDir(path: String)(write: String => Unit): Unit = {
+    val target = new java.io.File(path)
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    val tmp = new java.io.File(
+      path + ".tmp-" + ProcessHandle.current().pid() + "-" + System.nanoTime())
+    write(tmp.getPath)
+    Option(target.getParentFile).foreach(_.mkdirs())
+    if (!tmp.renameTo(target)) {
+      // another process published first (rename onto an existing non-empty
+      // directory fails): discard ours, use theirs — but never proceed
+      // without SOME complete copy
+      import scala.reflect.io.Directory
+      new Directory(tmp).deleteRecursively()
+      if (!new java.io.File(target, "_SUCCESS").exists())
+        throw new IllegalStateException(
+          s"could not publish $path and no complete copy exists")
+    }
   }
 }
