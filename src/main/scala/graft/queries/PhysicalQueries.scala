@@ -177,6 +177,32 @@ object PhysicalQueries extends QuerySet {
       Some("""SELECT 'returned' AS flag_label, CAST(count(*) AS BIGINT) AS n_items,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem WHERE l_returnflag = 'R'
-        |GROUP BY 1 ORDER BY flag_label""".stripMargin))
+        |GROUP BY 1 ORDER BY flag_label""".stripMargin)),
+
+    // File provenance via the hidden _metadata column: every row carries
+    // its physical origin (file_path, file_name, size, mod time) with NO
+    // schema change to the data — the lineage hook a 100 TB pipeline needs
+    // for bad-file quarantine and per-ingest audits. Here the partition
+    // value is parsed back out of each row's file_path over p03's
+    // partitioned layout; per-file counts would be write-parallelism-
+    // dependent, so the (deterministic) aggregate is per partition value.
+    Q("p06_metadata_provenance",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + PhysicalLayout.sourceTag(d, "documents")
+        val path = s"/tmp/graft_p03/docs_by_lang_$tag"
+        PhysicalLayout.ensureDir(path)(p =>
+          t(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(p))
+        s.read.parquet(path)
+          .select(col("n_chars"),
+            regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1)
+              .as("lang_part"))
+          .groupBy("lang_part")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang_part")
+      },
+      Some("""SELECT lang AS lang_part, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang_part""".stripMargin))
   )
 }
