@@ -1330,6 +1330,22 @@ object RelationalQueries extends QuerySet {
         | round(sum(CASE WHEN l_linenumber <> 1
         |   THEN l_extendedprice / (l_linenumber - 1) END), 2) AS sum_safe_div,
         | CAST(count(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_cast_ok
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // GROUP BY ALL / ORDER BY ALL (modern SQL shorthand both engines
+    // support natively — Spark 4 and DuckDB agree on the semantics: group
+    // on every non-aggregate select item, order by all output columns
+    // left-to-right). Exercised through spark.sql to prove the SQL-surface
+    // parity, not a DataFrame translation.
+    Q("r73_group_by_all",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("r73_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+          | count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM r73_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin))
   )
 }
