@@ -142,26 +142,17 @@ object Graft {
 
   /** Reciprocal-rank fusion of two rankings: frames with (id, a score col),
     * fused by 1/(rrfK + rank) each side, descending-score rank with id
-    * tie-break. The standard hybrid keyword+vector combination (k02).
+    * tie-break. The standard hybrid keyword+vector combination (k02). Thin
+    * delegation to [[graft.operators.Retrieval.rrfFuse]] — each modality is
+    * bounded to its top-`candidateLimit` list (TakeOrderedAndProject) before
+    * any rank window runs, and an id missing from one list contributes
+    * exactly 0.0 from that side (null rank column).
     */
   def rrfFuse(a: DataFrame, scoreColA: String,
               b: DataFrame, scoreColB: String,
-              k: Int, rrfK: Int = 60): DataFrame = {
-    val ra = a.withColumn("rank_a",
-      row_number().over(Window.orderBy(desc(scoreColA), col("id"))))
-      .select("id", "rank_a")
-    val rb = b.withColumn("rank_b",
-      row_number().over(Window.orderBy(desc(scoreColB), col("id"))))
-      .select("id", "rank_b")
-    ra.join(rb, Seq("id"), "full")
-      // missing-rank sentinel: large enough to zero the fused contribution,
-      // small enough that sentinel + rrfK cannot overflow under ANSI mode
-      .na.fill(1000000000, Seq("rank_a", "rank_b"))
-      .withColumn("rrf",
-        lit(1.0) / (lit(rrfK) + col("rank_a")) + lit(1.0) / (lit(rrfK) + col("rank_b")))
-      .orderBy(desc("rrf"), col("id"))
-      .limit(k)
-  }
+              k: Int, rrfK: Int = 60,
+              candidateLimit: Int = operators.Retrieval.RrfCandidateLimit): DataFrame =
+    operators.Retrieval.rrfFuse(a, scoreColA, b, scoreColB, k, rrfK, candidateLimit)
 
   // ---- curation transforms (g14/g15/d13 as library calls) ----
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked-retrieval building blocks shared by the declared queries
@@ -17,6 +18,51 @@ object Retrieval {
 
   val DefaultK1 = 1.2
   val DefaultB = 0.75
+
+  /** Per-modality candidate-list bound for rank fusion. RRF fuses top-N
+    * retrieval LISTS, not corpus-wide rankings: each modality is cut to at
+    * most this many candidates by a TakeOrderedAndProject (per-partition
+    * top-N + driver merge) BEFORE any rank window runs, so the global
+    * row_number sorts a constant-size frame — never the corpus. 100k is
+    * ≥ 50× every test corpus (2k embeddings at sf0.1), so ranks over the
+    * bounded list equal the unbounded ranks at every oracle SF, and is far
+    * above any k a fusion consumer requests.
+    */
+  val RrfCandidateLimit = 100000
+
+  /** (id, rank) for the top-`n` of a score frame: descending score, id
+    * tie-break. The orderBy+limit runs FIRST (TakeOrderedAndProject), so the
+    * unpartitioned rank window only ever sees ≤ n rows — the k02 scale fix.
+    */
+  def topNRanks(scored: DataFrame, scoreCol: String, idCol: String,
+                n: Int, rankName: String): DataFrame = {
+    val bounded = scored
+      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s"))
+      .orderBy(desc("__s"), col("id")).limit(n)
+    bounded
+      .withColumn(rankName, row_number().over(Window.orderBy(desc("__s"), col("id"))))
+      .select(col("id"), col(rankName))
+  }
+
+  /** Reciprocal-rank fusion of two score frames (each with an `id` column):
+    * every modality is bounded to its top-`candidateLimit` list, ranked
+    * within the list, and fused by 1/(rrfK + rank) per side; an id missing
+    * from one list contributes EXACTLY 0.0 from that side (its rank column
+    * stays null). Output: (id, rank_a, rank_b, rrf), top-k by fused score.
+    */
+  def rrfFuse(a: DataFrame, scoreColA: String,
+              b: DataFrame, scoreColB: String,
+              k: Int, rrfK: Int = 60,
+              candidateLimit: Int = RrfCandidateLimit): DataFrame = {
+    val ra = topNRanks(a, scoreColA, "id", candidateLimit, "rank_a")
+    val rb = topNRanks(b, scoreColB, "id", candidateLimit, "rank_b")
+    ra.join(rb, Seq("id"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)))
+      .orderBy(desc("rrf"), col("id"))
+      .limit(k)
+  }
 
   /** Per-(doc, term) Okapi BM25 contribution `c` with Lucene's smoothed idf
     * ln(1 + (N-df+0.5)/(df+0.5)) (positive at any df). Tokenization:

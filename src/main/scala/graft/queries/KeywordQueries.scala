@@ -101,26 +101,46 @@ object KeywordQueries extends QuerySet {
     // query vector, as in v01). Ranks are computed over the SAME
     // 6-dp-rounded scores on both engines, so the integer rank arithmetic —
     // and therefore the fused score — is exact.
+    //
+    // Scale shape: RRF fuses top-N candidate LISTS, one per modality. Each
+    // list is bounded by orderBy+limit(RrfCandidateLimit) — a
+    // TakeOrderedAndProject — BEFORE its rank window, so the unpartitioned
+    // row_number only ever sorts a constant-size frame, never the corpus
+    // (the round-3 scale-killer). The oracle ranks the full candidate set;
+    // the two agree because RrfCandidateLimit (100k) ≥ 50× every test
+    // corpus, so the bounded lists ARE the full set at oracle SFs
+    // (PlanSpec asserts every k02 window sits above a limit).
     Q("k02_hybrid_rrf",
       (s, d) => {
+        val n = graft.operators.Retrieval.RrfCandidateLimit
         val bm25 = bm25Contrib(s, d)
           .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
         val emb = t(s, d, "embeddings")
         val qv = broadcast(emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv")))
-        val cands = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
-          .select(col("vec_id").as("doc_id"),
-            round(cosineSim(col("embedding"), col("qv")), 6).as("sim"))
+        // text list: every candidate doc with its (possibly zero) BM25
+        // score, bounded before ranking
+        val textTop = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"))
           .join(bm25, Seq("doc_id"), "left")
           .withColumn("bm25", coalesce(col("bm25"), lit(0.0)))
-        val rt = Window.orderBy(desc("bm25"), col("doc_id"))
-        val rv = Window.orderBy(desc("sim"), col("doc_id"))
-        cands
-          .withColumn("rank_text", row_number().over(rt))
-          .withColumn("rank_vec", row_number().over(rv))
+          .orderBy(desc("bm25"), col("doc_id")).limit(n)
+          .withColumn("rank_text",
+            row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+          .select("doc_id", "rank_text")
+        // vector list: cosine against the broadcast query vector, bounded
+        // before ranking (the k01/v01 TakeOrdered pattern)
+        val vecTop = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id").as("doc_id"),
+            round(cosineSim(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(desc("sim"), col("doc_id")).limit(n)
+          .withColumn("rank_vec",
+            row_number().over(Window.orderBy(desc("sim"), col("doc_id"))))
+          .select("doc_id", "rank_vec")
+        textTop.join(vecTop, Seq("doc_id"), "full")
           .withColumn("rrf",
-            round(lit(1.0) / (lit(60) + col("rank_text")) +
-              lit(1.0) / (lit(60) + col("rank_vec")), 6))
+            round(coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
           .select("doc_id", "rank_text", "rank_vec", "rrf")
           .orderBy(desc("rrf"), col("doc_id"))
           .limit(10)

@@ -146,6 +146,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("= table") && p.contains("= hash"), p)
   }
 
+  test("k02: every rank window sits above a limit — no corpus-global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = graft.queries.Registry.asMap("k02_hybrid_rrf")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    // the rank windows are global by construction (RRF list rank); each one
+    // must be fed by a GlobalLimit (TakeOrderedAndProject) so it sorts at
+    // most RrfCandidateLimit rows, never the corpus
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
+        s"window with no limit beneath it:\n$w")
+    }
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("g14: the LM scoring join is broadcast (vocabulary << corpus)") {
     val p = plan("g14_dsir_weight")
     // one LM-vs-token-stream join after the single-pass LM build; it must
