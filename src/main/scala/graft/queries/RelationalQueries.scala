@@ -1346,6 +1346,54 @@ object RelationalQueries extends QuerySet {
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
         | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin))
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // Scale-safe global quantile tiles — the 100 TB companion to r19's
+    // exact global ntile (which is inherently a single-partition window).
+    // Plan shape: one broadcast single-row aggregate (approx_percentile
+    // boundary array + exact count/min/max), one narrow map assigning each
+    // row to its tile by counting boundaries below it, one hash
+    // aggregation. No window, no global sort of the corpus — every stage
+    // is embarrassingly parallel (PlanSpec asserts Window-free).
+    //
+    // Graded by the r71/t14 tolerance-flag pattern: the oracle states the
+    // contract (exact n_total/g_min/g_max; all flags 1) and the engine must
+    // meet it — per-tile counts within max(2 % of corpus, 8 rows) of the
+    // ideal n/8 (approx_percentile accuracy 10000 → rank error ≤ n/10000,
+    // far inside the band), per-tile spans ordered, and the outer tiles
+    // pinned to the exact global min/max.
+    Q("r74_quantile_tiles_scalable",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_totalprice").as("p"))
+        val qs = (1 to 7).map(i => i / 8.0)
+        val bounds = broadcast(o.agg(
+          expr(s"approx_percentile(p, array(${qs.mkString(", ")}), 10000)").as("bounds"),
+          count(lit(1)).as("n_total"),
+          min("p").as("g_min"),
+          max("p").as("g_max")))
+        o.crossJoin(bounds)
+          .withColumn("tile",
+            (expr("aggregate(bounds, 0, (acc, b) -> acc + CASE WHEN p > b THEN 1 ELSE 0 END)")
+              + 1).cast("int"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"),
+            min("p").as("min_p"), max("p").as("max_p"),
+            first("n_total").as("n_total"),
+            first("g_min").as("g_min"), first("g_max").as("g_max"))
+          .select(col("tile"), col("n_total"), col("g_min"), col("g_max"),
+            (abs(col("n") - col("n_total") / 8.0) <=
+              greatest(col("n_total") / 50.0, lit(8.0))).cast("int").as("n_in_band"),
+            (col("min_p") <= col("max_p")).cast("int").as("span_ok"),
+            (when(col("tile") === 1, col("min_p") === col("g_min")).otherwise(lit(true)) &&
+              when(col("tile") === 8, col("max_p") === col("g_max")).otherwise(lit(true)))
+              .cast("int").as("edges_ok"))
+          .orderBy("tile")
+      },
+      Some("""SELECT CAST(i AS INT) AS tile,
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+        | (SELECT min(o_totalprice) FROM orders) AS g_min,
+        | (SELECT max(o_totalprice) FROM orders) AS g_max,
+        | 1 AS n_in_band, 1 AS span_ok, 1 AS edges_ok
+        |FROM range(1, 9) t(i) ORDER BY tile""".stripMargin))
   )
 }

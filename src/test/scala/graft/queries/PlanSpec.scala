@@ -163,6 +163,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("r74: scalable quantile tiles are window-free (broadcast bounds + narrow map + agg)") {
+    val p = plan("r74_quantile_tiles_scalable")
+    assert(!p.contains("Window"), p)
+    // the only join is the single-row boundary broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("g14: the LM scoring join is broadcast (vocabulary << corpus)") {
     val p = plan("g14_dsir_weight")
     // one LM-vs-token-stream join after the single-pass LM build; it must
