@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.schemas.Schemas
 import graft.text.TextKernel
-import scala.util.hashing.MurmurHash3
 
 /** text → fixed-dimension float vector (SURVEY.md §2.A A11).
   *
@@ -31,26 +30,48 @@ trait Embedder extends Serializable {
   protected def embedUnsafe(text: String): Array[Float]
 }
 
-/** Deterministic feature-hashing embedder: murmur3 token hash → signed bucket
-  * increment → L2 normalize. Pure function of the text; identical across JVMs
-  * and executors (required for oracle determinism).
+/** Deterministic feature-hashing embedder: md5-derived token hash → signed
+  * bucket increment → L2 normalize. Pure function of the text; identical
+  * across JVMs and executors.
+  *
+  * The token hash is the engine-portable [[TextKernel.md5Hash32]] (first 32
+  * md5 bits, unsigned) — the same base-hash discipline as the MinHash /
+  * SimHash signature families: any engine with md5 (DuckDB, Postgres, Spark
+  * SQL) recomputes bucket index and sign exactly, which is what makes the
+  * embedding stage oracle-checkable end-to-end (d14) instead of rows-only.
+  * Low bit → sign, remaining 31 bits → bucket:
+  *   sign = +1 if h % 2 == 0 else -1;  idx = (h / 2) % dims.
   */
 final class HashingEmbedder(val dims: Int = Schemas.VectorDimensions) extends Embedder {
-  protected def embedUnsafe(text: String): Array[Float] = {
-    val v = new Array[Float](dims)
+
+  /** Pre-normalization signed bucket counts — the integer-exact state the
+    * d14 oracle recomputes in DuckDB. `embedUnsafe` = this + L2 normalize.
+    */
+  def rawBucketCounts(text: String): Array[Int] = {
+    val v = new Array[Int](dims)
     if (text == null) return v
     val toks = TextKernel.tokens(text.toLowerCase(java.util.Locale.ROOT))
     var i = 0
     while (i < toks.length) {
-      val h = MurmurHash3.stringHash(toks(i), 0x9747b28c)
-      val idx = java.lang.Math.floorMod(h, dims)
-      val sign = if (((h >>> 31) & 1) == 0) 1.0f else -1.0f
-      v(idx) += sign
+      val h = TextKernel.md5Hash32(toks(i)) // unsigned 32-bit in a Long
+      val idx = ((h >>> 1) % dims).toInt
+      v(idx) += (if ((h & 1L) == 0L) 1 else -1)
       i += 1
     }
+    v
+  }
+
+  protected def embedUnsafe(text: String): Array[Float] = {
+    val counts = rawBucketCounts(text)
+    val v = new Array[Float](dims)
     var ss = 0.0
-    i = 0
-    while (i < dims) { ss += v(i).toDouble * v(i); i += 1 }
+    var i = 0
+    while (i < dims) {
+      val c = counts(i).toDouble
+      v(i) = counts(i).toFloat
+      ss += c * c
+      i += 1
+    }
     if (ss == 0.0) v
     else {
       val inv = 1.0 / math.sqrt(ss)

@@ -18,7 +18,11 @@ object Metrics {
     val obs = Observation("ingest_stats")
     val observed = df.observe(obs,
       count(lit(1)).as("n_chunks"),
-      approx_count_distinct(col("filename")).as("n_files"),
+      // exact COUNT(DISTINCT) is disallowed inside observe metrics; rsd
+      // 0.005 keeps HLL++ in its sparse (exact) regime well past any real
+      // per-pipeline file count (the default 0.05 already misestimates at
+      // 20 distinct: 19)
+      approx_count_distinct(col("filename"), 0.005).as("n_files"),
       sum(when(graft.functions.VectorFunctions.normSq(col("content_vector")) === 0.0, 1L)
         .otherwise(0L)).as("n_zero_vectors"),
       sum(length(col("content"))).as("total_chars"))

@@ -1,6 +1,8 @@
 package graft.queries
 
-import graft.operators.{HashingEmbedder, Ingest}
+import graft.operators.{HashingEmbedder, Ingest, Metrics}
+import graft.schemas.Schemas
+import graft.text.TextKernel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,6 +185,106 @@ object PipelineQueries extends QuerySet {
         |SELECT doc_id, CAST(j AS INT) AS win_id,
         | CAST(least(64, n - j * 32) AS INT) AS n_win_tokens,
         | md5(array_to_string(toks[j*32+1 : j*32+64], ' ')) AS win_hash
-        |FROM w ORDER BY doc_id, win_id""".stripMargin))
+        |FROM w ORDER BY doc_id, win_id""".stripMargin)),
+
+    // A11 embedding stage, HASH-CHECKED (closes the d10 rows-only hole at
+    // its root): the feature-hashing embedder's PRE-normalization bucket
+    // counts are integer-exact and built from the engine-portable md5 token
+    // hash (TextKernel.md5Hash32 — the x04/x05 signature-oracle pattern), so
+    // DuckDB recomputes every signed count independently. Per doc: the md5
+    // digest of the sorted "bucket:count" pairs (pins the ENTIRE sparse
+    // vector), nonzero-bucket count, total |count| mass, and a norm flag
+    // checking the post-normalization L2 is 1 (or 0 for token-free docs) —
+    // a broken tokenizer, hash, bucket map, sign rule, or normalizer each
+    // breaks a different column. Narrow mapPartitions, no shuffle before
+    // the final sort: the 100 TB embedding plan shape.
+    Q("d14_embed_buckets",
+      (s, d) => {
+        import s.implicits._
+        val emb = new HashingEmbedder()
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, tx) =>
+              val counts = emb.rawBucketCounts(tx)
+              val nz = counts.zipWithIndex.filter(_._1 != 0) // ascending idx
+              val digest = TextKernel.md5Hex(
+                nz.map { case (c, i) => s"$i:$c" }.mkString(","))
+              val sumAbs = nz.iterator.map(p => math.abs(p._1).toLong).sum
+              val vec = emb.embed(tx)
+              val l2 = math.sqrt(vec.iterator.map(x => x.toDouble * x).sum)
+              val normOk =
+                if (nz.nonEmpty) math.abs(l2 - 1.0) < 1e-3 else l2 == 0.0
+              (id, nz.length, sumAbs, digest, if (normOk) 1 else 0)
+            }
+          }
+          .toDF("doc_id", "n_nonzero", "sum_abs", "bucket_digest", "norm_ok")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+        |  FROM n WHERE norm <> ''),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk),
+        |b AS (
+        |  SELECT doc_id, CAST((h // 2) % ${Schemas.VectorDimensions} AS INT) AS idx,
+        |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        |nz AS (
+        |  SELECT doc_id, idx, CAST(sum(sgn) AS INT) AS cnt
+        |  FROM b GROUP BY doc_id, idx HAVING sum(sgn) <> 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_nonzero,
+        |    CAST(sum(abs(cnt)) AS BIGINT) AS sum_abs,
+        |    md5(string_agg(CAST(idx AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+        |      ',' ORDER BY idx)) AS bucket_digest
+        |  FROM nz GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_nonzero, 0) AS n_nonzero,
+        | coalesce(a.sum_abs, 0) AS sum_abs,
+        | coalesce(a.bucket_digest, md5('')) AS bucket_digest,
+        | 1 AS norm_ok
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // A19 running stats as a DECLARED, oracle-checked query: the reference
+    // prints driver-side counters after ingest (main.py:371-393); the
+    // engine's equivalent is Dataset.observe (Metrics.observeIngest) —
+    // metrics ride the job on the executors, zero extra passes. Here the
+    // observed frame is the documents corpus shaped as canonical chunk rows
+    // (content = normalized text, vector from the embedder), the action
+    // runs, and the OBSERVATION'S OWN VALUES are returned as the result row
+    // — so the oracle grades exactly what a pipeline operator would read
+    // from the Observation, not a parallel re-aggregation.
+    Q("d15_ingest_metrics",
+      (s, d) => {
+        import s.implicits._
+        val emb = new HashingEmbedder()
+        val withVec = t(s, d, "documents")
+          .select(col("doc_id"), normCol.as("content"), col("source").as("filename"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            it.map { case (id, content, fn) => (id, content, fn, emb.embed(content)) }
+          }
+          .toDF("doc_id", "content", "filename", "content_vector")
+        val (observed, obs) = Metrics.observeIngest(withVec)
+        observed.count() // the action that populates the observation
+        val m = obs.get
+        Seq((m("n_chunks").asInstanceOf[Long], m("n_files").asInstanceOf[Long],
+          m("n_zero_vectors").asInstanceOf[Long], m("total_chars").asInstanceOf[Long]))
+          .toDF("n_chunks", "n_files", "n_zero_vectors", "total_chars")
+      },
+      // n_files: observe cannot use exact COUNT(DISTINCT) (disallowed in
+      // metrics), so the engine reports approx_count_distinct — exact in
+      // HLL++ sparse mode at fixture cardinalities (20 sources), hence
+      // safely hash-comparable against the oracle's exact distinct here.
+      // n_zero_vectors: the hashing embedder emits the zero vector exactly
+      // for token-free content (the reference's error-fallback semantics).
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_files,
+        | CAST(sum(CASE WHEN $normSql = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+        | CAST(sum(length($normSql)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin))
   )
 }
