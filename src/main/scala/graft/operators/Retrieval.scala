@@ -27,6 +27,15 @@ object Retrieval {
     * ≥ 50× every test corpus (2k embeddings at sf0.1), so ranks over the
     * bounded list equal the unbounded ranks at every oracle SF, and is far
     * above any k a fusion consumer requests.
+    *
+    * Cost note: TakeOrderedAndProject merges numPartitions × limit rows at
+    * the driver. At 100k × a few hundred partitions that is tens of MB of
+    * (id, score) pairs — acceptable; if this limit is ever raised to
+    * millions, switch [[topNRanks]] to a two-stage top-N (per-partition
+    * sortWithinPartitions+limit, repartition(1), final limit) so the driver
+    * never materializes the merge. The k02 verify path guards the OTHER
+    * failure mode (corpus growing past the limit → silent oracle
+    * divergence) with an explicit count check.
     */
   val RrfCandidateLimit = 100000
 

@@ -113,6 +113,16 @@ object KeywordQueries extends QuerySet {
     Q("k02_hybrid_rrf",
       (s, d) => {
         val n = graft.operators.Retrieval.RrfCandidateLimit
+        // Oracle-divergence guard: the DuckDB oracle ranks the FULL
+        // candidate set, so the bounded lists must still BE the full set at
+        // this SF. If a future corpus reaches the limit, ranks would shift
+        // and tail docs silently contribute 0 — fail loudly instead. One
+        // cheap count (long-column scan) per verify run.
+        val nCands = t(s, d, "embeddings").filter(col("vec_id") =!= 0).count()
+        require(nCands < n,
+          s"k02 candidate set ($nCands) saturates RrfCandidateLimit=$n: " +
+            "bounded per-modality lists no longer equal full rankings; " +
+            "raise the limit for oracle comparison at this SF")
         val bm25 = bm25Contrib(s, d)
           .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
         val emb = t(s, d, "embeddings")

@@ -1371,21 +1371,29 @@ object RelationalQueries extends QuerySet {
           count(lit(1)).as("n_total"),
           min("p").as("g_min"),
           max("p").as("g_max")))
-        o.crossJoin(bounds)
+        val tiles = o.crossJoin(bounds)
           .withColumn("tile",
             (expr("aggregate(bounds, 0, (acc, b) -> acc + CASE WHEN p > b THEN 1 ELSE 0 END)")
               + 1).cast("int"))
           .groupBy("tile")
           .agg(count(lit(1)).as("n"),
-            min("p").as("min_p"), max("p").as("max_p"),
-            first("n_total").as("n_total"),
-            first("g_min").as("g_min"), first("g_max").as("g_max"))
+            min("p").as("min_p"), max("p").as("max_p"))
+        // 8-row tile spine: a tile emptied by duplicate approx boundaries
+        // (heavy value ties) or by n_total < 8 must surface as a FLAGGED
+        // row, not a missing one — a rows_match failure would point at the
+        // comparator instead of the distribution. Empty tiles report
+        // n_in_band/edges_ok = 0 (contract unmet), span_ok = 1 (vacuous).
+        s.range(1, 9).select(col("id").cast("int").as("tile"))
+          .crossJoin(bounds)
+          .join(broadcast(tiles), Seq("tile"), "left")
           .select(col("tile"), col("n_total"), col("g_min"), col("g_max"),
-            (abs(col("n") - col("n_total") / 8.0) <=
+            (col("n").isNotNull && abs(col("n") - col("n_total") / 8.0) <=
               greatest(col("n_total") / 50.0, lit(8.0))).cast("int").as("n_in_band"),
-            (col("min_p") <= col("max_p")).cast("int").as("span_ok"),
-            (when(col("tile") === 1, col("min_p") === col("g_min")).otherwise(lit(true)) &&
-              when(col("tile") === 8, col("max_p") === col("g_max")).otherwise(lit(true)))
+            coalesce(col("min_p") <= col("max_p"), lit(true)).cast("int").as("span_ok"),
+            (when(col("tile") === 1,
+                coalesce(col("min_p") === col("g_min"), lit(false))).otherwise(lit(true)) &&
+              when(col("tile") === 8,
+                coalesce(col("max_p") === col("g_max"), lit(false))).otherwise(lit(true)))
               .cast("int").as("edges_ok"))
           .orderBy("tile")
       },

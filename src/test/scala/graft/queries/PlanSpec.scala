@@ -147,16 +147,22 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("k02: every rank window sits above a limit — no corpus-global window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan, Window => LWindow}
     val df = graft.queries.Registry.asMap("k02_hybrid_rrf")(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, df.queryExecution.optimizedPlan.toString)
     // the rank windows are global by construction (RRF list rank); each one
-    // must be fed by a GlobalLimit (TakeOrderedAndProject) so it sorts at
-    // most RrfCandidateLimit rows, never the corpus
+    // must be fed by a GlobalLimit (TakeOrderedAndProject) on its DIRECT
+    // input chain — a limit below a join or aggregate in the subtree does
+    // not bound the window's own input, so traversal stops at those nodes
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case _: Join | _: Aggregate => false
+      case u if u.children.size == 1 => boundedInput(u.children.head)
+      case _ => false
+    }
     wins.foreach { w =>
-      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
-        s"window with no limit beneath it:\n$w")
+      assert(boundedInput(w.child), s"window input not bounded by a limit:\n$w")
     }
     df.collect()
     val p = df.queryExecution.executedPlan.toString
