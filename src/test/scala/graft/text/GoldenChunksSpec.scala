@@ -12,24 +12,35 @@ import org.apache.spark.sql.functions._
   * merge rules — fails here even though the driver records d08 as
   * rows-only (the chunker is the one nontrivial pure algorithm, A8).
   *
-  * Regenerate the golden ONLY for an intentional semantics change:
-  * chunkDocuments over sf0.01 → select digest cols → coalesce(1) →
-  * parquet to src/test/resources/golden/chunk_digest_sf001.
+  * Regenerate the goldens ONLY for an intentional semantics change:
+  * `sbt "Test/runMain graft.text.GoldenChunksGen"` (see GoldenChunksGen).
+  *
+  * Two SFs: sf0.01 is the driver's correctness SF; sf0.1 is the bench SF —
+  * the larger corpus exercises length/separator regimes (longer docs, more
+  * merge boundaries) the small one may not, so drift that only manifests at
+  * bench scale is still caught.
   */
 class GoldenChunksSpec extends SparkTestBase {
 
-  test("chunker digest over sf0.01 matches the checked-in golden parquet") {
-    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+  private def digestDrift(sfDir: String, goldenDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
     val actual = Ingest.chunkDocuments(spark, docs).toDF()
       .select(col("id"), col("filename"), col("chunk_id"), col("text_hash"),
         length(col("content")).as("n_chars"))
-    val golden = spark.read.parquet(
-      "src/test/resources/golden/chunk_digest_sf001")
+    val golden = spark.read.parquet(goldenDir)
 
     assert(actual.count() == golden.count(), "chunk count drifted")
     val missing = golden.except(actual).count()
     val extra = actual.except(golden).count()
     assert(missing == 0 && extra == 0,
       s"splitter drift: $missing golden rows missing, $extra unexpected rows")
+  }
+
+  test("chunker digest over sf0.01 matches the checked-in golden parquet") {
+    digestDrift("/root/testdata/sf0.01", "src/test/resources/golden/chunk_digest_sf001")
+  }
+
+  test("chunker digest over sf0.1 matches the checked-in golden parquet") {
+    digestDrift("/root/testdata/sf0.1", "src/test/resources/golden/chunk_digest_sf01")
   }
 }
