@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.text.TextKernel
+import graft.operators.ScaleOps.CheckpointSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,7 +146,7 @@ object NearDup {
     // materialized once: the signature map is the expensive stage and the
     // frame feeds BOTH sides of the candidate self-join — without the
     // checkpoint each side re-hashes every shingle of every document
-    val buckets = minhashBuckets(spark, docs, idCol, textCol).localCheckpoint()
+    val buckets = minhashBuckets(spark, docs, idCol, textCol).graftCheckpoint()
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
@@ -159,7 +160,7 @@ object NearDup {
       .as[(Long, String)]
       .map { case (id, text) => (id, TextKernel.shingles(text, ShingleSize).toArray.sorted) }
       .toDF("tid", "tsh")
-      .localCheckpoint()
+      .graftCheckpoint()
     val withSets = candidates
       .join(shingleSets.withColumnRenamed("tid", "id_a").withColumnRenamed("tsh", "sh_a"), Seq("id_a"))
       .join(shingleSets.withColumnRenamed("tid", "id_b").withColumnRenamed("tsh", "sh_b"), Seq("id_b"))
@@ -207,7 +208,7 @@ object NearDup {
       // pairs is typically an expensive pipeline (LSH + verify); both
       // algorithms read it more than once (node set + edge set) — evaluate
       // it exactly once here
-      val p = pairs.localCheckpoint()
+      val p = pairs.graftCheckpoint()
       algorithm match {
         case "alternating" => duplicateClustersAlternating(spark, p)
         case "propagation" => duplicateClusters(spark, p)
@@ -224,7 +225,7 @@ object NearDup {
     * where cluster = min doc id of the component.
     *
     * Scale notes: one shuffle per iteration, iterations bounded by component
-    * diameter (near-dup components are shallow); `localCheckpoint` truncates
+    * diameter (near-dup components are shallow); the checkpoint truncates
     * the growing lineage each round (on a cluster: checkpoint to durable
     * storage instead).
     */
@@ -233,7 +234,7 @@ object NearDup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+      .withColumn("cluster", col("id")).graftCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -247,7 +248,7 @@ object NearDup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).cast("long").as("chg"))
-        .localCheckpoint()
+        .graftCheckpoint()
       // coalesce: sum over an EMPTY label frame is null (no pairs found)
       val changed = next.agg(coalesce(sum("chg"), lit(0L))).head.getLong(0)
       labels = next.drop("chg")
@@ -314,14 +315,14 @@ object NearDup {
     }
 
     val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint()
+      .union(pairs.select(col("id_b").as("id"))).distinct().graftCheckpoint()
     var edges = canon(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .localCheckpoint()
+      .graftCheckpoint()
     var prev = checksum(edges)
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).graftCheckpoint()
       val cur = checksum(next)
       // exact confirmation: both sides are distinct sets, so count-equal +
       // one empty set-difference ⇒ set-equal. Runs at most once per
@@ -382,7 +383,7 @@ object NearDup {
     require(maxDistance <= SimhashBands - 1,
       s"banding guarantees recall only for distance <= ${SimhashBands - 1}")
     // checkpointed: the simhash map feeds both self-join sides
-    val buckets = simhashBuckets(spark, docs, idCol, textCol).localCheckpoint()
+    val buckets = simhashBuckets(spark, docs, idCol, textCol).graftCheckpoint()
     val a = buckets.as("a")
     val b = buckets.as("b")
     import spark.implicits._

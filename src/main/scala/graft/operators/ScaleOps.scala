@@ -30,4 +30,48 @@ object ScaleOps {
     */
   def coPartition(df: DataFrame, key: String, numPartitions: Int): DataFrame =
     df.repartition(numPartitions, col(key))
+
+  /** `spark.graft.checkpoint.mode`: how [[checkpointed]] materializes a
+    * multiply-read frame. `local` (default) — executor-memory/disk
+    * localCheckpoint, the right call on a single machine and for bounded
+    * demos; `reliable` — durable `checkpoint()` into
+    * `spark.graft.checkpoint.dir` (HDFS/S3 on a cluster), surviving
+    * executor loss; `none` — no materialization (recompute per read;
+    * useful for plan inspection).
+    */
+  val CheckpointModeConf = "spark.graft.checkpoint.mode"
+  val CheckpointDirConf = "spark.graft.checkpoint.dir"
+
+  /** Materialize a frame that downstream stages read more than once
+    * (self-join sides, iterative fixpoints, verify passes) and truncate its
+    * lineage. This is THE cluster-fidelity seam: every engine call site
+    * uses this helper, so moving from local[n] to a 1000-executor cluster
+    * with durable checkpoints is one conf
+    * (`spark.graft.checkpoint.mode=reliable` +
+    * `spark.graft.checkpoint.dir=hdfs://...`), not a rewrite.
+    * `localCheckpoint` blocks are lost with their executor — acceptable
+    * locally, not for a multi-hour 100 TB job.
+    */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(CheckpointModeConf, "local") match {
+      case "local" => df.localCheckpoint()
+      case "none" => df
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.get(CheckpointDirConf,
+            s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"$CheckpointModeConf must be local|reliable|none, got '$other'")
+    }
+  }
+
+  /** Chaining syntax for [[checkpointed]]: `df.graftCheckpoint()`. */
+  implicit class CheckpointSyntax(private val df: DataFrame) extends AnyVal {
+    def graftCheckpoint(): DataFrame = ScaleOps.checkpointed(df)
+  }
 }

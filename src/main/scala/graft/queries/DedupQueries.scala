@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.NearDup
+import graft.operators.ScaleOps.CheckpointSyntax
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +68,7 @@ object DedupQueries extends QuerySet {
        |  FROM tk)""".stripMargin
 
   /** Shingle rows with the boilerplate df cap applied (both engines).
-    * Materialized once (`localCheckpoint`): every consumer reads the frame
+    * Materialized once (ScaleOps.checkpointed): every consumer reads the frame
     * 2-3 times (self-join sides + per-doc sizes + the hot-set agg), and
     * without the checkpoint each read re-runs the whole
     * normalize→split→shingle→explode string pipeline — measured 8.4s → 3.9s
@@ -77,8 +78,8 @@ object DedupQueries extends QuerySet {
   private def cappedShingleRows(s: SparkSession, d: String): DataFrame =
     // capped result checkpointed too — it is what the consumers read
     // repeatedly (self-join sides + sizes)
-    NearDup.dfCapped(shingleRows(s, d).localCheckpoint(), "sh", ShingleDfCap)
-      .localCheckpoint()
+    NearDup.dfCapped(shingleRows(s, d).graftCheckpoint(), "sh", ShingleDfCap)
+      .graftCheckpoint()
 
   private val cappedShingleSql: String =
     s"""$shingleSql,
@@ -201,7 +202,7 @@ object DedupQueries extends QuerySet {
         import spark.implicits._
         val docs = t(s, d, "documents")
         val pairs = NearDup.minhashNearDupPairs(s, docs, threshold = 0.5)
-          .localCheckpoint()
+          .graftCheckpoint()
         // only docs in the verified pair set need a second signature pass —
         // semi-join BEFORE the (opaque-to-Catalyst) signature map, so the
         // 64-permutation hashing runs over the handful of near-dup docs,
@@ -366,7 +367,7 @@ object DedupQueries extends QuerySet {
         val titles = t(s, d, "documents")
           .select(col("doc_id"), substring(lower(normCol), 1, 40).as("title"))
           .filter(length(col("title")) === 40)
-          .localCheckpoint() // read by both join sides AND the verify joins
+          .graftCheckpoint() // read by both join sides AND the verify joins
         val segIdx = (0 until 5).toDF("i")
         val shifts = (-maxDist to maxDist).toDF("sh")
         // index side: the 5 aligned segments

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.TextAnalysis
+import graft.operators.ScaleOps.CheckpointSyntax
 import graft.text.TextKernel
 import org.apache.spark.sql.functions._
 
@@ -222,7 +223,7 @@ object TextQueries extends QuerySet {
           .flatMap { case (id, text) =>
             TextKernel.winnow(text, k = WinnowK, window = WinnowW)
               .iterator.map(fp => (id, fp)) }
-          .toDF("doc_id", "fp").distinct().localCheckpoint()
+          .toDF("doc_id", "fp").distinct().graftCheckpoint()
         val capped = graft.operators.NearDup.dfCapped(fps, "fp", FpDfCap)
         capped.as("a").join(capped.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
