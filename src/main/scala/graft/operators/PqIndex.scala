@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product-quantized residuals inside IVF cells — the memory end of
+  * the ANN spectrum (§2.C similarity search; the reference's index declares
+  * a graph ANN, db_utils.py:93-110 — see SCALE.md "ANN memory story" for why
+  * a partition-prunable IVF family, not a graph, is the distributed answer).
+  *
+  * Layout: the [[IvfIndex]] coarse quantizer assigns each vector a cell; the
+  * residual (vector − cell centroid) is split into `m` subspaces, each
+  * encoded as the id of its nearest per-subspace codebook centroid. A
+  * 64-dim float32 vector (256 B) becomes `m` = 8 one-byte codes + a cell id:
+  * 32× smaller, so a 100 TB embedding column's index fits ~3 TB of executor
+  * memory cluster-wide while the full-precision column stays in cold
+  * storage and is read only to re-rank shortlists.
+  *
+  * Search = ADC (asymmetric distance computation): per probed cell, a
+  * (m × codes) table of exact sub-distances between the query residual and
+  * every codebook entry; a row's approximate distance is m table lookups +
+  * adds — no float vector is touched until the exact re-rank of the
+  * shortlist.
+  *
+  * Determinism (oracle requirement): coarse quantizer and codebooks train
+  * with the same seeded, RNG-free Lloyd iteration as [[IvfIndex.train]] on
+  * a bounded driver-side sample (corpus-size independent); encoding and ADC
+  * are pure functions of the model.
+  */
+object PqIndex {
+
+  final case class Model(
+      coarse: IvfIndex.Model,
+      // codebooks(sub)(code) = centroid of that residual subspace, len subDim
+      codebooks: Array[Array[Array[Double]]],
+      subDim: Int) extends Serializable {
+
+    def m: Int = codebooks.length
+
+    def residual(v: Seq[Float], cell: Int): Array[Double] = {
+      val cent = coarse.centroids(cell)
+      val r = new Array[Double](cent.length)
+      var i = 0
+      while (i < cent.length) {
+        r(i) = (if (i < v.length) v(i).toDouble else 0.0) - cent(i)
+        i += 1
+      }
+      r
+    }
+
+    /** Nearest codebook entry per subspace → m byte-sized codes. */
+    def encode(v: Seq[Float], cell: Int): Array[Byte] = {
+      val r = residual(v, cell)
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val idx = s * subDim + i
+            val t = (if (idx < r.length) r(idx) else 0.0) - book(c)(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+
+    /** ADC lookup table for one probed cell: table(sub)(code) = squared L2
+      * between the query's residual subvector and that codebook entry.
+      */
+    def adcTable(query: Seq[Float], cell: Int): Array[Array[Double]] = {
+      val r = residual(query, cell)
+      Array.tabulate(m) { s =>
+        val book = codebooks(s)
+        Array.tabulate(book.length) { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val idx = s * subDim + i
+            val t = (if (idx < r.length) r(idx) else 0.0) - book(c)(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+    }
+  }
+
+  /** Deterministic per-subspace k-means (init = first `codes` sample
+    * residual subvectors, fixed Lloyd steps — the IvfIndex discipline).
+    */
+  private def trainCodebook(sub: Array[Array[Double]], codes: Int,
+                            iters: Int): Array[Array[Double]] = {
+    val k = math.min(codes, sub.length)
+    var cents = sub.take(k).map(_.clone())
+    val dims = cents(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sub.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dims) { val t = cents(c)(i) - v(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Train coarse quantizer + residual codebooks on a bounded driver-side
+    * sample (corpus-size independent, like [[IvfIndex.train]]).
+    */
+  def train(spark: SparkSession, embeddings: DataFrame,
+            nCells: Int = 16, m: Int = 8, codes: Int = 16,
+            iters: Int = 5, sampleSize: Int = 2048): Model = {
+    import spark.implicits._
+    val coarse = IvfIndex.train(spark, embeddings, nCells, iters, sampleSize)
+    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
+      .select("embedding").as[Seq[Float]].collect()
+    val dims = coarse.centroids(0).length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val subDim = dims / m
+    // residuals of the sample w.r.t. their own cells — what search-time
+    // residuals actually look like
+    val res = sample.map { v =>
+      val cell = coarse.nearestCell(v)
+      val cent = coarse.centroids(cell)
+      Array.tabulate(dims)(i => (if (i < v.length) v(i).toDouble else 0.0) - cent(i))
+    }
+    val books = Array.tabulate(m) { s =>
+      trainCodebook(res.map(r => r.slice(s * subDim, (s + 1) * subDim)), codes, iters)
+    }
+    Model(coarse, books, subDim)
+  }
+
+  /** Encode the corpus: (vec_id, label, cell, code) — a narrow map; the
+    * full-precision vector is NOT carried (that is the point).
+    */
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val cell = bc.value.coarse.nearestCell(e)
+        (id, label, cell, bc.value.encode(e, cell))
+      }
+      .toDF("vec_id", "label", "cell", "code")
+  }
+
+  /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
+    * row by m table lookups, keep the `shortlist` smallest approximate
+    * distances (TakeOrderedAndProject). Returns (vec_id, label, approx_d).
+    */
+  def adcShortlist(spark: SparkSession, encoded: DataFrame, model: Model,
+                   query: Seq[Float], nProbe: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val cells = model.coarse.nearestCells(query, nProbe)
+    val tables = cells.map(c => c -> model.adcTable(query, c)).toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    encoded
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("label"), col("cell"), col("code"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, label, cell, code) =>
+        val t = bc.value(cell)
+        var d = 0.0
+        var s = 0
+        while (s < code.length) { d += t(s)(code(s) & 0xff); s += 1 }
+        (id, label, d)
+      }
+      .toDF("vec_id", "label", "approx_d")
+      .orderBy(col("approx_d"), col("vec_id"))
+      .limit(shortlist)
+  }
+
+  /** Full IVF-PQ retrieval: ADC shortlist, then exact cosine re-rank of
+    * the shortlist against the full-precision store (at scale: a point
+    * lookup of `shortlist` rows, the only full-precision read).
+    */
+  def search(spark: SparkSession, encoded: DataFrame, fullPrecision: DataFrame,
+             model: Model, query: Seq[Float], k: Int, nProbe: Int,
+             shortlist: Int): DataFrame = {
+    val short = adcShortlist(spark, encoded, model, query, nProbe, shortlist)
+    val qCol = lit(query.toArray).cast("array<float>")
+    short.select("vec_id")
+      .join(fullPrecision.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -349,7 +349,40 @@ object VectorQueries extends QuerySet {
         |  SELECT s, s FROM edges
         |  UNION
         |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
-        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin))
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // IVF-PQ ANN (the memory end of the ANN spectrum — SCALE.md "ANN
+    // memory story"): product-quantized residuals inside IVF cells, 8
+    // one-byte codes per 64-dim vector (32x), ADC shortlist by table
+    // lookups, exact cosine re-rank of the shortlist only. Graded like
+    // v08: training is seeded and RNG-free, so recall@10 vs the exact
+    // cosine top-k is a deterministic number; the engine emits the
+    // tolerance flag and the oracle asserts the constant — a broken
+    // residual map, codebook, ADC table, or re-rank breaks the flag.
+    Q("v14_ivfpq_ann",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val model = graft.operators.PqIndex.train(s, emb)
+        val encoded = graft.operators.PqIndex.encode(s, emb, model)
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val pq = graft.operators.PqIndex.search(s,
+          encoded.filter(col("vec_id") =!= 0), emb, model, query,
+          k = 10, nProbe = 4, shortlist = 50)
+        val qCol = lit(query.toArray).cast("array<float>")
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+        val hits = pq.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+        pq.agg(
+          count(lit(1)).cast("int").as("n_results"),
+          (lit(hits) >= 3).cast("int").as("recall_ok"))
+      },
+      Some("""SELECT 10 AS n_results, 1 AS recall_ok"""))
   )
 
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
