@@ -93,6 +93,20 @@ object Graft {
       .limit(k)
   }
 
+  /** IVF-PQ approximate top-k (the memory-bounded ANN path — SCALE.md "ANN
+    * memory story"): train coarse cells + residual codebooks on a bounded
+    * driver sample, encode the corpus to m one-byte codes per vector, ADC
+    * shortlist in the `nProbe` nearest cells, exact cosine re-rank of the
+    * shortlist only. Corpus needs (vec_id, label, embedding).
+    */
+  def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queryVec: Array[Float],
+               k: Int, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val model = graft.operators.PqIndex.train(spark, corpus)
+    val encoded = graft.operators.PqIndex.encode(spark, corpus, model)
+    graft.operators.PqIndex.search(spark, encoded, corpus, model,
+      queryVec.toSeq, k, nProbe, shortlist)
+  }
+
   // ---- training-data curation ----
 
   /** Deterministic md5-nibble split assignment column for a key column:

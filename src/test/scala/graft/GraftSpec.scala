@@ -118,4 +118,18 @@ class GraftSpec extends SparkTestBase {
     val bounds = w.agg(min("n_win_tokens"), max("n_win_tokens")).head
     assert(bounds.getInt(0) >= 1 && bounds.getInt(1) <= 64)
   }
+
+  test("ivfPqKnn returns k rows and overlaps the exact top-k") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val approx = Graft.ivfPqKnn(spark, corpus, qv, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Graft.knn(corpus, qv, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    assert((approx & exact).size >= 3, s"overlap ${(approx & exact).size}")
+  }
 }

@@ -208,6 +208,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("d14: embedder bucket digest is a narrow map — no hash shuffle before the sort") {
+    val p = plan("d14_embed_buckets")
+    // chunk-free embedding digest: scan -> mapPartitions -> range sort;
+    // a hashpartitioning exchange here would mean the per-doc digest
+    // grew a shuffle it does not need
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x07: prefix-filtered containment join — equi-joins only, partitioned window") {
+    val p = plan("x07_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the prefix rank window is per-doc, never corpus-global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.queries.Registry.asMap("x07_containment")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("v14: IVF-PQ shortlist is a TakeOrdered over the pruned-cell scan") {
+    val p = plan("v14_ivfpq_ann")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
