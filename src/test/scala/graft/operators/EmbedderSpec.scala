@@ -34,6 +34,21 @@ class EmbedderSpec extends AnyFunSuite {
     assert(v.length == 1536 && v.forall(_ == 0.0f))
   }
 
+  test("bucket map pins the md5 contract the d14 oracle recomputes") {
+    // Externally computed: h = int(md5(tok)[:8 hex], 16); sign = +1 iff
+    // h % 2 == 0; idx = (h >> 1) % 1536. A refactor that drifts any of
+    // tokenization, hash, sign rule, or bucket map must fail HERE, not
+    // first at the driver's DuckDB gate.
+    //   "hello" -> h 1564557354, sign +1, idx 21
+    //   "world" -> h 2105094199, sign -1, idx 27
+    //   "a"     -> h  214005177, sign -1, idx 220
+    val counts = e.rawBucketCounts("Hello  WORLD\ta")
+    assert(counts(21) == 1, s"hello bucket: ${counts(21)}")
+    assert(counts(27) == -1, s"world bucket: ${counts(27)}")
+    assert(counts(220) == -1, s"a bucket: ${counts(220)}")
+    assert(counts.map(math.abs).sum == 3)
+  }
+
   test("batch path equals per-item path") {
     val texts = Seq("a b c", "d e f", "")
     val batch = e.embedBatch(texts.iterator).toSeq
