@@ -44,7 +44,8 @@ object Bench {
     // query — round-4 driver tails showed 2-9x phantom "regressions" in
     // families no commit touched, while warm re-runs measured the same
     // plans flat. Min-of-N measures the plan, not the cache.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -32,15 +32,28 @@ object IvfIndex {
     }
   }
 
+  /** Bounded driver-side training sample (corpus-size independent): the
+    * first `sampleSize` vectors by id, as doubles. Shared by [[train]] and
+    * PqIndex.train so composed training collects the sample ONCE.
+    */
+  private[operators] def collectSample(spark: SparkSession, embeddings: DataFrame,
+                                       sampleSize: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    embeddings.orderBy("vec_id").limit(sampleSize)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+  }
+
   /** Train the coarse quantizer: deterministic k-means (init = first k
     * vectors by id, `iters` Lloyd steps) on a driver-side sample.
     */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int,
-            iters: Int = 5, sampleSize: Int = 2048): Model = {
-    import spark.implicits._
-    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
-      .select("embedding").as[Seq[Float]].collect()
-      .map(_.map(_.toDouble).toArray)
+            iters: Int = 5, sampleSize: Int = 2048): Model =
+    trainFromSample(collectSample(spark, embeddings, sampleSize), k, iters)
+
+  /** [[train]] body over a pre-collected sample. */
+  private[operators] def trainFromSample(sample: Array[Array[Double]], k: Int,
+                                         iters: Int): Model = {
     require(sample.length >= k, s"need >= $k sample vectors")
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {

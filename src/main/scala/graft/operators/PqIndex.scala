@@ -137,19 +137,19 @@ object PqIndex {
   def train(spark: SparkSession, embeddings: DataFrame,
             nCells: Int = 16, m: Int = 8, codes: Int = 16,
             iters: Int = 5, sampleSize: Int = 2048): Model = {
-    import spark.implicits._
-    val coarse = IvfIndex.train(spark, embeddings, nCells, iters, sampleSize)
-    val sample = embeddings.orderBy("vec_id").limit(sampleSize)
-      .select("embedding").as[Seq[Float]].collect()
+    require(codes <= 256, s"codes=$codes does not fit one byte; encode would wrap")
+    // ONE driver-side sample collect, shared by coarse + codebook training
+    val sample = IvfIndex.collectSample(spark, embeddings, sampleSize)
+    val coarse = IvfIndex.trainFromSample(sample, nCells, iters)
     val dims = coarse.centroids(0).length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val subDim = dims / m
     // residuals of the sample w.r.t. their own cells — what search-time
     // residuals actually look like
     val res = sample.map { v =>
-      val cell = coarse.nearestCell(v)
+      val cell = coarse.nearestCell(v.map(_.toFloat))
       val cent = coarse.centroids(cell)
-      Array.tabulate(dims)(i => (if (i < v.length) v(i).toDouble else 0.0) - cent(i))
+      Array.tabulate(dims)(i => (if (i < v.length) v(i) else 0.0) - cent(i))
     }
     val books = Array.tabulate(m) { s =>
       trainCodebook(res.map(r => r.slice(s * subDim, (s + 1) * subDim)), codes, iters)

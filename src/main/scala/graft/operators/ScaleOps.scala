@@ -59,10 +59,17 @@ object ScaleOps {
       case "none" => df
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = spark.conf.get(CheckpointDirConf,
-            s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
-          sc.setCheckpointDir(dir)
+        spark.conf.getOption(CheckpointDirConf) match {
+          // an EXPLICIT dir always wins — set-if-empty would silently pin
+          // the job to whatever dir happened to be set first (e.g. a
+          // driver-local tmp default), defeating the durability the mode
+          // exists for
+          case Some(dir) if !sc.getCheckpointDir.contains(dir) =>
+            sc.setCheckpointDir(dir)
+          case None if sc.getCheckpointDir.isEmpty =>
+            sc.setCheckpointDir(
+              s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+          case _ => // already pointing at the right place
         }
         df.checkpoint()
       case other => throw new IllegalArgumentException(

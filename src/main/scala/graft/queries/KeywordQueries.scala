@@ -116,9 +116,10 @@ object KeywordQueries extends QuerySet {
         // Oracle-divergence guard: the DuckDB oracle ranks the FULL
         // candidate set, so the bounded lists must still BE the full set at
         // this SF. If a future corpus reaches the limit, ranks would shift
-        // and tail docs silently contribute 0 — fail loudly instead. One
-        // cheap count (long-column scan) per verify run.
-        val nCands = t(s, d, "embeddings").filter(col("vec_id") =!= 0).count()
+        // and tail docs silently contribute 0 — fail loudly instead.
+        // Unfiltered count = parquet footer metadata (no column scan), so
+        // the guard is effectively free even though it runs per invocation.
+        val nCands = t(s, d, "embeddings").count() - 1 // minus the query row
         require(nCands < n,
           s"k02 candidate set ($nCands) saturates RrfCandidateLimit=$n: " +
             "bounded per-modality lists no longer equal full rankings; " +

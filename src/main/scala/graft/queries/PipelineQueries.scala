@@ -271,7 +271,18 @@ object PipelineQueries extends QuerySet {
         val (observed, obs) = Metrics.observeIngest(withVec)
         observed.count() // the action that populates the observation
         val m = obs.get
-        Seq((m("n_chunks").asInstanceOf[Long], m("n_files").asInstanceOf[Long],
+        val nFiles = m("n_files").asInstanceOf[Long]
+        // Saturation guard (the k02 discipline): the oracle compares the
+        // HLL++ estimate byte-for-byte against exact COUNT(DISTINCT),
+        // which only holds while the sketch stays in its sparse (exact)
+        // regime. If a fixture ever pushes it out, fail loudly here with
+        // the estimator named, instead of a confusing one-cell hash diff.
+        val exactFiles = withVec.select(countDistinct("filename")).head.getLong(0)
+        require(exactFiles == nFiles,
+          s"approx_count_distinct(rsd=0.005) left its exact regime: " +
+            s"estimate $nFiles vs exact $exactFiles distinct files — " +
+            "d15's n_files needs a tolerance instead of a hash compare")
+        Seq((m("n_chunks").asInstanceOf[Long], nFiles,
           m("n_zero_vectors").asInstanceOf[Long], m("total_chars").asInstanceOf[Long]))
           .toDF("n_chunks", "n_files", "n_zero_vectors", "total_chars")
       },

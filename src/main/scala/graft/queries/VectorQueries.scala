@@ -186,8 +186,10 @@ object VectorQueries extends QuerySet {
         val assigned = graft.operators.IvfIndex.assign(s, emb, model)
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        val ivf = graft.operators.IvfIndex.search(s,
-          assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4)
+        // materialized once — read by the hits count AND the returned agg
+        val ivf = graft.operators.ScaleOps.checkpointed(
+          graft.operators.IvfIndex.search(s,
+            assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4))
         // Graded via a tolerance flag (the t14 pattern): the IVF top-k is
         // approximate, but its recall against the exact cosine top-k is a
         // DETERMINISTIC number (seeded k-means, fixed data), so the engine
@@ -368,9 +370,13 @@ object VectorQueries extends QuerySet {
         val encoded = graft.operators.PqIndex.encode(s, emb, model)
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        val pq = graft.operators.PqIndex.search(s,
-          encoded.filter(col("vec_id") =!= 0), emb, model, query,
-          k = 10, nProbe = 4, shortlist = 50)
+        // materialized once: both the hits count and the returned agg read
+        // this 10-row frame — without it each would re-run corpus encode +
+        // ADC shortlist + re-rank
+        val pq = graft.operators.ScaleOps.checkpointed(
+          graft.operators.PqIndex.search(s,
+            encoded.filter(col("vec_id") =!= 0), emb, model, query,
+            k = 10, nProbe = 4, shortlist = 50))
         val qCol = lit(query.toArray).cast("array<float>")
         val exact = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),

@@ -43,6 +43,10 @@ class ScaleOpsCheckpointSpec extends SparkTestBase {
     } finally {
       spark.conf.unset(ScaleOps.CheckpointModeConf)
       spark.conf.unset(ScaleOps.CheckpointDirConf)
+      // clear the sticky SparkContext checkpoint dir — the session is
+      // shared across suites, and a stale dir would divert any later
+      // reliable-mode checkpoint
+      spark.sparkContext.setCheckpointDir(null)
     }
   }
 

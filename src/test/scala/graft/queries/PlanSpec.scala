@@ -228,8 +228,21 @@ class PlanSpec extends SparkTestBase {
       df.queryExecution.optimizedPlan.toString)
   }
 
-  test("v14: IVF-PQ shortlist is a TakeOrdered over the pruned-cell scan") {
-    val p = plan("v14_ivfpq_ann")
+  test("v14/PqIndex: ADC shortlist is a TakeOrdered over the pruned-cell scan") {
+    // the declared v14 checkpoints its shortlist (read twice), which hides
+    // the shortlist plan behind a LogicalRDD — assert on the operator's own
+    // plan, which is what actually runs during materialization
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val model = graft.operators.PqIndex.train(spark, emb)
+    val encoded = graft.operators.PqIndex.encode(spark, emb, model)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val short = graft.operators.PqIndex.adcShortlist(spark, encoded, model, q,
+      nProbe = 4, shortlist = 50)
+    short.collect()
+    val p = short.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
