@@ -47,17 +47,26 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // A rep that throws must not contribute its wall time to min() — an
+      // intermittently fast-failing query would otherwise report the
+      // failure's elapsed time as its benchmark number with no error signal.
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, ts) if ts.isEmpty => n }
+    // a query whose every rep failed reports -1 (never a plausible seconds
+    // value) and is named in the errors array
+    val qs = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,6 +42,13 @@ object ScaleOps {
   val CheckpointModeConf = "spark.graft.checkpoint.mode"
   val CheckpointDirConf = "spark.graft.checkpoint.dir"
 
+  // Last raw dir handed to setCheckpointDir. SparkContext stores a QUALIFIED
+  // path with a fresh UUID subdirectory appended, so getCheckpointDir never
+  // equals the raw conf value — comparing against it would make the skip
+  // branch unreachable and re-run mkdirs + a new UUID dir on every reliable
+  // checkpoint call (e.g. once per connected-components iteration).
+  @volatile private var lastSetCheckpointDir: Option[String] = None
+
   /** Materialize a frame that downstream stages read more than once
     * (self-join sides, iterative fixpoints, verify passes) and truncate its
     * lineage. This is THE cluster-fidelity seam: every engine call site
@@ -59,17 +66,18 @@ object ScaleOps {
       case "none" => df
       case "reliable" =>
         val sc = spark.sparkContext
-        spark.conf.getOption(CheckpointDirConf) match {
-          // an EXPLICIT dir always wins — set-if-empty would silently pin
-          // the job to whatever dir happened to be set first (e.g. a
-          // driver-local tmp default), defeating the durability the mode
-          // exists for
-          case Some(dir) if !sc.getCheckpointDir.contains(dir) =>
-            sc.setCheckpointDir(dir)
-          case None if sc.getCheckpointDir.isEmpty =>
-            sc.setCheckpointDir(
-              s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
-          case _ => // already pointing at the right place
+        // reliable mode without an explicit dir would silently fall back to
+        // driver-local tmp — on a multi-node cluster executors would write
+        // checkpoint partitions to their own local disks and cross-executor
+        // reads fail, defeating the durability the mode exists for
+        val dir = spark.conf.getOption(CheckpointDirConf).getOrElse(
+          throw new IllegalArgumentException(
+            s"$CheckpointModeConf=reliable requires $CheckpointDirConf " +
+              "(a durable shared filesystem path, e.g. hdfs://... or s3://...); " +
+              "a driver-local tmp default is not durable on a cluster"))
+        if (!lastSetCheckpointDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          lastSetCheckpointDir = Some(dir)
         }
         df.checkpoint()
       case other => throw new IllegalArgumentException(

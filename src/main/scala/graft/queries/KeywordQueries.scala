@@ -119,7 +119,11 @@ object KeywordQueries extends QuerySet {
         // and tail docs silently contribute 0 — fail loudly instead.
         // Unfiltered count = parquet footer metadata (no column scan), so
         // the guard is effectively free even though it runs per invocation.
-        val nCands = t(s, d, "embeddings").count() - 1 // minus the query row
+        // Both modalities are covered: the BM25 list is built over documents
+        // and the vector list over embeddings, and the two counts can
+        // diverge independently.
+        val nCands = math.max(t(s, d, "documents").count(),
+          t(s, d, "embeddings").count() - 1) // minus the query row
         require(nCands < n,
           s"k02 candidate set ($nCands) saturates RrfCandidateLimit=$n: " +
             "bounded per-modality lists no longer equal full rankings; " +

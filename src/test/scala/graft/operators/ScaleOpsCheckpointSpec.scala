@@ -50,6 +50,14 @@ class ScaleOpsCheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("mode=reliable without a configured dir fails loudly") {
+    spark.conf.set(ScaleOps.CheckpointModeConf, "reliable")
+    try {
+      val e = intercept[IllegalArgumentException](frame().graftCheckpoint())
+      assert(e.getMessage.contains(ScaleOps.CheckpointDirConf))
+    } finally spark.conf.unset(ScaleOps.CheckpointModeConf)
+  }
+
   test("unknown mode fails loudly") {
     spark.conf.set(ScaleOps.CheckpointModeConf, "bogus")
     try intercept[IllegalArgumentException](frame().graftCheckpoint())
