@@ -107,6 +107,30 @@ object Graft {
       queryVec.toSeq, k, nProbe, shortlist)
   }
 
+  /** Persist a trained IVF index (model sidecar + cell-partitioned corpus)
+    * — the build-once half of the build-once / probe-many lifecycle. See
+    * [[graft.operators.IvfIndex.save]] / [[graft.sources.VectorIndexStore]].
+    */
+  def saveIvfIndex(spark: SparkSession, corpus: DataFrame, path: String,
+                   nCells: Int = 16): Unit = {
+    val model = graft.operators.IvfIndex.train(spark, corpus, k = nCells)
+    graft.operators.IvfIndex.save(spark, model,
+      graft.operators.IvfIndex.assign(spark, corpus, model), path)
+  }
+
+  /** Probe a persisted IVF index: load the centroid sidecar, scan only the
+    * `nProbe` nearest cell PARTITIONS of the persisted corpus (source-level
+    * partition pruning — no training, no full scan; IndexStoreSpec asserts
+    * the plan).
+    */
+  def ivfProbe(spark: SparkSession, indexPath: String, queryVec: Array[Float],
+               k: Int, nProbe: Int = 4): DataFrame = {
+    val model = graft.operators.IvfIndex.loadModel(spark, indexPath)
+    graft.operators.IvfIndex.search(spark,
+      graft.operators.IvfIndex.loadVectors(spark, indexPath), model,
+      queryVec.toSeq, k, nProbe)
+  }
+
   // ---- training-data curation ----
 
   /** Deterministic md5-nibble split assignment column for a key column:

@@ -96,6 +96,47 @@ object IvfIndex {
       .toDF("vec_id", "label", "embedding", "cell")
   }
 
+  /** Persist a trained index as a durable build-once artifact (the
+    * reference's index is created once, idempotently, and queried forever —
+    * db_utils.py:48,120-127; this is the engine's equivalent lifecycle):
+    *
+    *   `path/model`   — centroid sidecar, one row per cell (tiny; loaded to
+    *                    the driver at probe time like any ANN model);
+    *   `path/vectors` — the assigned corpus, parquet PARTITIONED BY cell —
+    *                    the layout SCALE.md promises: a probe's
+    *                    `cell IN (...)` filter becomes source-level
+    *                    partition pruning, so `nProbe` of `nCells`
+    *                    directories are ever listed or read.
+    *
+    * No training, encoding, or corpus scan happens after this write.
+    */
+  def save(spark: SparkSession, model: Model, assigned: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.parquet(s"$path/model")
+    assigned.write.partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Load the centroid sidecar back into a [[Model]]. Doubles round-trip
+    * parquet exactly, so the loaded model is bitwise the trained one
+    * (asserted in IndexStoreSpec) — probe results cannot drift from the
+    * build-time model.
+    */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .select("cell", "centroid").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    Model(rows.map(_._2.toArray))
+  }
+
+  /** The persisted corpus with its `cell` partition column — feed straight
+    * into [[search]] for a probe-only query (no training scan in the plan).
+    */
+  def loadVectors(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+
   /** Approximate top-k: scan only the `nProbe` cells nearest to the query
     * vector, exact cosine within them.
     */

