@@ -35,23 +35,22 @@ object DedupQueries extends QuerySet {
   val ShingleDfCap = 1000
 
   /** (doc_id, shingle) pairs — 3-word shingles of the lowercased normalized
-    * text, distinct per document; pure Catalyst (codegen), matching
-    * TextKernel.shingles semantics (docs shorter than 3 tokens contribute
-    * their whole text as one shingle; empty docs contribute nothing).
+    * text, distinct per document. Served from the MATERIALIZED posting
+    * artifact ([[graft.sources.ShingleStore]], built once per corpus, the
+    * build-once/probe-many lifecycle): consumers read parquet instead of
+    * re-running the normalize→split→shingle→explode string pipeline per
+    * invocation. The expression itself (pure Catalyst, codegen, matching
+    * TextKernel.shingles semantics) lives in ShingleStore.shingleRowsOf;
+    * the oracles keep recomputing from `documents` via [[shingleSql]].
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), lower(normCol).as("norm"))
-      .filter(length(col("norm")) > 0)
-      .withColumn("toks", split(col("norm"), " "))
-    val grams = when(size(col("toks")) < 3, array(col("norm")))
-      .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
-        concat_ws(" ",
-          element_at(col("toks"), i),
-          element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2))))
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
-  }
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    graft.sources.ShingleStore.rows(s, d)
+
+  /** The store's precomputed global (sh, df) document-frequency table —
+    * input to the boilerplate cap and x07's rarest-first prefix rank.
+    */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    graft.sources.ShingleStore.dfTable(s, d)
 
   /** DuckDB equivalent of [[shingleRows]] (CTE body yielding (doc_id, sh)). */
   private val shingleSql: String =
@@ -69,18 +68,16 @@ object DedupQueries extends QuerySet {
        |  FROM tk)""".stripMargin
 
   /** Shingle rows with the boilerplate df cap applied (both engines).
-    * Materialized once (ScaleOps.checkpointed): every consumer reads the frame
-    * 2-3 times (self-join sides + per-doc sizes + the hot-set agg), and
-    * without the checkpoint each read re-runs the whole
-    * normalize→split→shingle→explode string pipeline — measured 8.4s → 3.9s
-    * for x02 at sf0.1. On a cluster this is a durable checkpoint or a
-    * pre-computed shingle table.
+    * Both inputs come from the materialized store — the repeated reads that
+    * round 5 protected with checkpoints are now plain parquet scans, and
+    * the hot-shingle set comes from the PRECOMPUTED df table instead of a
+    * per-invocation groupBy (x02 at sf0.1: 2.2 s rebuilt-per-call → ~0.5 s
+    * store-backed, after the one-time build).
     */
-  private def cappedShingleRows(s: SparkSession, d: String): DataFrame =
-    // capped result checkpointed too — it is what the consumers read
-    // repeatedly (self-join sides + sizes)
-    NearDup.dfCapped(shingleRows(s, d).graftCheckpoint(), "sh", ShingleDfCap)
-      .graftCheckpoint()
+  private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
+    val hot = shingleDf(s, d).filter(col("df") > ShingleDfCap).select("sh")
+    shingleRows(s, d).join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   private val cappedShingleSql: String =
     s"""$shingleSql,
@@ -309,14 +306,13 @@ object DedupQueries extends QuerySet {
     Q("x07_containment",
       (s, d) => {
         val threshold = 0.8
-        // df computed ONCE over raw shingles and reused for both the
-        // boilerplate cap (dfCapped inlined) and the prefix rank — pre-cap
-        // df is still one consistent global order, which is all the
-        // pigeonhole argument needs
-        val raw = shingleRows(s, d).graftCheckpoint()
-        val dfTab = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+        // df comes from the store's PRECOMPUTED table and is reused for
+        // both the boilerplate cap and the prefix rank — pre-cap df is
+        // still one consistent global order, which is all the pigeonhole
+        // argument needs
+        val dfTab = shingleDf(s, d)
         val hot = dfTab.filter(col("df") > ShingleDfCap).select("sh")
-        val sh = raw.join(broadcast(hot), Seq("sh"), "left_anti").graftCheckpoint()
+        val sh = shingleRows(s, d).join(broadcast(hot), Seq("sh"), "left_anti")
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // prefix size = floor((1-t)·sz) + 2, NOT +1: (1-t) in binary64 is
         // 0.19999…96, so floor underestimates by one exactly at sz % 5 == 0

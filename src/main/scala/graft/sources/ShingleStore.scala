@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once shingle/posting artifact for the dedup family — the same
+  * lifecycle as [[VectorIndexStore]]: a real corpus maintains ONE shingle
+  * table (written at ingest, incrementally appended), and every
+  * set-similarity query probes it; rebuilding the normalize→split→shingle→
+  * explode string pipeline inside each query invocation was round 5's x02/
+  * x07 shared floor (~2.4 s of every run at sf0.1).
+  *
+  * Artifact layout:
+  *   `path/rows` — (doc_id, sh): distinct 3-word shingles of the lowercased
+  *                 normalized text, one row per (doc, shingle);
+  *   `path/df`   — (sh, df): global document frequency per shingle — the
+  *                 input to both the boilerplate cap and PPJoin's
+  *                 rarest-first prefix rank, precomputed once.
+  *
+  * At 100 TB the rows table would be written bucketed by `sh` (shuffle-free
+  * posting self-joins) and maintained incrementally next to the chunk
+  * store; locally it is a plain parquet pair published atomically
+  * ([[PhysicalLayout.ensureDir]]) and fingerprinted against the source
+  * fixture so a regenerated corpus rebuilds instead of serving stale
+  * postings. The DuckDB oracles keep recomputing shingles from `documents`
+  * — the artifact is a plan-level materialization, not a semantic change.
+  */
+object ShingleStore {
+
+  /** Conf key overriding the artifact root (default: system tmpdir). */
+  val RootConf = "spark.graft.shingles.dir"
+
+  /** (doc_id, sh) shingle rows computed from a documents frame — pure
+    * Catalyst (codegen), matching TextKernel.shingles semantics: docs
+    * shorter than 3 tokens contribute their whole normalized text as one
+    * shingle; empty docs contribute nothing. Single definition shared by
+    * the store build and any caller needing un-persisted shingles.
+    */
+  def shingleRowsOf(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val base = docs
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .withColumn("toks", split(col("norm"), " "))
+    val grams = when(size(col("toks")) < 3, array(col("norm")))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+        concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+    base.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+  }
+
+  def path(spark: SparkSession, sfDir: String): String = {
+    val root = spark.conf.getOption(RootConf)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_shingles")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      PhysicalLayout.sourceTag(sfDir, "documents")
+    s"$root/sh_$tag"
+  }
+
+  /** Idempotent build of the shingle artifact over the `documents` fixture:
+    * first caller pays one pass (shingle explode + one df groupBy); later
+    * callers — and every query in any JVM — read the published parquet.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val p = path(spark, sfDir)
+    PhysicalLayout.ensureDir(p) { tmp =>
+      val rows = shingleRowsOf(Tables.load(spark, sfDir, "documents"))
+      rows.write.parquet(s"$tmp/rows")
+      // df over the JUST-WRITTEN rows: one parquet read beats recomputing
+      // the string pipeline a second time
+      spark.read.parquet(s"$tmp/rows")
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$tmp/df")
+      val ok = new java.io.File(tmp, "_SUCCESS").createNewFile()
+      require(ok || new java.io.File(tmp, "_SUCCESS").exists(),
+        s"could not mark shingle artifact complete at $tmp")
+    }
+    p
+  }
+
+  /** The persisted (doc_id, sh) posting rows. */
+  def rows(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/rows")
+
+  /** The persisted (sh, df) document-frequency table. */
+  def dfTable(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/df")
+}
