@@ -239,6 +239,56 @@ object StreamingQueries extends QuerySet {
         |SELECT doc_key, text_hash, n_chars_norm FROM r WHERE rn = 1
         |ORDER BY doc_key""".stripMargin)),
 
+    // RESTART RECOVERY — the operational guarantee a 100 TB pipeline
+    // actually needs from checkpointing: the s09 arrival-ingest lifecycle
+    // run as stop → restart against the SAME checkpoint. Tranche A (doc_id
+    // < 250) arrives, the stream drains and STOPS (a deploy, a crash);
+    // tranche B (250..999) arrives; a NEW query starts from the same
+    // checkpoint dir and drains. Exactly-once across the restart: the
+    // file source's seen-files log skips tranche A (no re-read — asserted
+    // file-level in StreamingOpsSpec, which checks run 2's appended parquet
+    // holds only tranche-B keys), the store's anti-join keeps first-arrival
+    // semantics for cross-tranche duplicate hashes, and the final store
+    // hash-matches the one-shot batch oracle — no dupes, no gaps. (Tranche
+    // A holds the lower doc ids, so first-arrival survivor == global
+    // min-key survivor and the s09 oracle formula carries over unchanged.)
+    Q("s13_restart_recovery",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+        val srcDir = s"/tmp/graft_s13/src_$tag"
+        val target = s"/tmp/graft_s13/store_$tag"
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s13/ckpt_$tag"
+        // fresh lifecycle per run — the query IS the stop/restart drill
+        for (p <- Seq(srcDir, target, ckpt)) {
+          val f = new java.io.File(p)
+          if (f.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(f).deleteRecursively()
+          }
+        }
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.binaryArrivalIngest(s, srcDir, "*.txt", target, ckpt)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 1000)
+        // restart: a brand-new StreamingQuery, same checkpoint — resumes at
+        // the next batch id with tranche A already in the seen-files log
+        StreamingOps.binaryArrivalIngest(s, srcDir, "*.txt", target, ckpt)
+        s.read.parquet(target)
+          .select(col("doc_key"), col("text_hash"), col("n_chars_norm"))
+          .orderBy("doc_key")
+      },
+      Some(s"""WITH k AS (
+        |  SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '_txt' AS doc_key,
+        |    md5($normSql) AS text_hash,
+        |    CAST(length($normSql) AS INT) AS n_chars_norm
+        |  FROM documents WHERE doc_id < 1000),
+        |r AS (
+        |  SELECT doc_key, text_hash, n_chars_norm,
+        |    row_number() OVER (PARTITION BY text_hash ORDER BY doc_key) AS rn
+        |  FROM k)
+        |SELECT doc_key, text_hash, n_chars_norm FROM r WHERE rn = 1
+        |ORDER BY doc_key""".stripMargin)),
+
     // APPEND-mode watermarked window aggregation — the one stateful shape
     // that NEEDS the trailing no-data micro-batch (skipNoDataBatches=false):
     // a window only emits once the watermark (max event time - 1h) passes

@@ -197,6 +197,26 @@ object StreamingOps {
     }
   }
 
+  /** Write the fixture documents with doc_id in [lo, hi) as individual text
+    * files into `outDir` (additive, no staleness check — the
+    * restart-recovery drill stages arrivals in TRANCHES into one watched
+    * folder, so the folder legitimately grows between calls). Same
+    * filename/content contract as [[ensureTextFixtureFiles]]; harness
+    * setup, not part of the streaming operator.
+    */
+  def writeDocFiles(spark: SparkSession, sfDir: String, outDir: String,
+                    lo: Long, hi: Long): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "text").collect().foreach { r =>
+        val name = f"doc_${r.getLong(0)}%05d.txt"
+        java.nio.file.Files.write(dir.resolve(name),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** A1 streaming variant: binary file-ARRIVAL ingestion (the reference's
     * watch-a-folder upload loop, main.py:291-346, as a Structured Streaming
     * query). Each arriving file becomes a document row: key from the
