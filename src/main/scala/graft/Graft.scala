@@ -165,6 +165,22 @@ object Graft {
       .drop("__offset")
   }
 
+  // ---- tokenizer training ----
+
+  /** Train BPE merge rules over a corpus: one distributed word-frequency
+    * aggregation, then deterministic driver-side training over the bounded
+    * vocabulary (see [[graft.text.BpeTokenizer]] — golden-pinned in
+    * BpeSpec; round-1 pair counts oracle-checked by t19).
+    */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1 << 17): Vector[(String, String)] =
+    graft.text.BpeTokenizer.train(
+      graft.text.BpeTokenizer.wordFreqs(docs, textCol, maxWords), numMerges)
+
+  /** Encode one word with a learned merge table (rank-order replay). */
+  def bpeEncode(word: String, merges: Seq[(String, String)]): IndexedSeq[String] =
+    graft.text.BpeTokenizer.encode(word, merges)
+
   // ---- retrieval (k01-k03 as parameterized library calls) ----
 
   /** Okapi BM25 ranked top-k: (id, n_terms, score) for documents matching

@@ -279,6 +279,37 @@ object TextQueries extends QuerySet {
         | CAST(len(list_distinct(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct
         |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // REAL BPE training, round 1, oracle-checked: the top-20 adjacent
+    // character-pair frequencies over the corpus word-frequency table — the
+    // exact quantity the first merge decision maximizes, computed by the
+    // OPERATOR (BpeTokenizer.wordFreqs → pairCounts: one distributed word
+    // aggregation, then vocabulary-bounded driver counting — the IVF
+    // training shape) and recomputed from `documents` in plain SQL by the
+    // oracle. Deeper rounds (merge table, encode) are not SQL-expressible
+    // and are pinned by BpeSpec's golden merge tables + properties instead
+    // (the chunker discipline).
+    Q("t19_bpe_pair_freqs",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val wf = graft.text.BpeTokenizer.wordFreqs(t(s, d, "documents"), "text")
+        val counts = graft.text.BpeTokenizer.pairCounts(
+          wf.map { case (w, f) => (graft.text.BpeTokenizer.symbols(w), f) })
+        counts.toSeq.map { case ((l, r), c) => (l, r, c) }
+          .toDF("l_sym", "r_sym", "pair_n")
+          .orderBy(desc("pair_n"), col("l_sym"), col("r_sym"))
+          .limit(20)
+      },
+      Some(s"""WITH n AS (SELECT lower($normSql) AS norm FROM documents),
+        |w AS (SELECT unnest(string_split(norm, ' ')) AS w FROM n),
+        |wv AS (SELECT w FROM w WHERE w <> ''),
+        |p AS (SELECT w, unnest(range(1, length(w))) AS i FROM wv)
+        |SELECT substr(w, CAST(i AS INT), 1) AS l_sym,
+        | substr(w, CAST(i AS INT) + 1, 1) AS r_sym,
+        | CAST(count(*) AS BIGINT) AS pair_n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_n DESC, l_sym, r_sym LIMIT 20""".stripMargin)),
+
     // TF-IDF: the top-scoring token per document under ln(N/df) idf.
     // Three aggregations (tf, df, N) + one window; the df table is
     // vocabulary-sized, so its join is broadcast at any corpus scale.
