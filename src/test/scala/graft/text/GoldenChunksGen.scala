@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * Rewrites the checked-in chunker digests for sf0.01 and sf0.1.
   */
 object GoldenChunksGen {
+
+  /** Tidy a single-file golden: rename the one part file to `name`, drop
+    * _SUCCESS and .crc noise — keeps the checked-in fixture one clean file.
+    */
+  private def tidy(dir: String, name: String): Unit = {
+    val d = new java.io.File(dir)
+    d.listFiles().foreach { f =>
+      if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(f.renameTo(new java.io.File(d, name)), s"rename failed in $dir")
+      else if (f.getName != name) f.delete()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -28,7 +41,17 @@ object GoldenChunksGen {
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"src/test/resources/golden/chunk_digest_$suffix")
+      tidy(s"src/test/resources/golden/chunk_digest_$suffix", "chunk_digest.parquet")
       println(s"[golden] wrote chunk_digest_$suffix")
+      // the composed flagship output (d10: full A1→A14 pipeline to the
+      // canonical store, vector as dim+L2 digest) — the driver records d10
+      // rows-only, so this golden is its only drift net
+      graft.queries.Registry.asMap("d10_ingest_canonical")(spark, s"/root/testdata/$sf")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"src/test/resources/golden/d10_digest_$suffix")
+      tidy(s"src/test/resources/golden/d10_digest_$suffix", "d10_digest.parquet")
+      println(s"[golden] wrote d10_digest_$suffix")
     }
     spark.stop()
   }

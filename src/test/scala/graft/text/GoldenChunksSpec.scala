@@ -43,4 +43,29 @@ class GoldenChunksSpec extends SparkTestBase {
   test("chunker digest over sf0.1 matches the checked-in golden parquet") {
     digestDrift("/root/testdata/sf0.1", "src/test/resources/golden/chunk_digest_sf01")
   }
+
+  /** d10 drift gate: the COMPOSED flagship output (normalize → chunk →
+    * hash → dedup → embed → canonical rows, vector as dim+L2 digest) is
+    * rows-only at the driver — chunker and embedder are each pinned
+    * separately (above; d14), but a drift in the composition (dedup
+    * survivor rule, key construction, field wiring) had no net of its own
+    * until this golden.
+    */
+  private def d10Drift(sfDir: String, goldenDir: String): Unit = {
+    val actual = graft.queries.Registry.asMap("d10_ingest_canonical")(spark, sfDir)
+    val golden = spark.read.parquet(goldenDir)
+    assert(actual.count() == golden.count(), "d10 row count drifted")
+    val missing = golden.except(actual).count()
+    val extra = actual.except(golden).count()
+    assert(missing == 0 && extra == 0,
+      s"d10 drift: $missing golden rows missing, $extra unexpected rows")
+  }
+
+  test("d10 canonical output over sf0.01 matches the checked-in golden parquet") {
+    d10Drift("/root/testdata/sf0.01", "src/test/resources/golden/d10_digest_sf001")
+  }
+
+  test("d10 canonical output over sf0.1 matches the checked-in golden parquet") {
+    d10Drift("/root/testdata/sf0.1", "src/test/resources/golden/d10_digest_sf01")
+  }
 }
