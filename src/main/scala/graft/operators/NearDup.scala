@@ -145,15 +145,10 @@ object NearDup {
     import spark.implicits._
     // materialized once: the signature map is the expensive stage and the
     // frame feeds BOTH sides of the candidate self-join — without the
-    // checkpoint each side re-hashes every shingle of every document
+    // checkpoint each side re-hashes every shingle of every document.
+    // (Fixture-backed queries skip this whole stage: they pass the
+    // PERSISTED band/set tables via minhashNearDupPairsFrom.)
     val buckets = minhashBuckets(spark, docs, idCol, textCol).graftCheckpoint()
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     // shingle sets computed ONCE per doc (sorted arrays), not once per pair;
     // checkpointed for the same both-join-sides reason as buckets
     val shingleSets = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
@@ -161,6 +156,26 @@ object NearDup {
       .map { case (id, text) => (id, TextKernel.shingles(text, ShingleSize).toArray.sorted) }
       .toDF("tid", "tsh")
       .graftCheckpoint()
+    minhashNearDupPairsFrom(spark, buckets, shingleSets, threshold)
+  }
+
+  /** [[minhashNearDupPairs]] body over precomputed inputs — `buckets` as
+    * produced by [[minhashBuckets]] (id, band, bucket) and `shingleSets` as
+    * (tid, tsh sorted distinct shingles). The build-once/probe-many entry:
+    * both frames are pure deterministic functions of the corpus, so a
+    * persisted copy (graft.sources.MinhashStore) yields the identical pair
+    * set without re-hashing a single shingle.
+    */
+  def minhashNearDupPairsFrom(spark: SparkSession, buckets: DataFrame,
+                              shingleSets: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     val withSets = candidates
       .join(shingleSets.withColumnRenamed("tid", "id_a").withColumnRenamed("tsh", "sh_a"), Seq("id_a"))
       .join(shingleSets.withColumnRenamed("tid", "id_b").withColumnRenamed("tsh", "sh_b"), Seq("id_b"))

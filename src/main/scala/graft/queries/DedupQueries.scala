@@ -52,6 +52,17 @@ object DedupQueries extends QuerySet {
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     graft.sources.ShingleStore.dfTable(s, d)
 
+  /** Verified MinHash near-dup pairs served from the PERSISTED band/set
+    * artifact (graft.sources.MinhashStore, built once per corpus) — the
+    * probe side of the lifecycle; signatures are never recomputed inside a
+    * query. Oracles (x03/x06/x10) still recompute everything from
+    * `documents` in SQL, so build/probe skew cannot pass silently.
+    */
+  private def minhashPairsFromStore(s: SparkSession, d: String): DataFrame =
+    NearDup.minhashNearDupPairsFrom(s,
+      graft.sources.MinhashStore.bands(s, d),
+      graft.sources.MinhashStore.shingleSets(s, d), threshold = 0.5)
+
   /** DuckDB equivalent of [[shingleRows]] (CTE body yielding (doc_id, sh)). */
   private val shingleSql: String =
     s"""norms AS (
@@ -181,7 +192,7 @@ object DedupQueries extends QuerySet {
     // just above 0.5 would need wider banding for the same guarantee (the
     // S-curve gives ~0.65 collision at J=0.5).
     Q("x03_minhash_neardup",
-      (s, d) => NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5),
+      (s, d) => minhashPairsFromStore(s, d),
       Some(s"""WITH $exactJaccardPairsSql
         |SELECT da AS id_a, db AS id_b, round(j, 6) AS jaccard
         |FROM jac WHERE j >= 0.5
@@ -199,8 +210,7 @@ object DedupQueries extends QuerySet {
         val spark = s
         import spark.implicits._
         val docs = t(s, d, "documents")
-        val pairs = NearDup.minhashNearDupPairs(s, docs, threshold = 0.5)
-          .graftCheckpoint()
+        val pairs = minhashPairsFromStore(s, d).graftCheckpoint()
         // only docs in the verified pair set need a second signature pass —
         // semi-join BEFORE the (opaque-to-Catalyst) signature map, so the
         // 64-permutation hashing runs over the handful of near-dup docs,
@@ -242,7 +252,7 @@ object DedupQueries extends QuerySet {
     // the complete banding — shingle base hashes, the 64 spliced
     // universal-hash permutations in HUGEINT, per-band md5 buckets.
     Q("x05_minhash_bucket_profile",
-      (s, d) => NearDup.minhashBuckets(s, t(s, d, "documents"))
+      (s, d) => graft.sources.MinhashStore.bands(s, d)
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
@@ -258,7 +268,7 @@ object DedupQueries extends QuerySet {
     // pair set — verifies pair generation AND the clustering.
     Q("x06_dup_clusters",
       (s, d) => {
-        val pairs = NearDup.minhashNearDupPairs(s, t(s, d, "documents"), threshold = 0.5)
+        val pairs = minhashPairsFromStore(s, d)
         // algorithm selectable per-session (spark.graft.cc.algorithm);
         // alternating stays the default — both verified label-identical
         // (NearDupSpec) and against the oracle's transitive closure

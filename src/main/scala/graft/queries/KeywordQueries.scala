@@ -48,14 +48,18 @@ object KeywordQueries extends QuerySet {
   private val K1 = graft.operators.Retrieval.DefaultK1
   private val B = graft.operators.Retrieval.DefaultB
 
-  /** Per-(doc, term) Okapi BM25 contribution `c` — delegates to the SHARED
-    * formula in [[graft.operators.Retrieval.bm25Contrib]] (also behind
-    * `Graft.bm25TopK`), so the declared query and the facade cannot drift.
-    * Returns (doc_id, c).
+  /** Per-(doc, term) Okapi BM25 contribution `c`, served from the
+    * PERSISTED inverted index ([[graft.sources.PostingStore]] — tokenize
+    * once, probe forever; the probe reads the query terms' posting lists
+    * out of the tok-sorted artifact via row-group pruning, not the corpus).
+    * The formula is the same Lucene-smoothed expression as
+    * [[graft.operators.Retrieval.bm25Contrib]] (behind `Graft.bm25TopK` for
+    * caller-supplied corpora) over identical integer inputs, so scores are
+    * bitwise equal and the oracle — which recomputes from `documents` —
+    * stays the drift gate. Returns (doc_id, c).
     */
   private def bm25Contrib(s: SparkSession, d: String): DataFrame =
-    graft.operators.Retrieval
-      .bm25Contrib(t(s, d, "documents"), "doc_id", "text", Terms, K1, B)
+    graft.sources.PostingStore.bm25ContribFromIndex(s, d, Terms, K1, B)
       .withColumnRenamed("id", "doc_id")
 
   /** DuckDB equivalent of [[bm25Contrib]]: CTE chain ending in

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.operators.NearDup
+import graft.text.TextKernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once MinHash artifact for the LSH near-dup family — the third leg
+  * of the round-6 lifecycle work (with [[VectorIndexStore]] and
+  * [[ShingleStore]]): signatures are a pure deterministic function of the
+  * corpus, so a real pipeline computes them ONCE at ingest and every
+  * near-dup job joins the persisted band table instead of re-hashing every
+  * shingle of every document per invocation.
+  *
+  * Artifact layout:
+  *   `path/bands` — (id, band, bucket): the 16x4 LSH banding of every
+  *                  document's 64-permutation minhash signature
+  *                  (NearDup.minhashBuckets output, verbatim);
+  *   `path/sets`  — (tid, tsh): each document's SORTED distinct shingle
+  *                  array — the exact-Jaccard verify input, so the verify
+  *                  stage reads arrays instead of re-shingling text.
+  *
+  * Oracles are untouched: they recompute signatures from `documents` in
+  * SQL (x03/x05/x06/x10), which is precisely what makes the artifact safe
+  * — any build/probe skew breaks a hash compare.
+  */
+object MinhashStore {
+
+  /** Conf key overriding the artifact root (default: system tmpdir). */
+  val RootConf = "spark.graft.minhash.dir"
+
+  def path(spark: SparkSession, sfDir: String): String = {
+    val root = spark.conf.getOption(RootConf)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_minhash")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      PhysicalLayout.sourceTag(sfDir, "documents")
+    s"$root/mh_$tag"
+  }
+
+  /** Idempotent build over the `documents` fixture: one signature pass
+    * (narrow map) for the band table + one shingle pass for the sorted
+    * verify sets, published atomically.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val p = path(spark, sfDir)
+    PhysicalLayout.ensureDir(p) { tmp =>
+      import spark.implicits._
+      val docs = Tables.load(spark, sfDir, "documents")
+      NearDup.minhashBuckets(spark, docs).write.parquet(s"$tmp/bands")
+      docs.select(col("doc_id").cast("long").as("tid"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
+        }
+        .toDF("tid", "tsh")
+        .write.parquet(s"$tmp/sets")
+      val ok = new java.io.File(tmp, "_SUCCESS").createNewFile()
+      require(ok || new java.io.File(tmp, "_SUCCESS").exists(),
+        s"could not mark minhash artifact complete at $tmp")
+    }
+    p
+  }
+
+  /** The persisted (id, band, bucket) LSH band table. */
+  def bands(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/bands")
+
+  /** The persisted (tid, tsh) sorted shingle sets (verify input). */
+  def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/sets")
+}
