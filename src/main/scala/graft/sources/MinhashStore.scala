@@ -37,6 +37,24 @@ object MinhashStore {
     s"$root/mh_$tag"
   }
 
+  /** Build the artifact from any (doc_id, text) frame into `dir` — the
+    * corpus-general entry (pair with [[append]] for incremental corpora).
+    */
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    NearDup.minhashBuckets(spark, docs).write.parquet(s"$dir/bands")
+    docs.select(col("doc_id").cast("long").as("tid"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
+      }
+      .toDF("tid", "tsh")
+      .write.parquet(s"$dir/sets")
+    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
+    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
+      s"could not mark minhash artifact complete at $dir")
+  }
+
   /** Idempotent build over the `documents` fixture: one signature pass
     * (narrow map) for the band table + one shingle pass for the sorted
     * verify sets, published atomically.
@@ -44,19 +62,7 @@ object MinhashStore {
   def ensure(spark: SparkSession, sfDir: String): String = {
     val p = path(spark, sfDir)
     PhysicalLayout.ensureDir(p) { tmp =>
-      import spark.implicits._
-      val docs = Tables.load(spark, sfDir, "documents")
-      NearDup.minhashBuckets(spark, docs).write.parquet(s"$tmp/bands")
-      docs.select(col("doc_id").cast("long").as("tid"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
-        }
-        .toDF("tid", "tsh")
-        .write.parquet(s"$tmp/sets")
-      val ok = new java.io.File(tmp, "_SUCCESS").createNewFile()
-      require(ok || new java.io.File(tmp, "_SUCCESS").exists(),
-        s"could not mark minhash artifact complete at $tmp")
+      build(spark, Tables.load(spark, sfDir, "documents"), tmp)
     }
     p
   }
@@ -68,4 +74,25 @@ object MinhashStore {
   /** The persisted (tid, tsh) sorted shingle sets (verify input). */
   def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${ensure(spark, sfDir)}/sets")
+
+  /** INCREMENTAL maintenance: signatures are per-document (no derived
+    * global table), so appending new documents' bands and verify sets is
+    * pure append — idempotent via the anti-join on already-present ids,
+    * cost ∝ new documents. build(A) + append(B) == build(A ∪ B)
+    * (ArtifactStoresSpec).
+    */
+  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
+    import spark.implicits._
+    val existing = spark.read.parquet(s"$path/sets")
+      .select(col("tid").as("doc_id")).distinct()
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
+    NearDup.minhashBuckets(spark, fresh).write.mode("append").parquet(s"$path/bands")
+    fresh.select(col("doc_id").cast("long").as("tid"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
+      }
+      .toDF("tid", "tsh")
+      .write.mode("append").parquet(s"$path/sets")
+  }
 }

@@ -84,6 +84,22 @@ object VectorIndexStore {
     path
   }
 
+  /** INCREMENTAL maintenance for the IVF artifact: assign new vectors with
+    * the EXISTING model (no retrain — the standard IVF append path: coarse
+    * geometry drifts slowly, so retraining is a scheduled rebuild, not a
+    * per-batch cost) and append into the cell-partitioned layout.
+    * Idempotent via the vec_id anti-join; probe results over
+    * build(A)+append(B) equal probes over assign(A ∪ B) with the same
+    * model (ArtifactStoresSpec).
+    */
+  def appendIvf(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
+    val model = IvfIndex.loadModel(spark, path)
+    val existing = spark.read.parquet(s"$path/vectors").select("vec_id").distinct()
+    val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
+    IvfIndex.assign(spark, fresh, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   // ensureDir's completeness marker is a top-level _SUCCESS; the parquet
   // sub-tables each write their own, but the artifact is only complete once
   // ALL sub-tables are down

@@ -73,6 +73,74 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(fromIndex.except(fromCorpus).isEmpty && fromCorpus.except(fromIndex).isEmpty)
   }
 
+  test("incremental append equals full build and is idempotent (shingle/minhash/posting)") {
+    import org.apache.spark.sql.DataFrame
+    val halfA = docs.filter(col("doc_id") < 25)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+    val root = java.nio.file.Files.createTempDirectory("graft_append").toString
+
+    // shingles: build on half, append the FULL corpus (anti-join must keep
+    // only the new docs), compare against a one-shot full build
+    ShingleStore.build(spark, halfA, s"$root/sh_inc")
+    ShingleStore.append(spark, s"$root/sh_inc", docs)
+    ShingleStore.build(spark, docs, s"$root/sh_full")
+    assert(eq(spark.read.parquet(s"$root/sh_inc/rows"),
+      spark.read.parquet(s"$root/sh_full/rows")))
+    assert(eq(spark.read.parquet(s"$root/sh_inc/df"),
+      spark.read.parquet(s"$root/sh_full/df")))
+    // idempotence: re-appending the same corpus changes nothing
+    val before = spark.read.parquet(s"$root/sh_inc/rows").count()
+    ShingleStore.append(spark, s"$root/sh_inc", docs)
+    assert(spark.read.parquet(s"$root/sh_inc/rows").count() == before)
+
+    // minhash: per-doc tables, pure append
+    MinhashStore.build(spark, halfA, s"$root/mh_inc")
+    MinhashStore.append(spark, s"$root/mh_inc", docs)
+    MinhashStore.build(spark, docs, s"$root/mh_full")
+    assert(eq(spark.read.parquet(s"$root/mh_inc/bands"),
+      spark.read.parquet(s"$root/mh_full/bands")))
+    assert(spark.read.parquet(s"$root/mh_inc/sets").count() ==
+      spark.read.parquet(s"$root/mh_full/sets").count())
+
+    // postings: table equality up to segment layout + derived tables exact
+    PostingStore.build(spark, halfA, s"$root/pt_inc")
+    PostingStore.append(spark, s"$root/pt_inc", docs)
+    PostingStore.build(spark, docs, s"$root/pt_full")
+    assert(eq(spark.read.parquet(s"$root/pt_inc/postings"),
+      spark.read.parquet(s"$root/pt_full/postings")))
+    assert(eq(spark.read.parquet(s"$root/pt_inc/df"),
+      spark.read.parquet(s"$root/pt_full/df")))
+    assert(eq(spark.read.parquet(s"$root/pt_inc/stats"),
+      spark.read.parquet(s"$root/pt_full/stats")))
+  }
+
+  test("IVF append assigns with the existing model; probes equal one-shot assignment") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    val halfA = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val model = IvfIndex.train(spark, halfA, k = 8)
+    IvfIndex.save(spark, model, IvfIndex.assign(spark, halfA, model), root)
+    VectorIndexStore.appendIvf(spark, root, emb)
+    val stored = IvfIndex.loadVectors(spark, root)
+    assert(stored.count() == emb.count())
+    // idempotent
+    VectorIndexStore.appendIvf(spark, root, emb)
+    assert(IvfIndex.loadVectors(spark, root).count() == emb.count())
+    // probe over the appended artifact == probe over a one-shot assignment
+    // with the SAME model
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val fromStore = IvfIndex.search(spark, stored.filter(col("vec_id") =!= 0),
+      model, query, k = 10, nProbe = 3).collect().toSeq
+    val oneShot = IvfIndex.search(spark,
+      IvfIndex.assign(spark, emb, model).filter(col("vec_id") =!= 0),
+      model, query, k = 10, nProbe = 3).collect().toSeq
+    assert(fromStore == oneShot)
+  }
+
   test("PQ probe plan prunes the encoded scan to nProbe cell partitions") {
     import spark.implicits._
     val path = VectorIndexStore.ensurePq(spark, sf)
