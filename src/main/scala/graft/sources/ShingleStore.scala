@@ -99,7 +99,10 @@ object ShingleStore {
     * in the artifact (idempotent — already-present doc_ids are anti-joined
     * away, so redelivery is a no-op), then refresh the derived df table
     * from the artifact itself (one pass over persisted rows, not the
-    * corpus). This is how a live corpus keeps the artifact current without
+    * corpus). Append-only corpus contract (the reference's chunk store is
+    * insert-or-skip, db_utils.py:131-146): a CHANGED document is not
+    * re-shingled by append — route changes through snapshotDiff and
+    * rebuild, or delete+append, as with any segmented index. This is how a live corpus keeps the artifact current without
     * the full rebuild: append cost ∝ new documents.
     *
     * Equivalence build(A) + append(B) == build(A ∪ B) is asserted in
