@@ -76,6 +76,37 @@ object PqIndex {
       out
     }
 
+    /** Total squared quantization error of encoding `v` — the part of the
+      * residual the m chosen codebook entries fail to capture (the per-row
+      * ADC approximation error). Same nearest-entry scan as [[encode]],
+      * accumulating the winning distances instead of the codes.
+      */
+    def quantError(v: Seq[Float], cell: Int): Double = {
+      val r = residual(v, cell)
+      var total = 0.0
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val idx = s * subDim + i
+            val t = (if (idx < r.length) r(idx) else 0.0) - book(c)(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) bestD = d
+          c += 1
+        }
+        total += bestD
+        s += 1
+      }
+      total
+    }
+
     /** ADC lookup table for one probed cell: table(sub)(code) = squared L2
       * between the query's residual subvector and that codebook entry.
       */
@@ -170,6 +201,24 @@ object PqIndex {
         (id, label, cell, bc.value.encode(e, cell))
       }
       .toDF("vec_id", "label", "cell", "code")
+  }
+
+  /** One-row quantization-error summary of encoding `vectors` with `model`:
+    * (n_vectors, mean_sq_err). The mean squared ADC error is the index's
+    * health metric — a corpus drifting away from the trained codebooks
+    * shows a RISING error series across appends, which is the signal that a
+    * scheduled retrain is due (appendPq logs this per append).
+    */
+  def quantizationStats(spark: SparkSession, vectors: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (_, e) =>
+        bc.value.quantError(e, bc.value.coarse.nearestCell(e))
+      }
+      .toDF("sq_err")
+      .agg(count(lit(1)).as("n_vectors"), avg("sq_err").as("mean_sq_err"))
   }
 
   /** Persist a trained IVF-PQ index (build-once / probe-many — the same

@@ -36,7 +36,11 @@ object PhysicalQueries extends QuerySet {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
           "_" + PhysicalLayout.sourceTag(d, "lineitem")
         val sorted = s"/tmp/graft_p01/lineitem_by_shipdate_$tag"
-        PhysicalLayout.ensureSortedCopy(sorted, "l_shipdate") {
+        // TestBlockSize EXPLICITLY: this query demonstrates multi-group
+        // pruning at fixture scale, where the production 128 MiB default
+        // would put the whole table in one group and show nothing
+        PhysicalLayout.ensureSortedCopy(sorted, "l_shipdate",
+            blockSize = PhysicalLayout.TestBlockSize) {
           t(s, d, "lineitem").withColumn("l_shipdate", to_date(col("l_shipdate")))
         }
         s.read.parquet(sorted)

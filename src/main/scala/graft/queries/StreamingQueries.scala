@@ -256,9 +256,14 @@ object StreamingQueries extends QuerySet {
       (s, d) => {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
           "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
-        val srcDir = s"/tmp/graft_s13/src_$tag"
-        val target = s"/tmp/graft_s13/store_$tag"
-        val ckpt = s"${StreamingOps.ckptParent}/graft_s13/ckpt_$tag"
+        // pid-suffixed working root: the drill deletes its dirs
+        // unconditionally, so two JVMs (Bench + Verify, two users) must not
+        // share them — unlike the ensureDir-protected stores, these dirs
+        // have no publish protocol by design (the query IS the lifecycle)
+        val pid = ProcessHandle.current().pid()
+        val srcDir = s"/tmp/graft_s13_$pid/src_$tag"
+        val target = s"/tmp/graft_s13_$pid/store_$tag"
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s13_$pid/ckpt_$tag"
         // fresh lifecycle per run — the query IS the stop/restart drill
         for (p <- Seq(srcDir, target, ckpt)) {
           val f = new java.io.File(p)

@@ -80,14 +80,23 @@ object MinhashStore {
     * pure append — idempotent via the anti-join on already-present ids,
     * cost ∝ new documents. build(A) + append(B) == build(A ∪ B)
     * (ArtifactStoresSpec).
+    *
+    * Each sub-table anti-joins against its OWN existing ids: a crash
+    * between the two writes leaves them inconsistent (bands ahead of
+    * sets), and a retry keyed on one shared table would re-append the
+    * other's rows — per-table keying makes redelivery converge instead
+    * of duplicating band rows (which would corrupt x05 bucket counts).
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
     import spark.implicits._
-    val existing = spark.read.parquet(s"$path/sets")
+    val bandIds = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("doc_id")).distinct()
+    NearDup.minhashBuckets(spark, newDocs.join(bandIds, Seq("doc_id"), "left_anti"))
+      .write.mode("append").parquet(s"$path/bands")
+    val setIds = spark.read.parquet(s"$path/sets")
       .select(col("tid").as("doc_id")).distinct()
-    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    NearDup.minhashBuckets(spark, fresh).write.mode("append").parquet(s"$path/bands")
-    fresh.select(col("doc_id").cast("long").as("tid"), col("text"))
+    newDocs.join(setIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").cast("long").as("tid"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)

@@ -17,21 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object PhysicalLayout {
 
-  /** Small row groups so multi-group pruning is observable at test SFs; a
-    * production write would keep the 128 MiB default.
+  /** Production row-group size (the parquet default): large groups amortize
+    * footer/stat overhead and match the 128 MiB split size a cluster scan
+    * wants. This is the DEFAULT for every artifact write.
+    */
+  val ProductionBlockSize = 128 * 1024 * 1024
+
+  /** Test-only override: row groups small enough that multi-group pruning
+    * is OBSERVABLE at test SFs (a 64 KiB group holds ~2k posting rows, so
+    * the fixture artifact spans several groups). Passed explicitly at
+    * test/demo call sites — never a production default.
     */
   val TestBlockSize = 64 * 1024
 
   /** Write `df` range-partitioned and sorted by `sortCol` — every output
     * file covers a disjoint range, every row group a tight sub-range.
+    * Page size scales with the block size (a 128 MiB group with 16 KiB
+    * pages would fragment the column chunks; a 64 KiB test group needs
+    * sub-group pages for page-level pruning to be visible).
     */
   def writeSorted(df: DataFrame, sortCol: String, path: String,
-                  partitions: Int = 4, blockSize: Int = TestBlockSize): Unit =
+                  partitions: Int = 4, blockSize: Int = ProductionBlockSize): Unit =
     df.repartitionByRange(partitions, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite")
       .option("parquet.block.size", blockSize)
-      .option("parquet.page.size", 16 * 1024)
+      .option("parquet.page.size", math.max(16 * 1024, blockSize / 128))
       .parquet(path)
 
   /** Short fingerprint of a fixture table file (length + mtime), for
@@ -53,8 +64,9 @@ object PhysicalLayout {
     * an NTZ sort column, any literal type) — day-granular timestamps
     * should be cast to DATE before the sorted write.
     */
-  def ensureSortedCopy(path: String, sortCol: String)(build: => DataFrame): Unit =
-    ensureDir(path)(p => writeSorted(build, sortCol, p))
+  def ensureSortedCopy(path: String, sortCol: String,
+                       blockSize: Int = ProductionBlockSize)(build: => DataFrame): Unit =
+    ensureDir(path)(p => writeSorted(build, sortCol, p, blockSize = blockSize))
 
   /** Idempotent, concurrency-safe materialization of a directory-shaped
     * artifact: the writer produces into a unique temp sibling, then one

@@ -11,24 +11,33 @@ import org.apache.spark.sql.functions._
   * k01/k02 invocation; a real deployment tokenizes 100 TB once and serves
   * every query from the index.
   *
-  * Artifact layout:
-  *   `path/postings` — (tok, doc_id, tf, dl): one row per (term, doc),
-  *                     with the doc length denormalized in (no join at
-  *                     query time). Written SORTED BY tok
-  *                     ([[PhysicalLayout.writeSorted]]): a query's
-  *                     `tok IN (...)` predicate pushes down to parquet
-  *                     row-group min/max pruning, so a probe reads the
-  *                     queried terms' posting lists, not the corpus — the
-  *                     inverted-index access path, expressed as physical
-  *                     layout.
-  *   `path/df`       — (tok, df): global document frequency (vocabulary-
-  *                     sized, broadcast at query time).
-  *   `path/stats`    — (n_docs, avgdl): one row.
+  * Artifact layout (all three tables behind the [[Versioned]] pointer
+  * protocol — readers always see a complete version, crashes never leave a
+  * silently-stale derived table):
+  *   `postings` — (tok, doc_id, tf, dl): one row per (term, doc), with the
+  *                doc length denormalized in (no join at query time).
+  *                Written SORTED BY tok ([[PhysicalLayout.writeSorted]]):
+  *                a query's `tok IN (...)` predicate pushes down to parquet
+  *                row-group min/max pruning, so a probe reads the queried
+  *                terms' posting lists, not the corpus — the inverted-index
+  *                access path, expressed as physical layout. Incremental
+  *                [[append]]s add per-segment-sorted files; [[compact]]
+  *                re-sorts globally and atomically re-points.
+  *   `df`       — (tok, df): global document frequency (vocabulary-sized,
+  *                broadcast at query time). Watermarked with the postings
+  *                row count it was derived from.
+  *   `stats`    — (n_docs, avgdl): one row. Same watermark.
   *
   * All three tables are exact integer/long-sum quantities computed with the
   * same tokenization as [[graft.operators.Retrieval.bm25Contrib]], so
   * scores over the store are bitwise the scores over the corpus — k01/k02
   * stay hash-green against oracles that keep recomputing from `documents`.
+  *
+  * Lifecycle contract: single WRITER per artifact (append/compact are index
+  * maintenance jobs); readers are unrestricted and crash-safe — a reader of
+  * df/stats verifies the watermark against the postings footer count and
+  * self-repairs a stale derived table (crash between append and refresh)
+  * before serving it.
   */
 object PostingStore {
 
@@ -40,28 +49,38 @@ object PostingStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_postings")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       PhysicalLayout.sourceTag(sfDir, "documents")
-    s"$root/pt_$tag"
+    // v2 layout (pointer-versioned tables): the prefix keys the layout so a
+    // pre-existing round-6 flat artifact is never misread
+    s"$root/pt2_$tag"
   }
 
-  /** Build the index from any (doc_id, text) frame into `dir` — the
-    * corpus-general entry (pair with [[append]] for incremental corpora).
+  /** THE tokenization: (doc_id, dl, tok, tf) rows of a (doc_id, text)
+    * frame — single definition shared by build and append so segments can
+    * never drift from the initial index.
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  private def postingRowsOf(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"),
         lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
       .withColumn("dl", size(split(col("norm"), " ")))
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
+    base.select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
       .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    // sorted by tok: row-group min/max pruning serves `tok IN (...)`
-    // probes; production keeps the default 128 MiB groups
-    PhysicalLayout.writeSorted(postings, "tok", s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.parquet(s"$dir/df")
-    base.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1).write.parquet(s"$dir/stats")
+  }
+
+  /** Build the index from any (doc_id, text) frame into `dir` — the
+    * corpus-general entry (pair with [[append]] for incremental corpora).
+    * Production block size by default; tests pass
+    * [[PhysicalLayout.TestBlockSize]] explicitly to observe multi-group
+    * pruning at fixture scale.
+    */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+            blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+    // watermark −1: postings is the base table (self-versioned for atomic
+    // compaction re-pointing; staleness is defined only for DERIVED tables)
+    Versioned.publish(dir, "postings", -1L) { v =>
+      PhysicalLayout.writeSorted(postingRowsOf(docs), "tok", v, blockSize = blockSize)
+    }
+    refreshDerived(spark, dir)
     val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
     require(ok || new java.io.File(dir, "_SUCCESS").exists(),
       s"could not mark posting artifact complete at $dir")
@@ -78,76 +97,137 @@ object PostingStore {
     p
   }
 
+  // ---- path-based readers (shared by the fixture surface, the streaming
+  // ---- maintenance sink, and the specs) ----
+
+  /** The current postings version at an explicit artifact path. */
+  def postingsAt(spark: SparkSession, path: String): DataFrame =
+    Versioned.read(spark, path, "postings")
+
+  /** Current df table, watermark-checked: a recorded watermark that does
+    * not match the postings footer count means a crash landed between a
+    * segment append and the derived refresh — repair (one pass over the
+    * persisted postings) before serving, instead of returning stale
+    * frequencies. The check is parquet footer metadata, not a data scan.
+    */
+  def dfAt(spark: SparkSession, path: String): DataFrame =
+    derivedChecked(spark, path, "df")
+
+  /** Current stats table, watermark-checked (see [[dfAt]]). */
+  def statsAt(spark: SparkSession, path: String): DataFrame =
+    derivedChecked(spark, path, "stats")
+
+  private def derivedChecked(spark: SparkSession, path: String, name: String): DataFrame = {
+    val base = postingsAt(spark, path).count()
+    if (!Versioned.readPointer(path, name).exists(_.watermark == base))
+      refreshDerived(spark, path)
+    Versioned.read(spark, path, name)
+  }
+
   def postings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/postings")
+    postingsAt(spark, ensure(spark, sfDir))
 
   def dfTable(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/df")
+    dfAt(spark, ensure(spark, sfDir))
 
   def stats(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/stats")
+    statsAt(spark, ensure(spark, sfDir))
 
   /** INCREMENTAL maintenance: append new documents' postings as a fresh
     * tok-sorted segment (row-group min/max pruning is per row group, so
     * per-segment sort keeps term probes pruned without a global resort —
-    * the standard segmented-index trade; compaction can re-sort segments
-    * off-line), then refresh df and stats FROM the artifact (one pass over
+    * the standard segmented-index trade; [[compact]] performs the off-line
+    * re-sort), then refresh df and stats FROM the artifact (one pass over
     * persisted postings, not the corpus). Idempotent via the doc_id
     * anti-join; build(A) + append(B) ≡ build(A ∪ B) up to segment layout
     * (ArtifactStoresSpec asserts table equality and probe-score equality).
+    * An absent store bootstraps (first streamed micro-batch creates it).
     */
-  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
-    val existing = spark.read.parquet(s"$path/postings").select("doc_id").distinct()
+  def append(spark: SparkSession, path: String, newDocs: DataFrame,
+             blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+    if (Versioned.readPointer(path, "postings").isEmpty) {
+      build(spark, newDocs, path, blockSize)
+      return
+    }
+    appendSegment(spark, path, newDocs, blockSize)
+    refreshDerived(spark, path)
+  }
+
+  /** The segment write alone, WITHOUT the derived refresh —
+    * private[sources] so the crash-recovery spec can simulate a failure
+    * between the two steps. Production callers use [[append]].
+    */
+  private[sources] def appendSegment(spark: SparkSession, path: String,
+                                     newDocs: DataFrame, blockSize: Int): Unit = {
+    val cur = Versioned.readPointer(path, "postings").get.dir
+    val existing = spark.read.parquet(s"$path/$cur").select("doc_id").distinct()
     val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    val base = fresh
-      .select(col("doc_id"),
-        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
-      .withColumn("dl", size(split(col("norm"), " ")))
-    base.select(col("doc_id"), col("dl"), explode(split(col("norm"), " ")).as("tok"))
-      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    postingRowsOf(fresh)
       .repartitionByRange(4, col("tok")).sortWithinPartitions("tok")
       .write.mode("append")
-      .option("parquet.block.size", PhysicalLayout.TestBlockSize)
-      .option("parquet.page.size", 16 * 1024)
-      .parquet(s"$path/postings")
-    refreshDerived(spark, path)
+      .option("parquet.block.size", blockSize)
+      .option("parquet.page.size", math.max(16 * 1024, blockSize / 128))
+      .parquet(s"$path/$cur")
+  }
+
+  /** Off-line COMPACTION: global re-sort of all accumulated segments into
+    * the canonical tok-sorted layout, published as a new postings version
+    * with one atomic pointer flip (readers mid-probe keep the previous
+    * version; the next probe sees the compacted one). Appends erode probe
+    * pruning — each segment is only sorted within itself, so a term probe
+    * reads one row-group-range PER SEGMENT — and compaction restores the
+    * one-range-per-term layout of a fresh build. Derived tables are
+    * untouched: compaction permutes rows, it does not change them (the
+    * unchanged watermark still matches). Scheduling at 100 TB: SCALE.md
+    * "posting-segment compaction".
+    */
+  def compact(spark: SparkSession, path: String,
+              blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+    val all = postingsAt(spark, path)
+    Versioned.publish(path, "postings", -1L) { v =>
+      PhysicalLayout.writeSorted(all, "tok", v, blockSize = blockSize)
+    }
   }
 
   // df is additive and stats are a weighted average — both are exactly
   // recomputable from the artifact itself (every doc has >= 1 posting row,
-  // dl is constant per doc), so the refresh never rereads the corpus
-  private def refreshDerived(spark: SparkSession, path: String): Unit = {
-    val postings = spark.read.parquet(s"$path/postings")
-    def swapIn(name: String, df: DataFrame): Unit = {
-      val tmp = s"$path/$name.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
-      df.write.parquet(tmp)
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(s"$path/$name")).deleteRecursively()
-      require(new java.io.File(tmp).renameTo(new java.io.File(s"$path/$name")),
-        s"could not publish refreshed $name table at $path")
+  // dl is constant per doc), so the refresh never rereads the corpus. Both
+  // versions carry the SAME watermark (the postings count of one snapshot).
+  private[sources] def refreshDerived(spark: SparkSession, path: String): Unit = {
+    val postings = postingsAt(spark, path)
+    val wm = postings.count()
+    Versioned.publish(path, "df", wm) { v =>
+      postings.groupBy("tok").agg(count(lit(1)).as("df")).write.parquet(v)
     }
-    swapIn("df", postings.groupBy("tok").agg(count(lit(1)).as("df")))
-    swapIn("stats", postings.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1))
+    Versioned.publish(path, "stats", wm) { v =>
+      postings.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+        .coalesce(1).write.parquet(v)
+    }
   }
 
-  /** Per-(doc, term) BM25 contribution served FROM the index: filter the
-    * sorted postings to `terms` (row-group pruned scan), broadcast-join the
-    * term df rows and the single stats row — the same Lucene-smoothed
-    * formula as [[graft.operators.Retrieval.bm25Contrib]], over identical
-    * integer inputs. Returns (id, c).
+  /** Per-(doc, term) BM25 contribution served FROM an index at an explicit
+    * path: filter the sorted postings to `terms` (row-group pruned scan),
+    * broadcast-join the term df rows and the single stats row — the same
+    * Lucene-smoothed formula as [[graft.operators.Retrieval.bm25Contrib]],
+    * over identical integer inputs. Returns (id, c).
     */
-  def bm25ContribFromIndex(spark: SparkSession, sfDir: String, terms: Seq[String],
-                           k1: Double = graft.operators.Retrieval.DefaultK1,
-                           b: Double = graft.operators.Retrieval.DefaultB): DataFrame = {
+  def bm25ContribFromIndexAt(spark: SparkSession, path: String, terms: Seq[String],
+                             k1: Double = graft.operators.Retrieval.DefaultK1,
+                             b: Double = graft.operators.Retrieval.DefaultB): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val tf = postings(spark, sfDir).filter(col("tok").isin(terms: _*))
-    val df = dfTable(spark, sfDir).filter(col("tok").isin(terms: _*))
-    tf.join(broadcast(df), "tok").crossJoin(broadcast(stats(spark, sfDir)))
+    val tf = postingsAt(spark, path).filter(col("tok").isin(terms: _*))
+    val df = dfAt(spark, path).filter(col("tok").isin(terms: _*))
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(statsAt(spark, path)))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .select(col("doc_id").as("id"), (col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("c"))
   }
+
+  /** [[bm25ContribFromIndexAt]] over the fixture's ensured index. */
+  def bm25ContribFromIndex(spark: SparkSession, sfDir: String, terms: Seq[String],
+                           k1: Double = graft.operators.Retrieval.DefaultK1,
+                           b: Double = graft.operators.Retrieval.DefaultB): DataFrame =
+    bm25ContribFromIndexAt(spark, ensure(spark, sfDir), terms, k1, b)
 }

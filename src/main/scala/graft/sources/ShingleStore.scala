@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *                 normalized text, one row per (doc, shingle);
   *   `path/df`   — (sh, df): global document frequency per shingle — the
   *                 input to both the boilerplate cap and PPJoin's
-  *                 rarest-first prefix rank, precomputed once.
+  *                 rarest-first prefix rank, precomputed once. Published
+  *                 through the [[Versioned]] pointer protocol with a
+  *                 rows-count watermark (reader-safe refresh, crash-stale
+  *                 detection + self-repair).
   *
   * At 100 TB the rows table would be written bucketed by `sh` (shuffle-free
   * posting self-joins) and maintained incrementally next to the chunk
@@ -56,7 +59,9 @@ object ShingleStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_shingles")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       PhysicalLayout.sourceTag(sfDir, "documents")
-    s"$root/sh_$tag"
+    // v2 layout (pointer-versioned df): the prefix keys the layout so a
+    // pre-existing round-6 flat artifact is never misread
+    s"$root/sh2_$tag"
   }
 
   /** Build the artifact from any (doc_id, text) frame into `dir` — the
@@ -67,9 +72,7 @@ object ShingleStore {
     shingleRowsOf(docs).write.parquet(s"$dir/rows")
     // df over the JUST-WRITTEN rows: one parquet read beats recomputing
     // the string pipeline a second time
-    spark.read.parquet(s"$dir/rows")
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .write.parquet(s"$dir/df")
+    refreshDf(spark, dir)
     val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
     require(ok || new java.io.File(dir, "_SUCCESS").exists(),
       s"could not mark shingle artifact complete at $dir")
@@ -87,13 +90,30 @@ object ShingleStore {
     p
   }
 
+  /** The persisted (doc_id, sh) posting rows at an explicit path. */
+  def rowsAt(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/rows")
+
+  /** Current df version at an explicit path, watermark-checked: a recorded
+    * watermark that does not match the rows footer count means a crash
+    * landed between a rows append and the df refresh — repair (one pass
+    * over persisted rows) before serving stale frequencies. Footer
+    * metadata, not a data scan.
+    */
+  def dfAt(spark: SparkSession, path: String): DataFrame = {
+    val base = rowsAt(spark, path).count()
+    if (!Versioned.readPointer(path, "df").exists(_.watermark == base))
+      refreshDf(spark, path)
+    Versioned.read(spark, path, "df")
+  }
+
   /** The persisted (doc_id, sh) posting rows. */
   def rows(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/rows")
+    rowsAt(spark, ensure(spark, sfDir))
 
   /** The persisted (sh, df) document-frequency table. */
   def dfTable(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/df")
+    dfAt(spark, ensure(spark, sfDir))
 
   /** INCREMENTAL maintenance: append the shingle rows of documents not yet
     * in the artifact (idempotent — already-present doc_ids are anti-joined
@@ -102,31 +122,41 @@ object ShingleStore {
     * corpus). Append-only corpus contract (the reference's chunk store is
     * insert-or-skip, db_utils.py:131-146): a CHANGED document is not
     * re-shingled by append — route changes through snapshotDiff and
-    * rebuild, or delete+append, as with any segmented index. This is how a live corpus keeps the artifact current without
-    * the full rebuild: append cost ∝ new documents.
+    * rebuild, or delete+append, as with any segmented index. This is how a
+    * live corpus keeps the artifact current without the full rebuild:
+    * append cost ∝ new documents. An absent store bootstraps (first
+    * streamed micro-batch creates it).
     *
     * Equivalence build(A) + append(B) == build(A ∪ B) is asserted in
-    * ArtifactStoresSpec. The df swap is delete-then-rename — readers
-    * concurrent with maintenance should read rows (append-only) or
-    * coordinate off-peak, same as any non-transactional table format;
-    * a cluster deployment uses a transactional format at this boundary.
+    * ArtifactStoresSpec. The df refresh publishes through the [[Versioned]]
+    * pointer protocol: concurrent readers see the old or the new version
+    * (never a missing table), and a crash between the rows append and the
+    * refresh is DETECTED by the df watermark and self-repaired on the next
+    * read. Single writer per artifact, as with any segmented index.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
-    val existing = spark.read.parquet(s"$path/rows").select("doc_id").distinct()
-    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    shingleRowsOf(fresh).write.mode("append").parquet(s"$path/rows")
+    if (!new java.io.File(s"$path/rows").exists()) {
+      build(spark, newDocs, path)
+      return
+    }
+    appendRows(spark, path, newDocs)
     refreshDf(spark, path)
   }
 
-  private def refreshDf(spark: SparkSession, path: String): Unit = {
-    val tmp = s"$path/df.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
-    spark.read.parquet(s"$path/rows")
-      .groupBy("sh").agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("df"))
-      .write.parquet(tmp)
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(s"$path/df")).deleteRecursively()
-    require(new java.io.File(tmp).renameTo(new java.io.File(s"$path/df")),
-      s"could not publish refreshed df table at $path")
+  /** The rows append alone, WITHOUT the df refresh — private[sources] so
+    * the crash-recovery spec can simulate a failure between the two steps.
+    */
+  private[sources] def appendRows(spark: SparkSession, path: String,
+                                  newDocs: DataFrame): Unit = {
+    val existing = rowsAt(spark, path).select("doc_id").distinct()
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
+    shingleRowsOf(fresh).write.mode("append").parquet(s"$path/rows")
+  }
+
+  private[sources] def refreshDf(spark: SparkSession, path: String): Unit = {
+    val rows = rowsAt(spark, path)
+    Versioned.publish(path, "df", rows.count()) { v =>
+      rows.groupBy("sh").agg(count(lit(1)).as("df")).write.parquet(v)
+    }
   }
 }

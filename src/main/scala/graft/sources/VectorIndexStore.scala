@@ -100,6 +100,38 @@ object VectorIndexStore {
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** INCREMENTAL maintenance for the IVF-PQ artifact: encode new vectors
+    * with the EXISTING coarse cells and codebooks (no retrain — identical
+    * rationale to [[appendIvf]]: quantizer geometry drifts slowly, so
+    * retraining is a scheduled rebuild, not a per-batch cost) and append
+    * the one-byte codes into the cell-partitioned layout. Idempotent via
+    * the vec_id anti-join.
+    *
+    * Each effective append logs a QUANTIZATION-ERROR WATERMARK into
+    * `path/qerr` — (append_seq, n_vectors, mean_sq_err of the appended
+    * batch under the existing codebooks). A drifting corpus shows a rising
+    * error series, which is the operational signal that the scheduled
+    * retrain is due (the per-batch analogue of a clustering-quality
+    * monitor; asserted in ArtifactStoresSpec).
+    */
+  def appendPq(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
+    val model = PqIndex.loadModel(spark, path)
+    val existing = spark.read.parquet(s"$path/encoded").select("vec_id").distinct()
+    val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) return // redelivered batch: nothing to encode, no watermark row
+    PqIndex.encode(spark, fresh, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/encoded")
+    val seq =
+      try spark.read.parquet(s"$path/qerr").count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" => 0L
+      }
+    PqIndex.quantizationStats(spark, fresh, model)
+      .withColumn("append_seq", org.apache.spark.sql.functions.lit(seq))
+      .coalesce(1).write.mode("append").parquet(s"$path/qerr")
+  }
+
   // ensureDir's completeness marker is a top-level _SUCCESS; the parquet
   // sub-tables each write their own, but the artifact is only complete once
   // ALL sub-tables are down

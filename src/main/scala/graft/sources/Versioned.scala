@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Two-phase pointer-file publication for derived tables inside an
+  * artifact directory — the crash- and reader-safe replacement for
+  * delete-then-rename swaps (round-6's refresh left a window where a
+  * reader between the delete and the rename saw a MISSING table, and a
+  * crash between a base-table append and the derived refresh left the
+  * derived table silently stale).
+  *
+  * Protocol (no transactional table format needed):
+  *   1. write the new version into a fresh sibling directory
+  *      `<name>-v<n>-<pid>-<nano>` (never touches the current one);
+  *   2. atomically flip the pointer file `<name>.CURRENT` (tmp file +
+  *      `ATOMIC_MOVE`) to the new directory, stamping a WATERMARK — the
+  *      base-table row count the version was derived from;
+  *   3. garbage-collect versions older than the immediately previous one
+  *      (kept for readers that resolved the pointer just before the flip).
+  *
+  * Reader guarantees:
+  *   - a reader concurrent with a refresh sees either the old or the new
+  *     version, both complete — never a missing or half-written table;
+  *   - a reader can compare the pointer's watermark against the base
+  *     table's current row count (parquet footer metadata — no data scan)
+  *     and DETECT a stale derived table (crash-after-append), triggering
+  *     repair instead of serving wrong aggregates.
+  *
+  * Writer contract: SINGLE WRITER per artifact (the standard contract for
+  * segmented-index maintenance — concurrent appenders would both anti-join
+  * against the same base snapshot and double-insert regardless of this
+  * protocol). Readers are unrestricted. Asserted in ArtifactStoresSpec
+  * (concurrent-reader-during-refresh + crash-recovery tests).
+  */
+object Versioned {
+
+  final case class Current(dir: String, watermark: Long)
+
+  private def pointerFile(path: String, name: String) =
+    new java.io.File(path, s"$name.CURRENT")
+
+  /** Version number encoded in a version-directory name. */
+  private def versionOf(dir: String): Long = {
+    val tail = dir.substring(dir.lastIndexOf("-v") + 2)
+    val end = tail.indexOf('-')
+    (if (end < 0) tail else tail.substring(0, end)).toLong
+  }
+
+  /** Resolve the current version of derived table `name`, if published. */
+  def readPointer(path: String, name: String): Option[Current] = {
+    val f = pointerFile(path, name)
+    if (!f.exists()) None
+    else {
+      val Array(dir, wm) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
+      Some(Current(dir, wm.toLong))
+    }
+  }
+
+  /** The current version of `name` as a DataFrame (fails loudly when no
+    * version was ever published — an incomplete artifact, not an empty
+    * table).
+    */
+  def read(spark: SparkSession, path: String, name: String): DataFrame = {
+    val cur = readPointer(path, name).getOrElse(throw new IllegalStateException(
+      s"derived table $name has no published version at $path"))
+    spark.read.parquet(s"$path/${cur.dir}")
+  }
+
+  /** Publish a new version of `name`: `write` produces into a fresh
+    * version directory, then one atomic pointer flip makes it current with
+    * `watermark` recorded. A crash mid-`write` leaves an orphan directory
+    * the next publication GCs — the pointer never references an incomplete
+    * version.
+    */
+  def publish(path: String, name: String, watermark: Long)
+             (write: String => Unit): Unit = {
+    val prev = readPointer(path, name)
+    val n = prev.map(c => versionOf(c.dir) + 1).getOrElse(1L)
+    val dir = s"$name-v$n-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+    write(s"$path/$dir")
+    val tmp = new java.io.File(path, s"$name.CURRENT.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"$dir $watermark")
+    java.nio.file.Files.move(tmp.toPath, pointerFile(path, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC anything older than the version that was current just before the
+    // flip: a reader holding THAT version finishes unharmed; anything older
+    // (including orphans of crashed publications) has no live readers
+    prev.foreach { c =>
+      val cutoff = versionOf(c.dir)
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$name-v") &&
+          f.getName != c.dir && f.getName != dir &&
+          versionOf(f.getName) < cutoff)
+        .foreach { f =>
+          import scala.reflect.io.Directory
+          new Directory(f).deleteRecursively()
+        }
+    }
+  }
+}

@@ -43,9 +43,15 @@ object BpeTokenizer {
       .groupBy("w").agg(count(lit(1)).as("f"))
     val out = words.orderBy(desc("f"), col("w")).limit(maxWords)
       .as[(String, Long)].collect().toSeq
-    require(out.length < maxWords,
-      s"corpus vocabulary saturates maxWords=$maxWords: merge table would " +
-        "silently depend on the truncation boundary; raise the cap")
+    // a vocabulary of EXACTLY maxWords is complete (limit returned every
+    // word); only a strictly larger one was truncated — that extra count
+    // runs only in the boundary case, so the common path stays one job
+    if (out.length == maxWords) {
+      val vocab = words.count()
+      require(vocab <= maxWords,
+        s"corpus vocabulary ($vocab) exceeds maxWords=$maxWords: merge table " +
+          "would silently depend on the truncation boundary; raise the cap")
+    }
     out
   }
 

@@ -39,8 +39,13 @@ class ArtifactStoresSpec extends SparkTestBase {
   test("PostingStore probe pushes the term filter into the sorted scan") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // TestBlockSize EXPLICITLY: multi-group pruning is only observable with
+    // row groups smaller than the fixture (the production 128 MiB default
+    // would put all postings in one group)
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString + "/pt"
+    PostingStore.build(spark, docs, dir, blockSize = PhysicalLayout.TestBlockSize)
     try {
-      val contrib = PostingStore.bm25ContribFromIndex(spark, sf, Seq("dup", "vector"))
+      val contrib = PostingStore.bm25ContribFromIndexAt(spark, dir, Seq("dup", "vector"))
       contrib.collect()
       val scans = contrib.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec => f
@@ -58,7 +63,7 @@ class ArtifactStoresSpec extends SparkTestBase {
       // probe reads ~1 of ~5 groups (measured 2508 of 11743 rows); at real
       // posting-table sizes the same layout reads the queried terms' slice.
       val emitted = postingScan.get.metrics("numOutputRows").value
-      val total = PostingStore.postings(spark, sf).count()
+      val total = PostingStore.postingsAt(spark, dir).count()
       assert(emitted < total / 2,
         s"probe emitted $emitted of $total postings — row-group pruning not effective")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -85,14 +90,14 @@ class ArtifactStoresSpec extends SparkTestBase {
     ShingleStore.build(spark, halfA, s"$root/sh_inc")
     ShingleStore.append(spark, s"$root/sh_inc", docs)
     ShingleStore.build(spark, docs, s"$root/sh_full")
-    assert(eq(spark.read.parquet(s"$root/sh_inc/rows"),
-      spark.read.parquet(s"$root/sh_full/rows")))
-    assert(eq(spark.read.parquet(s"$root/sh_inc/df"),
-      spark.read.parquet(s"$root/sh_full/df")))
+    assert(eq(ShingleStore.rowsAt(spark, s"$root/sh_inc"),
+      ShingleStore.rowsAt(spark, s"$root/sh_full")))
+    assert(eq(ShingleStore.dfAt(spark, s"$root/sh_inc"),
+      ShingleStore.dfAt(spark, s"$root/sh_full")))
     // idempotence: re-appending the same corpus changes nothing
-    val before = spark.read.parquet(s"$root/sh_inc/rows").count()
+    val before = ShingleStore.rowsAt(spark, s"$root/sh_inc").count()
     ShingleStore.append(spark, s"$root/sh_inc", docs)
-    assert(spark.read.parquet(s"$root/sh_inc/rows").count() == before)
+    assert(ShingleStore.rowsAt(spark, s"$root/sh_inc").count() == before)
 
     // minhash: per-doc tables, pure append
     MinhashStore.build(spark, halfA, s"$root/mh_inc")
@@ -107,12 +112,114 @@ class ArtifactStoresSpec extends SparkTestBase {
     PostingStore.build(spark, halfA, s"$root/pt_inc")
     PostingStore.append(spark, s"$root/pt_inc", docs)
     PostingStore.build(spark, docs, s"$root/pt_full")
-    assert(eq(spark.read.parquet(s"$root/pt_inc/postings"),
-      spark.read.parquet(s"$root/pt_full/postings")))
-    assert(eq(spark.read.parquet(s"$root/pt_inc/df"),
-      spark.read.parquet(s"$root/pt_full/df")))
-    assert(eq(spark.read.parquet(s"$root/pt_inc/stats"),
-      spark.read.parquet(s"$root/pt_full/stats")))
+    assert(eq(PostingStore.postingsAt(spark, s"$root/pt_inc"),
+      PostingStore.postingsAt(spark, s"$root/pt_full")))
+    assert(eq(PostingStore.dfAt(spark, s"$root/pt_inc"),
+      PostingStore.dfAt(spark, s"$root/pt_full")))
+    assert(eq(PostingStore.statsAt(spark, s"$root/pt_inc"),
+      PostingStore.statsAt(spark, s"$root/pt_full")))
+  }
+
+  test("a reader concurrent with a refresh always sees a complete df version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_reader").toString
+    val halfA = docs.filter(col("doc_id") < 25)
+    ShingleStore.build(spark, halfA, s"$root/sh")
+    // resolve the CURRENT version (as a concurrent reader would)…
+    val oldDf = ShingleStore.dfAt(spark, s"$root/sh")
+    val oldRows = oldDf.count()
+    val oldPtr = Versioned.readPointer(s"$root/sh", "df").get
+    // …then a refresh publishes a NEW version while the old read is open
+    ShingleStore.append(spark, s"$root/sh", docs)
+    val newPtr = Versioned.readPointer(s"$root/sh", "df").get
+    assert(newPtr.dir != oldPtr.dir, "refresh must publish a fresh version dir")
+    // the in-flight reader's version directory still exists and still reads
+    // completely (GC keeps the immediately-previous version alive)
+    assert(new java.io.File(s"$root/sh/${oldPtr.dir}").exists())
+    assert(oldDf.count() == oldRows)
+    // a new reader resolves the refreshed version with the bumped watermark
+    assert(newPtr.watermark == ShingleStore.rowsAt(spark, s"$root/sh").count())
+    assert(ShingleStore.dfAt(spark, s"$root/sh").count() >= oldRows)
+  }
+
+  test("crash between append and refresh: watermark detects staleness, reader self-repairs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val halfA = docs.filter(col("doc_id") < 25)
+
+    // shingle store: simulate the crash (rows appended, df refresh never ran)
+    ShingleStore.build(spark, halfA, s"$root/sh")
+    ShingleStore.appendRows(spark, s"$root/sh", docs)
+    val shPtr = Versioned.readPointer(s"$root/sh", "df").get
+    assert(shPtr.watermark != ShingleStore.rowsAt(spark, s"$root/sh").count(),
+      "stale df must be detectable via the watermark")
+    // the checked reader repairs before serving: df equals a fresh build's
+    ShingleStore.build(spark, docs, s"$root/sh_full")
+    val repaired = ShingleStore.dfAt(spark, s"$root/sh")
+    val expected = ShingleStore.dfAt(spark, s"$root/sh_full")
+    assert(repaired.except(expected).isEmpty && expected.except(repaired).isEmpty)
+    assert(Versioned.readPointer(s"$root/sh", "df").get.watermark ==
+      ShingleStore.rowsAt(spark, s"$root/sh").count())
+
+    // posting store: same drill for df AND stats
+    PostingStore.build(spark, halfA, s"$root/pt")
+    PostingStore.appendSegment(spark, s"$root/pt", docs, PhysicalLayout.TestBlockSize)
+    assert(Versioned.readPointer(s"$root/pt", "df").get.watermark !=
+      PostingStore.postingsAt(spark, s"$root/pt").count())
+    PostingStore.build(spark, docs, s"$root/pt_full")
+    val rdf = PostingStore.dfAt(spark, s"$root/pt")
+    val edf = PostingStore.dfAt(spark, s"$root/pt_full")
+    assert(rdf.except(edf).isEmpty && edf.except(rdf).isEmpty)
+    val rst = PostingStore.statsAt(spark, s"$root/pt")
+    val est = PostingStore.statsAt(spark, s"$root/pt_full")
+    assert(rst.except(est).isEmpty && est.except(rst).isEmpty)
+  }
+
+  test("N appends + compact == fresh build (table + probe row-group equality)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // three tranches appended, then compacted — vs a one-shot build, both
+    // at TestBlockSize so multi-group behavior is observable
+    PostingStore.build(spark, docs.filter(col("doc_id") < 15), s"$root/inc",
+      blockSize = PhysicalLayout.TestBlockSize)
+    PostingStore.append(spark, s"$root/inc", docs.filter(col("doc_id") < 30),
+      blockSize = PhysicalLayout.TestBlockSize)
+    PostingStore.append(spark, s"$root/inc", docs,
+      blockSize = PhysicalLayout.TestBlockSize)
+    val preCompactDir = Versioned.readPointer(s"$root/inc", "postings").get.dir
+    PostingStore.compact(spark, s"$root/inc", blockSize = PhysicalLayout.TestBlockSize)
+    PostingStore.build(spark, docs, s"$root/full",
+      blockSize = PhysicalLayout.TestBlockSize)
+    assert(Versioned.readPointer(s"$root/inc", "postings").get.dir != preCompactDir,
+      "compact must publish a fresh postings version")
+
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+    assert(eq(PostingStore.postingsAt(spark, s"$root/inc"),
+      PostingStore.postingsAt(spark, s"$root/full")))
+    // derived tables untouched by compact (same rows ⇒ same watermark) and
+    // still exact
+    assert(eq(PostingStore.dfAt(spark, s"$root/inc"),
+      PostingStore.dfAt(spark, s"$root/full")))
+
+    // probe IO: the compacted artifact's term probe reads the same slice a
+    // fresh build's does (global sort restored ⇒ one row-group range per
+    // term, not one per segment)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def probeRows(path: String): Long = {
+        val probe = PostingStore.postingsAt(spark, path)
+          .filter(col("tok").isin("dup", "vector"))
+        probe.collect()
+        probe.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numOutputRows").value
+        }.sum
+      }
+      val total = PostingStore.postingsAt(spark, s"$root/full").count()
+      val fresh = probeRows(s"$root/full")
+      val compacted = probeRows(s"$root/inc")
+      assert(fresh < total / 2, s"fresh-build probe read $fresh of $total")
+      assert(compacted == fresh,
+        s"compacted probe read $compacted row-group rows, fresh build $fresh")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("IVF append assigns with the existing model; probes equal one-shot assignment") {
@@ -138,6 +245,39 @@ class ArtifactStoresSpec extends SparkTestBase {
     val oneShot = IvfIndex.search(spark,
       IvfIndex.assign(spark, emb, model).filter(col("vec_id") =!= 0),
       model, query, k = 10, nProbe = 3).collect().toSeq
+    assert(fromStore == oneShot)
+  }
+
+  test("PQ append encodes with existing codebooks; probes equal one-shot; qerr watermark logged") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val halfA = emb.filter(col("vec_id") < 250)
+    val nHalf = halfA.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    val model = PqIndex.train(spark, halfA, nCells = 8)
+    PqIndex.save(spark, model, PqIndex.encode(spark, halfA, model), root)
+    VectorIndexStore.appendPq(spark, root, emb)
+    assert(PqIndex.loadEncoded(spark, root).count() == emb.count())
+    // idempotent: redelivery appends nothing and logs no watermark row
+    VectorIndexStore.appendPq(spark, root, emb)
+    assert(PqIndex.loadEncoded(spark, root).count() == emb.count())
+    val qerr = spark.read.parquet(s"$root/qerr")
+    assert(qerr.count() == 1)
+    val w = qerr.head()
+    assert(w.getAs[Long]("n_vectors") == emb.count() - nHalf)
+    val err = w.getAs[Double]("mean_sq_err")
+    assert(!err.isNaN && err >= 0.0, s"quantization watermark not finite: $err")
+    assert(w.getAs[Long]("append_seq") == 0L)
+    // probe over build(A)+append(B) == probe over encode(A ∪ B) with the
+    // SAME model (pure-function encoding — the equivalence contract)
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val fromStore = PqIndex.search(spark,
+      PqIndex.loadEncoded(spark, root).filter(col("vec_id") =!= 0),
+      emb, model, query, k = 10, nProbe = 3, shortlist = 30).collect().toSeq
+    val oneShot = PqIndex.search(spark,
+      PqIndex.encode(spark, emb, model).filter(col("vec_id") =!= 0),
+      emb, model, query, k = 10, nProbe = 3, shortlist = 30).collect().toSeq
     assert(fromStore == oneShot)
   }
 

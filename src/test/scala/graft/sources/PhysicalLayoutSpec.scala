@@ -46,7 +46,8 @@ class PhysicalLayoutSpec extends SparkTestBase {
     val lineitem = Tables.load(spark, sf01, "lineitem")
       .withColumn("l_shipdate", to_date(col("l_shipdate")))
     val total = lineitem.count()
-    PhysicalLayout.writeSorted(lineitem, "l_shipdate", s"$dir/sorted")
+    PhysicalLayout.writeSorted(lineitem, "l_shipdate", s"$dir/sorted",
+      blockSize = PhysicalLayout.TestBlockSize)
     // same row-group geometry, random row order: every group spans the full
     // shipdate range, so min/max stats can never exclude one
     lineitem.repartition(4).write
