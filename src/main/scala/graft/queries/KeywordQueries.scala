@@ -42,11 +42,11 @@ object KeywordQueries extends QuerySet {
     * marker token of the synthetic corpus) and two common ones, so IDF
     * separation is actually exercised.
     */
-  private val Terms = Seq("dup", "vector", "stream")
+  private[queries] val Terms = Seq("dup", "vector", "stream")
   private val termsSqlList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
-  private val K1 = graft.operators.Retrieval.DefaultK1
-  private val B = graft.operators.Retrieval.DefaultB
+  private[queries] val K1 = graft.operators.Retrieval.DefaultK1
+  private[queries] val B = graft.operators.Retrieval.DefaultB
 
   /** Per-(doc, term) Okapi BM25 contribution `c`, served from the
     * PERSISTED inverted index ([[graft.sources.PostingStore]] — tokenize
@@ -62,12 +62,14 @@ object KeywordQueries extends QuerySet {
     graft.sources.PostingStore.bm25ContribFromIndex(s, d, Terms, K1, B)
       .withColumnRenamed("id", "doc_id")
 
-  /** DuckDB equivalent of [[bm25Contrib]]: CTE chain ending in
-    * `contrib(doc_id, c)`.
+  /** DuckDB equivalent of [[bm25Contrib]] over a restrictable corpus: CTE
+    * chain ending in `contrib(doc_id, c)`. `where` restricts the document
+    * set (s14 scores the streamed capped corpus; k01/k02 the whole table) —
+    * one definition so the two can never drift.
     */
-  private val bm25ContribSql: String =
+  private[queries] def bm25ContribSqlWhere(where: String): String =
     s"""docs AS (
-       |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+       |  SELECT doc_id, lower($normSql) AS norm FROM documents $where),
        |dls AS (
        |  SELECT doc_id, array_length(string_split(norm, ' ')) AS dl, norm FROM docs),
        |stats AS (
@@ -83,6 +85,8 @@ object KeywordQueries extends QuerySet {
        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
        |      * (tf.tf * ($K1 + 1)) / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl)) AS c
        |  FROM tf JOIN df USING (tok), stats s)""".stripMargin
+
+  private val bm25ContribSql: String = bm25ContribSqlWhere("")
 
   def queries: Seq[Q] = Seq(
 

@@ -294,6 +294,55 @@ object StreamingQueries extends QuerySet {
         |SELECT doc_key, text_hash, n_chars_norm FROM r WHERE rn = 1
         |ORDER BY doc_key""".stripMargin)),
 
+    // STREAMING INGEST MAINTAINS THE DERIVED ARTIFACTS — the distance
+    // between "a correct engine" and "a deployable pipeline": the s13
+    // restart drill re-run with a foreachBatch sink that ALSO appends each
+    // micro-batch's docs to the posting/shingle/minhash stores (the
+    // reference updates its one queryable index on every ingest,
+    // db_utils.py:169-170). After the two tranches drain — across a
+    // stop/restart — a k01-style BM25 probe is served FROM the maintained
+    // index, no rebuild, and hash-matches the whole-corpus oracle: the
+    // proof the index stayed fresh through streaming ingest. Store appends
+    // are idempotent anti-joins, so at-least-once redelivery is safe.
+    Q("s14_streamed_index_freshness",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+        val pid = ProcessHandle.current().pid()
+        val srcDir = s"/tmp/graft_s14_$pid/src_$tag"
+        val target = s"/tmp/graft_s14_$pid/store_$tag"
+        val idx = s"/tmp/graft_s14_$pid/idx_$tag"
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s14_$pid/ckpt_$tag"
+        // fresh lifecycle per run — the query IS the ingest-maintains-index
+        // drill (pid-suffixed dirs: no cross-JVM race on the delete)
+        for (p <- Seq(srcDir, target, idx, ckpt)) {
+          val f = new java.io.File(p)
+          if (f.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(f).deleteRecursively()
+          }
+        }
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.arrivalIngestMaintained(s, srcDir, "*.txt", target, ckpt, idx)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 1000)
+        // restart against the same checkpoint, as in s13
+        StreamingOps.arrivalIngestMaintained(s, srcDir, "*.txt", target, ckpt, idx)
+        // probe-only: BM25 top-10 served from the streamed-maintained index
+        graft.sources.PostingStore
+          .bm25ContribFromIndexAt(s, s"$idx/postings", KeywordQueries.Terms,
+            KeywordQueries.K1, KeywordQueries.B)
+          .withColumnRenamed("id", "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_terms"),
+            round(sum("c"), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH ${KeywordQueries.bm25ContribSqlWhere("WHERE doc_id < 1000")}
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(c), 6) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // APPEND-mode watermarked window aggregation — the one stateful shape
     // that NEEDS the trailing no-data micro-batch (skipNoDataBatches=false):
     // a window only emits once the watermark (max event time - 1h) passes

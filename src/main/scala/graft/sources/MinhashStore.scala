@@ -89,6 +89,11 @@ object MinhashStore {
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
     import spark.implicits._
+    if (!new java.io.File(s"$path/bands").exists()) {
+      // absent store bootstraps (first streamed micro-batch creates it)
+      build(spark, newDocs, path)
+      return
+    }
     val bandIds = spark.read.parquet(s"$path/bands")
       .select(col("id").as("doc_id")).distinct()
     NearDup.minhashBuckets(spark, newDocs.join(bandIds, Seq("doc_id"), "left_anti"))

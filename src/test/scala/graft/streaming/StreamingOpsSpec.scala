@@ -114,4 +114,43 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(store.select("doc_key").as[String].collect().sorted.sameElements(
       Array("a_txt", "b_txt", "c_txt")))
   }
+
+  test("maintained ingest keeps ALL derived stores equal to fresh builds over the streamed corpus") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_maintained").toString
+    val src = s"$dir/src"
+    val target = s"$dir/store"
+    val ckpt = s"$dir/ckpt"
+    val idx = s"$dir/idx"
+    // two tranches across a stop/restart — the s14 lifecycle at spec scale
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 25)
+    StreamingOps.arrivalIngestMaintained(spark, src, "*.txt", target, ckpt, idx)
+    StreamingOps.writeDocFiles(spark, sf, src, 25, 1000)
+    StreamingOps.arrivalIngestMaintained(spark, src, "*.txt", target, ckpt, idx)
+
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 1000).select("doc_id", "text")
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+
+    // postings: maintained index == one-shot build over the same corpus
+    val fresh = Files.createTempDirectory("graft_maintained_fresh").toString
+    graft.sources.PostingStore.build(spark, docs, s"$fresh/postings")
+    assert(eq(graft.sources.PostingStore.postingsAt(spark, s"$idx/postings"),
+      graft.sources.PostingStore.postingsAt(spark, s"$fresh/postings")))
+    assert(eq(graft.sources.PostingStore.dfAt(spark, s"$idx/postings"),
+      graft.sources.PostingStore.dfAt(spark, s"$fresh/postings")))
+    assert(eq(graft.sources.PostingStore.statsAt(spark, s"$idx/postings"),
+      graft.sources.PostingStore.statsAt(spark, s"$fresh/postings")))
+    // shingles + minhash: same freshness guarantee
+    assert(eq(graft.sources.ShingleStore.rowsAt(spark, s"$idx/shingles"),
+      graft.sources.ShingleStore.shingleRowsOf(docs)))
+    assert(eq(spark.read.parquet(s"$idx/minhash/bands"),
+      graft.operators.NearDup.minhashBuckets(spark, docs)))
+    // and redelivering everything after the fact changes nothing
+    graft.sources.PostingStore.append(spark, s"$idx/postings", docs)
+    assert(eq(graft.sources.PostingStore.postingsAt(spark, s"$idx/postings"),
+      graft.sources.PostingStore.postingsAt(spark, s"$fresh/postings")))
+  }
 }
