@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical ANN recall evaluation: BATCHED multi-query top-k for each
+  * index path, so a ~100-vector query panel runs as ONE distributed plan
+  * per path instead of 100 driver-looped probes (the round-6 v16 gate was
+  * a single query point — deterministic but statistically fragile; a
+  * geometry change could halve real recall and still pass).
+  *
+  * Shape shared by every path: a small (qid, …) probe frame carrying the
+  * query vectors is BROADCAST against the (possibly cell/bucket-pruned)
+  * corpus, cosine scores are computed in one pass, and a per-qid window
+  * takes the top-k — the standard "batch the queries, not the corpus"
+  * evaluation layout. At 100 TB the same plans hold: the probe frame stays
+  * KB-sized, the corpus side is pruned by the index structure (cells /
+  * buckets), and the window partitions by qid so no global sort exists.
+  *
+  * Determinism (oracle requirement): panels are fixed (every 50th vec_id),
+  * models are the persisted seeded artifacts, scores are 6-dp-rounded with
+  * vec_id tie-breaks — recall per path per corpus is one stable number.
+  * Self-matches (vec_id == qid) are excluded on BOTH the exact and the ANN
+  * side, so they cannot inflate recall.
+  */
+object AnnEval {
+
+  /** Fixed query panel: every `stride`-th vector (vec_id % stride == 0,
+    * vec 0 — the designated query vector of v01-v16 — excluded), collected
+    * driver-side. Bounded: |corpus| / stride rows (10 at sf0.01, 100 at
+    * sf0.1), the same cardinality class as the IVF training sample.
+    */
+  def queryPanel(spark: SparkSession, emb: DataFrame,
+                 stride: Int = 50): Seq[(Long, Seq[Float])] = {
+    import spark.implicits._
+    emb.filter(col("vec_id") % stride === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+
+  /** Exact cosine top-k per panel query: (qid, vec_id) ground truth. The
+    * corpus crosses the BROADCAST panel once; per-qid windows replace any
+    * global sort. (At 100 TB the cross is per-block with a partial top-k
+    * per block — the v03 block-grid layout; at evaluation panel sizes the
+    * single pass is the right plan.)
+    */
+  def exactTopK(spark: SparkSession, corpus: DataFrame,
+                queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    import spark.implicits._
+    val panel = broadcast(queries.toDF("qid", "qemb"))
+    topKPerQuery(
+      corpus.crossJoin(panel)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.expressions.GraftFunctions.cosine_sim(
+            col("embedding"), col("qemb")), 6).as("sim")),
+      k)
+  }
+
+  /** Batched IVF probe against a PERSISTED index: each query's `nProbe`
+    * nearest cells are resolved driver-side from the centroid sidecar into
+    * a (qid, cell, qemb) probe frame; the cell-partitioned vectors are
+    * statically pruned to the UNION of probed cells, then each vector is
+    * scored only against the queries probing its cell.
+    */
+  def ivfTopK(spark: SparkSession, indexPath: String,
+              queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val model = IvfIndex.loadModel(spark, indexPath)
+    val probes = queries.flatMap { case (qid, qv) =>
+      model.nearestCells(qv, nProbe).map(c => (qid, c, qv))
+    }
+    val cells = probes.map(_._2).distinct
+    val probeDf = broadcast(probes.toDF("qid", "cell", "qemb"))
+    topKPerQuery(
+      IvfIndex.loadVectors(spark, indexPath)
+        .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+        .join(probeDf, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.expressions.GraftFunctions.cosine_sim(
+            col("embedding"), col("qemb")), 6).as("sim")),
+      k)
+  }
+
+  /** Batched IVF-PQ probe against a PERSISTED index: per-(qid, cell) ADC
+    * tables broadcast as one map, approximate distances via m byte-code
+    * lookups, per-qid shortlist, exact cosine re-rank of shortlists only —
+    * the batched form of [[PqIndex.search]].
+    */
+  def pqTopK(spark: SparkSession, pqPath: String, fullPrecision: DataFrame,
+             queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int,
+             shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val model = PqIndex.loadModel(spark, pqPath)
+    val probes = queries.flatMap { case (qid, qv) =>
+      model.coarse.nearestCells(qv, nProbe).map(c => (qid, c))
+    }
+    val tables = queries.flatMap { case (qid, qv) =>
+      model.coarse.nearestCells(qv, nProbe).map(c => (qid, c) -> model.adcTable(qv, c))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    val cells = probes.map(_._2).distinct
+    val probeDf = broadcast(probes.toDF("qid", "cell"))
+    val approx = PqIndex.loadEncoded(spark, pqPath)
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+      .join(probeDf, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Long, Int, Array[Byte])]
+      .map { case (qid, id, cell, code) =>
+        val t = bc.value((qid, cell))
+        var d = 0.0
+        var s = 0
+        while (s < code.length) { d += t(s)(code(s) & 0xff); s += 1 }
+        (qid, id, d)
+      }
+      .toDF("qid", "vec_id", "approx_d")
+    val short = approx
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_d"), col("vec_id"))))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "vec_id")
+    val panel = broadcast(queries.toDF("qid", "qemb"))
+    topKPerQuery(
+      short.join(fullPrecision.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(panel, "qid")
+        .select(col("qid"), col("vec_id"),
+          round(graft.expressions.GraftFunctions.cosine_sim(
+            col("embedding"), col("qemb")), 6).as("sim")),
+      k)
+  }
+
+  /** Mean recall@k of `annTopK` against `exactTopK` over the panel: the
+    * joined hit count over the exact count (every panel query contributes
+    * exactly k exact rows when the corpus has >= k candidates).
+    */
+  def meanRecall(annTopK: DataFrame, exactTopK: DataFrame): Double = {
+    val total = exactTopK.count()
+    require(total > 0, "empty exact ground truth — no panel queries?")
+    annTopK.join(exactTopK, Seq("qid", "vec_id")).count().toDouble / total
+  }
+}

@@ -479,8 +479,57 @@ object VectorQueries extends QuerySet {
           .orderBy("path")
       },
       Some("""SELECT * FROM (VALUES ('ivf', 10, 1), ('ivfpq', 10, 1), ('lsh', 10, 1))
-        |AS t(path, n_results, recall_ok) ORDER BY path""".stripMargin))
+        |AS t(path, n_results, recall_ok) ORDER BY path""".stripMargin)),
+
+    // STATISTICAL recall gate: mean recall@10 over a ~|corpus|/50-query
+    // panel (every 50th vec_id) per ANN path, vs the exact cosine top-10 —
+    // the regression net v16's single query point cannot be (one lucky
+    // query could mask a geometry change that halves real recall). Each
+    // path runs as ONE batched distributed plan (graft.operators.AnnEval):
+    // broadcast probe frame, index-pruned corpus side, per-qid window
+    // top-k. ivf/ivfpq probe the PERSISTED indexes. Floors are set from
+    // measured mean recalls at sf0.01 / sf0.1 (see the constants) with
+    // >= 1.5x margin, emitted as deterministic tolerance flags (the raw
+    // means are corpus-dependent; the oracle must be one constant valid at
+    // every SF the driver replays).
+    Q("v17_ann_recall_sweep",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val queries = graft.operators.AnnEval.queryPanel(s, emb)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val exact = graft.operators.ScaleOps.checkpointed(
+          graft.operators.AnnEval.exactTopK(s, corpus, queries, k = 10))
+        def recall(topk: org.apache.spark.sql.DataFrame): Double =
+          graft.operators.AnnEval.meanRecall(topk, exact)
+        val ivfR = recall(graft.operators.AnnEval.ivfTopK(s,
+          graft.sources.VectorIndexStore.ensureIvf(s, d), queries, k = 10, nProbe = 4))
+        val pqR = recall(graft.operators.AnnEval.pqTopK(s,
+          graft.sources.VectorIndexStore.ensurePq(s, d), corpus, queries,
+          k = 10, nProbe = 4, shortlist = 50))
+        val lshR = recall(lshTopKBatch(s, d, queries, k = 10, radius = 3))
+        Seq(("ivf", ivfR, IvfRecallFloor), ("ivfpq", pqR, PqRecallFloor),
+            ("lsh", lshR, LshRecallFloor))
+          .toDF("path", "recall", "floor")
+          .select(col("path"),
+            (col("recall") >= col("floor")).cast("int").as("recall_ok"))
+          .orderBy("path")
+      },
+      Some("""SELECT * FROM (VALUES ('ivf', 1), ('ivfpq', 1), ('lsh', 1))
+        |AS t(path, recall_ok) ORDER BY path""".stripMargin))
   )
+
+  /** v17 floors: >= 1.5x margin under the cross-SF MINIMUM of the measured
+    * mean recall@10 (sf0.01 / sf0.1): ivf 0.611 / 0.541 (nProbe 4/16);
+    * ivfpq 0.567 / 0.390 (nProbe 4, shortlist 50); lsh 0.544 / 0.641
+    * (multi-probe radius 3). A geometry regression that halves any path's
+    * real recall now trips its flag at some SF, which the single-query v16
+    * gate could not guarantee.
+    */
+  private val IvfRecallFloor = 0.35
+  private val PqRecallFloor = 0.25
+  private val LshRecallFloor = 0.35
 
   /** Multi-probe LSH kNN: the query's 8-bit hyperplane signature plus every
     * bucket within `radius` sign flips (radius 3 → 93 of 256 buckets ≈ 36%
@@ -529,6 +578,68 @@ object VectorQueries extends QuerySet {
         round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Batched multi-probe LSH top-k (the v17 sweep's lsh path): one
+    * signature pass over the corpus (the lshKnn map, computed once for the
+    * whole panel), a broadcast (qid, bucket, qemb) probe frame covering
+    * each query's Hamming-radius bucket set, exact cosine within probed
+    * buckets, per-qid window top-k. Same semantics as [[lshKnn]] per
+    * query — one plan for the panel.
+    */
+  private def lshTopKBatch(s: org.apache.spark.sql.SparkSession, d: String,
+                           queries: Seq[(Long, Seq[Float])], k: Int,
+                           radius: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val planes = lshHyperplanes
+    def sigOf(v: Seq[Float]): Int = {
+      var sig = 0
+      planes.indices.foreach { p =>
+        var dot = 0.0
+        val plane = planes(p)
+        val n = math.min(plane.length, v.length)
+        var i = 0
+        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+      }
+      sig
+    }
+    val probes = queries.flatMap { case (qid, qv) =>
+      val qSig = sigOf(qv)
+      (0 until (1 << LshPlanes))
+        .filter(b => Integer.bitCount(b ^ qSig) <= radius)
+        .map(b => (qid, b, qv))
+    }
+    val probeDf = broadcast(probes.toDF("qid", "bucket", "qemb"))
+    val bHyper = s.sparkContext.broadcast(planes)
+    val sigs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        var sig = 0
+        var p = 0
+        while (p < bHyper.value.length) {
+          val plane = bHyper.value(p)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(plane.length, e.length)
+          while (i < n) { dot += plane(i) * e(i); i += 1 }
+          if (dot >= 0) sig |= (1 << p)
+          p += 1
+        }
+        (id, e, sig)
+      }
+      .toDF("vec_id", "embedding", "bucket")
+    sigs.filter(col("vec_id") =!= 0)
+      .join(probeDf, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosine_sim(
+          col("embedding"), col("qemb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
   }
 
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
