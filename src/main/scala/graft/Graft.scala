@@ -131,6 +131,54 @@ object Graft {
       queryVec.toSeq, k, nProbe)
   }
 
+  // ---- artifact SQL surface ----
+
+  /** The persisted inverted-index postings (tok, doc_id, tf, dl) for the
+    * fixture corpus — built once, served from the tok-sorted artifact.
+    */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    sources.PostingStore.postings(spark, sfDir)
+
+  /** The persisted (tok, df) document-frequency table. */
+  def postingDf(spark: SparkSession, sfDir: String): DataFrame =
+    sources.PostingStore.dfTable(spark, sfDir)
+
+  /** The persisted one-row (n_docs, avgdl) corpus stats. */
+  def postingStats(spark: SparkSession, sfDir: String): DataFrame =
+    sources.PostingStore.stats(spark, sfDir)
+
+  /** The persisted (doc_id, sh) shingle rows. */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    sources.ShingleStore.rows(spark, sfDir)
+
+  /** The persisted (sh, df) shingle document frequencies. */
+  def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
+    sources.ShingleStore.dfTable(spark, sfDir)
+
+  /** The persisted (id, band, bucket) MinHash-LSH band table. */
+  def bands(spark: SparkSession, sfDir: String): DataFrame =
+    sources.MinhashStore.bands(spark, sfDir)
+
+  /** Register every persisted artifact (plus the documents corpus) as a
+    * temp view, so the SQL user can JOIN against the index structures
+    * directly — `graft_postings`, `graft_posting_df`,
+    * `graft_posting_stats`, `graft_shingles`, `graft_shingle_df`,
+    * `graft_minhash_bands`, `graft_documents`. Views resolve through the
+    * stores' checked readers: the first reference builds the artifact,
+    * later ones probe it (and self-repair a stale derived table). The
+    * k04 query exercises a SQL join over these views against the
+    * recompute-from-corpus oracle.
+    */
+  def registerArtifactViews(spark: SparkSession, sfDir: String): Unit = {
+    sources.PostingStore.postings(spark, sfDir).createOrReplaceTempView("graft_postings")
+    sources.PostingStore.dfTable(spark, sfDir).createOrReplaceTempView("graft_posting_df")
+    sources.PostingStore.stats(spark, sfDir).createOrReplaceTempView("graft_posting_stats")
+    sources.ShingleStore.rows(spark, sfDir).createOrReplaceTempView("graft_shingles")
+    sources.ShingleStore.dfTable(spark, sfDir).createOrReplaceTempView("graft_shingle_df")
+    sources.MinhashStore.bands(spark, sfDir).createOrReplaceTempView("graft_minhash_bands")
+    sources.Tables.load(spark, sfDir, "documents").createOrReplaceTempView("graft_documents")
+  }
+
   // ---- training-data curation ----
 
   /** Deterministic md5-nibble split assignment column for a key column:

@@ -188,6 +188,31 @@ object KeywordQueries extends QuerySet {
         |  round(1.0 / (60 + rank_text) + 1.0 / (60 + rank_vec), 6) AS rrf
         |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ARTIFACT SQL SURFACE: the persisted index structures as first-class
+    // SQL tables (Graft.registerArtifactViews) — a plain SQL user joins
+    // the inverted-index postings against the df sidecar and the corpus
+    // without touching the DataFrame API. The probe keeps the index access
+    // path (tok = 'dup' pushes into the tok-sorted postings scan through
+    // the view); the oracle recomputes postings and df from `documents`,
+    // so any drift between the artifact and the corpus breaks the hash —
+    // the same freshness contract every other store-served query carries.
+    Q("k04_postings_sql",
+      (s, d) => {
+        graft.Graft.registerArtifactViews(s, d)
+        s.sql("""SELECT p.doc_id, p.tf, f.df, d.source
+          |FROM graft_postings p
+          |JOIN graft_posting_df f ON p.tok = f.tok
+          |JOIN graft_documents d ON d.doc_id = p.doc_id
+          |WHERE p.tok = 'dup'
+          |ORDER BY p.tf DESC, p.doc_id
+          |LIMIT 20""".stripMargin)
+      },
+      Some(s"""WITH ${bm25ContribSqlWhere("")}
+        |SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df, d.source
+        |FROM tf JOIN df USING (tok) JOIN documents d ON d.doc_id = tf.doc_id
+        |WHERE tok = 'dup'
+        |ORDER BY tf DESC, tf.doc_id LIMIT 20""".stripMargin)),
+
     // Positional phrase + proximity search — the full-text operator k01's
     // bag-of-words ranking can't express ("table hash" as an ADJACENT
     // phrase, plus an ordered within-3 proximity window). Postings are
