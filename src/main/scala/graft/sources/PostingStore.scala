@@ -142,15 +142,24 @@ object PostingStore {
     * anti-join; build(A) + append(B) ≡ build(A ∪ B) up to segment layout
     * (ArtifactStoresSpec asserts table equality and probe-score equality).
     * An absent store bootstraps (first streamed micro-batch creates it).
+    *
+    * `deferDerived`: skip the eager df/stats refresh and let the FIRST
+    * checked read repair them (one refresh per read-after-N-appends
+    * instead of one per append). Safe BECAUSE of the watermark protocol —
+    * a deferred derived table is indistinguishable from a crash-stale one,
+    * and both are detected and repaired before serving. High-frequency
+    * appenders (the streaming maintenance sink) use this to keep per-batch
+    * cost proportional to batch size only.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
-             blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+             blockSize: Int = PhysicalLayout.ProductionBlockSize,
+             deferDerived: Boolean = false): Unit = {
     if (Versioned.readPointer(path, "postings").isEmpty) {
       build(spark, newDocs, path, blockSize)
       return
     }
     appendSegment(spark, path, newDocs, blockSize)
-    refreshDerived(spark, path)
+    if (!deferDerived) refreshDerived(spark, path)
   }
 
   /** The segment write alone, WITHOUT the derived refresh —

@@ -134,13 +134,16 @@ object ShingleStore {
     * refresh is DETECTED by the df watermark and self-repaired on the next
     * read. Single writer per artifact, as with any segmented index.
     */
-  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, newDocs: DataFrame,
+             deferDerived: Boolean = false): Unit = {
     if (!new java.io.File(s"$path/rows").exists()) {
       build(spark, newDocs, path)
       return
     }
     appendRows(spark, path, newDocs)
-    refreshDf(spark, path)
+    // deferDerived: leave df to the first checked read's watermark repair
+    // (one refresh per read-after-N-appends — the streaming sink's mode)
+    if (!deferDerived) refreshDf(spark, path)
   }
 
   /** The rows append alone, WITHOUT the df refresh — private[sources] so

@@ -366,12 +366,19 @@ object StreamingOps {
               case None => dedup
             }
             freshRows.write.mode("append").parquet(targetPath)
-            // (b) derived-artifact maintenance: every store current at the
-            // end of the batch (ALL streamed docs are indexed — dedup
-            // governs the chunk store, not corpus statistics)
+            // (b) derived-artifact maintenance: every store's BASE tables
+            // (postings / shingle rows / bands+sets) current at the end of
+            // the batch (ALL streamed docs are indexed — dedup governs the
+            // chunk store, not corpus statistics). The vocabulary-sized
+            // derived aggregates (df/stats) are DEFERRED to the first
+            // checked read: the watermark protocol repairs them on demand,
+            // so per-batch cost stays proportional to batch size instead
+            // of paying a full derived refresh per micro-batch.
             val docs = b.select("doc_id", "text")
-            graft.sources.PostingStore.append(sp, s"$indexRoot/postings", docs)
-            graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs)
+            graft.sources.PostingStore.append(sp, s"$indexRoot/postings", docs,
+              deferDerived = true)
+            graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs,
+              deferDerived = true)
             graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
           } finally b.unpersist()
         }
