@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * near-dup job joins the persisted band table instead of re-hashing every
   * shingle of every document per invocation.
   *
-  * Artifact layout:
-  *   `path/bands` — (id, band, bucket): the 16x4 LSH banding of every
-  *                  document's 64-permutation minhash signature
-  *                  (NearDup.minhashBuckets output, verbatim);
-  *   `path/sets`  — (tid, tsh): each document's SORTED distinct shingle
-  *                  array — the exact-Jaccard verify input, so the verify
-  *                  stage reads arrays instead of re-shingling text.
+  * Artifact layout (both tables behind the [[Versioned]] pointer protocol
+  * — appends land inside the current version, small-file [[compact]]ion
+  * re-points atomically, readers always see a complete table):
+  *   `bands` — (id, band, bucket): the 16x4 LSH banding of every
+  *             document's 64-permutation minhash signature
+  *             (NearDup.minhashBuckets output, verbatim);
+  *   `sets`  — (tid, tsh): each document's SORTED distinct shingle
+  *             array — the exact-Jaccard verify input, so the verify
+  *             stage reads arrays instead of re-shingling text.
   *
   * Oracles are untouched: they recompute signatures from `documents` in
   * SQL (x03/x05/x06/x10), which is precisely what makes the artifact safe
@@ -34,22 +36,34 @@ object MinhashStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_minhash")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       PhysicalLayout.sourceTag(sfDir, "documents")
-    s"$root/mh_$tag"
+    // v2 layout (pointer-versioned tables): the prefix keys the layout so
+    // a pre-existing flat artifact is never misread
+    s"$root/mh2_$tag"
   }
 
-  /** Build the artifact from any (doc_id, text) frame into `dir` — the
-    * corpus-general entry (pair with [[append]] for incremental corpora).
+  /** The (tid, tsh) sorted verify sets of a (doc_id, text) frame — the
+    * shared definition for build and append.
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  private def setsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    NearDup.minhashBuckets(spark, docs).write.parquet(s"$dir/bands")
     docs.select(col("doc_id").cast("long").as("tid"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
       }
       .toDF("tid", "tsh")
-      .write.parquet(s"$dir/sets")
+  }
+
+  /** Build the artifact from any (doc_id, text) frame into `dir` — the
+    * corpus-general entry (pair with [[append]] for incremental corpora).
+    */
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    Versioned.publish(dir, "bands", -1L) { v =>
+      NearDup.minhashBuckets(spark, docs).write.parquet(v)
+    }
+    Versioned.publish(dir, "sets", -1L) { v =>
+      setsOf(spark, docs).write.parquet(v)
+    }
     val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
     require(ok || new java.io.File(dir, "_SUCCESS").exists(),
       s"could not mark minhash artifact complete at $dir")
@@ -67,19 +81,28 @@ object MinhashStore {
     p
   }
 
+  /** The (id, band, bucket) band table at an explicit path. */
+  def bandsAt(spark: SparkSession, path: String): DataFrame =
+    Versioned.read(spark, path, "bands")
+
+  /** The (tid, tsh) verify sets at an explicit path. */
+  def setsAt(spark: SparkSession, path: String): DataFrame =
+    Versioned.read(spark, path, "sets")
+
   /** The persisted (id, band, bucket) LSH band table. */
   def bands(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/bands")
+    bandsAt(spark, ensure(spark, sfDir))
 
   /** The persisted (tid, tsh) sorted shingle sets (verify input). */
   def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/sets")
+    setsAt(spark, ensure(spark, sfDir))
 
   /** INCREMENTAL maintenance: signatures are per-document (no derived
     * global table), so appending new documents' bands and verify sets is
     * pure append — idempotent via the anti-join on already-present ids,
     * cost ∝ new documents. build(A) + append(B) == build(A ∪ B)
-    * (ArtifactStoresSpec).
+    * (ArtifactStoresSpec). An absent store bootstraps (first streamed
+    * micro-batch creates it).
     *
     * Each sub-table anti-joins against its OWN existing ids: a crash
     * between the two writes leaves them inconsistent (bands ahead of
@@ -88,25 +111,34 @@ object MinhashStore {
     * of duplicating band rows (which would corrupt x05 bucket counts).
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
-    import spark.implicits._
-    if (!new java.io.File(s"$path/bands").exists()) {
-      // absent store bootstraps (first streamed micro-batch creates it)
+    if (Versioned.readPointer(path, "bands").isEmpty) {
       build(spark, newDocs, path)
       return
     }
-    val bandIds = spark.read.parquet(s"$path/bands")
-      .select(col("id").as("doc_id")).distinct()
+    val bandsDir = Versioned.readPointer(path, "bands").get.dir
+    val bandIds = bandsAt(spark, path).select(col("id").as("doc_id")).distinct()
     NearDup.minhashBuckets(spark, newDocs.join(bandIds, Seq("doc_id"), "left_anti"))
-      .write.mode("append").parquet(s"$path/bands")
-    val setIds = spark.read.parquet(s"$path/sets")
-      .select(col("tid").as("doc_id")).distinct()
-    newDocs.join(setIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id").cast("long").as("tid"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
-      }
-      .toDF("tid", "tsh")
-      .write.mode("append").parquet(s"$path/sets")
+      .write.mode("append").parquet(s"$path/$bandsDir")
+    val setsDir = Versioned.readPointer(path, "sets").get.dir
+    val setIds = setsAt(spark, path).select(col("tid").as("doc_id")).distinct()
+    setsOf(spark, newDocs.join(setIds, Seq("doc_id"), "left_anti"))
+      .write.mode("append").parquet(s"$path/$setsDir")
+  }
+
+  /** Small-file COMPACTION: N appends leave N file sets per table (open
+    * cost erodes the bucket-join scan — the many-small-files tax; there
+    * are no range probes here, so pruning is not at stake). Rewrites each
+    * table into `partitions` files behind one atomic re-point per table;
+    * readers mid-join keep the previous version.
+    */
+  def compact(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
+    val bands = bandsAt(spark, path)
+    Versioned.publish(path, "bands", -1L) { v =>
+      bands.repartition(partitions).write.parquet(v)
+    }
+    val sets = setsAt(spark, path)
+    Versioned.publish(path, "sets", -1L) { v =>
+      sets.repartition(partitions).write.parquet(v)
+    }
   }
 }

@@ -59,9 +59,9 @@ object ShingleStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_shingles")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       PhysicalLayout.sourceTag(sfDir, "documents")
-    // v2 layout (pointer-versioned df): the prefix keys the layout so a
-    // pre-existing round-6 flat artifact is never misread
-    s"$root/sh2_$tag"
+    // v3 layout (EVERY table pointer-versioned): the prefix keys the
+    // layout so a pre-existing flat artifact is never misread
+    s"$root/sh3_$tag"
   }
 
   /** Build the artifact from any (doc_id, text) frame into `dir` — the
@@ -69,7 +69,9 @@ object ShingleStore {
     * [[append]] directly; the fixture queries go through [[ensure]]).
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    shingleRowsOf(docs).write.parquet(s"$dir/rows")
+    Versioned.publish(dir, "rows", -1L) { v =>
+      shingleRowsOf(docs).write.parquet(v)
+    }
     // df over the JUST-WRITTEN rows: one parquet read beats recomputing
     // the string pipeline a second time
     refreshDf(spark, dir)
@@ -90,9 +92,11 @@ object ShingleStore {
     p
   }
 
-  /** The persisted (doc_id, sh) posting rows at an explicit path. */
+  /** The persisted (doc_id, sh) posting rows at an explicit path (current
+    * version — appends land inside it, compaction re-points it).
+    */
   def rowsAt(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/rows")
+    Versioned.read(spark, path, "rows")
 
   /** Current df version at an explicit path, watermark-checked: a recorded
     * watermark that does not match the rows footer count means a crash
@@ -136,7 +140,7 @@ object ShingleStore {
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
              deferDerived: Boolean = false): Unit = {
-    if (!new java.io.File(s"$path/rows").exists()) {
+    if (Versioned.readPointer(path, "rows").isEmpty) {
       build(spark, newDocs, path)
       return
     }
@@ -151,9 +155,24 @@ object ShingleStore {
     */
   private[sources] def appendRows(spark: SparkSession, path: String,
                                   newDocs: DataFrame): Unit = {
+    val cur = Versioned.readPointer(path, "rows").get.dir
     val existing = rowsAt(spark, path).select("doc_id").distinct()
     val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    shingleRowsOf(fresh).write.mode("append").parquet(s"$path/rows")
+    shingleRowsOf(fresh).write.mode("append").parquet(s"$path/$cur")
+  }
+
+  /** Small-file COMPACTION for the rows table: N appends leave N file
+    * sets whose per-file open cost erodes scan throughput (the
+    * many-small-files tax, not a pruning loss — rows joins shuffle on
+    * `sh`, no range probes). Rewrites the current version into
+    * `partitions` files behind one atomic re-point; readers mid-join keep
+    * the previous version. df is untouched (same rows ⇒ same watermark).
+    */
+  def compactRows(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
+    val all = rowsAt(spark, path)
+    Versioned.publish(path, "rows", -1L) { v =>
+      all.repartition(partitions).write.parquet(v)
+    }
   }
 
   private[sources] def refreshDf(spark: SparkSession, path: String): Unit = {

@@ -103,10 +103,10 @@ class ArtifactStoresSpec extends SparkTestBase {
     MinhashStore.build(spark, halfA, s"$root/mh_inc")
     MinhashStore.append(spark, s"$root/mh_inc", docs)
     MinhashStore.build(spark, docs, s"$root/mh_full")
-    assert(eq(spark.read.parquet(s"$root/mh_inc/bands"),
-      spark.read.parquet(s"$root/mh_full/bands")))
-    assert(spark.read.parquet(s"$root/mh_inc/sets").count() ==
-      spark.read.parquet(s"$root/mh_full/sets").count())
+    assert(eq(MinhashStore.bandsAt(spark, s"$root/mh_inc"),
+      MinhashStore.bandsAt(spark, s"$root/mh_full")))
+    assert(MinhashStore.setsAt(spark, s"$root/mh_inc").count() ==
+      MinhashStore.setsAt(spark, s"$root/mh_full").count())
 
     // postings: table equality up to segment layout + derived tables exact
     PostingStore.build(spark, halfA, s"$root/pt_inc")
@@ -229,6 +229,49 @@ class ArtifactStoresSpec extends SparkTestBase {
       assert(compacted <= fresh * 3 / 2,
         s"compacted probe read $compacted row-group rows vs fresh build $fresh")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("small-file compaction (shingle rows / minhash) preserves tables, cuts file counts") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_smallfiles").toString
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+    def filesIn(path: String, name: String): Int = {
+      val cur = Versioned.readPointer(path, name).get.dir
+      new java.io.File(s"$path/$cur").listFiles()
+        .count(_.getName.startsWith("part-"))
+    }
+
+    // three appended tranches fragment the rows table; compaction restores
+    // a bounded file count without changing the table or its derived df
+    ShingleStore.build(spark, docs.filter(col("doc_id") < 15), s"$root/sh")
+    ShingleStore.append(spark, s"$root/sh", docs.filter(col("doc_id") < 30))
+    ShingleStore.append(spark, s"$root/sh", docs)
+    val shBefore = ShingleStore.rowsAt(spark, s"$root/sh")
+    val shCount = shBefore.count()
+    val fragmented = filesIn(s"$root/sh", "rows")
+    ShingleStore.compactRows(spark, s"$root/sh", partitions = 2)
+    assert(filesIn(s"$root/sh", "rows") == 2 && fragmented > 2,
+      s"expected 2 files after compact (was $fragmented)")
+    assert(ShingleStore.rowsAt(spark, s"$root/sh").count() == shCount)
+    ShingleStore.build(spark, docs, s"$root/sh_full")
+    assert(eq(ShingleStore.rowsAt(spark, s"$root/sh"),
+      ShingleStore.rowsAt(spark, s"$root/sh_full")))
+    assert(eq(ShingleStore.dfAt(spark, s"$root/sh"),
+      ShingleStore.dfAt(spark, s"$root/sh_full")))
+
+    MinhashStore.build(spark, docs.filter(col("doc_id") < 15), s"$root/mh")
+    MinhashStore.append(spark, s"$root/mh", docs.filter(col("doc_id") < 30))
+    MinhashStore.append(spark, s"$root/mh", docs)
+    val mhFragmented = filesIn(s"$root/mh", "bands")
+    MinhashStore.compact(spark, s"$root/mh", partitions = 2)
+    assert(filesIn(s"$root/mh", "bands") == 2 && mhFragmented > 2)
+    assert(filesIn(s"$root/mh", "sets") == 2)
+    MinhashStore.build(spark, docs, s"$root/mh_full")
+    assert(eq(MinhashStore.bandsAt(spark, s"$root/mh"),
+      MinhashStore.bandsAt(spark, s"$root/mh_full")))
+    assert(MinhashStore.setsAt(spark, s"$root/mh").count() ==
+      MinhashStore.setsAt(spark, s"$root/mh_full").count())
   }
 
   test("IVF append assigns with the existing model; probes equal one-shot assignment") {

@@ -146,7 +146,7 @@ class StreamingOpsSpec extends SparkTestBase {
     // shingles + minhash: same freshness guarantee
     assert(eq(graft.sources.ShingleStore.rowsAt(spark, s"$idx/shingles"),
       graft.sources.ShingleStore.shingleRowsOf(docs)))
-    assert(eq(spark.read.parquet(s"$idx/minhash/bands"),
+    assert(eq(graft.sources.MinhashStore.bandsAt(spark, s"$idx/minhash"),
       graft.operators.NearDup.minhashBuckets(spark, docs)))
     // and redelivering everything after the fact changes nothing
     graft.sources.PostingStore.append(spark, s"$idx/postings", docs)
