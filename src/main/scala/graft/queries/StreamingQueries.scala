@@ -300,10 +300,12 @@ object StreamingQueries extends QuerySet {
     // micro-batch's docs to the posting/shingle/minhash stores (the
     // reference updates its one queryable index on every ingest,
     // db_utils.py:169-170). After the two tranches drain — across a
-    // stop/restart — a k01-style BM25 probe is served FROM the maintained
-    // index, no rebuild, and hash-matches the whole-corpus oracle: the
-    // proof the index stayed fresh through streaming ingest. Store appends
-    // are idempotent anti-joins, so at-least-once redelivery is safe.
+    // stop/restart — the appended segments are COMPACTED (the scheduled
+    // off-line job) and a k01-style BM25 probe is served FROM the
+    // maintained index, no rebuild, hash-matching the whole-corpus
+    // oracle: the proof that ingest kept the index fresh AND that
+    // compaction preserves it bit-exactly. Store appends are idempotent
+    // anti-joins, so at-least-once redelivery is safe.
     Q("s14_streamed_index_freshness",
       (s, d) => {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
@@ -331,6 +333,11 @@ object StreamingQueries extends QuerySet {
         StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
         // restart against the same checkpoint, as in s13
         StreamingOps.arrivalIngestMaintained(s, srcDir, "*.txt", target, ckpt, idx)
+        // off-line COMPACTION of the appended segments (the scheduled
+        // LSM-style job, SCALE.md) — the probe below runs over the
+        // COMPACTED index, so the full stream → maintain → compact →
+        // probe lifecycle is inside the hash gate
+        graft.sources.PostingStore.compact(s, s"$idx/postings")
         // probe-only: BM25 top-10 served from the streamed-maintained index
         graft.sources.PostingStore
           .bm25ContribFromIndexAt(s, s"$idx/postings", KeywordQueries.Terms,
