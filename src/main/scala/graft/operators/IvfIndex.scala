@@ -30,6 +30,42 @@ object IvfIndex {
       }
       dists.sortBy { case (c, d) => (d, c) }.take(n).map(_._1)
     }
+
+    /** Squared L2 distance of `v` to its NEAREST centroid — the coarse
+      * assignment distortion (the k-means objective per row). A corpus
+      * drifting away from the trained cells shows a rising mean, which is
+      * the signal that the scheduled retrain is due (appendIvf logs it).
+      */
+    def assignmentDistortion(v: Seq[Float]): Double = {
+      var best = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0
+        val cent = centroids(c)
+        var i = 0
+        val lim = math.min(cent.length, v.length)
+        while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** One-row coarse-distortion summary of assigning `vectors` with
+    * `model`: (n_vectors, mean_sq_err) — the IVF analogue of
+    * [[PqIndex.quantizationStats]].
+    */
+  def distortionStats(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
+                      model: Model): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bc = spark.sparkContext.broadcast(model)
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (_, e) => bc.value.assignmentDistortion(e) }
+      .toDF("sq_err")
+      .agg(count(lit(1)).as("n_vectors"), avg("sq_err").as("mean_sq_err"))
   }
 
   /** Bounded driver-side training sample (corpus-size independent): the

@@ -90,14 +90,18 @@ object VectorIndexStore {
     * per-batch cost) and append into the cell-partitioned layout.
     * Idempotent via the vec_id anti-join; probe results over
     * build(A)+append(B) equal probes over assign(A ∪ B) with the same
-    * model (ArtifactStoresSpec).
+    * model (ArtifactStoresSpec). Each effective append logs an
+    * assignment-distortion watermark to `qerr` (see [[logWatermark]]) —
+    * the IVF analogue of the PQ quantization-error series.
     */
   def appendIvf(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
     val model = IvfIndex.loadModel(spark, path)
     val existing = spark.read.parquet(s"$path/vectors").select("vec_id").distinct()
     val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) return // redelivered batch: nothing to assign, no watermark row
     IvfIndex.assign(spark, fresh, model)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    logWatermark(spark, path, IvfIndex.distortionStats(spark, fresh, model))
   }
 
   /** INCREMENTAL maintenance for the IVF-PQ artifact: encode new vectors
@@ -121,14 +125,23 @@ object VectorIndexStore {
     if (fresh.isEmpty) return // redelivered batch: nothing to encode, no watermark row
     PqIndex.encode(spark, fresh, model)
       .write.mode("append").partitionBy("cell").parquet(s"$path/encoded")
+    logWatermark(spark, path, PqIndex.quantizationStats(spark, fresh, model))
+  }
+
+  /** Append one (n_vectors, mean_sq_err, append_seq) watermark row to the
+    * artifact's `qerr` log — the error series both append paths emit (PQ
+    * reconstruction error, IVF assignment distortion); a rising series is
+    * the retrain-due signal.
+    */
+  private def logWatermark(spark: SparkSession, path: String,
+                           stats: org.apache.spark.sql.DataFrame): Unit = {
     val seq =
       try spark.read.parquet(s"$path/qerr").count()
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getErrorClass == "PATH_NOT_FOUND" => 0L
       }
-    PqIndex.quantizationStats(spark, fresh, model)
-      .withColumn("append_seq", org.apache.spark.sql.functions.lit(seq))
+    stats.withColumn("append_seq", org.apache.spark.sql.functions.lit(seq))
       .coalesce(1).write.mode("append").parquet(s"$path/qerr")
   }
 

@@ -285,9 +285,13 @@ class ArtifactStoresSpec extends SparkTestBase {
     VectorIndexStore.appendIvf(spark, root, emb)
     val stored = IvfIndex.loadVectors(spark, root)
     assert(stored.count() == emb.count())
-    // idempotent
+    // idempotent — and no second distortion-watermark row for a no-op
     VectorIndexStore.appendIvf(spark, root, emb)
     assert(IvfIndex.loadVectors(spark, root).count() == emb.count())
+    val qerr = spark.read.parquet(s"$root/qerr")
+    assert(qerr.count() == 1)
+    val werr = qerr.head().getAs[Double]("mean_sq_err")
+    assert(!werr.isNaN && werr >= 0.0, s"distortion watermark not finite: $werr")
     // probe over the appended artifact == probe over a one-shot assignment
     // with the SAME model
     val query = emb.filter(col("vec_id") === 0).select("embedding")
