@@ -198,6 +198,31 @@ object PostingStore {
     }
   }
 
+  /** Number of data files in the current postings version — the segment-
+    * fragmentation signal (one driver-side directory listing, no job).
+    */
+  def segmentFileCount(path: String): Int = {
+    val cur = Versioned.readPointer(path, "postings").get.dir
+    Option(new java.io.File(s"$path/$cur").listFiles())
+      .getOrElse(Array.empty)
+      .count(_.getName.startsWith("part-"))
+  }
+
+  /** SELF-SCHEDULING compaction: run [[compact]] only when the segment
+    * file count exceeds `maxFiles` — the LSM-style trigger from SCALE.md
+    * made executable, so a long-running maintenance loop (the streaming
+    * sink calls this per batch) bounds its own probe amplification instead
+    * of waiting for an operator. The check is a driver-side listing;
+    * between triggers the appends pay nothing. Returns whether a
+    * compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int = 16,
+                      blockSize: Int = PhysicalLayout.ProductionBlockSize): Boolean = {
+    val fragmented = segmentFileCount(path) > maxFiles
+    if (fragmented) compact(spark, path, blockSize)
+    fragmented
+  }
+
   // df is additive and stats are a weighted average — both are exactly
   // recomputable from the artifact itself (every doc has >= 1 posting row,
   // dl is constant per doc), so the refresh never rereads the corpus. Both

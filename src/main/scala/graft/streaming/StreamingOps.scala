@@ -380,6 +380,11 @@ object StreamingOps {
             graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs,
               deferDerived = true)
             graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
+            // self-scheduling compaction: the sink bounds its own segment
+            // fragmentation (driver-side file-count check per batch; the
+            // re-sort runs only past the threshold — SCALE.md scheduling)
+            graft.sources.PostingStore.compactIfNeeded(sp, s"$indexRoot/postings")
+            ()
           } finally b.unpersist()
         }
         .start()

@@ -132,4 +132,21 @@ class GraftSpec extends SparkTestBase {
     assert(approx.size == 10)
     assert((approx & exact).size >= 3, s"overlap ${(approx & exact).size}")
   }
+
+  test("registerArtifactViews exposes joinable SQL views consistent with the stores") {
+    Graft.registerArtifactViews(spark, sf)
+    for (v <- Seq("graft_postings", "graft_posting_df", "graft_posting_stats",
+        "graft_shingles", "graft_shingle_df", "graft_minhash_bands", "graft_documents"))
+      assert(spark.catalog.tableExists(v), s"view $v not registered")
+    // a cross-view join resolves and agrees with the store-level frames:
+    // per-token doc counts from postings equal the df sidecar
+    val mismatches = spark.sql(
+      """SELECT p.tok FROM graft_postings p
+        |JOIN graft_posting_df f ON p.tok = f.tok
+        |GROUP BY p.tok, f.df HAVING count(*) <> f.df""".stripMargin).count()
+    assert(mismatches == 0, s"$mismatches tokens where postings disagree with df")
+    val nDocs = spark.sql("SELECT CAST(n_docs AS BIGINT) FROM graft_posting_stats")
+      .head().getLong(0)
+    assert(nDocs == spark.table("graft_documents").count())
+  }
 }

@@ -274,6 +274,32 @@ class ArtifactStoresSpec extends SparkTestBase {
       MinhashStore.setsAt(spark, s"$root/mh_full").count())
   }
 
+  test("compactIfNeeded triggers only past the segment threshold and restores the layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_autocompact").toString + "/pt"
+    PostingStore.build(spark, docs.filter(col("doc_id") < 10), root,
+      blockSize = PhysicalLayout.TestBlockSize)
+    // four appends of growing prefixes (the last one the full corpus)
+    // fragment the store by ~4 files each
+    for (hi <- Seq(20, 40, 100, Long.MaxValue)) {
+      PostingStore.append(spark, root, docs.filter(col("doc_id") < hi),
+        blockSize = PhysicalLayout.TestBlockSize, deferDerived = true)
+      // below the threshold nothing runs
+      assert(!PostingStore.compactIfNeeded(spark, root, maxFiles = 64,
+        blockSize = PhysicalLayout.TestBlockSize))
+    }
+    val fragmented = PostingStore.segmentFileCount(root)
+    assert(fragmented > 8, s"expected fragmentation, saw $fragmented files")
+    // past the threshold the re-sort runs and the canonical layout returns
+    assert(PostingStore.compactIfNeeded(spark, root, maxFiles = 8,
+      blockSize = PhysicalLayout.TestBlockSize))
+    assert(PostingStore.segmentFileCount(root) <= 8)
+    PostingStore.build(spark, docs, s"${root}_full",
+      blockSize = PhysicalLayout.TestBlockSize)
+    val a = PostingStore.postingsAt(spark, root)
+    val b = PostingStore.postingsAt(spark, s"${root}_full")
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("IVF append assigns with the existing model; probes equal one-shot assignment") {
     import spark.implicits._
     import graft.operators.IvfIndex
