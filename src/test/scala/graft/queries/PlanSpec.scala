@@ -247,6 +247,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v17: batched recall sweep — broadcast probe frames, per-qid windows, no cartesian blowup") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = graft.operators.AnnEval.queryPanel(spark, emb)
+    // ivf path: the (qid, cell, qemb) probe frame joins BROADCAST against
+    // the cell-pruned vectors — never a shuffled join on the tiny side,
+    // and the per-qid top-k window is always partitioned
+    val ivf = graft.operators.AnnEval.ivfTopK(spark,
+      graft.sources.VectorIndexStore.ensureIvf(spark, sf), queries, k = 10, nProbe = 4)
+    ivf.collect()
+    val p = ivf.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = ivf.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      ivf.queryExecution.optimizedPlan.toString)
+  }
+
+  test("k04: the tok predicate reaches the postings scan through the SQL view") {
+    val p = plan("k04_postings_sql")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(tok,dup)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
