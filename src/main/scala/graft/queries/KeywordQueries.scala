@@ -213,6 +213,56 @@ object KeywordQueries extends QuerySet {
         |WHERE tok = 'dup'
         |ORDER BY tf DESC, tf.doc_id LIMIT 20""".stripMargin)),
 
+    // DELETION PROPAGATION through the index — the lifecycle verb a
+    // takedown / right-to-be-forgotten request needs: build the inverted
+    // index over a capped corpus, tombstone every 10th document
+    // (cost ∝ deleted ids — no rewrite), probe; then COMPACT (the rewrite
+    // physically omits the rows and clears the sidecar) and probe again.
+    // Both stages' BM25 top-10 are emitted and must hash-match ONE oracle
+    // computed over the surviving documents — logical and physical
+    // deletion are bit-identical, and deleted docs influence nothing
+    // (df/stats self-align via the watermark protocol).
+    Q("k05_delete_propagation",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+        val idx = s"/tmp/graft_k05_${ProcessHandle.current().pid()}/idx_$tag"
+        val f = new java.io.File(idx)
+        if (f.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(f).deleteRecursively()
+        }
+        val corpus = t(s, d, "documents")
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        graft.sources.PostingStore.build(s, corpus, idx)
+        graft.sources.PostingStore.delete(s, idx,
+          corpus.filter(col("doc_id") % 10 === 0).select("doc_id"))
+        def probe(stage: String) = graft.sources.PostingStore
+          .bm25ContribFromIndexAt(s, idx, Terms, K1, B)
+          .withColumnRenamed("id", "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_terms"),
+            round(sum("c"), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(10)
+          .withColumn("stage", lit(stage))
+        // materialize the tombstone-stage result BEFORE compaction mutates
+        // the store (the probe is lazy; without this it would re-resolve
+        // the pointer post-compact)
+        val tombstoneStage = graft.operators.ScaleOps.checkpointed(probe("tombstone"))
+        graft.sources.PostingStore.compact(s, idx)
+        tombstoneStage.unionByName(probe("compacted"))
+          .orderBy(col("stage"), desc("score"), col("doc_id"))
+      },
+      Some(s"""WITH ${bm25ContribSqlWhere("WHERE doc_id < 1000 AND doc_id % 10 <> 0")},
+        |top AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(c), 6) AS score
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, n_terms, score, stage
+        |FROM top CROSS JOIN (VALUES ('compacted'), ('tombstone')) AS s(stage)
+        |ORDER BY stage, score DESC, doc_id""".stripMargin)),
+
     // Positional phrase + proximity search — the full-text operator k01's
     // bag-of-words ranking can't express ("table hash" as an ADJACENT
     // phrase, plus an ordered within-3 proximity window). Postings are

@@ -81,13 +81,15 @@ object MinhashStore {
     p
   }
 
-  /** The (id, band, bucket) band table at an explicit path. */
+  /** The (id, band, bucket) band table at an explicit path, tombstones
+    * applied.
+    */
   def bandsAt(spark: SparkSession, path: String): DataFrame =
-    Versioned.read(spark, path, "bands")
+    Tombstones.applyTo(spark, path, Versioned.read(spark, path, "bands"), "id")
 
-  /** The (tid, tsh) verify sets at an explicit path. */
+  /** The (tid, tsh) verify sets at an explicit path, tombstones applied. */
   def setsAt(spark: SparkSession, path: String): DataFrame =
-    Versioned.read(spark, path, "sets")
+    Tombstones.applyTo(spark, path, Versioned.read(spark, path, "sets"), "tid")
 
   /** The persisted (id, band, bucket) LSH band table. */
   def bands(spark: SparkSession, sfDir: String): DataFrame =
@@ -115,15 +117,27 @@ object MinhashStore {
       build(spark, newDocs, path)
       return
     }
+    // RAW reads for the existing-checks: a tombstoned id counts as
+    // present, so a deleted doc cannot be re-appended before a compact
     val bandsDir = Versioned.readPointer(path, "bands").get.dir
-    val bandIds = bandsAt(spark, path).select(col("id").as("doc_id")).distinct()
+    val bandIds = spark.read.parquet(s"$path/$bandsDir")
+      .select(col("id").as("doc_id")).distinct()
     NearDup.minhashBuckets(spark, newDocs.join(bandIds, Seq("doc_id"), "left_anti"))
       .write.mode("append").parquet(s"$path/$bandsDir")
     val setsDir = Versioned.readPointer(path, "sets").get.dir
-    val setIds = setsAt(spark, path).select(col("tid").as("doc_id")).distinct()
+    val setIds = spark.read.parquet(s"$path/$setsDir")
+      .select(col("tid").as("doc_id")).distinct()
     setsOf(spark, newDocs.join(setIds, Seq("doc_id"), "left_anti"))
       .write.mode("append").parquet(s"$path/$setsDir")
   }
+
+  /** DELETE documents: tombstone their ids across bands AND sets in one
+    * sidecar (immediately visible, cost ∝ deleted ids); the next
+    * [[compact]] applies it physically. A tombstoned id stays deleted
+    * until a compact clears the sidecar.
+    */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit =
+    Tombstones.add(spark, path, docIds)
 
   /** Small-file COMPACTION: N appends leave N file sets per table (open
     * cost erodes the bucket-join scan — the many-small-files tax; there
@@ -132,7 +146,7 @@ object MinhashStore {
     * readers mid-join keep the previous version.
     */
   def compact(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
-    val bands = bandsAt(spark, path)
+    val bands = bandsAt(spark, path) // tombstones applied
     Versioned.publish(path, "bands", -1L) { v =>
       bands.repartition(partitions).write.parquet(v)
     }
@@ -140,5 +154,8 @@ object MinhashStore {
     Versioned.publish(path, "sets", -1L) { v =>
       sets.repartition(partitions).write.parquet(v)
     }
+    // both tables rewritten clean — publish-then-clear (a crash between
+    // the two publishes leaves tombstones that still apply to sets)
+    Tombstones.clear(path)
   }
 }

@@ -100,9 +100,13 @@ object PostingStore {
   // ---- path-based readers (shared by the fixture surface, the streaming
   // ---- maintenance sink, and the specs) ----
 
-  /** The current postings version at an explicit artifact path. */
+  /** The current postings version at an explicit artifact path, with any
+    * pending tombstones applied (a [[delete]] is visible immediately;
+    * compaction later applies it physically).
+    */
   def postingsAt(spark: SparkSession, path: String): DataFrame =
-    Versioned.read(spark, path, "postings")
+    Tombstones.applyTo(spark, path,
+      Versioned.read(spark, path, "postings"), "doc_id")
 
   /** Current df table, watermark-checked: a recorded watermark that does
     * not match the postings footer count means a crash landed between a
@@ -179,23 +183,41 @@ object PostingStore {
       .parquet(s"$path/$cur")
   }
 
+  /** DELETE documents from the index: tombstone their ids (cost ∝ deleted
+    * ids, no table rewrite — [[Tombstones]]), immediately visible to every
+    * reader; the next [[compact]] applies the deletion physically. The
+    * derived tables self-align: the df/stats watermark no longer matches
+    * the post-tombstone postings count, so the next checked read refreshes
+    * them over the surviving rows (or pass eager = true to refresh now).
+    * A tombstoned id stays deleted until a compact clears the sidecar —
+    * re-adding a deleted document requires compacting first.
+    */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame,
+             eager: Boolean = true): Unit = {
+    Tombstones.add(spark, path, docIds)
+    if (eager) refreshDerived(spark, path)
+  }
+
   /** Off-line COMPACTION: global re-sort of all accumulated segments into
     * the canonical tok-sorted layout, published as a new postings version
     * with one atomic pointer flip (readers mid-probe keep the previous
     * version; the next probe sees the compacted one). Appends erode probe
     * pruning — each segment is only sorted within itself, so a term probe
     * reads one row-group-range PER SEGMENT — and compaction restores the
-    * one-range-per-term layout of a fresh build. Derived tables are
-    * untouched: compaction permutes rows, it does not change them (the
-    * unchanged watermark still matches). Scheduling at 100 TB: SCALE.md
-    * "posting-segment compaction".
+    * one-range-per-term layout of a fresh build. Pending tombstones are
+    * applied PHYSICALLY (the rewrite omits deleted rows) and then cleared
+    * — publish-then-clear, so a crash in between leaves only no-op
+    * tombstones. Derived tables are untouched: compaction preserves the
+    * post-tombstone row set the watermark was stamped against. Scheduling
+    * at 100 TB: SCALE.md "posting-segment compaction".
     */
   def compact(spark: SparkSession, path: String,
               blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
-    val all = postingsAt(spark, path)
+    val all = postingsAt(spark, path) // tombstones applied
     Versioned.publish(path, "postings", -1L) { v =>
       PhysicalLayout.writeSorted(all, "tok", v, blockSize = blockSize)
     }
+    Tombstones.clear(path)
   }
 
   /** Number of data files in the current postings version — the segment-

@@ -93,10 +93,12 @@ object ShingleStore {
   }
 
   /** The persisted (doc_id, sh) posting rows at an explicit path (current
-    * version — appends land inside it, compaction re-points it).
+    * version — appends land inside it, compaction re-points it), with any
+    * pending tombstones applied.
     */
   def rowsAt(spark: SparkSession, path: String): DataFrame =
-    Versioned.read(spark, path, "rows")
+    Tombstones.applyTo(spark, path,
+      Versioned.read(spark, path, "rows"), "doc_id")
 
   /** Current df version at an explicit path, watermark-checked: a recorded
     * watermark that does not match the rows footer count means a crash
@@ -156,9 +158,22 @@ object ShingleStore {
   private[sources] def appendRows(spark: SparkSession, path: String,
                                   newDocs: DataFrame): Unit = {
     val cur = Versioned.readPointer(path, "rows").get.dir
-    val existing = rowsAt(spark, path).select("doc_id").distinct()
+    // RAW read for the existing-check: a tombstoned id counts as present,
+    // so a deleted doc cannot be re-appended before a compact clears it
+    val existing = spark.read.parquet(s"$path/$cur").select("doc_id").distinct()
     val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
     shingleRowsOf(fresh).write.mode("append").parquet(s"$path/$cur")
+  }
+
+  /** DELETE documents: tombstone their ids (immediately visible, cost ∝
+    * deleted ids); the next [[compactRows]] applies it physically. The df
+    * watermark self-aligns via the checked read (or eager = true now).
+    * A tombstoned id stays deleted until a compact clears the sidecar.
+    */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame,
+             eager: Boolean = true): Unit = {
+    Tombstones.add(spark, path, docIds)
+    if (eager) refreshDf(spark, path)
   }
 
   /** Small-file COMPACTION for the rows table: N appends leave N file
@@ -166,13 +181,17 @@ object ShingleStore {
     * many-small-files tax, not a pruning loss — rows joins shuffle on
     * `sh`, no range probes). Rewrites the current version into
     * `partitions` files behind one atomic re-point; readers mid-join keep
-    * the previous version. df is untouched (same rows ⇒ same watermark).
+    * the previous version. Pending tombstones are applied physically and
+    * cleared (publish-then-clear — a crash in between leaves no-op
+    * tombstones). df is untouched (the rewrite preserves the
+    * post-tombstone row set the watermark was stamped against).
     */
   def compactRows(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
-    val all = rowsAt(spark, path)
+    val all = rowsAt(spark, path) // tombstones applied
     Versioned.publish(path, "rows", -1L) { v =>
       all.repartition(partitions).write.parquet(v)
     }
+    Tombstones.clear(path)
   }
 
   private[sources] def refreshDf(spark: SparkSession, path: String): Unit = {

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tombstone-based DELETION for the artifact stores — the missing third
+  * lifecycle verb (build/append/…/delete). A training-data pipeline must
+  * propagate removals (takedowns, right-to-be-forgotten, contaminated
+  * docs) through every derived index without rewriting 100 TB per
+  * request; the standard answer is the LSM one:
+  *
+  *   - [[add]] appends the doc ids to an append-only `_deletes` sidecar
+  *     (cost ∝ deleted ids — no table rewrite);
+  *   - readers [[applyTo]] the sidecar as an anti-join (a logical delete,
+  *     visible immediately and crash-safe: the sidecar is append-only);
+  *   - COMPACTION applies the tombstones physically (the rewritten
+  *     version simply omits the rows) and [[clear]]s the sidecar.
+  *
+  * Ordering is crash-safe without coordination: compaction publishes the
+  * clean version FIRST, then clears — a crash in between leaves
+  * tombstones that anti-join nothing (a no-op), never resurrected rows.
+  *
+  * Semantics until compaction: a tombstoned id stays deleted — appends
+  * treat physically-present ids as existing (raw reads), so re-adding a
+  * deleted document requires a compact first (documented on each store's
+  * delete). This avoids the generation-tracking complexity of mixing a
+  * tombstone with newer live rows for the same id.
+  */
+object Tombstones {
+
+  // NOT underscore-prefixed: Spark's file listing treats `_`/`.`-prefixed
+  // paths as hidden metadata and silently ignores their files
+  private def dir(path: String) = s"$path/tombstones"
+
+  /** Append `ids` (a one-column frame of doc ids) to the sidecar. */
+  def add(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.toDF("doc_id").distinct().coalesce(1)
+      .write.mode("append").parquet(dir(path))
+
+  /** The tombstoned ids, if any ([None] when no delete ever ran). */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!new java.io.File(dir(path)).exists()) None
+    else Some(spark.read.parquet(dir(path)))
+
+  /** Anti-join `df` against the sidecar on `idCol` (no-op without one).
+    * Column order is preserved — a using-column join moves the key first,
+    * which would silently change the frame shape for positional consumers.
+    */
+  def applyTo(spark: SparkSession, path: String, df: DataFrame,
+              idCol: String): DataFrame =
+    read(spark, path) match {
+      case Some(t) =>
+        df.join(t.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      case None => df
+    }
+
+  /** Drop the sidecar (after a compaction physically applied it). */
+  def clear(path: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir(path))).deleteRecursively()
+    ()
+  }
+}

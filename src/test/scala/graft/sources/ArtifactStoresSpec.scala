@@ -274,6 +274,62 @@ class ArtifactStoresSpec extends SparkTestBase {
       MinhashStore.setsAt(spark, s"$root/mh_full").count())
   }
 
+  test("delete tombstones: immediate reads, derived refresh, physical compaction, re-add after clear") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+    val dele = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val remaining = docs.filter(col("doc_id") % 10 =!= 0)
+
+    // postings: logical delete equals a fresh build over the survivors —
+    // including the derived df/stats
+    PostingStore.build(spark, docs, s"$root/pt", PhysicalLayout.TestBlockSize)
+    PostingStore.delete(spark, s"$root/pt", dele)
+    PostingStore.build(spark, remaining, s"$root/pt_ref", PhysicalLayout.TestBlockSize)
+    assert(eq(PostingStore.postingsAt(spark, s"$root/pt"),
+      PostingStore.postingsAt(spark, s"$root/pt_ref")))
+    assert(eq(PostingStore.dfAt(spark, s"$root/pt"),
+      PostingStore.dfAt(spark, s"$root/pt_ref")))
+    assert(eq(PostingStore.statsAt(spark, s"$root/pt"),
+      PostingStore.statsAt(spark, s"$root/pt_ref")))
+    // a tombstoned id cannot sneak back in via append (raw existing-check)
+    PostingStore.append(spark, s"$root/pt", docs, PhysicalLayout.TestBlockSize)
+    assert(eq(PostingStore.postingsAt(spark, s"$root/pt"),
+      PostingStore.postingsAt(spark, s"$root/pt_ref")))
+    // compaction applies the deletion physically and clears the sidecar
+    PostingStore.compact(spark, s"$root/pt", PhysicalLayout.TestBlockSize)
+    assert(Tombstones.read(spark, s"$root/pt").isEmpty)
+    val cur = Versioned.readPointer(s"$root/pt", "postings").get.dir
+    assert(spark.read.parquet(s"$root/pt/$cur")
+      .join(dele, Seq("doc_id")).count() == 0, "deleted rows survived compaction")
+    assert(eq(PostingStore.postingsAt(spark, s"$root/pt"),
+      PostingStore.postingsAt(spark, s"$root/pt_ref")))
+    // after the clear, a re-append restores the documents
+    PostingStore.append(spark, s"$root/pt", docs, PhysicalLayout.TestBlockSize)
+    PostingStore.build(spark, docs, s"$root/pt_all", PhysicalLayout.TestBlockSize)
+    assert(eq(PostingStore.postingsAt(spark, s"$root/pt"),
+      PostingStore.postingsAt(spark, s"$root/pt_all")))
+
+    // shingle + minhash: delete visible in every table, physical after compact
+    ShingleStore.build(spark, docs, s"$root/sh")
+    ShingleStore.delete(spark, s"$root/sh", dele)
+    assert(eq(ShingleStore.rowsAt(spark, s"$root/sh"),
+      ShingleStore.shingleRowsOf(remaining)))
+    ShingleStore.compactRows(spark, s"$root/sh")
+    assert(Tombstones.read(spark, s"$root/sh").isEmpty)
+    assert(eq(ShingleStore.rowsAt(spark, s"$root/sh"),
+      ShingleStore.shingleRowsOf(remaining)))
+    MinhashStore.build(spark, docs, s"$root/mh")
+    MinhashStore.delete(spark, s"$root/mh", dele)
+    assert(eq(MinhashStore.bandsAt(spark, s"$root/mh"),
+      NearDup.minhashBuckets(spark, remaining)))
+    MinhashStore.compact(spark, s"$root/mh")
+    assert(Tombstones.read(spark, s"$root/mh").isEmpty)
+    assert(eq(MinhashStore.bandsAt(spark, s"$root/mh"),
+      NearDup.minhashBuckets(spark, remaining)))
+  }
+
   test("compactIfNeeded triggers only past the segment threshold and restores the layout") {
     val root = java.nio.file.Files.createTempDirectory("graft_autocompact").toString + "/pt"
     PostingStore.build(spark, docs.filter(col("doc_id") < 10), root,
