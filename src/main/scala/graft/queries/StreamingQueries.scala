@@ -354,6 +354,95 @@ object StreamingQueries extends QuerySet {
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // THE REFERENCE'S LITERAL LOOP AS A STREAM: arrival → embed → vector-
+    // index upsert → kNN serve (main.py:263-369 per upload; db_utils.py:
+    // 169-170 upserts the HNSW index every ingest). Two tranches across a
+    // restart maintain (a) the sparse integer embedding store and (b) the
+    // IVF index (trained on the FIRST batch, append-assigned after). The
+    // served ranking is computed from the STREAMED sparse store with exact
+    // integer arithmetic (sum of cnt products / sqrt of integer norms) —
+    // the same rows the d14 oracle rebuilds in SQL — so the kNN answer is
+    // hash-exact against DuckDB, which float32 vector math could never be.
+    // The IVF probe over the maintained float index grades itself against
+    // that exact ranking (recall flag, v08 pattern; floor 3/10 vs
+    // measured 6/10 at sf0.01 and 8/10 at sf0.1 — >= 2x margin).
+    Q("s15_streamed_embedding_index",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+        val pid = ProcessHandle.current().pid()
+        val srcDir = s"/tmp/graft_s15_$pid/src_$tag"
+        val store = s"/tmp/graft_s15_$pid/sparse_$tag"
+        val ivf = s"/tmp/graft_s15_$pid/ivf_$tag"
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s15_$pid/ckpt_$tag"
+        for (p <- Seq(srcDir, store, ivf, ckpt)) {
+          val f = new java.io.File(p)
+          if (f.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(f).deleteRecursively()
+          }
+        }
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
+        StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf)
+        // exact cosine top-10 vs doc 0, all-integer inputs from the
+        // streamed store: dp and the squared norms are exact long sums,
+        // the one double division is IEEE-identical in DuckDB
+        val nz = s.read.parquet(store)
+        val l2 = nz.groupBy("doc_id")
+          .agg(sqrt(sum(col("cnt").cast("long") * col("cnt"))).as("l2"))
+        val qv = broadcast(nz.filter(col("doc_id") === 0)
+          .select(col("idx"), col("cnt").as("qcnt")))
+        val ql2 = broadcast(l2.filter(col("doc_id") === 0)
+          .select(col("l2").as("ql2")))
+        val exact = graft.operators.ScaleOps.checkpointed(
+          nz.filter(col("doc_id") =!= 0)
+            .join(qv, "idx")
+            .groupBy("doc_id")
+            .agg(sum(col("cnt").cast("long") * col("qcnt")).as("dp"))
+            .join(l2, "doc_id").crossJoin(ql2)
+            .select(col("doc_id"),
+              round(col("dp") / (col("l2") * col("ql2")), 6).as("sim"))
+            .orderBy(desc("sim"), col("doc_id"))
+            .limit(10))
+        // probe the maintained IVF index; grade vs the exact ranking
+        val model = graft.operators.IvfIndex.loadModel(s, ivf)
+        val vecs = graft.operators.IvfIndex.loadVectors(s, ivf)
+        val qvec = vecs.filter(col("vec_id") === 0)
+          .select("embedding").as[Seq[Float]].head()
+        val probe = graft.operators.IvfIndex.search(s,
+          vecs.filter(col("vec_id") =!= 0), model, qvec, k = 10, nProbe = 4)
+        val hits = probe.select("vec_id")
+          .join(exact.select(col("doc_id").as("vec_id")), "vec_id").count()
+        exact.withColumn("recall_ok", (lit(hits) >= 3).cast("int"))
+          .orderBy(desc("sim"), col("doc_id"))
+      },
+      Some(s"""WITH n AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 500),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n WHERE norm <> ''),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk),
+        |b AS (
+        |  SELECT doc_id, CAST((h // 2) % ${graft.schemas.Schemas.VectorDimensions} AS INT) AS idx,
+        |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        |nz AS (
+        |  SELECT doc_id, idx, CAST(sum(sgn) AS INT) AS cnt
+        |  FROM b GROUP BY doc_id, idx HAVING sum(sgn) <> 0),
+        |l2 AS (SELECT doc_id, sqrt(sum(CAST(cnt AS BIGINT) * cnt)) AS l2
+        |  FROM nz GROUP BY doc_id),
+        |q AS (SELECT idx, cnt AS qcnt FROM nz WHERE doc_id = 0),
+        |ql2 AS (SELECT l2 AS ql2 FROM l2 WHERE doc_id = 0),
+        |dot AS (
+        |  SELECT nz.doc_id, sum(CAST(nz.cnt AS BIGINT) * q.qcnt) AS dp
+        |  FROM nz JOIN q USING (idx) WHERE nz.doc_id <> 0 GROUP BY nz.doc_id)
+        |SELECT d.doc_id, round(d.dp / (l2.l2 * ql2.ql2), 6) AS sim, 1 AS recall_ok
+        |FROM dot d JOIN l2 USING (doc_id) CROSS JOIN ql2
+        |ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin)),
+
     // APPEND-mode watermarked window aggregation — the one stateful shape
     // that NEEDS the trailing no-data micro-batch (skipNoDataBatches=false):
     // a window only emits once the watermark (max event time - 1h) passes

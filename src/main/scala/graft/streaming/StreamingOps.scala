@@ -397,6 +397,107 @@ object StreamingOps {
     }
   }
 
+  /** The reference's LITERAL ingest loop as a stream: file arrival →
+    * normalize → EMBED → upsert into the one queryable VECTOR index
+    * (main.py:263-369 drives exactly this per upload; db_utils.py:169-170
+    * upserts the HNSW index on every ingest). Per micro-batch:
+    *
+    *   - the SPARSE embedding store (`storePath`: (doc_id, idx, cnt) —
+    *     the hashing embedder's nonzero bucket counts, the same integer
+    *     rows the d14 oracle recomputes in SQL) is appended idempotently;
+    *   - the IVF VECTOR index at `ivfPath` is maintained: the FIRST batch
+    *     trains the coarse quantizer and publishes the index (the
+    *     reference's create-index-on-first-ingest), every later batch
+    *     [[graft.sources.VectorIndexStore.appendIvf]]s its vectors with
+    *     the existing model (assign-only — retrain is a scheduled job).
+    *
+    * Each table keys idempotency on its OWN ids (the MinhashStore
+    * discipline), so a crash between the two writes converges on
+    * redelivery instead of double-writing or training on an empty batch.
+    * Integer bucket counts are what make the downstream kNN serve
+    * oracle-able bitwise (s15): exact cosine from integer sums is
+    * engine-portable where float32 vector arithmetic is not.
+    */
+  def arrivalEmbedIngest(spark: SparkSession, srcDir: String, glob: String,
+                         storePath: String, checkpoint: String,
+                         ivfPath: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(schema)
+      .load(srcDir)
+    val rows = stream.select(
+      regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+      decode(col("content"), "UTF-8").as("text"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = rows.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          import sp.implicits._
+          val b = batch.toDF().persist()
+          try {
+            // (a) sparse embedding store, keyed on its own ids
+            val existing =
+              try Some(sp.read.parquet(storePath).select("doc_id").distinct())
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getErrorClass == "PATH_NOT_FOUND" => None
+              }
+            val freshSparse = existing match {
+              case Some(ex) => b.join(ex, Seq("doc_id"), "left_anti")
+              case None => b
+            }
+            freshSparse.select(col("doc_id"), col("text")).as[(Long, String)]
+              .mapPartitions { it =>
+                val emb = new graft.operators.HashingEmbedder()
+                it.flatMap { case (id, tx) =>
+                  emb.rawBucketCounts(tx).iterator.zipWithIndex
+                    .filter(_._1 != 0)
+                    .map { case (c, i) => (id, i, c) }
+                }
+              }
+              .toDF("doc_id", "idx", "cnt")
+              .write.mode("append").parquet(storePath)
+            // (b) vector index, keyed on its own vec_ids
+            val vecs = b.select(col("doc_id"), col("text")).as[(Long, String)]
+              .mapPartitions { it =>
+                val emb = new graft.operators.HashingEmbedder()
+                it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
+              }
+              .toDF("vec_id", "label", "embedding")
+            if (!new java.io.File(s"$ivfPath/model").exists()) {
+              // first ingest creates the index (train on the first batch —
+              // the bounded driver-side sample the IVF contract documents)
+              val model = graft.operators.IvfIndex.train(sp, vecs, k = 16)
+              graft.operators.IvfIndex.save(sp, model,
+                graft.operators.IvfIndex.assign(sp, vecs, model), ivfPath)
+            } else {
+              graft.sources.VectorIndexStore.appendIvf(sp, ivfPath, vecs)
+            }
+          } finally b.unpersist()
+        }
+        .start()
+      q.processAllAvailable()
+    } finally {
+      try { if (q != null) q.stop() } finally {
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+  }
+
   /** foreachBatch upsert sink (A14): per micro-batch, merge-on-key into a
     * parquet target — new keys appended, existing keys kept (first-arrival
     * semantics, matching the reference's skip-if-hash-exists insert,
