@@ -61,8 +61,12 @@ final class HashingEmbedder(val dims: Int = Schemas.VectorDimensions) extends Em
     v
   }
 
-  protected def embedUnsafe(text: String): Array[Float] = {
-    val counts = rawBucketCounts(text)
+  /** L2-normalize pre-computed bucket counts into the embedding vector —
+    * exposed so a caller that already holds the counts (the streaming
+    * embed-ingest sink materializes BOTH representations) pays the token
+    * hashing once instead of twice. `embedUnsafe` == rawBucketCounts + this.
+    */
+  def embedFromCounts(counts: Array[Int]): Array[Float] = {
     val v = new Array[Float](dims)
     var ss = 0.0
     var i = 0
@@ -80,6 +84,9 @@ final class HashingEmbedder(val dims: Int = Schemas.VectorDimensions) extends Em
       v
     }
   }
+
+  protected def embedUnsafe(text: String): Array[Float] =
+    embedFromCounts(rawBucketCounts(text))
 }
 
 /** Always-failing embedder — exercises the zero-vector fallback path in tests
