@@ -153,4 +153,48 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(eq(graft.sources.PostingStore.postingsAt(spark, s"$idx/postings"),
       graft.sources.PostingStore.postingsAt(spark, s"$fresh/postings")))
   }
+
+  test("embed ingest maintains the sparse store and IVF index equal to one-shot builds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_embed_ingest").toString
+    val src = s"$dir/src"
+    val store = s"$dir/sparse"
+    val ivf = s"$dir/ivf"
+    val ckpt = s"$dir/ckpt"
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 25)
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, ckpt, ivf)
+    StreamingOps.writeDocFiles(spark, sf, src, 25, 1000)
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, ckpt, ivf)
+
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 1000).select("doc_id", "text")
+    val nDocs = docs.count()
+    // sparse store == a one-shot recomputation of the nonzero bucket counts
+    val expected = docs.as[(Long, String)].mapPartitions { it =>
+      val emb = new graft.operators.HashingEmbedder()
+      it.flatMap { case (id, tx) =>
+        emb.rawBucketCounts(tx).iterator.zipWithIndex
+          .filter(_._1 != 0).map { case (c, i) => (id, i, c) }
+      }
+    }.toDF("doc_id", "idx", "cnt")
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == expected.count())
+    assert(stored.except(expected).isEmpty && expected.except(stored).isEmpty)
+    // IVF index holds every doc once, and its stored cells equal an
+    // assignment of the corpus with the SAME persisted model
+    val model = graft.operators.IvfIndex.loadModel(spark, ivf)
+    val vecs = graft.operators.IvfIndex.loadVectors(spark, ivf)
+    assert(vecs.count() == nDocs)
+    assert(vecs.select("vec_id").distinct().count() == nDocs)
+    val reassigned = vecs.select(col("vec_id"), col("label"), col("embedding"))
+      .transform(v => graft.operators.IvfIndex.assign(spark, v, model))
+      .select(col("vec_id"), col("cell").as("expected_cell"))
+    assert(vecs.select("vec_id", "cell").join(reassigned, "vec_id")
+      .filter(col("cell") =!= col("expected_cell")).count() == 0)
+    // redelivery is a no-op for both tables
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, s"$dir/ckpt2", ivf)
+    assert(spark.read.parquet(store).count() == stored.count())
+    assert(graft.operators.IvfIndex.loadVectors(spark, ivf).count() == nDocs)
+  }
 }
