@@ -158,4 +158,19 @@ object MinhashStore {
     // the two publishes leaves tombstones that still apply to sets)
     Tombstones.clear(path)
   }
+
+  /** SELF-SCHEDULING small-file compaction (the PostingStore.compactIfNeeded
+    * pattern), triggered on the bands table's file count (both tables
+    * fragment in lockstep — one append each per batch). Returns whether a
+    * compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      maxFiles: Int = 16, partitions: Int = 4): Boolean = {
+    val cur = Versioned.readPointer(path, "bands").get.dir
+    val n = Option(new java.io.File(s"$path/$cur").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    val fragmented = n > maxFiles
+    if (fragmented) compact(spark, path, partitions)
+    fragmented
+  }
 }

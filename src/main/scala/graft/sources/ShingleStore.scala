@@ -194,6 +194,20 @@ object ShingleStore {
     Tombstones.clear(path)
   }
 
+  /** SELF-SCHEDULING small-file compaction (the PostingStore.compactIfNeeded
+    * pattern): one driver-side file-count check; the rewrite runs only past
+    * `maxFiles`. Returns whether a compaction ran.
+    */
+  def compactRowsIfNeeded(spark: SparkSession, path: String,
+                          maxFiles: Int = 16, partitions: Int = 4): Boolean = {
+    val cur = Versioned.readPointer(path, "rows").get.dir
+    val n = Option(new java.io.File(s"$path/$cur").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    val fragmented = n > maxFiles
+    if (fragmented) compactRows(spark, path, partitions)
+    fragmented
+  }
+
   private[sources] def refreshDf(spark: SparkSession, path: String): Unit = {
     val rows = rowsAt(spark, path)
     Versioned.publish(path, "df", rows.count()) { v =>

@@ -380,10 +380,13 @@ object StreamingOps {
             graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs,
               deferDerived = true)
             graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
-            // self-scheduling compaction: the sink bounds its own segment
-            // fragmentation (driver-side file-count check per batch; the
-            // re-sort runs only past the threshold — SCALE.md scheduling)
+            // self-scheduling compaction: the sink bounds its own
+            // fragmentation across ALL maintained stores (driver-side
+            // file-count checks per batch; rewrites run only past the
+            // threshold — SCALE.md scheduling)
             graft.sources.PostingStore.compactIfNeeded(sp, s"$indexRoot/postings")
+            graft.sources.ShingleStore.compactRowsIfNeeded(sp, s"$indexRoot/shingles")
+            graft.sources.MinhashStore.compactIfNeeded(sp, s"$indexRoot/minhash")
             ()
           } finally b.unpersist()
         }

@@ -260,11 +260,17 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(eq(ShingleStore.dfAt(spark, s"$root/sh"),
       ShingleStore.dfAt(spark, s"$root/sh_full")))
 
+    // the self-scheduling trigger: below threshold nothing runs, past it
+    // the rewrite restores the bounded layout
+    assert(!ShingleStore.compactRowsIfNeeded(spark, s"$root/sh", maxFiles = 64))
+
     MinhashStore.build(spark, docs.filter(col("doc_id") < 15), s"$root/mh")
     MinhashStore.append(spark, s"$root/mh", docs.filter(col("doc_id") < 30))
     MinhashStore.append(spark, s"$root/mh", docs)
     val mhFragmented = filesIn(s"$root/mh", "bands")
-    MinhashStore.compact(spark, s"$root/mh", partitions = 2)
+    assert(!MinhashStore.compactIfNeeded(spark, s"$root/mh", maxFiles = 64))
+    assert(MinhashStore.compactIfNeeded(spark, s"$root/mh",
+      maxFiles = 2, partitions = 2))
     assert(filesIn(s"$root/mh", "bands") == 2 && mhFragmented > 2)
     assert(filesIn(s"$root/mh", "sets") == 2)
     MinhashStore.build(spark, docs, s"$root/mh_full")
