@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the rows table would be written bucketed by `sh` (shuffle-free
   * posting self-joins) and maintained incrementally next to the chunk
-  * store; locally it is a plain parquet pair published atomically
-  * ([[PhysicalLayout.ensureDir]]) and fingerprinted against the source
-  * fixture so a regenerated corpus rebuilds instead of serving stale
-  * postings. The DuckDB oracles keep recomputing shingles from `documents`
-  * — the artifact is a plan-level materialization, not a semantic change.
+  * store; locally both tables sit behind the [[Versioned]] pointer
+  * protocol inside an atomically-published, fingerprint-pathed artifact
+  * ([[PhysicalLayout.ensureDir]]) so a regenerated corpus rebuilds instead
+  * of serving stale postings. The DuckDB oracles keep recomputing shingles
+  * from `documents` — the artifact is a plan-level materialization, not a
+  * semantic change.
   */
 object ShingleStore {
 
