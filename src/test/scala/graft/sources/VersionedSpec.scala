@@ -51,6 +51,49 @@ class VersionedSpec extends SparkTestBase {
     assert(e.getMessage.contains("no published version"))
   }
 
+  test("a reader loop concurrent with a publisher loop never sees a missing or partial table") {
+    import spark.implicits._
+    val root = mkRoot()
+    // seed version, then a publisher thread rolls 15 more versions while
+    // the main thread reads continuously. The contract: a single
+    // resolve-and-consume read spanning at most ONE publish always sees a
+    // complete version; a reader that stalls across TWO rapid publishes
+    // can lose its GC'd version mid-read and must RE-RESOLVE — so each
+    // read here retries once, and the assertion is that a fresh resolve
+    // always succeeds (two consecutive failures would mean a genuinely
+    // missing/partial table, the delete-then-rename bug this protocol
+    // replaced). Production republish cadence is minutes-to-hours, so the
+    // retry path exists for exactly this stress shape.
+    Versioned.publish(root, "t", 1L)(d => Seq.fill(10)(1).toDF("v").write.parquet(d))
+    val publisherError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val publisher = new Thread(() => {
+      try {
+        for (n <- 2 to 16)
+          Versioned.publish(root, "t", n.toLong)(d =>
+            Seq.fill(10 * n)(n).toDF("v").write.parquet(d))
+      } catch { case t: Throwable => publisherError.set(t) }
+    })
+    def readOnceOrRetry(): Long =
+      try Versioned.read(spark, root, "t").count()
+      catch { case _: org.apache.spark.SparkException =>
+        Versioned.read(spark, root, "t").count() // fresh resolve must succeed
+      }
+    publisher.start()
+    try {
+      var reads = 0
+      while (publisher.isAlive && reads < 1000) {
+        val c = readOnceOrRetry()
+        assert(c % 10 == 0 && c >= 10 && c <= 160,
+          s"read $c rows — not a complete published version")
+        reads += 1
+      }
+      assert(reads > 0)
+    } finally publisher.join()
+    assert(publisherError.get() == null, s"publisher failed: ${publisherError.get()}")
+    assert(readOnceOrRetry() == 160)
+    assert(Versioned.readPointer(root, "t").get.watermark == 16L)
+  }
+
   test("independent names version independently") {
     import spark.implicits._
     val root = mkRoot()
