@@ -167,11 +167,20 @@ object IvfIndex {
     Model(rows.map(_._2.toArray))
   }
 
+  /** Resolve the current vectors directory: the [[graft.sources.Versioned]]
+    * pointer when a compaction has published one, else the original
+    * `vectors` layout [[save]] writes — backward compatible, so existing
+    * artifacts read unchanged until their first compaction.
+    */
+  private[graft] def vectorsDir(path: String): String =
+    graft.sources.Versioned.readPointer(path, "vectors")
+      .map(c => s"$path/${c.dir}").getOrElse(s"$path/vectors")
+
   /** The persisted corpus with its `cell` partition column — feed straight
     * into [[search]] for a probe-only query (no training scan in the plan).
     */
   def loadVectors(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(vectorsDir(path))
 
   /** Approximate top-k: scan only the `nProbe` cells nearest to the query
     * vector, exact cosine within them.

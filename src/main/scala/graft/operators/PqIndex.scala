@@ -261,9 +261,17 @@ object PqIndex {
     Model(IvfIndex.Model(coarse), books, books(0)(0).length)
   }
 
+  /** Resolve the current encoded directory: the pointer when a compaction
+    * has published one, else the original `encoded` layout (backward
+    * compatible — see [[IvfIndex.vectorsDir]]).
+    */
+  private[graft] def encodedDir(path: String): String =
+    graft.sources.Versioned.readPointer(path, "encoded")
+      .map(c => s"$path/${c.dir}").getOrElse(s"$path/encoded")
+
   /** The persisted encoded corpus with its `cell` partition column. */
   def loadEncoded(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/encoded")
+    spark.read.parquet(encodedDir(path))
 
   /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
     * row by m table lookups, keep the `shortlist` smallest approximate

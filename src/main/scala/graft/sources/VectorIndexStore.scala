@@ -96,12 +96,57 @@ object VectorIndexStore {
     */
   def appendIvf(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
     val model = IvfIndex.loadModel(spark, path)
-    val existing = spark.read.parquet(s"$path/vectors").select("vec_id").distinct()
+    val dir = IvfIndex.vectorsDir(path)
+    val existing = spark.read.parquet(dir).select("vec_id").distinct()
     val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
     if (fresh.isEmpty) return // redelivered batch: nothing to assign, no watermark row
     IvfIndex.assign(spark, fresh, model)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+      .write.mode("append").partitionBy("cell").parquet(dir)
     logWatermark(spark, path, IvfIndex.distortionStats(spark, fresh, model))
+  }
+
+  /** Small-file COMPACTION for the IVF vectors table: scheduled appends
+    * leave one file set per append inside every cell directory; the
+    * rewrite repartitions by cell (≈ one file per cell) and publishes
+    * behind a [[Versioned]] pointer — the first compaction UPGRADES the
+    * plain `vectors` layout to the pointer protocol (reads fall back to
+    * the plain dir until then, so existing artifacts are untouched), and
+    * the legacy dir is removed once a later compaction proves the pointer
+    * authoritative. Readers mid-probe keep their resolved version.
+    */
+  def compactIvf(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+    val hadPointer = graft.sources.Versioned.readPointer(path, "vectors").isDefined
+    val all = IvfIndex.loadVectors(spark, path)
+    Versioned.publish(path, "vectors", -1L) { v =>
+      all.repartition(nCells, org.apache.spark.sql.functions.col("cell"))
+        .write.partitionBy("cell").parquet(v)
+    }
+    // the plain legacy dir has had no new readers since the first pointer
+    // publish — remove it once a SECOND compaction confirms that
+    if (hadPointer) {
+      val legacy = new java.io.File(s"$path/vectors")
+      if (legacy.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(legacy).deleteRecursively()
+      }
+    }
+  }
+
+  /** [[compactIvf]] for the PQ encoded table — same pointer upgrade. */
+  def compactPq(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+    val hadPointer = graft.sources.Versioned.readPointer(path, "encoded").isDefined
+    val all = PqIndex.loadEncoded(spark, path)
+    Versioned.publish(path, "encoded", -1L) { v =>
+      all.repartition(nCells, org.apache.spark.sql.functions.col("cell"))
+        .write.partitionBy("cell").parquet(v)
+    }
+    if (hadPointer) {
+      val legacy = new java.io.File(s"$path/encoded")
+      if (legacy.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(legacy).deleteRecursively()
+      }
+    }
   }
 
   /** INCREMENTAL maintenance for the IVF-PQ artifact: encode new vectors
@@ -120,11 +165,12 @@ object VectorIndexStore {
     */
   def appendPq(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
     val model = PqIndex.loadModel(spark, path)
-    val existing = spark.read.parquet(s"$path/encoded").select("vec_id").distinct()
+    val dir = PqIndex.encodedDir(path)
+    val existing = spark.read.parquet(dir).select("vec_id").distinct()
     val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
     if (fresh.isEmpty) return // redelivered batch: nothing to encode, no watermark row
     PqIndex.encode(spark, fresh, model)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/encoded")
+      .write.mode("append").partitionBy("cell").parquet(dir)
     logWatermark(spark, path, PqIndex.quantizationStats(spark, fresh, model))
   }
 

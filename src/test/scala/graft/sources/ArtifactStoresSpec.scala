@@ -425,6 +425,69 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(fromStore == oneShot)
   }
 
+  test("IVF/PQ compaction: pointer upgrade, probes identical, files bounded, legacy removed") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    def dataFiles(dir: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => p.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
+    val emb = Tables.load(spark, sf, "embeddings")
+    val half = emb.filter(col("vec_id") < 250)
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+
+    // IVF: two appends fragment the cells; compaction publishes a pointer
+    // version with identical probe results and fewer files
+    val root = java.nio.file.Files.createTempDirectory("graft_vec_compact").toString
+    val model = IvfIndex.train(spark, half, k = 8)
+    IvfIndex.save(spark, model, IvfIndex.assign(spark, half, model), root)
+    VectorIndexStore.appendIvf(spark, root, emb.filter(col("vec_id") < 350))
+    VectorIndexStore.appendIvf(spark, root, emb)
+    def probe() = IvfIndex.search(spark,
+      IvfIndex.loadVectors(spark, root).filter(col("vec_id") =!= 0),
+      model, query, k = 10, nProbe = 3).collect().toSeq
+    val before = probe()
+    val frag = dataFiles(s"$root/vectors")
+    VectorIndexStore.compactIvf(spark, root, nCells = 8)
+    assert(Versioned.readPointer(root, "vectors").isDefined, "pointer upgrade missing")
+    assert(dataFiles(IvfIndex.vectorsDir(root)) < frag,
+      s"compaction did not reduce files (was $frag)")
+    assert(IvfIndex.loadVectors(spark, root).count() == emb.count())
+    assert(probe() == before)
+    // the SECOND compaction removes the legacy plain dir
+    VectorIndexStore.compactIvf(spark, root, nCells = 8)
+    assert(!new java.io.File(s"$root/vectors").exists(), "legacy dir not removed")
+    assert(probe() == before)
+
+    // PQ: same drill, plus partition pruning must survive the re-layout
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_pq_compact").toString
+    val pqModel = PqIndex.train(spark, half, nCells = 8)
+    PqIndex.save(spark, pqModel, PqIndex.encode(spark, half, pqModel), pqRoot)
+    VectorIndexStore.appendPq(spark, pqRoot, emb)
+    def pqProbe() = PqIndex.search(spark,
+      PqIndex.loadEncoded(spark, pqRoot).filter(col("vec_id") =!= 0),
+      emb, pqModel, query, k = 10, nProbe = 3, shortlist = 30).collect().toSeq
+    val pqBefore = pqProbe()
+    VectorIndexStore.compactPq(spark, pqRoot, nCells = 8)
+    assert(Versioned.readPointer(pqRoot, "encoded").isDefined)
+    assert(pqProbe() == pqBefore)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val short = PqIndex.adcShortlist(spark,
+        PqIndex.loadEncoded(spark, pqRoot).filter(col("vec_id") =!= 0),
+        pqModel, query, nProbe = 2, shortlist = 20)
+      short.collect()
+      val scan = short.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      assert(scan.metrics("numPartitions").value == 2,
+        "cell pruning lost after compaction")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("PQ probe plan prunes the encoded scan to nProbe cell partitions") {
     import spark.implicits._
     val path = VectorIndexStore.ensurePq(spark, sf)
