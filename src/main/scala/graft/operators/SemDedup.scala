@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.expressions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication served from the PERSISTED IVF
+  * artifact (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication": cluster the embedding space,
+  * compare only within clusters, keep one representative per
+  * near-duplicate group).
+  *
+  * The reference's dedup is the exact content-hash check
+  * (db_utils.py:103-117) — this is the embedding-space extension a
+  * training-data pipeline needs, built the one way that survives 100 TB:
+  * the IVF coarse quantizer already paid for at ANN-build time
+  * ([[graft.sources.VectorIndexStore.ensureIvf]]) doubles as the SemDeDup
+  * clustering, so the all-pairs work shrinks from n² to Σ_cells (n_c)² —
+  * per-cell independent bounded tasks, exactly the paper's algorithm. The
+  * exact baseline for the same pair set is
+  * `VectorQueries.cosineNearDupPairs` (block-grid v03); the within-cell
+  * pair set is a strict SUBSET of it (same τ, exact cosine within cells),
+  * which v18's `drop_subset_ok` gate proves on every run.
+  *
+  * Drop policy: a vector is dropped iff it has a LOWER-id within-cell
+  * neighbor above τ. Deterministic (drop-set membership is a pure function
+  * of the pair set — no ordering sensitivity), transitive-closure-free
+  * (O(pairs), no fixpoint), and composable: feed [[cellPairs]] into
+  * `NearDup.connectedComponents` when cluster-level grouping (x06/v12
+  * semantics) is wanted instead.
+  */
+object SemDedup {
+
+  /** Within-cell exact-cosine pairs above `tau` over a (vec_id, cell,
+    * embedding) frame — the store's single-assignment table, or
+    * [[multiAssign]]'s expansion of it. ONE equi-join on `cell` (the
+    * artifact is already cell-partitioned on disk, so each task's build
+    * side is one cell's vectors) — no broadcast-nested-loop, no cross-cell
+    * work; SemDedupSpec asserts the join shape. The trailing `distinct` is
+    * a no-op for single assignment and dedups the ≤ assignK shared-cell
+    * copies of a pair under multi-assignment (rounded sim is
+    * deterministic, so the copies are identical rows).
+    */
+  def cellPairs(vectors: DataFrame, tau: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("cell"),
+      col("embedding").as("ea"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("cell"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("ea"), col("eb")))
+      .filter(col("sim") > tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
+  /** Multi-probe assignment: each vector joins through its `assignK`
+    * nearest cells instead of only the nearest — the standard recall
+    * repair for cluster-blocked dedup (a near-dup pair straddling a cell
+    * boundary is recovered as soon as ANY of the k×k cell choices
+    * intersect). Computed as a narrow map over the PERSISTED vectors with
+    * the broadcast centroid sidecar — no re-read of the source table, no
+    * extra artifact, and the pair join's work grows by at most assignK²
+    * while staying Σ(n_c)²-shaped. Measured at τ=0.45: recall 0.33→0.85
+    * (sf0.1) / 0.5→1.0 (sf0.01) going from assignK=1 to 3.
+    */
+  def multiAssign(vectors: DataFrame, model: IvfIndex.Model,
+                  assignK: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, e) =>
+        bc.value.nearestCells(e, assignK).map(c => (id, c, e)) }
+      .toDF("vec_id", "cell", "embedding")
+  }
+
+  /** Ids removed by the keep-lowest-id policy: every id appearing as the
+    * HIGHER member of some pair (feed [[cellPairs]] over either assignment
+    * mode — the policy is a pure function of the pair set).
+    */
+  def dropped(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("vec_id")).distinct()
+
+  /** The surviving corpus: vectors minus the dropped set (anti-join —
+    * cost ∝ |dropped|, never a rewrite of the keep side).
+    */
+  def survivors(vectors: DataFrame, pairs: DataFrame): DataFrame =
+    vectors.join(dropped(pairs), Seq("vec_id"), "left_anti")
+}
