@@ -498,6 +498,117 @@ object QualityQueries extends QuerySet {
         | round(avg(ln((ct + 1) / CAST(nt + v AS DOUBLE))
         |         - ln((cs + 1) / CAST(ns + v AS DOUBLE))), 4) + 0.0 AS dsir_weight
         |FROM tk JOIN lm USING (tok), consts
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-shaped model-based quality gate (Wenzek et al. 2020): train an
+    // add-one bigram LM on the hash-split TRAIN partition (text/NgramLm —
+    // pure counting, zip_with bigrams, no positional self-join), score
+    // every held-out doc by mean ln p(t2|t1), and gate at a fixed
+    // threshold. This is the step g09/g13 approximate with unigrams and
+    // without a train/score separation — the separation is the point: the
+    // model never sees the docs it filters, so the gate measures
+    // reference-domain fit, not self-fit. Gate on the UNROUNDED mean
+    // (g01 discipline), report the rounded one; threshold sits in a wide
+    // empty band of the measured lp distribution (see
+    // BigramLmKeepThreshold).
+    Q("g16_bigram_lm_filter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), splitCol.as("split"),
+            split(normCol, " ").as("toks"))
+        val model = graft.text.NgramLm.train(graft.text.NgramLm.bigrams(
+          docs.filter(col("split") === "train"), "doc_id", "toks"))
+        val heldBg = graft.text.NgramLm.bigrams(
+          docs.filter(col("split") =!= "train"), "doc_id", "toks")
+        graft.text.NgramLm.score(heldBg, model, "doc_id")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("lp"), 6).as("lp"),
+            (col("lp") >= BigramLmKeepThreshold).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $splitSql AS split,
+        |  string_split($normSql, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, split, generate_subscripts(toks, 1) AS pos,
+        |  unnest(toks) AS tok FROM n),
+        |bg AS (SELECT a.doc_id, a.split, a.tok AS t1, b.tok AS t2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bi AS (SELECT t1, t2, count(*) AS c2 FROM bg WHERE split = 'train' GROUP BY 1, 2),
+        |uni AS (SELECT t1, count(*) AS c1 FROM bg WHERE split = 'train' GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t2) + 1 AS vocab FROM bg WHERE split = 'train'),
+        |scored AS (
+        |  SELECT g.doc_id, count(*) AS n_bigrams,
+        |    avg(ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + CAST(vocab AS DOUBLE)))) AS lp
+        |  FROM bg g LEFT JOIN bi ON g.t1 = bi.t1 AND g.t2 = bi.t2
+        |    LEFT JOIN uni ON g.t1 = uni.t1, v
+        |  WHERE g.split <> 'train' GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(lp, 6) AS lp,
+        | CAST(lp >= $BigramLmKeepThreshold AS INT) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // Model-based quality classifier (text/NaiveBayes): distill the g01
+    // Gopher gates into a multinomial NB trained on the hash-split TRAIN
+    // partition's weak labels, then score every held-out doc by its
+    // log-odds margin. The fastText-classifier shape of curation done as
+    // pure counting: train = one (tok, class) aggregation (vocab-sized →
+    // broadcast), score = one narrow join + groupBy — no solver, fully
+    // SQL-recomputable. Predict on the UNROUNDED margin (g01 discipline);
+    // measured min |margin| is 3e-4 (sf0.1) / 5e-4 (sf0.01), six orders
+    // above the ~1e-10 worst-case float-summation spread of a
+    // hundreds-of-terms ln sum, so pred cannot flip between engines.
+    Q("g17_nb_quality_classifier",
+      (s, d) => {
+        val tk = toks(s, d).select("doc_id", "tok")
+        val labels = tk.groupBy("doc_id").agg(
+            count(lit(1)).as("n_words"),
+            avg(length(col("tok"))).as("mean_raw"),
+            countDistinct(when(col("tok").isin(stopwords: _*), col("tok")))
+              .as("n_stop"))
+          .select(col("doc_id"),
+            (col("n_words").between(50, 100000) &&
+              col("mean_raw").between(3.0, 10.0) &&
+              (col("n_stop") >= 2)).cast("int").as("label"),
+            splitCol.as("split"))
+        val trainLabels = labels.filter(col("split") === "train")
+          .select("doc_id", "label")
+        val model = graft.text.NaiveBayes.train(tk, trainLabels, "doc_id")
+        val heldTok = tk.join(
+          labels.filter(col("split") =!= "train").select("doc_id"), "doc_id")
+        graft.text.NaiveBayes.score(heldTok, model, "doc_id")
+          .join(labels.select("doc_id", "label"), "doc_id")
+          .select(col("doc_id"), col("label"), col("n_tokens"),
+            (col("margin") > 0).cast("int").as("pred"),
+            round(col("margin"), 4).as("margin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, tok FROM $toksSql),
+        |g AS (SELECT doc_id, count(*) AS n, avg(length(tok)) AS ml,
+        |  count(DISTINCT CASE WHEN tok IN $stopSqlList THEN tok END) AS ns
+        |  FROM tk GROUP BY doc_id),
+        |lab AS (SELECT doc_id,
+        |  CAST(n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND ns >= 2 AS INT) AS label,
+        |  $splitSql AS split FROM g),
+        |tr AS (SELECT doc_id, label FROM lab WHERE split = 'train'),
+        |cnt AS (SELECT tok, sum(label) AS c_pass, sum(1 - label) AS c_fail
+        |  FROM tk JOIN tr USING (doc_id) GROUP BY tok),
+        |tot AS (SELECT sum(c_pass) AS n_pass, sum(c_fail) AS n_fail, count(*) + 1 AS v FROM cnt),
+        |pri AS (SELECT ln(CAST(sum(label) AS DOUBLE) / sum(1 - label)) AS lpr FROM tr),
+        |scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(ln((COALESCE(c_pass, 0) + 1.0) / (n_pass + v))
+        |      - ln((COALESCE(c_fail, 0) + 1.0) / (n_fail + v))) AS s
+        |  FROM tk t JOIN lab USING (doc_id) LEFT JOIN cnt USING (tok), tot
+        |  WHERE lab.split <> 'train' GROUP BY t.doc_id)
+        |SELECT doc_id, lab.label, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(s + lpr > 0 AS INT) AS pred, round(s + lpr, 4) AS margin
+        |FROM scored JOIN lab USING (doc_id), pri ORDER BY doc_id""".stripMargin))
   )
+
+  /** g16 keep gate on the held-out mean bigram log-prob. Measured lp
+    * ranges: sf0.01 [-3.540, -3.312], sf0.1 [-3.738, -3.343]; the
+    * threshold's nearest observed value at either SF is 1.7e-4 away —
+    * nine orders above the engines' ULP-level ln() spread — and both flag
+    * values occur at both SFs (drop rate 43% / 6%), so the gate is
+    * exercised and cannot flip on float noise.
+    */
+  private val BigramLmKeepThreshold = -3.4326
 }
