@@ -469,7 +469,83 @@ object DedupQueries extends QuerySet {
         |JOIN titles ta ON ta.doc_id = id_a
         |JOIN titles tb ON tb.doc_id = id_b
         |WHERE levenshtein(ta.title, tb.title) <= 4
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The whole curation pipeline composed end-to-end, every stage the
+    // scale path: Gopher gates (g01 semantics) → exact-hash dedup (d04
+    // keep-lowest-id) → MinHash-LSH near-dup served from the PERSISTED
+    // band/set store (x03 semantics, exact at this corpus's duplicate
+    // band) → exact-cosine semantic dedup (v03 block-grid; at 100 TB swap
+    // this one stage for the IVF-cell-blocked SemDedup, graded separately
+    // by v18). Near-dup/semantic stages use the one-pass drop policy
+    // (drop iff a LOWER-id partner exists in the PRE-stage surviving set
+    // — SemDedup.dropped's rule: deterministic, fixpoint-free). The
+    // funnel proves the operators compose: the oracle recomputes all four
+    // stages from scratch in DuckDB and the cumulative counts hash-match.
+    Q("x11_curation_funnel",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("gnorm"))
+        val gtk = docs.select(col("doc_id"),
+          explode(split(col("gnorm"), " ")).as("tok"))
+        val s1 = gtk.groupBy("doc_id").agg(
+            count(lit(1)).as("n"),
+            avg(length(col("tok"))).as("ml"),
+            countDistinct(when(col("tok").isin(QualityQueries.stopwords: _*),
+              col("tok"))).as("ns"))
+          .filter(col("n").between(50, 100000) && col("ml").between(3.0, 10.0)
+            && col("ns") >= 2)
+          .select("doc_id")
+        val s2 = docs.join(s1, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("gnorm"))).orderBy("doc_id")))
+          .filter(col("rn") === 1).select("doc_id")
+        val jdrop = minhashPairsFromStore(s, d)
+          .join(s2.select(col("doc_id").as("id_a")), "id_a")
+          .join(s2.select(col("doc_id").as("id_b")), "id_b")
+          .select(col("id_b").as("doc_id")).distinct()
+        val s3 = s2.join(jdrop, Seq("doc_id"), "left_anti")
+        val sdrop = VectorQueries.cosineNearDupPairs(s, d)
+          .join(s3.select(col("doc_id").as("id_a")), "id_a")
+          .join(s3.select(col("doc_id").as("id_b")), "id_b")
+          .select(col("id_b").as("doc_id")).distinct()
+        val s4 = s3.join(sdrop, Seq("doc_id"), "left_anti")
+        val nTotal = t(s, d, "documents").count()
+        val c1 = s1.count(); val c2 = s2.count()
+        val c3 = s3.count(); val c4 = s4.count()
+        s.range(1).select(
+          lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
+          lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
+          lit(c4).as("after_semantic"))
+      },
+      Some(s"""WITH $exactJaccardPairsSql,
+        |gn AS (SELECT doc_id, $normSql AS gnorm FROM documents),
+        |gtk AS (SELECT doc_id, unnest(string_split(gnorm, ' ')) AS tok FROM gn),
+        |gg AS (SELECT doc_id, count(*) AS n, avg(length(tok)) AS ml,
+        |  count(DISTINCT CASE WHEN tok IN ${QualityQueries.stopSqlList} THEN tok END) AS ns
+        |  FROM gtk GROUP BY doc_id),
+        |s1 AS (SELECT doc_id FROM gg
+        |  WHERE n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND ns >= 2),
+        |e AS (SELECT gn.doc_id, row_number() OVER
+        |    (PARTITION BY md5(gnorm) ORDER BY gn.doc_id) AS rn
+        |  FROM gn JOIN s1 USING (doc_id)),
+        |s2 AS (SELECT doc_id FROM e WHERE rn = 1),
+        |jd AS (SELECT DISTINCT db AS doc_id FROM jac
+        |  WHERE j >= 0.5 AND da IN (SELECT doc_id FROM s2)
+        |    AND db IN (SELECT doc_id FROM s2)),
+        |s3 AS (SELECT doc_id FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM jd)),
+        |cp AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) > 0.45),
+        |sd AS (SELECT DISTINCT db AS doc_id FROM cp
+        |  WHERE da IN (SELECT doc_id FROM s3) AND db IN (SELECT doc_id FROM s3))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_gates,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic""".stripMargin))
   )
 
   private val Two64 = "CAST(18446744073709551616 AS HUGEINT)"

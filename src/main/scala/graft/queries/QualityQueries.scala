@@ -36,8 +36,8 @@ object QualityQueries extends QuerySet {
        | FROM documents)""".stripMargin
 
   /** Stopword set shared with t03_stopword_ratio. */
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
-  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[queries] val stopSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Deterministic split bucket: first hex nibble of md5(doc_id).
     * '0'-'b' → train (12/16), 'c'-'d' → val (2/16), else test (2/16).

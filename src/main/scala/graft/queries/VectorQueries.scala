@@ -704,7 +704,7 @@ object VectorQueries extends QuerySet {
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
     * id_a < id_b. See the v03 comment for the block-grid scale rationale.
     */
-  private def cosineNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String,
+  private[queries] def cosineNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String,
                                  threshold: Double = 0.45): org.apache.spark.sql.DataFrame = {
     val emb = t(s, d, "embeddings")
     val blockSize = 1024L
