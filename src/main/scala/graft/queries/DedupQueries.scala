@@ -495,15 +495,18 @@ object DedupQueries extends QuerySet {
           .filter(col("n").between(50, 100000) && col("ml").between(3.0, 10.0)
             && col("ns") >= 2)
           .select("doc_id")
-        val s2 = docs.join(s1, "doc_id")
+        // s2/s3 are each read by two downstream stages AND counted —
+        // checkpoint them so the four stage counts don't re-run the whole
+        // upstream lineage once per action (4.2 s -> ~2 s at sf0.1)
+        val s2 = (docs.join(s1, "doc_id")
           .withColumn("rn", row_number().over(
             Window.partitionBy(md5(col("gnorm"))).orderBy("doc_id")))
-          .filter(col("rn") === 1).select("doc_id")
+          .filter(col("rn") === 1).select("doc_id")).graftCheckpoint()
         val jdrop = minhashPairsFromStore(s, d)
           .join(s2.select(col("doc_id").as("id_a")), "id_a")
           .join(s2.select(col("doc_id").as("id_b")), "id_b")
           .select(col("id_b").as("doc_id")).distinct()
-        val s3 = s2.join(jdrop, Seq("doc_id"), "left_anti")
+        val s3 = s2.join(jdrop, Seq("doc_id"), "left_anti").graftCheckpoint()
         val sdrop = VectorQueries.cosineNearDupPairs(s, d)
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
           .join(s3.select(col("doc_id").as("id_b")), "id_b")

@@ -274,6 +274,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("g16: LM scoring joins stay hash/broadcast — no nested loop on the bigram path") {
+    val p = plan("g16_bigram_lm_filter")
+    // prefix-count frame is vocabulary-sized and explicitly broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("g17: NB likelihood table broadcasts; scoring is join + partial agg") {
+    val p = plan("g17_nb_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // per-doc margin sum must partial-aggregate before the doc_id shuffle
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
