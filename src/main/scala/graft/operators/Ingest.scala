@@ -63,6 +63,56 @@ object Ingest {
   def dedupAgainstExisting(fresh: DataFrame, existing: DataFrame): DataFrame =
     fresh.join(existing.select("text_hash").distinct(), Seq("text_hash"), "left_anti")
 
+  /** Bloom-prefiltered cross-load dedup — same RESULT as
+    * [[dedupAgainstExisting]] (exact, duplicate-preserving), different
+    * shuffle profile. The anti-join above shuffles the ENTIRE fresh load on
+    * `text_hash` even when 99% of rows are genuinely new (the common case
+    * for an append-mostly corpus). Here the existing hashes are folded ONCE
+    * into a bloom bitmask of mBits bits packed into mBits/64 longs — sized
+    * by filter GEOMETRY, not data (2^20 bits = 128 KiB) — and every fresh
+    * row tests its k row-local hash positions against the mask with pure
+    * Catalyst bit arithmetic (codegen, no UDF, no shuffle): any unset
+    * position proves the row new (bloom filters have no false negatives),
+    * so only the candidate sliver (true-dup rate + fp rate) pays the exact
+    * verification anti-join. False positives cost extra verification, never
+    * wrong output — exactness is independent of (mBits, k), which the spec
+    * drills by shrinking mBits until the filter saturates.
+    *
+    * This is the engine-level form of Spark's own runtime bloom pruning
+    * (InjectRuntimeFilter), applied where the optimizer cannot see it:
+    * across two separately-loaded corpora. Mask construction is a
+    * map-side-combined word-index aggregation (≤ mBits/64 output rows,
+    * collect bounded by geometry — same justification as the IVF centroid
+    * sample); at 100 TB the mask rides task broadcast once while the fresh
+    * side stays a narrow filter.
+    */
+  def bloomDedupAgainstExisting(fresh: DataFrame, existing: DataFrame,
+                                mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0 && k > 0,
+      s"bloom geometry: mBits must be a positive multiple of 64, got m=$mBits k=$k")
+    // k independent hash functions: xxhash64 re-seeded by hashing the probe
+    // index alongside the key (pure Catalyst, codegen; no UDF)
+    def positions(h: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(k - 1)), i => pmod(xxhash64(h, i), lit(mBits.toLong)))
+    // pack set bits into words: groupBy(word index) partial-aggregates
+    // map-side; output cardinality ≤ mBits/64 regardless of corpus size
+    val setWords = existing
+      .select(explode(positions(col("text_hash"))).as("pos"))
+      .select((col("pos") / 64).cast("long").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")).as("b"))
+      .groupBy("w").agg(call_function("bit_or", col("b")).as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val mask = Array.tabulate(mBits / 64)(i => setWords.getOrElse(i, 0L))
+    val maskCol = typedLit(mask.toSeq)
+    def bitSet(p: org.apache.spark.sql.Column) =
+      element_at(maskCol, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64)).cast("int"))) =!= 0L
+    val mayExist = forall(positions(col("text_hash")), bitSet)
+    val definitelyNew = fresh.filter(!mayExist)
+    val candidates = fresh.filter(mayExist)
+    definitelyNew.unionByName(dedupAgainstExisting(candidates, existing))
+  }
+
   /** Attach `content_vector` by embedding per partition (batched — §4). */
   def withEmbeddings(spark: SparkSession, chunks: Dataset[Chunk], embedder: Embedder): DataFrame = {
     import spark.implicits._

@@ -548,7 +548,67 @@ object DedupQueries extends QuerySet {
         | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3
-        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic""".stripMargin))
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic""".stripMargin)),
+
+    // Per-document corpus-duplicated n-gram coverage — the "duplicate
+    // n-gram fraction" curation signal (Dolma/RefinedWeb lineage), computed
+    // CROSS-corpus: what fraction of a doc's distinct shingles also occur
+    // in at least one OTHER document. Served entirely from the persisted
+    // shingle artifact — postings equi-joined with the PRECOMPUTED df
+    // table (no text pipeline, no pair enumeration; cost is one join on sh
+    // + one per-doc agg, both partial-aggregating map-side). The near-dup
+    // flag is decided in exact integer arithmetic (5*n_dup >= 4*n_sh, i.e.
+    // coverage >= 0.8) so no float threshold can drift between engines;
+    // dup_frac is rounded symmetrically for display.
+    Q("x12_dup_ngram_coverage",
+      (s, d) => {
+        shingleRows(s, d).join(shingleDf(s, d), Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            round(col("n_dup") / col("n_sh").cast("double"), 6))
+          .withColumn("is_neardup", col("n_dup") * 5 >= col("n_sh") * 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleSql,
+        |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sh s JOIN dfreq d ON s.sh = d.sh
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_sh, n_dup,
+        |  round(n_dup / CAST(n_sh AS DOUBLE), 6) AS dup_frac,
+        |  (n_dup * 5 >= n_sh * 4) AS is_neardup
+        |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // x01's cross-load dedup with the bloom prefilter in front
+    // (Ingest.bloomDedupAgainstExisting): the existing half's hashes are
+    // packed once into a 2^20-bit mask (geometry-bounded, rides task
+    // broadcast), every incoming row tests k=5 positions with codegen bit
+    // arithmetic, and only rows whose positions are ALL set reach the
+    // exact verification anti-join. No false negatives → the output is
+    // hash-IDENTICAL to the exact x01 result (same oracle); false
+    // positives only enlarge the verified sliver. At 100 TB this converts
+    // the full fresh-side dedup shuffle into a narrow filter plus an
+    // anti-join over ~(dup rate + fp rate) of the load.
+    Q("x13_bloom_crossload_dedup",
+      (s, d) => {
+        val hashed = t(s, d, "documents")
+          .select(col("doc_id"), md5(normCol).as("text_hash"))
+        val fresh = hashed.filter(col("doc_id") >= 250)
+        val existing = hashed.filter(col("doc_id") < 250)
+        graft.operators.Ingest.bloomDedupAgainstExisting(fresh, existing)
+          .select("doc_id", "text_hash")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents),
+        |existing AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 250)
+        |SELECT f.doc_id, f.text_hash FROM h f
+        |WHERE f.doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.text_hash = f.text_hash)
+        |ORDER BY f.doc_id""".stripMargin))
   )
 
   private val Two64 = "CAST(18446744073709551616 AS HUGEINT)"

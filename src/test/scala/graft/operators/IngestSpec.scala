@@ -52,6 +52,40 @@ class IngestSpec extends SparkTestBase {
     assert(out.select("id").as[String].collect().toSeq == Seq("y"))
   }
 
+  test("bloom-prefiltered cross-load dedup equals the exact anti-join at every geometry") {
+    import spark.implicits._
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val fresh = hashed.filter(col("doc_id") >= 250)
+    val existing = hashed.filter(col("doc_id") < 250)
+    val exact = Ingest.dedupAgainstExisting(fresh, existing)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // roomy filter (few FPs), tight filter (some FPs), and a SATURATED
+    // 64-bit filter where every probe is a false positive and every fresh
+    // row must survive the exact verification stage — exactness must hold
+    // across all three
+    for (m <- Seq(1 << 20, 1 << 10, 64)) {
+      val got = Ingest.bloomDedupAgainstExisting(fresh, existing, mBits = m)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"mBits=$m")
+    }
+  }
+
+  test("bloom prefilter preserves duplicate rows and routes a definite-new sliver") {
+    import spark.implicits._
+    val fresh = Seq(("x", "h1"), ("y", "h2"), ("y2", "h2")).toDF("id", "text_hash")
+    val existing = Seq("h1").toDF("text_hash")
+    val out = Ingest.bloomDedupAgainstExisting(fresh, existing)
+    // h2 appears twice in fresh and must appear twice in the output (parity
+    // with the plain anti-join, which never collapses identical rows)
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("y", "y2"))
+    // with a roomy mask, at least one of the two h2 rows skips verification:
+    // the definitely-new branch is a pure filter, so its rows appear even
+    // if the existing side were unavailable — proxy: empty existing yields
+    // everything back via the filter path alone
+    val all = Ingest.bloomDedupAgainstExisting(fresh, existing.limit(0))
+    assert(all.count() == 3)
+  }
+
   test("zero-vector fallback on embedder failure (ref embedding_utils.py:207-213)") {
     import spark.implicits._
     val chunks = Ingest.chunkDocuments(spark, docs.limit(5))

