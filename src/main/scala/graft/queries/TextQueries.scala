@@ -28,6 +28,17 @@ object TextQueries extends QuerySet {
   private val FpDfCap = 20
   private val WinnowMinShared = 10
 
+  /** t20 Count-Min-Sketch geometry — depth (independent hash rows) and
+    * width (counters per row), spliced into the DuckDB oracle. Deliberately
+    * fixture-sized (vocab is only ~hundreds of types): at 2x64 the sketch
+    * measurably OVERESTIMATES colliding heavy hitters at both SFs (1-2 of
+    * the top 20), so the graded estimates exercise real sketch behavior
+    * instead of degenerating to the exact counts. Production sizing is
+    * w = ceil(e/eps), d = ceil(ln(1/delta)) — still O(KB).
+    */
+  private val CmsD = 2
+  private val CmsW = 64
+
   def queries: Seq[Q] = Seq(
 
     Q("t01_token_stats",
@@ -473,7 +484,57 @@ object TextQueries extends QuerySet {
         |FROM tk a
         |JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin))
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin)),
+
+    // Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    // MERGEABLE-sketch form of t07's top-tokens: counters are (row, bucket)
+    // sums, additive and commutative, so they partial-aggregate map-side and
+    // merge across partitions (or whole corpora) without ever shuffling
+    // tokens; sketch size is d*w counters regardless of vocabulary, vs the
+    // vocabulary-sized exchange of an exact groupBy. The hash family is
+    // md5-derived (the x04/x05 convention) so the DuckDB oracle rebuilds
+    // the sketch counter-for-counter: estimates are deterministic, and the
+    // CMS guarantee — an estimate NEVER undershoots the true count — is
+    // graded as an output column for the exact top-20.
+    Q("t20_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(lower(normCol), " ")).as("tok"))
+        def bucket(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 15),
+            16, 10).cast("long"), lit(CmsW.toLong))
+        val sketch = toks
+          .select(explode(sequence(lit(0), lit(CmsD - 1))).as("i"), col("tok"))
+          .select(col("i"), bucket(col("i"), col("tok")).as("b"))
+          .groupBy("i", "b").agg(count(lit(1)).as("c"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("tok")).limit(20)
+        top.select(col("tok"), col("cnt"),
+            explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
+          .withColumn("b", bucket(col("i"), col("tok")))
+          .join(broadcast(sketch), Seq("i", "b"))
+          .groupBy("tok", "cnt").agg(min(col("c")).as("cms_est"))
+          .withColumn("no_underestimate", col("cms_est") >= col("cnt"))
+          .orderBy(desc("cnt"), col("tok"))
+      },
+      Some(s"""WITH n AS (SELECT lower($normSql) AS norm FROM documents),
+        |toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM n),
+        |ii AS (SELECT unnest(range(0, $CmsD)) AS i),
+        |sk AS (SELECT i,
+        |    CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 15))
+        |      AS BIGINT) % $CmsW AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM toks CROSS JOIN ii GROUP BY 1, 2),
+        |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20),
+        |probe AS (SELECT t.tok, t.cnt, ii.i,
+        |    CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) || ':' || t.tok), 1, 15))
+        |      AS BIGINT) % $CmsW AS b
+        |  FROM top t CROSS JOIN ii)
+        |SELECT p.tok, p.cnt, min(s.c) AS cms_est,
+        |  (min(s.c) >= p.cnt) AS no_underestimate
+        |FROM probe p JOIN sk s ON s.i = p.i AND s.b = p.b
+        |GROUP BY 1, 2 ORDER BY cnt DESC, tok""".stripMargin))
   )
 
   /** DuckDB mirror of `TextAnalysis.detectLanguage` — stopword IN-lists are
