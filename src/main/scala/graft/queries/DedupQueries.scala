@@ -63,6 +63,69 @@ object DedupQueries extends QuerySet {
       graft.sources.MinhashStore.bands(s, d),
       graft.sources.MinhashStore.shingleSets(s, d), threshold = 0.5)
 
+  /** Stages 1–3 of the curation funnel, shared by x11 (exact semantic
+    * baseline) and x14 (production IVF-served semantic stage): Gopher-style
+    * gates → exact-hash dedup (keep-lowest-id) → MinHash-LSH near-dup from
+    * the persisted band store. Returns (n_total, s1, s2, s3); s2/s3 are
+    * checkpointed because each is read by two downstream stages AND
+    * counted — without it the four stage counts re-run the whole upstream
+    * lineage once per action (4.2 s → ~2 s at sf0.1).
+    */
+  private def funnelStages(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("gnorm"))
+    val gtk = docs.select(col("doc_id"),
+      explode(split(col("gnorm"), " ")).as("tok"))
+    val s1 = gtk.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        avg(length(col("tok"))).as("ml"),
+        countDistinct(when(col("tok").isin(QualityQueries.stopwords: _*),
+          col("tok"))).as("ns"))
+      .filter(col("n").between(50, 100000) && col("ml").between(3.0, 10.0)
+        && col("ns") >= 2)
+      .select("doc_id")
+    val s2 = (docs.join(s1, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("gnorm"))).orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id")).graftCheckpoint()
+    val jdrop = minhashPairsFromStore(s, d)
+      .join(s2.select(col("doc_id").as("id_a")), "id_a")
+      .join(s2.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_b").as("doc_id")).distinct()
+    val s3 = s2.join(jdrop, Seq("doc_id"), "left_anti").graftCheckpoint()
+    (t(s, d, "documents").count(), s1, s2, s3)
+  }
+
+  /** The shared DuckDB CTE chain recomputing funnel stages 1–3 (names
+    * `s1`/`s2`/`s3`; requires [[exactJaccardPairsSql]]'s `jac` in scope).
+    */
+  private def funnelStagesSql: String =
+    s"""gn AS (SELECT doc_id, $normSql AS gnorm FROM documents),
+       |gtk AS (SELECT doc_id, unnest(string_split(gnorm, ' ')) AS tok FROM gn),
+       |gg AS (SELECT doc_id, count(*) AS n, avg(length(tok)) AS ml,
+       |  count(DISTINCT CASE WHEN tok IN ${QualityQueries.stopSqlList} THEN tok END) AS ns
+       |  FROM gtk GROUP BY doc_id),
+       |s1 AS (SELECT doc_id FROM gg
+       |  WHERE n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND ns >= 2),
+       |e AS (SELECT gn.doc_id, row_number() OVER
+       |    (PARTITION BY md5(gnorm) ORDER BY gn.doc_id) AS rn
+       |  FROM gn JOIN s1 USING (doc_id)),
+       |s2 AS (SELECT doc_id FROM e WHERE rn = 1),
+       |jd AS (SELECT DISTINCT db AS doc_id FROM jac
+       |  WHERE j >= 0.5 AND da IN (SELECT doc_id FROM s2)
+       |    AND db IN (SELECT doc_id FROM s2)),
+       |s3 AS (SELECT doc_id FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM jd))""".stripMargin
+
+  /** x14's pair-recall floor for the IVF-cell semantic stage RESTRICTED to
+    * funnel survivors — same discipline as v18's SemDedupRecallFloor
+    * (measured recall with ≥1.5× margin under the cross-SF minimum).
+    * Measured restricted-pair recall at assignK=3: 1.0 (sf0.01) / 0.875
+    * (sf0.1) — the s3 restriction only removes pairs, and cell-blocking
+    * recovers the survivors' pairs at the same rate as the full set.
+    */
+  private val FunnelSemRecallFloor = 0.55
+
   /** DuckDB equivalent of [[shingleRows]] (CTE body yielding (doc_id, sh)). */
   private val shingleSql: String =
     s"""norms AS (
@@ -471,48 +534,27 @@ object DedupQueries extends QuerySet {
         |WHERE levenshtein(ta.title, tb.title) <= 4
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // The whole curation pipeline composed end-to-end, every stage the
-    // scale path: Gopher gates (g01 semantics) → exact-hash dedup (d04
-    // keep-lowest-id) → MinHash-LSH near-dup served from the PERSISTED
-    // band/set store (x03 semantics, exact at this corpus's duplicate
-    // band) → exact-cosine semantic dedup (v03 block-grid; at 100 TB swap
-    // this one stage for the IVF-cell-blocked SemDedup, graded separately
-    // by v18). Near-dup/semantic stages use the one-pass drop policy
+    // The whole curation pipeline composed end-to-end: Gopher gates (g01
+    // semantics) → exact-hash dedup (d04 keep-lowest-id) → MinHash-LSH
+    // near-dup served from the PERSISTED band/set store (x03 semantics,
+    // exact at this corpus's duplicate band) → exact-cosine semantic dedup
+    // (v03 block-grid). This is the fully-ORACLE-ABLE baseline: its stage 4
+    // is deliberately the Θ(n²) exact computation so every stage count
+    // hash-matches DuckDB; the PRODUCTION funnel — stage 4 served from the
+    // persisted IVF artifact, no Θ(n²) anywhere — is x14 below.
+    // Near-dup/semantic stages use the one-pass drop policy
     // (drop iff a LOWER-id partner exists in the PRE-stage surviving set
     // — SemDedup.dropped's rule: deterministic, fixpoint-free). The
     // funnel proves the operators compose: the oracle recomputes all four
     // stages from scratch in DuckDB and the cumulative counts hash-match.
     Q("x11_curation_funnel",
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("gnorm"))
-        val gtk = docs.select(col("doc_id"),
-          explode(split(col("gnorm"), " ")).as("tok"))
-        val s1 = gtk.groupBy("doc_id").agg(
-            count(lit(1)).as("n"),
-            avg(length(col("tok"))).as("ml"),
-            countDistinct(when(col("tok").isin(QualityQueries.stopwords: _*),
-              col("tok"))).as("ns"))
-          .filter(col("n").between(50, 100000) && col("ml").between(3.0, 10.0)
-            && col("ns") >= 2)
-          .select("doc_id")
-        // s2/s3 are each read by two downstream stages AND counted —
-        // checkpoint them so the four stage counts don't re-run the whole
-        // upstream lineage once per action (4.2 s -> ~2 s at sf0.1)
-        val s2 = (docs.join(s1, "doc_id")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(md5(col("gnorm"))).orderBy("doc_id")))
-          .filter(col("rn") === 1).select("doc_id")).graftCheckpoint()
-        val jdrop = minhashPairsFromStore(s, d)
-          .join(s2.select(col("doc_id").as("id_a")), "id_a")
-          .join(s2.select(col("doc_id").as("id_b")), "id_b")
-          .select(col("id_b").as("doc_id")).distinct()
-        val s3 = s2.join(jdrop, Seq("doc_id"), "left_anti").graftCheckpoint()
+        val (nTotal, s1, s2, s3) = funnelStages(s, d)
         val sdrop = VectorQueries.cosineNearDupPairs(s, d)
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
           .join(s3.select(col("doc_id").as("id_b")), "id_b")
           .select(col("id_b").as("doc_id")).distinct()
         val s4 = s3.join(sdrop, Seq("doc_id"), "left_anti")
-        val nTotal = t(s, d, "documents").count()
         val c1 = s1.count(); val c2 = s2.count()
         val c3 = s3.count(); val c4 = s4.count()
         s.range(1).select(
@@ -521,22 +563,7 @@ object DedupQueries extends QuerySet {
           lit(c4).as("after_semantic"))
       },
       Some(s"""WITH $exactJaccardPairsSql,
-        |gn AS (SELECT doc_id, $normSql AS gnorm FROM documents),
-        |gtk AS (SELECT doc_id, unnest(string_split(gnorm, ' ')) AS tok FROM gn),
-        |gg AS (SELECT doc_id, count(*) AS n, avg(length(tok)) AS ml,
-        |  count(DISTINCT CASE WHEN tok IN ${QualityQueries.stopSqlList} THEN tok END) AS ns
-        |  FROM gtk GROUP BY doc_id),
-        |s1 AS (SELECT doc_id FROM gg
-        |  WHERE n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND ns >= 2),
-        |e AS (SELECT gn.doc_id, row_number() OVER
-        |    (PARTITION BY md5(gnorm) ORDER BY gn.doc_id) AS rn
-        |  FROM gn JOIN s1 USING (doc_id)),
-        |s2 AS (SELECT doc_id FROM e WHERE rn = 1),
-        |jd AS (SELECT DISTINCT db AS doc_id FROM jac
-        |  WHERE j >= 0.5 AND da IN (SELECT doc_id FROM s2)
-        |    AND db IN (SELECT doc_id FROM s2)),
-        |s3 AS (SELECT doc_id FROM s2
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM jd)),
+        |$funnelStagesSql,
         |cp AS (SELECT a.vec_id AS da, b.vec_id AS db
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -549,6 +576,80 @@ object DedupQueries extends QuerySet {
         | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3
         |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic""".stripMargin)),
+
+    // THE PRODUCTION CURATION FUNNEL — x11 with its one scale-killer
+    // replaced: stage 4 is served from the PERSISTED IVF artifact
+    // (SemDedup.cellPairs over multiAssign(assignK=3), v18's path) instead
+    // of the Θ(n²) exact block-grid, so no stage of the composed pipeline
+    // exceeds Σ_cells(n_c)² work at any corpus size. Graded v18-style:
+    // stages 1–3 and the EXACT stage-4 outcome are hash-checked against
+    // DuckDB's from-scratch recompute, and the approximate stage is pinned
+    // by three deterministic gates — `pair_recall_ok` (within-cell pairs
+    // restricted to funnel survivors recover ≥ FunnelSemRecallFloor of the
+    // exact restricted pair set), `drop_subset_ok` (IVF drops ⊆ exact
+    // drops — cosine is exact within cells, so a violation means a broken
+    // pair generator), and `survivors_ok` (the production survivor count
+    // is bounded by [exact survivors, after_neardup] — implied by the
+    // subset property, asserted independently). The engine-side exact
+    // recompute exists ONLY as the grading baseline (v18 pattern); the
+    // production output is s4 from the artifact path. Ref lineage:
+    // dedup-before-store, db_utils.py:135-146.
+    Q("x14_funnel_ivf_semantic",
+      (s, d) => {
+        val (nTotal, s1, s2, s3) = funnelStages(s, d)
+        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val vectors = graft.operators.IvfIndex.loadVectors(s, ivfPath)
+        val model = graft.operators.IvfIndex.loadModel(s, ivfPath)
+        val cellPairs = graft.operators.SemDedup.cellPairs(
+            graft.operators.SemDedup.multiAssign(vectors, model, assignK = 3),
+            tau = 0.45)
+          .select("id_a", "id_b")
+          .join(s3.select(col("doc_id").as("id_a")), "id_a")
+          .join(s3.select(col("doc_id").as("id_b")), "id_b")
+          .graftCheckpoint()
+        val ivfDrop = cellPairs.select(col("id_b").as("doc_id")).distinct()
+          .graftCheckpoint()
+        val s4 = s3.join(ivfDrop, Seq("doc_id"), "left_anti")
+        // grading baseline (v18 pattern): the exact pair set restricted to
+        // the same survivors — what DuckDB recomputes independently
+        val exactPairs = VectorQueries.cosineNearDupPairs(s, d)
+          .select("id_a", "id_b")
+          .join(s3.select(col("doc_id").as("id_a")), "id_a")
+          .join(s3.select(col("doc_id").as("id_b")), "id_b")
+          .graftCheckpoint()
+        val exactDrop = exactPairs.select(col("id_b").as("doc_id")).distinct()
+          .graftCheckpoint()
+        val c1 = s1.count(); val c2 = s2.count(); val c3 = s3.count()
+        val c4ivf = s4.count()
+        val c4exact = c3 - exactDrop.count()
+        val nCellPairs = cellPairs.count()
+        val nExactPairs = exactPairs.count()
+        val escaped = ivfDrop.join(exactDrop, Seq("doc_id"), "left_anti").count()
+        s.range(1).select(
+          lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
+          lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
+          lit(c4exact).as("after_semantic_exact"),
+          (lit(nCellPairs) >= lit(nExactPairs * FunnelSemRecallFloor))
+            .cast("int").as("pair_recall_ok"),
+          (lit(escaped) === 0).cast("int").as("drop_subset_ok"),
+          (lit(c4ivf) >= lit(c4exact) && lit(c4ivf) <= lit(c3))
+            .cast("int").as("survivors_ok"))
+      },
+      Some(s"""WITH $exactJaccardPairsSql,
+        |$funnelStagesSql,
+        |cp AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) > 0.45),
+        |sd AS (SELECT DISTINCT db AS doc_id FROM cp
+        |  WHERE da IN (SELECT doc_id FROM s3) AND db IN (SELECT doc_id FROM s3))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_gates,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic_exact,
+        | 1 AS pair_recall_ok, 1 AS drop_subset_ok, 1 AS survivors_ok""".stripMargin)),
 
     // Per-document corpus-duplicated n-gram coverage — the "duplicate
     // n-gram fraction" curation signal (Dolma/RefinedWeb lineage), computed

@@ -112,7 +112,8 @@ object MinhashStore {
     * other's rows — per-table keying makes redelivery converge instead
     * of duplicating band rows (which would corrupt x05 bucket counts).
     */
-  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit =
+    Versioned.withWriterLease(path) {
     if (Versioned.readPointer(path, "bands").isEmpty) {
       build(spark, newDocs, path)
       return
@@ -137,7 +138,7 @@ object MinhashStore {
     * until a compact clears the sidecar.
     */
   def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit =
-    Tombstones.add(spark, path, docIds)
+    Versioned.withWriterLease(path) { Tombstones.add(spark, path, docIds) }
 
   /** Small-file COMPACTION: N appends leave N file sets per table (open
     * cost erodes the bucket-join scan — the many-small-files tax; there
@@ -145,7 +146,8 @@ object MinhashStore {
     * table into `partitions` files behind one atomic re-point per table;
     * readers mid-join keep the previous version.
     */
-  def compact(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
+  def compact(spark: SparkSession, path: String, partitions: Int = 4): Unit =
+    Versioned.withWriterLease(path) {
     val bands = bandsAt(spark, path) // tombstones applied
     Versioned.publish(path, "bands", -1L) { v =>
       bands.repartition(partitions).write.parquet(v)

@@ -124,7 +124,13 @@ object PostingStore {
   private def derivedChecked(spark: SparkSession, path: String, name: String): DataFrame = {
     val base = postingsAt(spark, path).count()
     if (!Versioned.readPointer(path, name).exists(_.watermark == base))
-      refreshDerived(spark, path)
+      try refreshDerived(spark, path)
+      catch {
+        // an ACTIVE writer holds the lease and its own refresh is in
+        // flight — reads don't fail on maintenance contention; the repair
+        // belongs to the lease holder
+        case _: Versioned.ConcurrentWriterException => ()
+      }
     Versioned.read(spark, path, name)
   }
 
@@ -157,7 +163,8 @@ object PostingStore {
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
              blockSize: Int = PhysicalLayout.ProductionBlockSize,
-             deferDerived: Boolean = false): Unit = {
+             deferDerived: Boolean = false): Unit =
+    Versioned.withWriterLease(path) {
     if (Versioned.readPointer(path, "postings").isEmpty) {
       build(spark, newDocs, path, blockSize)
       return
@@ -193,7 +200,8 @@ object PostingStore {
     * re-adding a deleted document requires compacting first.
     */
   def delete(spark: SparkSession, path: String, docIds: DataFrame,
-             eager: Boolean = true): Unit = {
+             eager: Boolean = true): Unit =
+    Versioned.withWriterLease(path) {
     Tombstones.add(spark, path, docIds)
     if (eager) refreshDerived(spark, path)
   }
@@ -212,7 +220,8 @@ object PostingStore {
     * at 100 TB: SCALE.md "posting-segment compaction".
     */
   def compact(spark: SparkSession, path: String,
-              blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+              blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit =
+    Versioned.withWriterLease(path) {
     val all = postingsAt(spark, path) // tombstones applied
     Versioned.publish(path, "postings", -1L) { v =>
       PhysicalLayout.writeSorted(all, "tok", v, blockSize = blockSize)
@@ -249,7 +258,8 @@ object PostingStore {
   // recomputable from the artifact itself (every doc has >= 1 posting row,
   // dl is constant per doc), so the refresh never rereads the corpus. Both
   // versions carry the SAME watermark (the postings count of one snapshot).
-  private[sources] def refreshDerived(spark: SparkSession, path: String): Unit = {
+  private[sources] def refreshDerived(spark: SparkSession, path: String): Unit =
+    Versioned.withWriterLease(path) {
     val postings = postingsAt(spark, path)
     val wm = postings.count()
     Versioned.publish(path, "df", wm) { v =>

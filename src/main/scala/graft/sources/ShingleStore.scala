@@ -110,7 +110,12 @@ object ShingleStore {
   def dfAt(spark: SparkSession, path: String): DataFrame = {
     val base = rowsAt(spark, path).count()
     if (!Versioned.readPointer(path, "df").exists(_.watermark == base))
-      refreshDf(spark, path)
+      try refreshDf(spark, path)
+      catch {
+        // an ACTIVE writer holds the lease and its own refresh is in
+        // flight — reads don't fail on maintenance contention
+        case _: Versioned.ConcurrentWriterException => ()
+      }
     Versioned.read(spark, path, "df")
   }
 
@@ -142,7 +147,8 @@ object ShingleStore {
     * read. Single writer per artifact, as with any segmented index.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
-             deferDerived: Boolean = false): Unit = {
+             deferDerived: Boolean = false): Unit =
+    Versioned.withWriterLease(path) {
     if (Versioned.readPointer(path, "rows").isEmpty) {
       build(spark, newDocs, path)
       return
@@ -172,7 +178,8 @@ object ShingleStore {
     * A tombstoned id stays deleted until a compact clears the sidecar.
     */
   def delete(spark: SparkSession, path: String, docIds: DataFrame,
-             eager: Boolean = true): Unit = {
+             eager: Boolean = true): Unit =
+    Versioned.withWriterLease(path) {
     Tombstones.add(spark, path, docIds)
     if (eager) refreshDf(spark, path)
   }
@@ -187,7 +194,8 @@ object ShingleStore {
     * tombstones). df is untouched (the rewrite preserves the
     * post-tombstone row set the watermark was stamped against).
     */
-  def compactRows(spark: SparkSession, path: String, partitions: Int = 4): Unit = {
+  def compactRows(spark: SparkSession, path: String, partitions: Int = 4): Unit =
+    Versioned.withWriterLease(path) {
     val all = rowsAt(spark, path) // tombstones applied
     Versioned.publish(path, "rows", -1L) { v =>
       all.repartition(partitions).write.parquet(v)
@@ -209,7 +217,8 @@ object ShingleStore {
     fragmented
   }
 
-  private[sources] def refreshDf(spark: SparkSession, path: String): Unit = {
+  private[sources] def refreshDf(spark: SparkSession, path: String): Unit =
+    Versioned.withWriterLease(path) {
     val rows = rowsAt(spark, path)
     Versioned.publish(path, "df", rows.count()) { v =>
       rows.groupBy("sh").agg(count(lit(1)).as("df")).write.parquet(v)

@@ -94,7 +94,8 @@ object VectorIndexStore {
     * assignment-distortion watermark to `qerr` (see [[logWatermark]]) —
     * the IVF analogue of the PQ quantization-error series.
     */
-  def appendIvf(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
+  def appendIvf(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit =
+    Versioned.withWriterLease(path) {
     val model = IvfIndex.loadModel(spark, path)
     val dir = IvfIndex.vectorsDir(path)
     val existing = spark.read.parquet(dir).select("vec_id").distinct()
@@ -114,7 +115,8 @@ object VectorIndexStore {
     * the legacy dir is removed once a later compaction proves the pointer
     * authoritative. Readers mid-probe keep their resolved version.
     */
-  def compactIvf(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+  def compactIvf(spark: SparkSession, path: String, nCells: Int = 16): Unit =
+    Versioned.withWriterLease(path) {
     val hadPointer = graft.sources.Versioned.readPointer(path, "vectors").isDefined
     val all = IvfIndex.loadVectors(spark, path)
     Versioned.publish(path, "vectors", -1L) { v =>
@@ -133,7 +135,8 @@ object VectorIndexStore {
   }
 
   /** [[compactIvf]] for the PQ encoded table — same pointer upgrade. */
-  def compactPq(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+  def compactPq(spark: SparkSession, path: String, nCells: Int = 16): Unit =
+    Versioned.withWriterLease(path) {
     val hadPointer = graft.sources.Versioned.readPointer(path, "encoded").isDefined
     val all = PqIndex.loadEncoded(spark, path)
     Versioned.publish(path, "encoded", -1L) { v =>
@@ -163,7 +166,8 @@ object VectorIndexStore {
     * retrain is due (the per-batch analogue of a clustering-quality
     * monitor; asserted in ArtifactStoresSpec).
     */
-  def appendPq(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit = {
+  def appendPq(spark: SparkSession, path: String, newVectors: org.apache.spark.sql.DataFrame): Unit =
+    Versioned.withWriterLease(path) {
     val model = PqIndex.loadModel(spark, path)
     val dir = PqIndex.encodedDir(path)
     val existing = spark.read.parquet(dir).select("vec_id").distinct()

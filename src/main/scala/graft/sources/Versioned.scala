@@ -29,12 +29,111 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Writer contract: SINGLE WRITER per artifact (the standard contract for
   * segmented-index maintenance — concurrent appenders would both anti-join
   * against the same base snapshot and double-insert regardless of this
-  * protocol). Readers are unrestricted. Asserted in ArtifactStoresSpec
-  * (concurrent-reader-during-refresh + crash-recovery tests).
+  * protocol). Readers are unrestricted. ENFORCED by [[withWriterLease]]
+  * (create-exclusive lease file, loud [[ConcurrentWriterException]] on
+  * contention, expiry-based takeover after a crash), acquired by every
+  * store append/compact entry point. Asserted in ArtifactStoresSpec
+  * (concurrent-writer, reader-during-refresh, crash-recovery tests).
   */
 object Versioned {
 
   final case class Current(dir: String, watermark: Long)
+
+  /** Thrown on writer-lease contention — the single-writer contract made
+    * LOUD. Before round 8 the contract was documentation only: two
+    * concurrent appenders would each anti-join against the same base
+    * snapshot and double-insert, corrupting the store silently.
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Default lease time-to-live. A crashed writer's lease is takeover-able
+    * after this long; a healthy append/compact finishes orders of magnitude
+    * sooner, and the lease is released (deleted) on every exit path.
+    */
+  val LeaseTtlMs: Long = 15 * 60 * 1000L
+
+  // In-JVM guard: one ReentrantLock per canonical artifact path. Two
+  // threads of the same process contend HERE (the lease file alone cannot
+  // arbitrate them — both would read their own pid); cross-process writers
+  // contend on the create-exclusive lease file below. The map only ever
+  // holds paths this JVM has written — bounded by the artifact count.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
+
+  private def leaseFile(canonical: String) =
+    new java.io.File(canonical, "WRITER.LEASE")
+
+  /** Run `body` holding the EXCLUSIVE writer lease for the artifact at
+    * `path` — acquired by every store append/compact/refresh entry point.
+    *
+    * Protocol: create-exclusive lease file `WRITER.LEASE` containing
+    * `<pid> <expiryEpochMs>`. Contention fails LOUDLY with
+    * [[ConcurrentWriterException]] (never blocks, never corrupts); an
+    * EXPIRED lease (crashed writer) is taken over — the takeover itself is
+    * race-safe because the loser of the re-create throws. Re-entrant
+    * within a thread (compact internally publishes; nested acquisition of
+    * the same artifact is one lease).
+    */
+  def withWriterLease[T](path: String, ttlMs: Long = LeaseTtlMs)(body: => T): T = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val canonical = dir.getCanonicalPath
+    val lock = jvmLocks.computeIfAbsent(canonical,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (lock.isHeldByCurrentThread) { lock.lock(); try body finally lock.unlock() }
+    else {
+      if (!lock.tryLock())
+        throw new ConcurrentWriterException(
+          s"artifact $canonical already has an active writer in this process " +
+            "(Versioned single-writer contract): serialize maintenance calls")
+      try { acquireFileLease(canonical, ttlMs); try body finally releaseFileLease(canonical) }
+      finally lock.unlock()
+    }
+  }
+
+  private def acquireFileLease(canonical: String, ttlMs: Long): Unit = {
+    val f = leaseFile(canonical)
+    val content = s"${ProcessHandle.current().pid()} ${System.currentTimeMillis() + ttlMs}"
+    try
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val (pid, expiry) =
+          try {
+            val Array(p, e) =
+              java.nio.file.Files.readString(f.toPath).trim.split(" ")
+            (p.toLong, e.toLong)
+          } catch { // unreadable/torn lease: treat as expired
+            case _: Exception => (-1L, 0L)
+          }
+        val self = ProcessHandle.current().pid()
+        // an unexpired foreign lease is an ACTIVE writer; our own pid here
+        // means a crashed-and-restarted maintenance thread of this very
+        // process (the JVM lock was free) — both stale cases take over
+        if (expiry >= System.currentTimeMillis() && pid != self)
+          throw new ConcurrentWriterException(
+            s"artifact $canonical has an active writer lease (pid $pid, " +
+              s"expires ${new java.util.Date(expiry)}): Versioned " +
+              "single-writer contract — a second concurrent appender would " +
+              "double-insert against the same base snapshot")
+        java.nio.file.Files.deleteIfExists(f.toPath)
+        // the loser of a takeover race hits CREATE_NEW failure and throws
+        try
+          java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConcurrentWriterException(
+              s"artifact $canonical: lost the takeover race for an expired " +
+                "writer lease to another process")
+        }
+    }
+  }
+
+  private def releaseFileLease(canonical: String): Unit =
+    java.nio.file.Files.deleteIfExists(leaseFile(canonical).toPath)
 
   private def pointerFile(path: String, name: String) =
     new java.io.File(path, s"$name.CURRENT")

@@ -50,9 +50,14 @@ object NgramLm {
                          vocab: Long)
 
   def train(trainBigrams: DataFrame): Model = {
-    val bi = trainBigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
-    val uni = trainBigrams.groupBy("t1").agg(count(lit(1)).as("c1"))
-    val v = trainBigrams.select(countDistinct(col("t2"))).head.getLong(0) + 1L
+    // One shuffle over the raw bigrams, materialized once; the prefix
+    // counts and the vocab size both derive from the (much smaller)
+    // pair-type table instead of re-scanning the raw bigrams per quantity
+    // (c1 = Σ c2 over t2 is the same count the direct groupBy produced).
+    val bi = graft.operators.ScaleOps.checkpointed(
+      trainBigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c2")))
+    val uni = bi.groupBy("t1").agg(sum(col("c2")).as("c1"))
+    val v = bi.select(countDistinct(col("t2"))).head.getLong(0) + 1L
     Model(bi, uni, v)
   }
 

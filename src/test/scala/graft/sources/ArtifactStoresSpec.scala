@@ -514,4 +514,59 @@ class ArtifactStoresSpec extends SparkTestBase {
         s"PQ probe read ${scan.metrics("numPartitions").value} partitions, expected $nProbe")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("writer lease: concurrent appender fails loudly; store equals serial execution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease").toString + "/sh"
+    val a = docs.filter(col("doc_id") < 10)
+    val b = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    ShingleStore.build(spark, a, dir)
+    // a second writer arriving while the lease is held must throw — the
+    // silent-double-insert failure mode the contract documents
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Versioned.withWriterLease(dir) { holding.countDown(); release.await() })
+    holder.start()
+    holding.await()
+    val loser = intercept[Versioned.ConcurrentWriterException] {
+      ShingleStore.append(spark, dir, b)
+    }
+    assert(loser.getMessage.contains("single-writer") ||
+      loser.getMessage.contains("active writer"))
+    // the refused append left the store EXACTLY as it was
+    assert(ShingleStore.rowsAt(spark, dir).count() ==
+      ShingleStore.shingleRowsOf(a).count())
+    release.countDown(); holder.join()
+    // retried after the writer finished: final state == serial execution
+    ShingleStore.append(spark, dir, b)
+    val serial = ShingleStore.shingleRowsOf(a.union(b))
+    val stored = ShingleStore.rowsAt(spark, dir)
+    assert(stored.except(serial).isEmpty && serial.except(stored).isEmpty)
+    assert(!new java.io.File(dir, "WRITER.LEASE").exists(),
+      "lease must be released after append")
+  }
+
+  test("writer lease: unexpired foreign lease refused; expired lease taken over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease2").toString + "/st"
+    new java.io.File(dir).mkdirs()
+    val lease = new java.io.File(dir, "WRITER.LEASE")
+    // another process's ACTIVE lease (foreign pid, future expiry) → loud no
+    java.nio.file.Files.writeString(lease.toPath,
+      s"${ProcessHandle.current().pid() + 999999} ${System.currentTimeMillis() + 600000}")
+    intercept[Versioned.ConcurrentWriterException] {
+      Versioned.withWriterLease(dir) { fail("body must not run under a foreign lease") }
+    }
+    // a crashed writer's EXPIRED lease → takeover, body runs, lease cleaned
+    java.nio.file.Files.writeString(lease.toPath,
+      s"${ProcessHandle.current().pid() + 999999} ${System.currentTimeMillis() - 1000}")
+    var ran = false
+    Versioned.withWriterLease(dir) { ran = true }
+    assert(ran && !lease.exists())
+    // re-entrant within a thread (append → refresh nests): one lease
+    Versioned.withWriterLease(dir) {
+      Versioned.withWriterLease(dir) { ran = true }
+      assert(lease.exists(), "nested acquisition must keep the outer lease")
+    }
+    assert(!lease.exists())
+  }
 }
