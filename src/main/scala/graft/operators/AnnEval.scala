@@ -39,6 +39,24 @@ object AnnEval {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
   }
 
+  /** Id-space-agnostic panel: every `ceil(n / maxPanel)`-th row in vec_id
+    * order — works over ANY id space (the stride-on-vec_id panel of
+    * [[queryPanel]] assumes dense ids, which an arbitrary retrain-time
+    * corpus does not have). Bounded at `maxPanel` rows; used by the
+    * retrain recall gate, where the corpus is already being fully
+    * re-scanned anyway.
+    */
+  def rowPanel(corpus: DataFrame, maxPanel: Int = 32): Seq[(Long, Seq[Float])] = {
+    import corpus.sparkSession.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / maxPanel)
+    corpus
+      .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+      .filter(col("rn") % stride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1).take(maxPanel)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rn", row_number().over(
@@ -72,17 +90,26 @@ object AnnEval {
     * scored only against the queries probing its cell.
     */
   def ivfTopK(spark: SparkSession, indexPath: String,
-              queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+              queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame =
+    ivfTopKFrames(spark,
+      IvfIndex.loadVectors(spark, indexPath).filter(col("vec_id") =!= 0),
+      IvfIndex.loadModel(spark, indexPath), queries, k, nProbe)
+
+  /** [[ivfTopK]] over explicit (vectors, model) frames — the form the
+    * retrain path uses to recall-gate a CANDIDATE geometry before its
+    * pointers are published (nothing on disk references it yet).
+    */
+  def ivfTopKFrames(spark: SparkSession, vectors: DataFrame, model: IvfIndex.Model,
+                    queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val model = IvfIndex.loadModel(spark, indexPath)
     val probes = queries.flatMap { case (qid, qv) =>
       model.nearestCells(qv, nProbe).map(c => (qid, c, qv))
     }
     val cells = probes.map(_._2).distinct
     val probeDf = broadcast(probes.toDF("qid", "cell", "qemb"))
     topKPerQuery(
-      IvfIndex.loadVectors(spark, indexPath)
-        .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+      vectors
+        .filter(col("cell").isin(cells: _*))
         .join(probeDf, "cell")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
@@ -98,9 +125,19 @@ object AnnEval {
     */
   def pqTopK(spark: SparkSession, pqPath: String, fullPrecision: DataFrame,
              queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int,
-             shortlist: Int): DataFrame = {
+             shortlist: Int): DataFrame =
+    pqTopKFrames(spark,
+      PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0),
+      PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe, shortlist)
+
+  /** [[pqTopK]] over explicit (encoded, model) frames — the form the
+    * retrain path uses to recall-gate a CANDIDATE geometry before its
+    * pointers are published.
+    */
+  def pqTopKFrames(spark: SparkSession, encoded: DataFrame, model: PqIndex.Model,
+                   fullPrecision: DataFrame, queries: Seq[(Long, Seq[Float])],
+                   k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     import spark.implicits._
-    val model = PqIndex.loadModel(spark, pqPath)
     val probes = queries.flatMap { case (qid, qv) =>
       model.coarse.nearestCells(qv, nProbe).map(c => (qid, c))
     }
@@ -110,8 +147,8 @@ object AnnEval {
     val bc = spark.sparkContext.broadcast(tables)
     val cells = probes.map(_._2).distinct
     val probeDf = broadcast(probes.toDF("qid", "cell"))
-    val approx = PqIndex.loadEncoded(spark, pqPath)
-      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+    val approx = encoded
+      .filter(col("cell").isin(cells: _*))
       .join(probeDf, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cell"), col("code"))

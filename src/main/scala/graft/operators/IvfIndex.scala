@@ -147,12 +147,28 @@ object IvfIndex {
     * No training, encoding, or corpus scan happens after this write.
     */
   def save(spark: SparkSession, model: Model, assigned: DataFrame, path: String): Unit = {
+    saveModel(spark, model, s"$path/model")
+    assigned.write.partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Write just the centroid sidecar — [[save]]'s model half, reused by the
+    * retrain path which publishes a NEW model version behind a
+    * [[graft.sources.Versioned]] pointer instead of overwriting in place.
+    */
+  private[graft] def saveModel(spark: SparkSession, model: Model, dir: String): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
-      .repartition(1).write.parquet(s"$path/model")
-    assigned.write.partitionBy("cell").parquet(s"$path/vectors")
+      .repartition(1).write.parquet(dir)
   }
+
+  /** Resolve the current model directory: the [[graft.sources.Versioned]]
+    * pointer once a retrain has published one, else the original `model`
+    * sidecar [[save]] writes (backward compatible, like [[vectorsDir]]).
+    */
+  private[graft] def modelDir(path: String): String =
+    graft.sources.Versioned.readPointer(path, "model")
+      .map(c => s"$path/${c.dir}").getOrElse(s"$path/model")
 
   /** Load the centroid sidecar back into a [[Model]]. Doubles round-trip
     * parquet exactly, so the loaded model is bitwise the trained one
@@ -161,7 +177,7 @@ object IvfIndex {
     */
   def loadModel(spark: SparkSession, path: String): Model = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/model")
+    val rows = spark.read.parquet(modelDir(path))
       .select("cell", "centroid").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
     Model(rows.map(_._2.toArray))

@@ -233,17 +233,41 @@ object PqIndex {
     *                      `nProbe` cell directories at the source.
     */
   def save(spark: SparkSession, model: Model, encoded: DataFrame, path: String): Unit = {
+    saveModel(spark, model, s"$path/coarse", s"$path/codebooks")
+    encoded.write.partitionBy("cell").parquet(s"$path/encoded")
+  }
+
+  /** Write just the model sidecars — [[save]]'s model half, reused by the
+    * retrain path which publishes NEW model versions behind
+    * [[graft.sources.Versioned]] pointers instead of overwriting in place.
+    */
+  private[graft] def saveModel(spark: SparkSession, model: Model,
+                               coarseDir: String, codebooksDir: String): Unit = {
+    IvfIndex.saveModel(spark, model.coarse, coarseDir)
+    saveCodebooks(spark, model, codebooksDir)
+  }
+
+  private[graft] def saveCodebooks(spark: SparkSession, model: Model,
+                                   dir: String): Unit = {
     import spark.implicits._
-    model.coarse.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1).write.parquet(s"$path/coarse")
     (for {
       s <- model.codebooks.indices
       c <- model.codebooks(s).indices
     } yield (s, c, model.codebooks(s)(c).toSeq)).toDF("sub", "code", "centroid")
-      .repartition(1).write.parquet(s"$path/codebooks")
-    encoded.write.partitionBy("cell").parquet(s"$path/encoded")
+      .repartition(1).write.parquet(dir)
   }
+
+  /** Resolve current model sidecar dirs: the [[graft.sources.Versioned]]
+    * pointers once a retrain has published them, else the plain layout
+    * [[save]] writes (backward compatible, like [[encodedDir]]).
+    */
+  private[graft] def coarseDir(path: String): String =
+    graft.sources.Versioned.readPointer(path, "coarse")
+      .map(c => s"$path/${c.dir}").getOrElse(s"$path/coarse")
+
+  private[graft] def codebooksDir(path: String): String =
+    graft.sources.Versioned.readPointer(path, "codebooks")
+      .map(c => s"$path/${c.dir}").getOrElse(s"$path/codebooks")
 
   /** Load the model sidecars back into a [[Model]] (bitwise the trained one
     * — doubles round-trip parquet exactly; subDim is recovered from the
@@ -251,10 +275,10 @@ object PqIndex {
     */
   def loadModel(spark: SparkSession, path: String): Model = {
     import spark.implicits._
-    val coarse = spark.read.parquet(s"$path/coarse")
+    val coarse = spark.read.parquet(coarseDir(path))
       .select("cell", "centroid").as[(Int, Seq[Double])]
       .collect().sortBy(_._1).map(_._2.toArray)
-    val books = spark.read.parquet(s"$path/codebooks")
+    val books = spark.read.parquet(codebooksDir(path))
       .select("sub", "code", "centroid").as[(Int, Int, Seq[Double])]
       .collect().groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toArray) }

@@ -566,8 +566,101 @@ object VectorQueries extends QuerySet {
         |SELECT (SELECT count(*) FROM embeddings) AS n_docs,
         |       (SELECT count(*) FROM pairs) AS n_exact_pairs,
         |       (SELECT count(DISTINCT id_b) FROM pairs) AS n_exact_dropped,
-        |       1 AS pair_recall_ok, 1 AS drop_subset_ok""".stripMargin))
+        |       1 AS pair_recall_ok, 1 AS drop_subset_ok""".stripMargin)),
+
+    // DRIFT-TRIGGERED RETRAIN LIFECYCLE (the consumer of the qerr
+    // watermark series the append paths emit — before this query the
+    // drift signal was logged but nothing acted on it): build an IVF-PQ
+    // index over tranche A (the fixture embeddings, even drill ids),
+    // append a DISTRIBUTION-SHIFTED tranche B (every vector translated by
+    // +8 per coordinate, odd drill ids — a regime change that collapses
+    // every stale residual onto the same far-away codebook entry, so ADC
+    // distances degenerate and the shortlist loses the true neighbors),
+    // then let VectorIndexStore.retrainPqIfNeeded consume the watermark:
+    //   1. qerr_rising — the appended tranche's quantization error exceeds
+    //      2x the build-time baseline (measured ~8200x / ~7400x at
+    //      sf0.01 / sf0.1);
+    //   2. recall_degraded_pre — mean recall@10 over a B-side panel drops
+    //      below DriftRecallCeiling against the exact cosine ground truth
+    //      (measured 0.17 / 0.02);
+    //   3. retrain_triggered — retrainPqIfNeeded retrains coarse cells +
+    //      codebooks on the CURRENT corpus, recall-gates the candidate,
+    //      publishes encoded + model sidecars behind atomic Versioned
+    //      pointers, resets the baseline; a second call is a no-op (the
+    //      new baseline absorbs the new regime);
+    //   4. recall_restored_post — the same panel probed through the
+    //      retrained artifact recovers past DriftRecallFloor (measured
+    //      0.61 / 0.415).
+    // Counts are hash-gated; the recall gates are deterministic tolerance
+    // flags (seeded training, fixed corpus — same discipline as v16/v17).
+    // The drill artifact lives in a fresh per-run tmp dir (lifecycle
+    // drills rebuild by construction, like s13-s15) and is deleted after.
+    Q("v19_pq_drift_retrain",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        // interleaved drill ids keep the bounded training sample covering
+        // both tranches after the retrain (first-N-by-id sampling)
+        val trancheA = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2).as("vec_id"), col("label"), col("embedding")))
+        val trancheB = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("label"),
+            transform(col("embedding"), x => x + lit(8.0f))
+              .cast("array<float>").as("embedding")))
+        val corpus = graft.operators.ScaleOps.checkpointed(trancheA.unionAll(trancheB))
+        // the whole drill is driver-side scalars — memoized per process
+        // (DrillOnce; the driver's fresh-JVM Verify always runs it)
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")
+        val (nDocs, drift, retrained, again, pre, post) = DrillOnce.cached(s"v19_$tag") {
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft_retrain_" +
+            s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+          try {
+            graft.sources.VectorIndexStore.buildPqAt(s, root, trancheA)
+            graft.sources.VectorIndexStore.appendPq(s, root, trancheB)
+            val drift = graft.sources.VectorIndexStore.driftFactor(s, root)
+            val panel = corpus
+              .filter(col("vec_id") % 2 === 1 && ((col("vec_id") - 1) / 2) % 50 === 0)
+              .select(col("vec_id"), col("embedding"))
+              .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+            val exact = graft.operators.ScaleOps.checkpointed(
+              graft.operators.AnnEval.exactTopK(s, corpus, panel, 10))
+            def recall(): Double = graft.operators.AnnEval.meanRecall(
+              graft.operators.AnnEval.pqTopKFrames(s,
+                graft.operators.PqIndex.loadEncoded(s, root),
+                graft.operators.PqIndex.loadModel(s, root),
+                corpus, panel, k = 10, nProbe = 4, shortlist = 50),
+              exact)
+            val pre = recall()
+            val retrained = graft.sources.VectorIndexStore.retrainPqIfNeeded(s, root, corpus)
+            val post = recall()
+            val again = graft.sources.VectorIndexStore.retrainPqIfNeeded(s, root, corpus)
+            (corpus.count(), drift.getOrElse(0.0), retrained, again, pre, post)
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(root)).deleteRecursively()
+          }
+        }
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          (lit(drift) > 2.0).cast("int").as("qerr_rising"),
+          (lit(retrained) && lit(!again)).cast("int").as("retrain_triggered"),
+          (lit(pre) < DriftRecallCeiling).cast("int").as("recall_degraded_pre"),
+          (lit(post) >= DriftRecallFloor).cast("int").as("recall_restored_post"))
+      },
+      Some("""SELECT 2 * (SELECT count(*) FROM embeddings) AS n_docs,
+        |1 AS qerr_rising, 1 AS retrain_triggered,
+        |1 AS recall_degraded_pre, 1 AS recall_restored_post""".stripMargin))
   )
+
+  /** v19 drift-drill gates: the pre-retrain recall ceiling and post-retrain
+    * floor, each with >= 1.5x margin against the cross-SF extreme of the
+    * measured panel recall@10 (sf0.01 / sf0.1): pre 0.17 / 0.02 (stale
+    * codebooks on the translated tranche), post 0.61 / 0.415 (retrained).
+    */
+  private val DriftRecallCeiling = 0.25
+  private val DriftRecallFloor = 0.27
 
   /** v17 floors: >= 1.5x margin under the cross-SF MINIMUM of the measured
     * mean recall@10 (sf0.01 / sf0.1): ivf 0.611 / 0.541 (nProbe 4/16);

@@ -20,18 +20,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) cannot represent directly — read the raw int64 nanos via
-    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros with
-    * exact integer arithmetic (`div`, not `/`, which would round through
-    * double and shift microseconds). DuckDB's `CAST(ts AS TIMESTAMP)`
-    * truncates ns→us the same way, keeping oracle outputs comparable.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and plain
+    * TIMESTAMP(MICROS) across fixture generations — adapt to whichever the
+    * footer declares instead of assuming one:
+    *
+    *   - NANOS: Spark's TimestampType (microseconds) cannot represent it
+    *     directly — read the raw int64 nanos via
+    *     `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros
+    *     with exact integer arithmetic (`div`, not `/`, which would round
+    *     through double and shift microseconds). DuckDB's
+    *     `CAST(ts AS TIMESTAMP)` truncates ns→us the same way.
+    *   - MICROS (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark): cast to
+    *     TimestampType under the UTC session timezone — the same instants
+    *     the nanos path produced, and the type every downstream query and
+    *     streaming op was built against.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register all fixture tables as temp views for the given sf dir. */

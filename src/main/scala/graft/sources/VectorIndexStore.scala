@@ -61,12 +61,27 @@ object VectorIndexStore {
   def ensureIvf(spark: SparkSession, sfDir: String, nCells: Int = 16): String = {
     val path = ivfPath(spark, sfDir, nCells)
     PhysicalLayout.ensureDir(path) { tmp =>
-      val emb = Tables.load(spark, sfDir, "embeddings")
-      val model = IvfIndex.train(spark, emb, k = nCells)
-      IvfIndex.save(spark, model, IvfIndex.assign(spark, emb, model), tmp)
+      buildIvfAt(spark, tmp, Tables.load(spark, sfDir, "embeddings"), nCells)
       markComplete(tmp)
     }
     path
+  }
+
+  /** Non-idempotent IVF build core at an explicit directory: train, save,
+    * and stamp the BUILD-TIME DRIFT BASELINE — the full-corpus mean
+    * assignment distortion under the fresh model, logged as `qerr` row 0
+    * and recorded in the `qerr.BASELINE` sidecar that [[retrainIvfIfNeeded]]
+    * compares appends against. Called by [[ensureIvf]] (inside its atomic
+    * temp-dir publication) and by the streaming first-ingest path (which
+    * creates the index on the live path, the reference's
+    * create-index-on-first-ingest).
+    */
+  def buildIvfAt(spark: SparkSession, dir: String,
+                 vectors: org.apache.spark.sql.DataFrame, nCells: Int = 16): Unit = {
+    val model = IvfIndex.train(spark, vectors, k = nCells)
+    IvfIndex.save(spark, model, IvfIndex.assign(spark, vectors, model), dir)
+    val (seq, mean) = logWatermark(spark, dir, IvfIndex.distortionStats(spark, vectors, model))
+    writeBaseline(dir, mean, seq + 1)
   }
 
   /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
@@ -76,12 +91,21 @@ object VectorIndexStore {
   def ensurePq(spark: SparkSession, sfDir: String): String = {
     val path = pqPath(spark, sfDir)
     PhysicalLayout.ensureDir(path) { tmp =>
-      val emb = Tables.load(spark, sfDir, "embeddings")
-      val model = PqIndex.train(spark, emb)
-      PqIndex.save(spark, model, PqIndex.encode(spark, emb, model), tmp)
+      buildPqAt(spark, tmp, Tables.load(spark, sfDir, "embeddings"))
       markComplete(tmp)
     }
     path
+  }
+
+  /** [[buildIvfAt]] for the IVF-PQ artifact: the baseline is the
+    * full-corpus mean QUANTIZATION error under the fresh codebooks.
+    */
+  def buildPqAt(spark: SparkSession, dir: String,
+                vectors: org.apache.spark.sql.DataFrame): Unit = {
+    val model = PqIndex.train(spark, vectors)
+    PqIndex.save(spark, model, PqIndex.encode(spark, vectors, model), dir)
+    val (seq, mean) = logWatermark(spark, dir, PqIndex.quantizationStats(spark, vectors, model))
+    writeBaseline(dir, mean, seq + 1)
   }
 
   /** INCREMENTAL maintenance for the IVF artifact: assign new vectors with
@@ -181,18 +205,219 @@ object VectorIndexStore {
   /** Append one (n_vectors, mean_sq_err, append_seq) watermark row to the
     * artifact's `qerr` log — the error series both append paths emit (PQ
     * reconstruction error, IVF assignment distortion); a rising series is
-    * the retrain-due signal.
+    * the retrain-due signal, CONSUMED by [[retrainIvfIfNeeded]] /
+    * [[retrainPqIfNeeded]]. Returns (seq, mean_sq_err) of the written row.
     */
   private def logWatermark(spark: SparkSession, path: String,
-                           stats: org.apache.spark.sql.DataFrame): Unit = {
+                           stats: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    import spark.implicits._
     val seq =
       try spark.read.parquet(s"$path/qerr").count()
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getErrorClass == "PATH_NOT_FOUND" => 0L
+        case _: java.io.FileNotFoundException => 0L
       }
-    stats.withColumn("append_seq", org.apache.spark.sql.functions.lit(seq))
+    val (n, mean) = stats
+      .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
+        org.apache.spark.sql.functions.col("mean_sq_err").cast("double"))
+      .as[(Long, Double)].head()
+    Seq((n, mean, seq)).toDF("n_vectors", "mean_sq_err", "append_seq")
       .coalesce(1).write.mode("append").parquet(s"$path/qerr")
+    (seq, mean)
+  }
+
+  // ---------------------------------------------------------------------
+  // Drift baseline + scheduled retrain: the consumer of the qerr series.
+  // ---------------------------------------------------------------------
+
+  /** `qerr.BASELINE` sidecar: `<meanSqErr> <firstDriftSeq>` — the mean
+    * error of the CURRENT geometry over the corpus it was (re)trained on,
+    * and the first qerr append_seq that counts as post-baseline drift.
+    * Written atomically (tmp + ATOMIC_MOVE) at build and after every
+    * retrain.
+    */
+  private def baselineFile(path: String) = new java.io.File(path, "qerr.BASELINE")
+
+  private def writeBaseline(path: String, mean: Double, firstDriftSeq: Long): Unit = {
+    val tmp = new java.io.File(path, s"qerr.BASELINE.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"$mean $firstDriftSeq")
+    java.nio.file.Files.move(tmp.toPath, baselineFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readBaseline(path: String): Option[(Double, Long)] = {
+    val f = baselineFile(path)
+    if (!f.exists()) None
+    else {
+      val Array(m, s) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
+      Some((m.toDouble, s.toLong))
+    }
+  }
+
+  /** Measured drift of the appended corpus against the build-time baseline:
+    * ratio of the n-weighted mean error of every post-baseline qerr row to
+    * the baseline mean. None when nothing has been appended since the
+    * baseline (or the artifact predates the qerr log). A pre-round-8
+    * artifact without a `qerr.BASELINE` sidecar treats its EARLIEST
+    * watermark row as the baseline (conservative, and exactly what that
+    * row meant when it was written).
+    */
+  def driftFactor(spark: SparkSession, path: String): Option[Double] = {
+    import spark.implicits._
+    val rows =
+      try spark.read.parquet(s"$path/qerr")
+        .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
+          org.apache.spark.sql.functions.col("mean_sq_err").cast("double"),
+          org.apache.spark.sql.functions.col("append_seq").cast("long"))
+        .as[(Long, Double, Long)].collect().sortBy(_._3)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" => return None
+        case _: java.io.FileNotFoundException => return None
+      }
+    if (rows.isEmpty) return None
+    val (baseMean, fromSeq) = readBaseline(path).getOrElse {
+      val first = rows.head
+      (first._2, first._3 + 1)
+    }
+    val drift = rows.filter(_._3 >= fromSeq)
+    if (drift.isEmpty || baseMean <= 0.0) None
+    else {
+      val n = drift.map(_._1).sum
+      if (n == 0) None
+      else Some(drift.map(r => r._1 * r._2).sum / n / baseMean)
+    }
+  }
+
+  /** Loud failure of the retrain recall gate: the candidate geometry is
+    * DISCARDED (its pointers are never published), the live index keeps
+    * serving, and the operator gets a real error instead of a silent
+    * recall regression.
+    */
+  final class RetrainRecallGateFailed(msg: String) extends IllegalStateException(msg)
+
+  /** CLOSE THE WATERMARK LOOP for the IVF artifact: when the appended
+    * corpus has drifted `factor`x past the build-time baseline, retrain the
+    * coarse quantizer on the CURRENT corpus (the artifact is
+    * self-contained: full-precision vectors live in it), re-assign every
+    * vector, recall-gate the candidate geometry, and publish model +
+    * vectors behind atomic [[Versioned]] pointers. The scheduled-rebuild
+    * half of the appendIvf contract ("retraining is a scheduled rebuild,
+    * not a per-batch cost") — called from the streaming maintenance sink
+    * like the compactIfNeeded family; the per-batch cost when drift is
+    * below threshold is one read of the tiny qerr log.
+    *
+    * Publication order (single writer, crash-self-healing): vectors →
+    * model → baseline reset. A reader between the two pointer flips sees
+    * new-assignment vectors probed with the old centroids — a VALID probe
+    * with degraded recall for that sub-second window, never wrong data
+    * (cells are filtered then scored exactly). A crash anywhere in the
+    * window leaves qerr still above threshold, so the next maintenance
+    * call re-runs the retrain, which is deterministic (seeded sample of
+    * the same corpus) and converges to the same state.
+    *
+    * Returns true iff a retrain was performed. Throws
+    * [[RetrainRecallGateFailed]] (nothing published) when the candidate's
+    * measured panel recall falls below `recallFloor`.
+    */
+  def retrainIvfIfNeeded(spark: SparkSession, path: String, factor: Double = 2.0,
+                         recallFloor: Double = 0.2, nProbe: Int = 4,
+                         k: Int = 10): Boolean = Versioned.withWriterLease(path) {
+    if (!driftFactor(spark, path).exists(_ > factor)) return false
+    val corpus = IvfIndex.loadVectors(spark, path)
+      .select("vec_id", "label", "embedding")
+    val nCells = IvfIndex.loadModel(spark, path).centroids.length
+    val model = IvfIndex.train(spark, corpus, k = nCells)
+    val assigned = IvfIndex.assign(spark, corpus, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (recallFloor > 0) {
+        val panel = graft.operators.AnnEval.rowPanel(corpus)
+        val exact = graft.operators.AnnEval.exactTopK(spark, corpus, panel, k)
+        val recall = graft.operators.AnnEval.meanRecall(
+          graft.operators.AnnEval.ivfTopKFrames(spark, assigned, model, panel, k, nProbe),
+          exact)
+        if (recall < recallFloor)
+          throw new RetrainRecallGateFailed(
+            s"IVF retrain candidate at $path measured panel recall@$k " +
+              f"$recall%.3f < floor $recallFloor%.3f: keeping the live geometry")
+      }
+      val hadVecPtr = Versioned.readPointer(path, "vectors").isDefined
+      val hadModelPtr = Versioned.readPointer(path, "model").isDefined
+      Versioned.publish(path, "vectors", -1L) { v =>
+        assigned.write.partitionBy("cell").parquet(v)
+      }
+      Versioned.publish(path, "model", -1L) { v =>
+        IvfIndex.saveModel(spark, model, v)
+      }
+      if (hadVecPtr) deleteLegacy(path, "vectors")
+      if (hadModelPtr) deleteLegacy(path, "model")
+      val (seq, mean) = logWatermark(spark, path,
+        IvfIndex.distortionStats(spark, corpus, model))
+      writeBaseline(path, mean, seq + 1)
+      true
+    } finally assigned.unpersist()
+  }
+
+  /** [[retrainIvfIfNeeded]] for the IVF-PQ artifact. The PQ artifact does
+    * NOT carry full-precision vectors (that is its point), so the caller
+    * supplies the full-precision corpus (`fullPrecision`: vec_id, label,
+    * embedding — at scale, the cold full-precision store the reference's
+    * re-rank already reads). Retrains coarse cells + residual codebooks,
+    * re-encodes everything, recall-gates, publishes encoded + both model
+    * sidecars behind [[Versioned]] pointers, resets the baseline.
+    */
+  def retrainPqIfNeeded(spark: SparkSession, path: String,
+                        fullPrecision: org.apache.spark.sql.DataFrame,
+                        factor: Double = 2.0, recallFloor: Double = 0.2,
+                        nProbe: Int = 4, k: Int = 10,
+                        shortlist: Int = 50): Boolean = Versioned.withWriterLease(path) {
+    if (!driftFactor(spark, path).exists(_ > factor)) return false
+    val corpus = fullPrecision.select("vec_id", "label", "embedding")
+    val model = PqIndex.train(spark, corpus)
+    val encoded = PqIndex.encode(spark, corpus, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (recallFloor > 0) {
+        val panel = graft.operators.AnnEval.rowPanel(corpus)
+        val exact = graft.operators.AnnEval.exactTopK(spark, corpus, panel, k)
+        val recall = graft.operators.AnnEval.meanRecall(
+          graft.operators.AnnEval.pqTopKFrames(spark, encoded, model, corpus,
+            panel, k, nProbe, shortlist),
+          exact)
+        if (recall < recallFloor)
+          throw new RetrainRecallGateFailed(
+            s"PQ retrain candidate at $path measured panel recall@$k " +
+              f"$recall%.3f < floor $recallFloor%.3f: keeping the live geometry")
+      }
+      val hadEncPtr = Versioned.readPointer(path, "encoded").isDefined
+      val hadCoarsePtr = Versioned.readPointer(path, "coarse").isDefined
+      Versioned.publish(path, "encoded", -1L) { v =>
+        encoded.write.partitionBy("cell").parquet(v)
+      }
+      Versioned.publish(path, "coarse", -1L) { v =>
+        IvfIndex.saveModel(spark, model.coarse, v)
+      }
+      Versioned.publish(path, "codebooks", -1L) { v =>
+        PqIndex.saveCodebooks(spark, model, v)
+      }
+      if (hadEncPtr) deleteLegacy(path, "encoded")
+      if (hadCoarsePtr) { deleteLegacy(path, "coarse"); deleteLegacy(path, "codebooks") }
+      val (seq, mean) = logWatermark(spark, path,
+        PqIndex.quantizationStats(spark, corpus, model))
+      writeBaseline(path, mean, seq + 1)
+      true
+    } finally encoded.unpersist()
+  }
+
+  private def deleteLegacy(path: String, name: String): Unit = {
+    val legacy = new java.io.File(s"$path/$name")
+    if (legacy.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(legacy).deleteRecursively()
+    }
   }
 
   // ensureDir's completeness marker is a top-level _SUCCESS; the parquet

@@ -16,18 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
-  /** Streaming read of the events fixture (file source). Same ns→µs handling
-    * as the batch loader (Tables.loadEvents).
+  /** Streaming read of the events fixture (file source). Same
+    * fixture-generation-adaptive ts handling as the batch loader
+    * (Tables.loadEvents): int64 NANOS → div to micros; TIMESTAMP_NTZ
+    * micros → cast under the UTC session timezone.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // File-stream source wants a directory; pathGlobFilter selects just the
     // events table out of the fixture dir.
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window aggregate: 6-hour windows per event_type. */
@@ -483,11 +491,17 @@ object StreamingOps {
             if (!new java.io.File(s"$ivfPath/model").exists()) {
               // first ingest creates the index (train on the first batch —
               // the bounded driver-side sample the IVF contract documents)
-              val model = graft.operators.IvfIndex.train(sp, vecs, k = 16)
-              graft.operators.IvfIndex.save(sp, model,
-                graft.operators.IvfIndex.assign(sp, vecs, model), ivfPath)
+              // and stamps the drift baseline the retrain check consumes
+              graft.sources.VectorIndexStore.buildIvfAt(sp, ivfPath, vecs)
             } else {
               graft.sources.VectorIndexStore.appendIvf(sp, ivfPath, vecs)
+              // close the watermark loop: when appended batches have
+              // drifted past the build-time baseline, retrain + re-gate +
+              // atomic pointer swap (below threshold this costs one read
+              // of the tiny qerr log — same self-scheduling discipline as
+              // the compactIfNeeded family)
+              graft.sources.VectorIndexStore.retrainIvfIfNeeded(sp, ivfPath)
+              ()
             }
           } finally b.unpersist()
         }

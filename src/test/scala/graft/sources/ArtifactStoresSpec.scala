@@ -569,4 +569,90 @@ class ArtifactStoresSpec extends SparkTestBase {
     }
     assert(!lease.exists())
   }
+
+  // ------------------------------------------------------------------
+  // Drift-triggered retrain: the consumer of the qerr watermark series.
+  // ------------------------------------------------------------------
+
+  /** The v19 drill's regime change in miniature: +8 per coordinate. */
+  private def shifted(df: org.apache.spark.sql.DataFrame, idOffset: Long) =
+    df.select((col("vec_id") + idOffset).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(8.0f))
+        .cast("array<float>").as("embedding"))
+
+  test("IVF retrain: no-op below threshold, triggers on drift, idempotent, pointer-published") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, a, nCells = 8)
+    // same-distribution append: drift stays near 1, no retrain
+    VectorIndexStore.appendIvf(spark, root, emb.filter(col("vec_id") >= 250))
+    val calmDrift = VectorIndexStore.driftFactor(spark, root)
+    assert(calmDrift.exists(f => f > 0 && f < 2.0),
+      s"same-distribution drift should sit near 1: $calmDrift")
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root))
+    val staleModel = IvfIndex.loadModel(spark, root)
+    // regime change: translated tranche blows the distortion watermark up
+    VectorIndexStore.appendIvf(spark, root, shifted(emb, 100000))
+    assert(VectorIndexStore.driftFactor(spark, root).exists(_ > 2.0))
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root))
+    // published behind pointers; model actually changed; assignment is
+    // consistent with the NEW model (every row's cell is its nearest)
+    assert(Versioned.readPointer(root, "vectors").isDefined)
+    assert(Versioned.readPointer(root, "model").isDefined)
+    val newModel = IvfIndex.loadModel(spark, root)
+    assert(newModel.centroids.map(_.toSeq).toSeq != staleModel.centroids.map(_.toSeq).toSeq)
+    import spark.implicits._
+    val mismatched = IvfIndex.loadVectors(spark, root)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int"))
+      .as[(Long, Seq[Float], Int)].collect()
+      .count { case (_, e, c) => newModel.nearestCell(e) != c }
+    assert(mismatched == 0, s"$mismatched rows assigned to a non-nearest cell")
+    // the new baseline absorbs the new regime: a second call is a no-op
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root))
+    // and the count survived the swap
+    assert(IvfIndex.loadVectors(spark, root).count() == emb.count() * 2)
+  }
+
+  test("retrain recall gate: failing candidate is discarded, live geometry keeps serving") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, a, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root, shifted(emb, 100000))
+    val staleModel = IvfIndex.loadModel(spark, root)
+    // an impossible floor: the candidate must be rejected LOUDLY and
+    // nothing published — the stale-but-valid geometry stays live
+    intercept[VectorIndexStore.RetrainRecallGateFailed] {
+      VectorIndexStore.retrainIvfIfNeeded(spark, root, recallFloor = 1.01)
+    }
+    assert(Versioned.readPointer(root, "model").isEmpty)
+    assert(IvfIndex.loadModel(spark, root).centroids.map(_.toSeq).toSeq ==
+      staleModel.centroids.map(_.toSeq).toSeq)
+    // and the lease was released on the failure path: a retry works
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root))
+  }
+
+  test("PQ retrain: drift triggers codebook rebuild; baseline reset; encoded swap complete") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_retrain").toString + "/ix"
+    VectorIndexStore.buildPqAt(spark, root, a)
+    VectorIndexStore.appendPq(spark, root, shifted(emb, 100000))
+    val corpus = a.select("vec_id", "label", "embedding")
+      .unionAll(shifted(emb, 100000))
+    val preDrift = VectorIndexStore.driftFactor(spark, root)
+    assert(preDrift.exists(_ > 2.0), s"translated tranche must show drift: $preDrift")
+    assert(VectorIndexStore.retrainPqIfNeeded(spark, root, corpus))
+    assert(Versioned.readPointer(root, "encoded").isDefined)
+    assert(Versioned.readPointer(root, "coarse").isDefined)
+    assert(Versioned.readPointer(root, "codebooks").isDefined)
+    assert(PqIndex.loadEncoded(spark, root).count() == corpus.count())
+    // baseline reset: the retrained geometry fits the corpus again, so the
+    // post-retrain drift reading is gone (nothing appended since baseline)
+    assert(VectorIndexStore.driftFactor(spark, root).isEmpty)
+    assert(!VectorIndexStore.retrainPqIfNeeded(spark, root, corpus))
+  }
 }
