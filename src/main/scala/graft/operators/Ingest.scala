@@ -28,7 +28,7 @@ object Ingest {
   def chunkDocuments(spark: SparkSession, docs: DataFrame): Dataset[Chunk] = {
     import spark.implicits._
     docs.select("doc_id", "text", "lang", "source", "n_chars").as[Doc].flatMap { d =>
-      Chunker.chunkText(d.text).zipWithIndex.map { case (content, i) =>
+      Chunker.chunkWithOffsets(d.text).zipWithIndex.map { case ((content, st, en), i) =>
         Chunk(
           // ref builds sanitize_key(f"{file}_{i}") (main.py:309); doc_id added
           // because our corpus has many docs per source file.
@@ -39,7 +39,10 @@ object Ingest {
           text_hash = TextKernel.md5Hex(content),
           // ref stores chunk_id+1 here (main.py:305 — a provenance bug we
           // reproduce only in shape; true page numbers don't exist for text docs)
-          page_number = i + 1)
+          page_number = i + 1,
+          // TRUE provenance: offsets into normalize(text) — d16's predicate
+          start_off = st,
+          end_off = en)
       }
     }
   }

@@ -296,6 +296,80 @@ object PipelineQueries extends QuerySet {
         | CAST(count(DISTINCT source) AS BIGINT) AS n_files,
         | CAST(sum(CASE WHEN $normSql = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
         | CAST(sum(length($normSql)) AS BIGINT) AS total_chars
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // TRUE CHUNK PROVENANCE (A8 + SURVEY §1.2's own unfixed note): the
+    // chunker now carries (start_off, end_off) into the normalized
+    // document (Chunker.chunkWithOffsets; the reference stores
+    // page_number = chunk_id + 1 instead — main.py:305). The offsets make
+    // part of the rows-only chunker chain HASH-GATED through plain-SQL
+    // invariants the oracle recomputes from `documents` alone:
+    //   - every non-empty-normalized doc produces chunks (docs_chunked),
+    //   - every such doc is FULLY COVERED: first chunk starts at offset 1,
+    //     last chunk ends at length(norm)+1 (docs_fully_covered),
+    //   - substr(norm, start_off, end_off - start_off) = content for EVERY
+    //     chunk (n_inconsistent = 0 — the consistency predicate itself),
+    //   - inter-chunk gaps contain only stripped whitespace (n_bad_gaps =
+    //     0 — chunk boundaries lose nothing but spaces),
+    //   - adjacent-chunk overlap never exceeds CHUNK_OVERLAP = 100
+    //     (n_overlap_violations = 0),
+    //   - no chunk exceeds CHUNK_SIZE = 400 (n_oversize = 0).
+    // A wrong offset ANYWHERE in the corpus breaks coverage, consistency,
+    // or the gap audit, so the hash compare pins the whole offset map even
+    // though DuckDB cannot run the chunker itself.
+    Q("d16_chunk_provenance",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = t(s, d, "documents")
+        val chunks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, tx) =>
+            graft.text.Chunker.chunkWithOffsets(tx).zipWithIndex.map {
+              case ((c, st, en), i) => (id, i, c, st, en)
+            }
+          }
+          .toDF("doc_id", "chunk_id", "content", "start_off", "end_off")
+        val norms = docs.select(col("doc_id"), normCol.as("norm"))
+        val nDocs = norms.filter(col("norm") =!= "").count()
+        val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+        val nav = chunks.join(norms, "doc_id")
+          .withColumn("ok",
+            expr("substr(norm, start_off, end_off - start_off) = content"))
+          .withColumn("prev_end", lag("end_off", 1).over(w))
+          .withColumn("bad_gap", expr(
+            "prev_end IS NOT NULL AND start_off > prev_end AND " +
+              "trim(substr(norm, prev_end, start_off - prev_end)) <> ''"))
+          .withColumn("overlap_violation",
+            expr("prev_end IS NOT NULL AND prev_end - start_off > 100"))
+        val perDoc = nav.groupBy("doc_id").agg(
+          min("start_off").as("mn"), max("end_off").as("mx"),
+          first(length(col("norm"))).as("norm_len"),
+          sum(when(!col("ok"), 1).otherwise(0)).as("bad"),
+          sum(when(col("bad_gap"), 1).otherwise(0)).as("gaps"),
+          sum(when(col("overlap_violation"), 1).otherwise(0)).as("ovl"),
+          sum(when(length(col("content")) > 400, 1).otherwise(0)).as("oversize"))
+        perDoc.agg(
+          count(lit(1)).as("docs_chunked"),
+          sum(when(col("mn") === 1 && col("mx") === col("norm_len") + 1, 1)
+            .otherwise(0)).as("docs_fully_covered"),
+          sum("bad").as("n_inconsistent"),
+          sum("gaps").as("n_bad_gaps"),
+          sum("ovl").as("n_overlap_violations"),
+          sum("oversize").as("n_oversize"))
+          .select(lit(nDocs).as("n_docs"),
+            col("docs_chunked").cast("long").as("docs_chunked"),
+            col("docs_fully_covered").cast("long").as("docs_fully_covered"),
+            col("n_inconsistent").cast("int").as("n_inconsistent"),
+            col("n_bad_gaps").cast("int").as("n_bad_gaps"),
+            col("n_overlap_violations").cast("int").as("n_overlap_violations"),
+            col("n_oversize").cast("int").as("n_oversize"))
+      },
+      Some(s"""WITH nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE $normSql <> '')
+        |SELECT n AS n_docs, n AS docs_chunked, n AS docs_fully_covered,
+        | 0 AS n_inconsistent, 0 AS n_bad_gaps,
+        | 0 AS n_overlap_violations, 0 AS n_oversize
+        |FROM nd""".stripMargin))
   )
 }

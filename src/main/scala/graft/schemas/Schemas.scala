@@ -64,7 +64,12 @@ final case class Chunk(
     filename: String,
     chunk_id: Int,
     text_hash: String,
-    page_number: Int)
+    page_number: Int,
+    // TRUE provenance (d16): 1-based start / exclusive end of the chunk in
+    // the normalized document — substr(norm, start_off, end_off - start_off)
+    // equals content. The reference only carries the chunk_id+1 shape.
+    start_off: Int,
+    end_off: Int)
 
 final case class Event(
     event_id: Long,

@@ -116,6 +116,122 @@ final class RecursiveCharacterTextSplitter(
     val text = docs.mkString(separator).strip()
     if (text.isEmpty) None else Some(text)
   }
+
+  // -------------------------------------------------------------------
+  // Span-tracked variant: [[splitText]] with TRUE character provenance.
+  // Every intermediate piece of the algorithm is a CONTIGUOUS region of
+  // the input (splitting yields adjacent regions; merging joins adjacent
+  // regions with the "" separator; stripping only moves the ends inward),
+  // so the whole recursion can run on (start, end) index pairs. Mirrors
+  // split/splitKeepingSeparator/mergeSplits/joinDocs line for line —
+  // parity with the string path is pinned over the 852-case golden corpus
+  // (ChunkerSpec). Spans are 0-based, end-exclusive, already stripped.
+  // -------------------------------------------------------------------
+
+  def splitSpans(text: String): List[(Int, Int)] =
+    if (text == null || text.isEmpty) Nil
+    else splitSpans(text, 0, text.length, separators)
+      .flatMap(sp => stripSpan(text, sp)) // chunkText's filter(_.strip.nonEmpty)
+
+  private def splitSpans(text: String, start: Int, end: Int,
+                         seps: List[String]): List[(Int, Int)] = {
+    var separator = if (seps.nonEmpty) seps.last else ""
+    var newSeparators: List[String] = Nil
+    var i = 0
+    var found = false
+    while (i < seps.length && !found) {
+      val s = seps(i)
+      if (s.isEmpty) { separator = s; found = true }
+      else if (indexOfIn(text, s, start, end) >= 0) {
+        separator = s; newSeparators = seps.drop(i + 1); found = true
+      }
+      i += 1
+    }
+
+    val splits = splitSpansKeepingSeparator(text, start, end, separator)
+    val finalChunks = new ListBuffer[(Int, Int)]
+    val goodSplits = new ListBuffer[(Int, Int)]
+    splits.foreach { case sp @ (s, e) =>
+      if (e - s < chunkSize) goodSplits += sp
+      else {
+        if (goodSplits.nonEmpty) {
+          finalChunks ++= mergeSpans(text, goodSplits.toList)
+          goodSplits.clear()
+        }
+        if (newSeparators.isEmpty) finalChunks += sp
+        else finalChunks ++= splitSpans(text, s, e, newSeparators)
+      }
+    }
+    if (goodSplits.nonEmpty) finalChunks ++= mergeSpans(text, goodSplits.toList)
+    finalChunks.toList
+  }
+
+  /** First occurrence of `sep` fully inside [from, end), or -1. (indexOf
+    * returns the EARLIEST match at or after `from`; if that one does not
+    * fit before `end`, no later one can.)
+    */
+  private def indexOfIn(text: String, sep: String, from: Int, end: Int): Int = {
+    val i = text.indexOf(sep, from)
+    if (i >= 0 && i + sep.length <= end) i else -1
+  }
+
+  private def splitSpansKeepingSeparator(text: String, start: Int, end: Int,
+                                         sep: String): List[(Int, Int)] = {
+    if (sep.isEmpty) return (start until end).map(i => (i, i + 1)).toList
+    val out = new ListBuffer[(Int, Int)]
+    val first = indexOfIn(text, sep, start, end)
+    if (first < 0) {
+      if (end > start) out += ((start, end))
+      return out.toList
+    }
+    if (first > start) out += ((start, first))
+    var idx = first
+    while (idx >= 0) {
+      val next = indexOfIn(text, sep, idx + sep.length, end)
+      val pieceEnd = if (next < 0) end else next
+      out += ((idx, pieceEnd))
+      idx = next
+    }
+    out.toList
+  }
+
+  /** [[mergeSplits]] on spans (merge separator "" → sepLen 0 throughout,
+    * exactly the string path's configuration).
+    */
+  private def mergeSpans(text: String, splits: List[(Int, Int)]): List[(Int, Int)] = {
+    val docs = new ListBuffer[(Int, Int)]
+    var current = List.empty[(Int, Int)]
+    var total = 0
+    splits.foreach { case d @ (ds, de) =>
+      val len = de - ds
+      if (total + len > chunkSize) {
+        if (current.nonEmpty) {
+          joinSpans(text, current).foreach(docs += _)
+          while (total > chunkOverlap || (total + len > chunkSize && total > 0)) {
+            total -= current.head._2 - current.head._1
+            current = current.tail
+          }
+        }
+      }
+      current = current :+ d
+      total += len
+    }
+    joinSpans(text, current).foreach(docs += _)
+    docs.toList
+  }
+
+  /** [[joinDocs]] on spans: adjacent pieces concatenate to the enclosing
+    * region; strip moves the ends inward; whitespace-only spans drop.
+    */
+  private def joinSpans(text: String, docs: List[(Int, Int)]): Option[(Int, Int)] =
+    stripSpan(text, (docs.head._1, docs.last._2))
+
+  private def stripSpan(text: String, sp: (Int, Int)): Option[(Int, Int)] = {
+    var (s, e) = sp
+    while (s < e && Character.isWhitespace(text.charAt(s))) s += 1
+    while (e > s && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+    if (s >= e) None else Some((s, e))
+  }
 }
 
 object Chunker {
@@ -131,4 +247,79 @@ object Chunker {
     splitter.splitText(if (text == null) "" else text)
       .filter(_.strip().nonEmpty)
       .map(TextKernel.normalize)
+
+  /** [[chunkText]] with TRUE character provenance: each chunk paired with
+    * its (start_off, end_off) — 1-based start, exclusive end — into the
+    * NORMALIZED document, such that
+    * `substr(normalize(doc), start_off, end_off - start_off) == content`
+    * (the plain-SQL consistency predicate d16 hash-gates; the reference
+    * stores `page_number = chunk_id + 1` instead, main.py:305 — the
+    * provenance bug SURVEY §1.2 flags).
+    *
+    * Why offsets into the normalized doc exist at all: every chunk is
+    * `normalize(s)` for a contiguous raw span `s`, and normalizing any
+    * substring of a document yields a contiguous substring of the
+    * normalized document (internal whitespace runs collapse identically;
+    * boundary runs are trimmed from the chunk's side). Localization walks
+    * a monotone search floor — chunk starts never decrease (the overlap
+    * window only ever drops pieces from the front), so the first match at
+    * or after the previous start IS the chunk's position. Cannot produce a
+    * wrong offset: the returned span always satisfies the substring
+    * predicate, and an impossible miss degrades to (-1, -1) rather than
+    * throwing (A22 discipline).
+    */
+  def chunkWithOffsets(text: String,
+                       splitter: RecursiveCharacterTextSplitter = default): List[(String, Int, Int)] = {
+    if (text == null || text.isEmpty) return Nil
+    val norm = TextKernel.normalize(text)
+    // raw→normalized index map: for every raw index holding a non-\s char,
+    // its position in the normalized string (whitespace runs collapse to
+    // one space between content, leading/trailing runs vanish). \s here is
+    // the regex class TextKernel.normalize collapses — NOT String.strip's
+    // broader isWhitespace — so the map mirrors normalize exactly.
+    val normAt = new Array[Int](text.length)
+    var np = 0
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isRegexSpace =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isRegexSpace) { normAt(i) = -1; if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { np += 1; pendingSpace = false }
+        normAt(i) = np
+        np += 1
+        started = true
+      }
+      i += 1
+    }
+    // true raw spans from the span-tracked split (survives aliasing that
+    // defeats any search-based localization: identical overlapping chunks
+    // in repetitive text still get their REAL positions)
+    splitter.splitSpans(text).map { case (s0, e0) =>
+      // tighten to the \s definition: the span was stripped with
+      // isWhitespace; normalize's trim may keep exotic whitespace as
+      // content, and drops only \s-class ends
+      var s = s0
+      var e = e0
+      while (s < e && normAt(s) < 0) s += 1
+      while (e > s && normAt(e - 1) < 0) e -= 1
+      val content = TextKernel.normalize(text.substring(s0, e0))
+      if (s >= e || content.isEmpty) (content, -1, -1)
+      else {
+        val st = normAt(s)
+        val en = normAt(e - 1) + 1
+        // exactness guard: the span-derived region must BE the content;
+        // degrade to a search rather than emit a wrong offset (A22)
+        if (en - st == content.length && norm.regionMatches(st, content, 0, content.length))
+          (content, st + 1, en + 1)
+        else {
+          val hit = norm.indexOf(content)
+          if (hit < 0) (content, -1, -1) else (content, hit + 1, hit + 1 + content.length)
+        }
+      }
+    }
+  }
 }

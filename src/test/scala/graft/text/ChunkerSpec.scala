@@ -70,4 +70,50 @@ class ChunkerSpec extends AnyFunSuite {
       assert(joined.contains(w.stripSuffix(".")))
     }
   }
+
+  /** The d16 provenance invariants, point-checked on one text. */
+  private def assertOffsets(text: String): Unit = {
+    val norm = TextKernel.normalize(text)
+    val withOff = Chunker.chunkWithOffsets(text)
+    // contents identical to the un-provenance'd path (no semantic drift)
+    assert(withOff.map(_._1) == Chunker.chunkText(text))
+    var prevStart = 0
+    var prevEnd = 0
+    withOff.foreach { case (c, st, en) =>
+      assert(st >= 1 && en == st + c.length, s"bad span ($st,$en) for '$c'")
+      assert(norm.substring(st - 1, en - 1) == c, "substring predicate broken")
+      assert(st >= prevStart, "chunk starts must be monotone")
+      if (prevEnd > 0 && st > prevEnd) {
+        val gap = norm.substring(prevEnd - 1, st - 1)
+        assert(gap.trim.isEmpty, s"gap lost non-whitespace content: '$gap'")
+      }
+      prevStart = st
+      prevEnd = en
+    }
+    if (withOff.nonEmpty) {
+      assert(withOff.head._2 == 1, "first chunk must start at offset 1")
+      assert(withOff.last._3 == norm.length + 1, "last chunk must end at |norm|+1")
+    }
+  }
+
+  test("offset provenance: substring/coverage/gap invariants over the golden corpus (852 cases)") {
+    val stream = getClass.getResourceAsStream("/splitter_goldens.json")
+    assert(stream != null)
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(stream)
+    var checked = 0
+    // the golden texts are the adversarial corpus (random separators,
+    // degenerate whitespace, unsplittable runs) — every one must satisfy
+    // the d16 invariants at the DEFAULT geometry the pipeline ships
+    root.elements().asScala.foreach { node =>
+      assertOffsets(node.get("text").asText())
+      checked += 1
+    }
+    assert(checked > 800)
+    assertOffsets(("the quick brown fox jumps. " * 60).trim)
+    assertOffsets("x" * 1000)
+    assertOffsets("  a\n\nb  \t c  ")
+    assert(Chunker.chunkWithOffsets("") == Nil)
+    assert(Chunker.chunkWithOffsets(null) == Nil)
+  }
 }
