@@ -126,6 +126,34 @@ object DedupQueries extends QuerySet {
     */
   private val FunnelSemRecallFloor = 0.55
 
+  /** [[exactJaccardPairsSql]] with a doc filter pushed into the base CTE —
+    * the oracle side of probes over PARTIAL corpora (s14's streamed-store
+    * pair probe covers doc_id < 500). Yields the same `jac` CTE name.
+    */
+  private[queries] def exactJaccardPairsSqlWhere(where: String): String =
+    s"""norms AS (
+       |  SELECT doc_id, lower($normSql) AS norm FROM documents $where),
+       |tk AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS toks
+       |  FROM norms WHERE length(norm) > 0),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [norm]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END)) AS sh
+       |  FROM tk),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT da, db, i, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db)""".stripMargin
+
   /** DuckDB equivalent of [[shingleRows]] (CTE body yielding (doc_id, sh)). */
   private val shingleSql: String =
     s"""norms AS (
