@@ -91,9 +91,21 @@ object DocExtract {
     * joined by "\n\n" in page order (A6, :167).
     */
   def assembleWithOcr(spark: SparkSession, pages: DataFrame,
-                      ocr: Ocr = new StubOcr()): DataFrame = {
+                      ocr: Ocr = new StubOcr()): DataFrame =
+    taggedFragments(spark, pages, ocr)
+      .groupBy("doc_id")
+      .agg(concat_ws("\n\n", array_sort(collect_list(struct(col("page"), col("fragment"))))
+        .getField("fragment")).as("document_text"))
+
+  /** The per-page tagged fragment of [[assembleWithOcr]], factored out so
+    * the provenance-carrying assembly below builds the EXACT same
+    * fragments (one per page, tables inlined) — the two assemblies cannot
+    * drift.
+    */
+  private def taggedFragments(spark: SparkSession, pages: DataFrame,
+                              ocr: Ocr): DataFrame = {
     import spark.implicits._
-    val tagged = pages
+    pages
       .select(col("doc_id"), col("page"), col("page_text"), col("page_tables"), col("needs_ocr"))
       .as[(Long, Int, String, String, Boolean)]
       .map { case (id, page, text, tables, needsOcr) =>
@@ -110,9 +122,37 @@ object DocExtract {
         (id, page, fragment)
       }
       .toDF("doc_id", "page", "fragment")
-    tagged
-      .groupBy("doc_id")
-      .agg(concat_ws("\n\n", array_sort(collect_list(struct(col("page"), col("fragment"))))
-        .getField("fragment")).as("document_text"))
+  }
+
+  /** A6 with TRUE PAGE PROVENANCE: same assembly as [[assembleWithOcr]],
+    * plus `page_starts` — for every page, the 1-based offset of its
+    * fragment in the NORMALIZED assembled document. Downstream chunking
+    * (Chunker.chunkWithOffsets over `document_text`) then maps any chunk
+    * offset to its real page — the provenance the reference fakes with
+    * `page_number = chunk_id + 1` (main.py:305; SURVEY §1.2).
+    *
+    * Offsets are exact by the same normalize-concatenation identity d16
+    * relies on: fragments never normalize to empty (tags are non-empty),
+    * so normalize(f0 + "\n\n" + f1 + ...) = normalize(f0) + " " +
+    * normalize(f1) + ... and start(k+1) = start(k) + |normalize(fk)| + 1.
+    */
+  def assembleWithProvenance(spark: SparkSession, pages: DataFrame,
+                             ocr: Ocr = new StubOcr()): DataFrame = {
+    import spark.implicits._
+    taggedFragments(spark, pages, ocr)
+      .select(col("doc_id"), col("page"), col("fragment"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val frags = it.toSeq.sortBy(_._2)
+        val starts = Seq.newBuilder[(Int, Int)]
+        var cursor = 1
+        frags.foreach { case (_, page, fragment) =>
+          starts += ((page, cursor))
+          cursor += TextKernel.normalize(fragment).length + 1
+        }
+        (id, frags.map(_._3).mkString("\n\n"), starts.result())
+      }
+      .toDF("doc_id", "document_text", "page_starts")
   }
 }

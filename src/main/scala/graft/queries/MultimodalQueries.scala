@@ -82,6 +82,77 @@ object MultimodalQueries extends QuerySet {
                 |FROM documents
                 |LATERAL VIEW chunk_text(text) c AS chunk_id, chunk
                 |ORDER BY doc_id, chunk_id""".stripMargin)
-      })
+      }),
+
+    // TRUE PAGE PROVENANCE through A6 assembly + A8 chunking (the page
+    // half of SURVEY §1.2's provenance note; d16 covers the character
+    // half): documents are paged at a fixed 200-char stride (\f page
+    // breaks — the TextBytesExtractor contract), extracted, assembled
+    // WITH per-page fragment offsets (DocExtract.assembleWithProvenance),
+    // chunked with offsets, and every chunk mapped to the page whose
+    // fragment contains its start. HASH-GATED invariants the oracle
+    // recomputes from `documents` alone:
+    //   - n_docs and total_pages (= Σ ceil(len/200), min 1) match the SQL
+    //     page arithmetic exactly — wrong fragment spans break the sum;
+    //   - every chunk maps to a page (n_unmapped = 0);
+    //   - page is non-decreasing in chunk order (n_nonmonotone = 0);
+    //   - each doc's LAST chunk ends inside its LAST page
+    //     (docs_last_page_reached = n_docs) — the end-to-end check that
+    //     fragment offsets and chunk offsets live in the same coordinate
+    //     space.
+    Q("m07_page_provenance",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val paged = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, tx) =>
+            val raw = if (tx == null) "" else tx
+            val pages = if (raw.isEmpty) List("") else raw.grouped(200).toList
+            (id, pages.mkString("\f").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          .toDF("doc_id", "content")
+        val prov = DocExtract.assembleWithProvenance(s,
+          DocExtract.extractPages(s, paged))
+        val perChunk = prov
+          .select(col("doc_id"), col("document_text"), col("page_starts"))
+          .as[(Long, String, Seq[(Int, Int)])]
+          .flatMap { case (id, txt, starts) =>
+            val chunks = graft.text.Chunker.chunkWithOffsets(txt)
+            val nPages = starts.size
+            chunks.zipWithIndex.map { case ((_, st, en), i) =>
+              def pageAt(off: Int): Int =
+                starts.filter(_._2 <= off).map(_._1).maxOption.getOrElse(-1)
+              (id, i, pageAt(st), pageAt(en - 1), nPages, i == chunks.size - 1)
+            }
+          }
+          .toDF("doc_id", "chunk_id", "page", "page_end", "n_pages", "is_last")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("chunk_id")
+        val flagged = perChunk
+          .withColumn("prev_page", lag("page", 1).over(w))
+        flagged.groupBy("doc_id").agg(
+          first("n_pages").as("np"),
+          sum(when(col("page") < 1, 1).otherwise(0)).as("unmapped"),
+          sum(when(col("prev_page").isNotNull && col("page") < col("prev_page"), 1)
+            .otherwise(0)).as("nonmono"),
+          max(when(col("is_last"), col("page_end"))).as("last_chunk_page"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum("np").cast("long").as("total_pages"),
+            sum("unmapped").cast("int").as("n_unmapped"),
+            sum("nonmono").cast("int").as("n_nonmonotone"),
+            sum(when(col("last_chunk_page") === col("np"), 1).otherwise(0))
+              .cast("long").as("docs_last_page_reached"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, CAST(ceil(COALESCE(length(text), 0) / 200.0) AS BIGINT)) AS np
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(np) AS BIGINT) AS total_pages,
+        |  0 AS n_unmapped, 0 AS n_nonmonotone,
+        |  CAST(count(*) AS BIGINT) AS docs_last_page_reached
+        |FROM p""".stripMargin))
   )
 }

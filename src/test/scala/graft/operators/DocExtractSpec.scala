@@ -81,4 +81,33 @@ class DocExtractSpec extends SparkTestBase {
     assert(row("n_zero_vectors") == 0L)
     assert(row("total_chars").asInstanceOf[Long] > 0L)
   }
+
+  test("assembleWithProvenance: page_starts land exactly on each page's fragment tag") {
+    import spark.implicits._
+    // three pages: long text / short (OCR-bound) / tabled — all tag shapes
+    val content = ("alpha beta gamma " * 20) + "\fshort\fcol1\tcol2\nplain line"
+    val docs = Seq((1L, content.getBytes("UTF-8"))).toDF("doc_id", "content")
+    val prov = DocExtract.assembleWithProvenance(spark,
+      DocExtract.extractPages(spark, docs))
+      .as[(Long, String, Seq[(Int, Int)])].head()
+    val (_, documentText, starts) = prov
+    // same assembled text as the un-provenance'd path
+    val plain = DocExtract.assembleWithOcr(spark,
+      DocExtract.extractPages(spark, docs))
+      .select("document_text").as[String].head()
+    assert(documentText == plain)
+    val norm = graft.text.TextKernel.normalize(documentText)
+    assert(starts.map(_._1) == Seq(1, 2, 3))
+    starts.foreach { case (page, off) =>
+      assert(norm.substring(off - 1).startsWith(s"[Page $page"),
+        s"page $page start $off does not sit on its fragment tag")
+    }
+    // chunk offsets and fragment offsets share the coordinate space: the
+    // chunk containing each fragment start maps back to that page
+    val chunks = graft.text.Chunker.chunkWithOffsets(documentText)
+    starts.foreach { case (page, off) =>
+      val covering = chunks.filter(c => c._2 <= off && off < c._3)
+      assert(covering.nonEmpty, s"no chunk covers page-$page start $off")
+    }
+  }
 }
