@@ -499,8 +499,15 @@ object StreamingOps {
               // drifted past the build-time baseline, retrain + re-gate +
               // atomic pointer swap (below threshold this costs one read
               // of the tiny qerr log — same self-scheduling discipline as
-              // the compactIfNeeded family)
-              graft.sources.VectorIndexStore.retrainIvfIfNeeded(sp, ivfPath)
+              // the compactIfNeeded family). A candidate that fails its
+              // recall gate must NOT kill ingestion: the stale-but-valid
+              // geometry keeps serving and the failure surfaces as an
+              // operator alert (the direct API still throws).
+              try graft.sources.VectorIndexStore.retrainIvfIfNeeded(sp, ivfPath)
+              catch {
+                case e: graft.sources.VectorIndexStore.RetrainRecallGateFailed =>
+                  System.err.println(s"[graft] retrain skipped: ${e.getMessage}")
+              }
               ()
             }
           } finally b.unpersist()

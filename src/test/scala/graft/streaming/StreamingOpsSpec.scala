@@ -197,4 +197,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(store).count() == stored.count())
     assert(graft.operators.IvfIndex.loadVectors(spark, ivf).count() == nDocs)
   }
+
+  test("streamed drift triggers the sink's retrain: pointer-published geometry, baseline reset") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_embed_drift").toString
+    val src = s"$dir/src"
+    val store = s"$dir/sparse"
+    val ivf = s"$dir/ivf"
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 100)
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, s"$dir/ckpt", ivf)
+    val staleModel = graft.operators.IvfIndex.loadModel(spark, ivf)
+    assert(graft.sources.Versioned.readPointer(ivf, "model").isEmpty)
+    // drifted tranche: radically longer documents — hashing-embedder
+    // norms (and so assignment distortion) explode past the 2x factor
+    (0 until 24).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$src/doc_${9000 + i}%05d.txt"),
+        s"drifttoken$i shifted corpus regime " * 400)
+    }
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, s"$dir/ckpt", ivf)
+    // the sink consumed the watermark: retrained geometry published
+    // behind the Versioned pointer, assignment self-consistent, and the
+    // reset baseline absorbed the new regime (driftFactor: no
+    // post-baseline appends left)
+    assert(graft.sources.Versioned.readPointer(ivf, "model").isDefined,
+      "drift did not trigger the sink's retrain")
+    val newModel = graft.operators.IvfIndex.loadModel(spark, ivf)
+    assert(newModel.centroids.map(_.toSeq).toSeq != staleModel.centroids.map(_.toSeq).toSeq)
+    val vecs = graft.operators.IvfIndex.loadVectors(spark, ivf)
+    assert(vecs.count() == 124)
+    val reassigned = vecs.select(col("vec_id"), col("label"), col("embedding"))
+      .transform(v => graft.operators.IvfIndex.assign(spark, v, newModel))
+      .select(col("vec_id"), col("cell").as("expected_cell"))
+    assert(vecs.select("vec_id", "cell").join(reassigned, "vec_id")
+      .filter(col("cell") =!= col("expected_cell")).count() == 0)
+    assert(graft.sources.VectorIndexStore.driftFactor(spark, ivf).isEmpty)
+  }
 }
