@@ -39,22 +39,21 @@ object AnnEval {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
   }
 
-  /** Id-space-agnostic panel: every `ceil(n / maxPanel)`-th row in vec_id
-    * order — works over ANY id space (the stride-on-vec_id panel of
-    * [[queryPanel]] assumes dense ids, which an arbitrary retrain-time
-    * corpus does not have). Bounded at `maxPanel` rows; used by the
-    * retrain recall gate, where the corpus is already being fully
-    * re-scanned anyway.
+  /** Id-space-agnostic panel: the `maxPanel` rows with the smallest
+    * `xxhash64(vec_id)` — a deterministic pseudo-random sample over ANY id
+    * space (the stride-on-vec_id panel of [[queryPanel]] assumes dense
+    * ids, which an arbitrary retrain-time corpus does not have). The plan
+    * is a distributed partial top-k (TakeOrderedAndProject), NOT a
+    * single-partition global sort — safe at any corpus size. Used by the
+    * retrain recall gate.
     */
   def rowPanel(corpus: DataFrame, maxPanel: Int = 32): Seq[(Long, Seq[Float])] = {
     import corpus.sparkSession.implicits._
-    val n = corpus.count()
-    val stride = math.max(1L, n / maxPanel)
     corpus
-      .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
-      .filter(col("rn") % stride === 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxPanel)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1).take(maxPanel)
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
