@@ -305,6 +305,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("d16/m07: provenance audits — equi-joins only, per-doc windows, partial aggs") {
+    for (q <- Seq("d16_chunk_provenance", "m07_page_provenance")) {
+      val p = plan(q)
+      // chunk rows ⋈ norms / per-chunk lag are equi-join + per-doc window —
+      // a cartesian or an unpartitioned (corpus-global) window here would
+      // be the d16-at-100TB failure mode
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(p.contains("partitionBy") || p.contains("doc_id#"), s"$q\n$p")
+      // the invariant counts partial-aggregate map-side
+      assert(p.contains("partial_"), s"$q\n$p")
+    }
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
