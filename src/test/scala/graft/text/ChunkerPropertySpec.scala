@@ -66,4 +66,44 @@ object ChunkerPropertySpec extends Properties("RecursiveCharacterTextSplitter") 
     val h = TextKernel.md5Hex(t)
     h == TextKernel.md5Hex(t) && (t.isEmpty || h != TextKernel.md5Hex("!" + t))
   }
+
+  // ------------------------------------------------------------------
+  // d16 provenance invariants over random separator soups (the golden
+  // corpus pins 852 FIXED inputs; these hold for ARBITRARY \s-class
+  // whitespace + printable text — the fixture reality; exotic unicode
+  // whitespace where String.strip and regex-\s disagree falls back to
+  // the guarded search path by construction).
+  // ------------------------------------------------------------------
+
+  property("offsets: substring predicate, coverage, monotone starts, whitespace-only gaps") =
+    forAllNoShrink(text) { t =>
+      val norm = TextKernel.normalize(t)
+      val withOff = Chunker.chunkWithOffsets(t)
+      val contentsMatch = withOff.map(_._1) == Chunker.chunkText(t)
+      var prevStart = 0
+      var prevEnd = 0
+      val perChunk = withOff.forall { case (c, st, en) =>
+        val span = st >= 1 && en == st + c.length &&
+          norm.substring(st - 1, en - 1) == c
+        val mono = st >= prevStart
+        val gapOk = prevEnd == 0 || st <= prevEnd ||
+          norm.substring(prevEnd - 1, st - 1).trim.isEmpty
+        prevStart = st
+        prevEnd = en
+        span && mono && gapOk
+      }
+      val covered = withOff.isEmpty ||
+        (withOff.head._2 == 1 && withOff.last._3 == norm.length + 1)
+      contentsMatch && perChunk && covered
+    }
+
+  property("offsets: deterministic and geometry-independent of the string path") =
+    forAllNoShrink(text, config) { case (t, (size, overlap)) =>
+      val splitter = new RecursiveCharacterTextSplitter(size, overlap)
+      val spans = splitter.splitSpans(t)
+      val viaStrings = splitter.splitText(t)
+      // span-tracked split mirrors the string split piece for piece
+      spans.map { case (s, e) => t.substring(s, e).strip() }
+        .filter(_.nonEmpty) == viaStrings.filter(_.strip().nonEmpty).map(_.strip())
+    }
 }
