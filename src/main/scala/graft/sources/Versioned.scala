@@ -87,10 +87,48 @@ object Versioned {
         throw new ConcurrentWriterException(
           s"artifact $canonical already has an active writer in this process " +
             "(Versioned single-writer contract): serialize maintenance calls")
-      try { acquireFileLease(canonical, ttlMs); try body finally releaseFileLease(canonical) }
-      finally lock.unlock()
+      try {
+        acquireFileLease(canonical, ttlMs)
+        // HEARTBEAT: a healthy writer renews its expiry every ttl/3, so a
+        // maintenance job that legitimately outlives the TTL (a retrain is
+        // an hours-long rebuild at scale) is never taken over mid-write —
+        // expiry-based takeover remains strictly a crashed-writer path.
+        // Renewal is an atomic replace (tmp + ATOMIC_MOVE): a concurrent
+        // contender never sees a torn lease it would misread as expired.
+        val renewer = startRenewal(canonical, ttlMs)
+        try body finally {
+          renewer.shutdownNow()
+          renewer.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+          releaseFileLease(canonical)
+        }
+      } finally lock.unlock()
     }
   }
+
+  private def startRenewal(canonical: String,
+                           ttlMs: Long): java.util.concurrent.ScheduledExecutorService = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-lease-renew")
+        t.setDaemon(true)
+        t
+      })
+    val period = math.max(50L, ttlMs / 3)
+    ex.scheduleAtFixedRate(() => renewLease(canonical, ttlMs),
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  private def renewLease(canonical: String, ttlMs: Long): Unit =
+    try {
+      val content =
+        s"${ProcessHandle.current().pid()} ${System.currentTimeMillis() + ttlMs}"
+      val tmp = new java.io.File(canonical, s"WRITER.LEASE.tmp-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, leaseFile(canonical).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () } // next tick retries; expiry has slack
 
   private def acquireFileLease(canonical: String, ttlMs: Long): Unit = {
     val f = leaseFile(canonical)

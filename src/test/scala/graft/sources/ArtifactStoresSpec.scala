@@ -570,6 +570,23 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(!lease.exists())
   }
 
+  test("writer lease heartbeat: a long-running holder renews past its TTL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease3").toString + "/st"
+    val lease = new java.io.File(dir, "WRITER.LEASE")
+    def expiry(): Long =
+      java.nio.file.Files.readString(lease.toPath).trim.split(" ")(1).toLong
+    // ttl 300 ms, body runs 1 s: without the heartbeat the lease would be
+    // expired (takeover-able) for the last 700 ms of the write
+    Versioned.withWriterLease(dir, ttlMs = 300) {
+      Thread.sleep(1000)
+      assert(lease.exists(), "lease must persist for the whole body")
+      val e = expiry()
+      assert(e > System.currentTimeMillis(),
+        s"lease expired mid-body despite heartbeat (expiry $e)")
+    }
+    assert(!lease.exists(), "lease must be released on exit")
+  }
+
   // ------------------------------------------------------------------
   // Drift-triggered retrain: the consumer of the qerr watermark series.
   // ------------------------------------------------------------------
