@@ -112,11 +112,32 @@ object Graft {
     * [[graft.operators.IvfIndex.save]] / [[graft.sources.VectorIndexStore]].
     */
   def saveIvfIndex(spark: SparkSession, corpus: DataFrame, path: String,
-                   nCells: Int = 16): Unit = {
-    val model = graft.operators.IvfIndex.train(spark, corpus, k = nCells)
-    graft.operators.IvfIndex.save(spark, model,
-      graft.operators.IvfIndex.assign(spark, corpus, model), path)
-  }
+                   nCells: Int = 16): Unit =
+    sources.VectorIndexStore.buildIvfAt(spark, path, corpus, nCells)
+
+  /** Incrementally maintain a persisted IVF index: assign new vectors with
+    * the existing model (idempotent on vec_id) and log the drift watermark
+    * the retrain check consumes.
+    */
+  def appendIvfIndex(spark: SparkSession, indexPath: String,
+                     vectors: DataFrame): Unit =
+    sources.VectorIndexStore.appendIvf(spark, indexPath, vectors)
+
+  /** Measured drift of appended vectors vs the build-time baseline (ratio;
+    * None until something has been appended since the baseline).
+    */
+  def ivfDrift(spark: SparkSession, indexPath: String): Option[Double] =
+    sources.VectorIndexStore.driftFactor(spark, indexPath)
+
+  /** Close the watermark loop: retrain + recall-gate + atomically republish
+    * the index when appended data has drifted `factor`x past the build-time
+    * baseline. Returns true iff a retrain was performed; throws
+    * [[sources.VectorIndexStore.RetrainRecallGateFailed]] (nothing
+    * published) when the candidate geometry fails its recall floor.
+    */
+  def retrainIvfIfNeeded(spark: SparkSession, indexPath: String,
+                         factor: Double = 2.0, recallFloor: Double = 0.2): Boolean =
+    sources.VectorIndexStore.retrainIvfIfNeeded(spark, indexPath, factor, recallFloor)
 
   /** Probe a persisted IVF index: load the centroid sidecar, scan only the
     * `nProbe` nearest cell PARTITIONS of the persisted corpus (source-level
