@@ -30,6 +30,19 @@ object DrillOnce {
       if (!done.contains(key)) { lifecycle; done.add(key) }
     }
 
+  /** Recursively delete-and-forget the drill's working directories — the
+    * shared form of the per-query teardown preamble (s09/s13/s14/s15, k05,
+    * v19 all start from clean dirs).
+    */
+  def freshDirs(paths: String*): Unit =
+    paths.foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+    }
+
   /** Memoized drill VALUE, for drills whose output is a driver-side scalar
     * or small row set computed mid-lifecycle.
     */

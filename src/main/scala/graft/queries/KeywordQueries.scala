@@ -243,11 +243,7 @@ object KeywordQueries extends QuerySet {
         // pointer post-compact; its 10 rows are the memoized value) →
         // compact. Reps 2+ time the compacted probe plan.
         val tombRows = DrillOnce.cached(s"k05_$tag") {
-          val f = new java.io.File(idx)
-          if (f.exists()) {
-            import scala.reflect.io.Directory
-            new Directory(f).deleteRecursively()
-          }
+          DrillOnce.freshDirs(idx)
           val corpus = t(s, d, "documents")
             .filter(col("doc_id") < 1000).select("doc_id", "text")
           graft.sources.PostingStore.build(s, corpus, idx)

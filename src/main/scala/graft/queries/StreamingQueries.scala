@@ -209,22 +209,19 @@ object StreamingQueries extends QuerySet {
           "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
         val srcDir = s"/tmp/graft_s09/src_$tag"
         StreamingOps.ensureTextFixtureFiles(s, d, srcDir)
-        val target = s"/tmp/graft_s09/store_$tag"
+        // pid-scoped working dirs (the s13 discipline): a fresh-JVM Verify
+        // rebuilding its own lifecycle must not delete the store a
+        // memoized bench JVM is mid-probe on
+        val target = s"/tmp/graft_s09_${ProcessHandle.current().pid()}/store_$tag"
         // checkpoint on tmpfs when present — same rationale as runToMemory's
         // drain checkpoints (state commits are write+rename per partition
         // per batch; durability is irrelevant for a bounded demo drain)
-        val ckpt = s"${StreamingOps.ckptParent}/graft_s09/ckpt_$tag"
+        val ckpt = s"${StreamingOps.ckptParent}/graft_s09_${ProcessHandle.current().pid()}/ckpt_$tag"
         // lifecycle once per process (DrillOnce; the driver's fresh-JVM
         // Verify always runs it) — the query is the full arrival-ingest
         // lifecycle over 1000 files
         DrillOnce.ensure(s"s09_$tag") {
-          for (p <- Seq(target, ckpt)) {
-            val f = new java.io.File(p)
-            if (f.exists()) {
-              import scala.reflect.io.Directory
-              new Directory(f).deleteRecursively()
-            }
-          }
+          DrillOnce.freshDirs(target, ckpt)
           StreamingOps.binaryArrivalIngest(s, srcDir, "*.txt", target, ckpt)
         }
         s.read.parquet(target)
@@ -271,13 +268,7 @@ object StreamingQueries extends QuerySet {
         // lifecycle once per process (DrillOnce; the driver's fresh-JVM
         // Verify always runs it) — the query IS the stop/restart drill
         DrillOnce.ensure(s"s13_$tag") {
-          for (p <- Seq(srcDir, target, ckpt)) {
-            val f = new java.io.File(p)
-            if (f.exists()) {
-              import scala.reflect.io.Directory
-              new Directory(f).deleteRecursively()
-            }
-          }
+          DrillOnce.freshDirs(srcDir, target, ckpt)
           StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
           StreamingOps.binaryArrivalIngest(s, srcDir, "*.txt", target, ckpt)
           StreamingOps.writeDocFiles(s, d, srcDir, 250, 1000)
@@ -331,13 +322,7 @@ object StreamingQueries extends QuerySet {
         // proof is corpus-size independent (s09/s13 already exercise the
         // 1000-file listing bound).
         DrillOnce.ensure(s"s14_$tag") {
-          for (p <- Seq(srcDir, target, idx, ckpt)) {
-            val f = new java.io.File(p)
-            if (f.exists()) {
-              import scala.reflect.io.Directory
-              new Directory(f).deleteRecursively()
-            }
-          }
+          DrillOnce.freshDirs(srcDir, target, idx, ckpt)
           StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
           StreamingOps.arrivalIngestMaintained(s, srcDir, "*.txt", target, ckpt, idx)
           StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
@@ -419,13 +404,7 @@ object StreamingQueries extends QuerySet {
         // Verify always runs it): two tranches across a restart maintain
         // the sparse store + the IVF index
         DrillOnce.ensure(s"s15_$tag") {
-          for (p <- Seq(srcDir, store, ivf, ckpt)) {
-            val f = new java.io.File(p)
-            if (f.exists()) {
-              import scala.reflect.io.Directory
-              new Directory(f).deleteRecursively()
-            }
-          }
+          DrillOnce.freshDirs(srcDir, store, ivf, ckpt)
           StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
           StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf)
           StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)

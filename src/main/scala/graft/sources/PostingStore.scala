@@ -128,7 +128,11 @@ object PostingStore {
       catch {
         // an ACTIVE writer holds the lease and its own refresh is in
         // flight — reads don't fail on maintenance contention; the repair
-        // belongs to the lease holder
+        // belongs to the lease holder. The deliberate tradeoff: a CRASHED
+        // writer's unexpired lease also lands here, so a reader may serve
+        // the previous (stale-but-complete) derived version for up to the
+        // lease TTL — bounded at 5 min now that healthy writers renew via
+        // heartbeat, after which expiry takeover lets the next read repair.
         case _: Versioned.ConcurrentWriterException => ()
       }
     Versioned.read(spark, path, name)

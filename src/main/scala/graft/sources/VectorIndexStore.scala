@@ -283,11 +283,20 @@ object VectorIndexStore {
       (first._2, first._3 + 1)
     }
     val drift = rows.filter(_._3 >= fromSeq)
-    if (drift.isEmpty || baseMean <= 0.0) None
+    if (drift.isEmpty) None
     else {
       val n = drift.map(_._1).sum
       if (n == 0) None
-      else Some(drift.map(r => r._1 * r._2).sum / n / baseMean)
+      else {
+        val wmean = drift.map(r => r._1 * r._2).sum / n
+        // a zero baseline (a training corpus the model fit exactly — e.g.
+        // a first micro-batch with <= nCells vectors) must not DISABLE the
+        // loop: any positive post-baseline error is then infinite drift,
+        // not un-measurable drift
+        if (baseMean > 0.0) Some(wmean / baseMean)
+        else if (wmean > 0.0) Some(Double.PositiveInfinity)
+        else Some(1.0)
+      }
     }
   }
 

@@ -48,10 +48,14 @@ object Versioned {
     extends IllegalStateException(msg)
 
   /** Default lease time-to-live. A crashed writer's lease is takeover-able
-    * after this long; a healthy append/compact finishes orders of magnitude
-    * sooner, and the lease is released (deleted) on every exit path.
+    * after this long; a HEALTHY long-running writer renews every ttl/3 (the
+    * heartbeat), so the TTL bounds only (a) how long a crashed writer
+    * blocks other writers and (b) how long a checked reader may tolerate a
+    * crashed writer's stale derived table — both want a SHORT ttl, and the
+    * heartbeat removes the old reason for a long one (jobs that outlive
+    * it). 5 min still tolerates extreme GC/IO stalls between heartbeats.
     */
-  val LeaseTtlMs: Long = 15 * 60 * 1000L
+  val LeaseTtlMs: Long = 5 * 60 * 1000L
 
   // In-JVM guard: one ReentrantLock per canonical artifact path. Two
   // threads of the same process contend HERE (the lease file alone cannot
@@ -95,29 +99,39 @@ object Versioned {
         // expiry-based takeover remains strictly a crashed-writer path.
         // Renewal is an atomic replace (tmp + ATOMIC_MOVE): a concurrent
         // contender never sees a torn lease it would misread as expired.
-        val renewer = startRenewal(canonical, ttlMs)
+        // Every tick's file mutation runs under `tickLock`, and release
+        // sets the flag under the SAME lock before deleting — so an
+        // in-flight renewal either completes before the delete (and its
+        // write is removed by it) or observes the flag and does nothing.
+        // No straggler can resurrect a released lease or clobber a
+        // successor's.
+        val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val tickLock = new Object
+        val period = math.max(50L, ttlMs / 3)
+        val renewal = renewScheduler.scheduleAtFixedRate(
+          () => tickLock.synchronized {
+            if (!released.get()) renewLease(canonical, ttlMs)
+          },
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
         try body finally {
-          renewer.shutdownNow()
-          renewer.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+          tickLock.synchronized { released.set(true) }
+          renewal.cancel(false)
           releaseFileLease(canonical)
         }
       } finally lock.unlock()
     }
   }
 
-  private def startRenewal(canonical: String,
-                           ttlMs: Long): java.util.concurrent.ScheduledExecutorService = {
-    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+  // ONE shared daemon scheduler for every lease heartbeat in the process —
+  // per-acquisition executors would create and tear down a thread for every
+  // sub-second store append in a streaming sink
+  private lazy val renewScheduler: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
-        val t = new Thread(r, s"graft-lease-renew")
+        val t = new Thread(r, "graft-lease-renew")
         t.setDaemon(true)
         t
       })
-    val period = math.max(50L, ttlMs / 3)
-    ex.scheduleAtFixedRate(() => renewLease(canonical, ttlMs),
-      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    ex
-  }
 
   private def renewLease(canonical: String, ttlMs: Long): Unit =
     try {

@@ -488,7 +488,13 @@ object StreamingOps {
                 it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
               }
               .toDF("vec_id", "label", "embedding")
-            if (!new java.io.File(s"$ivfPath/model").exists()) {
+            // index-exists must resolve the Versioned pointer, NOT the
+            // legacy plain dir: after a second retrain deleteLegacy removes
+            // $path/model, and a plain-dir check would "rebuild" the index
+            // from one micro-batch into dirs no reader resolves — silently
+            // dropping every later batch from the served index
+            if (!new java.io.File(
+                graft.operators.IvfIndex.modelDir(ivfPath)).exists()) {
               // first ingest creates the index (train on the first batch —
               // the bounded driver-side sample the IVF contract documents)
               // and stamps the drift baseline the retrain check consumes

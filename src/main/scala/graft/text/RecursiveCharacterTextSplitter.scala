@@ -298,6 +298,9 @@ object Chunker {
     // true raw spans from the span-tracked split (survives aliasing that
     // defeats any search-based localization: identical overlapping chunks
     // in repetitive text still get their REAL positions)
+    var floor = 0 // monotone search floor for the degraded path: chunk
+                  // starts never decrease, so even a fallback search must
+                  // not land on an EARLIER duplicate of repeated content
     splitter.splitSpans(text).map { case (s0, e0) =>
       // tighten to the \s definition: the span was stripped with
       // isWhitespace; normalize's trim may keep exotic whitespace as
@@ -312,12 +315,17 @@ object Chunker {
         val st = normAt(s)
         val en = normAt(e - 1) + 1
         // exactness guard: the span-derived region must BE the content;
-        // degrade to a search rather than emit a wrong offset (A22)
-        if (en - st == content.length && norm.regionMatches(st, content, 0, content.length))
+        // degrade to a floored search rather than emit a wrong offset (A22)
+        if (en - st == content.length && norm.regionMatches(st, content, 0, content.length)) {
+          floor = st
           (content, st + 1, en + 1)
-        else {
-          val hit = norm.indexOf(content)
-          if (hit < 0) (content, -1, -1) else (content, hit + 1, hit + 1 + content.length)
+        } else {
+          val hit = norm.indexOf(content, floor) match {
+            case -1 => norm.indexOf(content) // better a non-monotone true
+            case i  => i                     // match than none at all
+          }
+          if (hit < 0) (content, -1, -1)
+          else { floor = math.max(floor, hit); (content, hit + 1, hit + 1 + content.length) }
         }
       }
     }

@@ -652,6 +652,47 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(VectorIndexStore.retrainIvfIfNeeded(spark, root))
   }
 
+  test("zero build-time baseline does not disable the drift loop") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    // 8 vectors, 8 cells: every vector is its own centroid, so the
+    // build-time mean distortion is exactly 0 — any positive appended
+    // error must read as INFINITE drift, not unmeasurable drift
+    val tiny = emb.filter(col("vec_id") < 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_zero_base").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, tiny, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root, shifted(emb.filter(col("vec_id") < 64), 100000))
+    val drift = VectorIndexStore.driftFactor(spark, root)
+    assert(drift.exists(_ > 2.0), s"zero baseline must not suppress drift: $drift")
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root, recallFloor = 0.0))
+    assert(IvfIndex.loadVectors(spark, root).count() == 8 + 64)
+  }
+
+  test("index-exists resolution survives repeated retrains deleting legacy dirs") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250).select("vec_id", "label", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_rere").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, a)
+    // retrain #1: publishes pointers, legacy dirs stay (pre-pointer readers)
+    VectorIndexStore.appendIvf(spark, root, shifted(emb, 100000))
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root, recallFloor = 0.0))
+    // retrain #2: hadPointer → deleteLegacy removes $root/model and
+    // $root/vectors — the dirs the streaming sink used to existence-check
+    val c = emb.select((col("vec_id") + 200000).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x * lit(-5.0f))
+        .cast("array<float>").as("embedding"))
+    VectorIndexStore.appendIvf(spark, root, c)
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root, recallFloor = 0.0))
+    assert(!new java.io.File(s"$root/model").exists(),
+      "second retrain should have removed the legacy model dir")
+    // the pointer-resolving modelDir is what the sink must check: still
+    // present, loads, and the index is complete
+    assert(new java.io.File(IvfIndex.modelDir(root)).exists())
+    assert(IvfIndex.loadModel(spark, root).centroids.nonEmpty)
+    assert(IvfIndex.loadVectors(spark, root).count() == 250 + 500 + 500)
+  }
+
   test("PQ retrain: drift triggers codebook rebuild; baseline reset; encoded swap complete") {
     val emb = Tables.load(spark, sf, "embeddings")
     val a = emb.filter(col("vec_id") < 250)
