@@ -63,6 +63,20 @@ object DedupQueries extends QuerySet {
       graft.sources.MinhashStore.bands(s, d),
       graft.sources.MinhashStore.shingleSets(s, d), threshold = 0.5)
 
+  /** The exact cosine near-dup drop set over funnel survivors — ONE
+    * definition of the `cp`/`sd` CTE pair both funnel oracles (x11/x14)
+    * embed, with the threshold interpolated from the SAME constant the
+    * Spark side passes to SemDedup.cellPairs (VectorQueries.SemDedupTau):
+    * a threshold change now updates every consumer or none.
+    */
+  private val semanticDropSql: String =
+    s"""cp AS (SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])) > ${VectorQueries.SemDedupTau}),
+       |sd AS (SELECT DISTINCT db AS doc_id FROM cp
+       |  WHERE da IN (SELECT doc_id FROM s3) AND db IN (SELECT doc_id FROM s3))""".stripMargin
+
   /** Stages 1–3 of the curation funnel, shared by x11 (exact semantic
     * baseline) and x14 (production IVF-served semantic stage): Gopher-style
     * gates → exact-hash dedup (keep-lowest-id) → MinHash-LSH near-dup from
@@ -592,12 +606,7 @@ object DedupQueries extends QuerySet {
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,
-        |cp AS (SELECT a.vec_id AS da, b.vec_id AS db
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) > 0.45),
-        |sd AS (SELECT DISTINCT db AS doc_id FROM cp
-        |  WHERE da IN (SELECT doc_id FROM s3) AND db IN (SELECT doc_id FROM s3))
+        |$semanticDropSql
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
         | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_gates,
         | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
@@ -630,7 +639,7 @@ object DedupQueries extends QuerySet {
         val model = graft.operators.IvfIndex.loadModel(s, ivfPath)
         val cellPairs = graft.operators.SemDedup.cellPairs(
             graft.operators.SemDedup.multiAssign(vectors, model, assignK = 3),
-            tau = 0.45)
+            tau = VectorQueries.SemDedupTau)
           .select("id_a", "id_b")
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
           .join(s3.select(col("doc_id").as("id_b")), "id_b")
@@ -665,12 +674,7 @@ object DedupQueries extends QuerySet {
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,
-        |cp AS (SELECT a.vec_id AS da, b.vec_id AS db
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) > 0.45),
-        |sd AS (SELECT DISTINCT db AS doc_id FROM cp
-        |  WHERE da IN (SELECT doc_id FROM s3) AND db IN (SELECT doc_id FROM s3))
+        |$semanticDropSql
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
         | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_gates,
         | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,

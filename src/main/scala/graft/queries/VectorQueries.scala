@@ -679,7 +679,7 @@ object VectorQueries extends QuerySet {
     * 1.0 / 0.847 (vs 0.5 / 0.33 single-assignment); floor = 0.55, >= 1.5x
     * margin under the cross-SF minimum, same discipline as the v17 floors.
     */
-  private val SemDedupTau = 0.45
+  private[queries] val SemDedupTau = 0.45
   private val SemDedupAssignK = 3
   private val SemDedupRecallFloor = 0.55
 

@@ -57,7 +57,8 @@ object MinhashStore {
   /** Build the artifact from any (doc_id, text) frame into `dir` — the
     * corpus-general entry (pair with [[append]] for incremental corpora).
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    Versioned.withWriterLease(dir) {
     Versioned.publish(dir, "bands", -1L) { v =>
       NearDup.minhashBuckets(spark, docs).write.parquet(v)
     }

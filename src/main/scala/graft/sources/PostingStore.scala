@@ -74,7 +74,8 @@ object PostingStore {
     * pruning at fixture scale.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-            blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit = {
+            blockSize: Int = PhysicalLayout.ProductionBlockSize): Unit =
+    Versioned.withWriterLease(dir) {
     // watermark −1: postings is the base table (self-versioned for atomic
     // compaction re-pointing; staleness is defined only for DERIVED tables)
     Versioned.publish(dir, "postings", -1L) { v =>

@@ -69,7 +69,8 @@ object ShingleStore {
     * corpus-general entry (callers with their own corpora use this +
     * [[append]] directly; the fixture queries go through [[ensure]]).
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    Versioned.withWriterLease(dir) {
     Versioned.publish(dir, "rows", -1L) { v =>
       shingleRowsOf(docs).write.parquet(v)
     }

@@ -65,8 +65,24 @@ object Versioned {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
 
+  // The lease lives BESIDE the artifact directory, not inside it: taking a
+  // lease must not create the artifact dir as a side effect (a premature
+  // mkdirs would make PhysicalLayout.ensureDir's atomic rename publication
+  // fail spuriously against a half-created target), and the lease survives
+  // whole-directory rewrites.
   private def leaseFile(canonical: String) =
-    new java.io.File(canonical, "WRITER.LEASE")
+    new java.io.File(canonical + ".WRITER.LEASE")
+
+  /** Writer identity: host + pid. Pid alone is NOT an identity on shared
+    * storage — pid spaces wrap per host, and a cross-host collision would
+    * make an ACTIVE foreign lease look like our own crashed predecessor.
+    */
+  private lazy val selfId: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName.replaceAll("\\s", "_")
+      catch { case _: Exception => "localhost" }
+    s"$host:${ProcessHandle.current().pid()}"
+  }
 
   /** Run `body` holding the EXCLUSIVE writer lease for the artifact at
     * `path` — acquired by every store append/compact/refresh entry point.
@@ -81,7 +97,7 @@ object Versioned {
     */
   def withWriterLease[T](path: String, ttlMs: Long = LeaseTtlMs)(body: => T): T = {
     val dir = new java.io.File(path)
-    dir.mkdirs()
+    Option(dir.getParentFile).foreach(_.mkdirs()) // lease is a SIBLING file
     val canonical = dir.getCanonicalPath
     val lock = jvmLocks.computeIfAbsent(canonical,
       _ => new java.util.concurrent.locks.ReentrantLock())
@@ -92,31 +108,31 @@ object Versioned {
           s"artifact $canonical already has an active writer in this process " +
             "(Versioned single-writer contract): serialize maintenance calls")
       try {
-        acquireFileLease(canonical, ttlMs)
+        // `owned` tracks the exact content of OUR current lease incarnation
+        // — renewal and release only ever touch the file while it still
+        // holds that content, so neither can clobber a successor's lease
+        // after a pathological takeover.
+        val owned = new java.util.concurrent.atomic.AtomicReference[String](
+          acquireFileLease(canonical, ttlMs))
         // HEARTBEAT: a healthy writer renews its expiry every ttl/3, so a
         // maintenance job that legitimately outlives the TTL (a retrain is
         // an hours-long rebuild at scale) is never taken over mid-write —
         // expiry-based takeover remains strictly a crashed-writer path.
-        // Renewal is an atomic replace (tmp + ATOMIC_MOVE): a concurrent
-        // contender never sees a torn lease it would misread as expired.
         // Every tick's file mutation runs under `tickLock`, and release
-        // sets the flag under the SAME lock before deleting — so an
+        // clears `owned` under the SAME lock before deleting — an
         // in-flight renewal either completes before the delete (and its
-        // write is removed by it) or observes the flag and does nothing.
-        // No straggler can resurrect a released lease or clobber a
-        // successor's.
-        val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // write is removed by it) or observes the cleared state and does
+        // nothing. No straggler can resurrect a released lease.
         val tickLock = new Object
         val period = math.max(50L, ttlMs / 3)
         val renewal = renewScheduler.scheduleAtFixedRate(
-          () => tickLock.synchronized {
-            if (!released.get()) renewLease(canonical, ttlMs)
-          },
+          () => tickLock.synchronized { renewLease(canonical, ttlMs, owned) },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
         try body finally {
-          tickLock.synchronized { released.set(true) }
           renewal.cancel(false)
-          releaseFileLease(canonical)
+          tickLock.synchronized {
+            releaseFileLease(canonical, owned.getAndSet(null))
+          }
         }
       } finally lock.unlock()
     }
@@ -133,59 +149,108 @@ object Versioned {
         t
       })
 
-  private def renewLease(canonical: String, ttlMs: Long): Unit =
+  /** Renew OUR lease incarnation: only while the file still carries the
+    * exact content we last wrote (a successor that legitimately took over
+    * after a pathological stall must not have its lease stolen back), via
+    * atomic tmp+MOVE replace (a contender never sees a torn lease).
+    */
+  private def renewLease(canonical: String, ttlMs: Long,
+                         owned: java.util.concurrent.atomic.AtomicReference[String]): Unit =
     try {
-      val content =
-        s"${ProcessHandle.current().pid()} ${System.currentTimeMillis() + ttlMs}"
-      val tmp = new java.io.File(canonical, s"WRITER.LEASE.tmp-${System.nanoTime()}")
-      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, leaseFile(canonical).toPath,
+      val mine = owned.get()
+      if (mine == null) return
+      val f = leaseFile(canonical)
+      val current = try java.nio.file.Files.readString(f.toPath)
+                    catch { case _: Exception => null }
+      if (current != mine) {
+        System.err.println(s"[graft] writer lease for $canonical was lost " +
+          "(taken over after a stall?): stopping renewal for this holder")
+        owned.set(null)
+        return
+      }
+      val next = s"$selfId ${System.currentTimeMillis() + ttlMs}"
+      val tmp = new java.io.File(canonical + s".WRITER.LEASE.tmp-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, next.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      owned.set(next)
     } catch { case _: Exception => () } // next tick retries; expiry has slack
 
-  private def acquireFileLease(canonical: String, ttlMs: Long): Unit = {
+  /** Create-exclusive acquisition; returns the lease content we wrote.
+    *
+    * - Claim = CREATE_NEW (O_EXCL — the one truly atomic filesystem
+    *   arbitration primitive) followed by the content write. A contender
+    *   that reads the file in the sub-millisecond window before the
+    *   content lands sees an UNPARSEABLE lease and judges it by file AGE,
+    *   not as expired: younger than the TTL → active writer (loud
+    *   refusal); older → genuinely torn garbage from a crash → takeover.
+    * - Takeover of an expired lease is arbitrated by an atomic RENAME to a
+    *   unique retire-name: exactly one contender's move succeeds (rename
+    *   of a vanished source fails), so two takeover racers can never both
+    *   proceed — the old delete-then-create dance let the slower racer
+    *   delete the winner's FRESH lease.
+    */
+  private def acquireFileLease(canonical: String, ttlMs: Long): String = {
     val f = leaseFile(canonical)
-    val content = s"${ProcessHandle.current().pid()} ${System.currentTimeMillis() + ttlMs}"
-    try
-      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val (pid, expiry) =
-          try {
-            val Array(p, e) =
-              java.nio.file.Files.readString(f.toPath).trim.split(" ")
-            (p.toLong, e.toLong)
-          } catch { // unreadable/torn lease: treat as expired
-            case _: Exception => (-1L, 0L)
-          }
-        val self = ProcessHandle.current().pid()
-        // an unexpired foreign lease is an ACTIVE writer; our own pid here
-        // means a crashed-and-restarted maintenance thread of this very
-        // process (the JVM lock was free) — both stale cases take over
-        if (expiry >= System.currentTimeMillis() && pid != self)
-          throw new ConcurrentWriterException(
-            s"artifact $canonical has an active writer lease (pid $pid, " +
-              s"expires ${new java.util.Date(expiry)}): Versioned " +
-              "single-writer contract — a second concurrent appender would " +
-              "double-insert against the same base snapshot")
-        java.nio.file.Files.deleteIfExists(f.toPath)
-        // the loser of a takeover race hits CREATE_NEW failure and throws
-        try
-          java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new ConcurrentWriterException(
-              s"artifact $canonical: lost the takeover race for an expired " +
-                "writer lease to another process")
-        }
+    val content = s"$selfId ${System.currentTimeMillis() + ttlMs}"
+    def claim(): Boolean =
+      try {
+        java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (claim()) return content
+    val (id, expiry, parsed) =
+      try {
+        val Array(p, e) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
+        (p, e.toLong, true)
+      } catch { case _: Exception => ("?", 0L, false) }
+    val now = System.currentTimeMillis()
+    val active =
+      if (parsed) expiry >= now && id != selfId
+      else { // torn/in-flight content: judge by file age, never assume expired
+        val age = try now - java.nio.file.Files
+          .getLastModifiedTime(f.toPath).toMillis
+        catch { case _: Exception => Long.MaxValue } // vanished: retry below
+        age <= ttlMs && age >= 0
+      }
+    if (active)
+      throw new ConcurrentWriterException(
+        s"artifact $canonical has an active writer lease ($id, " +
+          s"expires ${new java.util.Date(expiry)}): Versioned " +
+          "single-writer contract — a second concurrent appender would " +
+          "double-insert against the same base snapshot")
+    // expired (or ancient torn garbage): atomically retire THIS incarnation
+    val retired = new java.io.File(
+      canonical + s".WRITER.LEASE.retired-${System.nanoTime()}")
+    try {
+      java.nio.file.Files.move(f.toPath, retired.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.deleteIfExists(retired.toPath)
+    } catch {
+      case _: Exception =>
+        throw new ConcurrentWriterException(
+          s"artifact $canonical: lost the takeover race for an expired " +
+            "writer lease to another process")
     }
+    if (claim()) content
+    else throw new ConcurrentWriterException(
+      s"artifact $canonical: another writer claimed the lease immediately " +
+        "after the expired one was retired")
   }
 
-  private def releaseFileLease(canonical: String): Unit =
-    java.nio.file.Files.deleteIfExists(leaseFile(canonical).toPath)
+  /** Delete the lease only while it still carries OUR content — release
+    * after a pathological takeover must not remove the successor's lease.
+    */
+  private def releaseFileLease(canonical: String, mine: String): Unit =
+    try {
+      if (mine == null) return
+      val f = leaseFile(canonical)
+      val current = try java.nio.file.Files.readString(f.toPath)
+                    catch { case _: Exception => null }
+      if (current == mine) java.nio.file.Files.deleteIfExists(f.toPath)
+    } catch { case _: Exception => () } // expiry reclaims a leaked lease
 
   private def pointerFile(path: String, name: String) =
     new java.io.File(path, s"$name.CURRENT")

@@ -119,6 +119,28 @@ object StreamingOps {
     * streaming queries on the same session should not interleave with
     * this harness.
     */
+  /** Bounded retry for sink maintenance calls that can transiently contend
+    * with a reader-triggered derived-table repair (the repair legitimately
+    * holds the writer lease for its rebuild pass). For an ingestion sink,
+    * availability across a short conflict beats failing the stream; a
+    * conflict that outlives the retries still fails loudly, and
+    * at-least-once redelivery converges the store on restart.
+    */
+  private def retryOnContention[T](attempts: Int = 3, backoffMs: Long = 500)
+                                  (op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: graft.sources.Versioned.ConcurrentWriterException =>
+          left -= 1
+          if (left <= 0) throw e
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Checkpoint parent for bounded drains: tmpfs when the host has it.
     * Every state-store commit is a write+rename per partition per batch —
     * on the local disk that IO is the drain's floor; on tmpfs it's memory
@@ -383,18 +405,30 @@ object StreamingOps {
             // so per-batch cost stays proportional to batch size instead
             // of paying a full derived refresh per micro-batch.
             val docs = b.select("doc_id", "text")
-            graft.sources.PostingStore.append(sp, s"$indexRoot/postings", docs,
-              deferDerived = true)
-            graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs,
-              deferDerived = true)
-            graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
+            retryOnContention() {
+              graft.sources.PostingStore.append(sp, s"$indexRoot/postings", docs,
+                deferDerived = true)
+            }
+            retryOnContention() {
+              graft.sources.ShingleStore.append(sp, s"$indexRoot/shingles", docs,
+                deferDerived = true)
+            }
+            retryOnContention() {
+              graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
+            }
             // self-scheduling compaction: the sink bounds its own
             // fragmentation across ALL maintained stores (driver-side
             // file-count checks per batch; rewrites run only past the
             // threshold — SCALE.md scheduling)
-            graft.sources.PostingStore.compactIfNeeded(sp, s"$indexRoot/postings")
-            graft.sources.ShingleStore.compactRowsIfNeeded(sp, s"$indexRoot/shingles")
-            graft.sources.MinhashStore.compactIfNeeded(sp, s"$indexRoot/minhash")
+            retryOnContention() {
+              graft.sources.PostingStore.compactIfNeeded(sp, s"$indexRoot/postings")
+            }
+            retryOnContention() {
+              graft.sources.ShingleStore.compactRowsIfNeeded(sp, s"$indexRoot/shingles")
+            }
+            retryOnContention() {
+              graft.sources.MinhashStore.compactIfNeeded(sp, s"$indexRoot/minhash")
+            }
             ()
           } finally b.unpersist()
         }

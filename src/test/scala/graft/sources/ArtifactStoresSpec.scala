@@ -528,37 +528,40 @@ class ArtifactStoresSpec extends SparkTestBase {
       Versioned.withWriterLease(dir) { holding.countDown(); release.await() })
     holder.start()
     holding.await()
-    val loser = intercept[Versioned.ConcurrentWriterException] {
-      ShingleStore.append(spark, dir, b)
-    }
-    assert(loser.getMessage.contains("single-writer") ||
-      loser.getMessage.contains("active writer"))
-    // the refused append left the store EXACTLY as it was
-    assert(ShingleStore.rowsAt(spark, dir).count() ==
-      ShingleStore.shingleRowsOf(a).count())
-    release.countDown(); holder.join()
+    try {
+      val loser = intercept[Versioned.ConcurrentWriterException] {
+        ShingleStore.append(spark, dir, b)
+      }
+      assert(loser.getMessage.contains("single-writer") ||
+        loser.getMessage.contains("active writer"))
+      // the refused append left the store EXACTLY as it was
+      assert(ShingleStore.rowsAt(spark, dir).count() ==
+        ShingleStore.shingleRowsOf(a).count())
+    } finally { release.countDown(); holder.join() }
     // retried after the writer finished: final state == serial execution
     ShingleStore.append(spark, dir, b)
     val serial = ShingleStore.shingleRowsOf(a.union(b))
     val stored = ShingleStore.rowsAt(spark, dir)
     assert(stored.except(serial).isEmpty && serial.except(stored).isEmpty)
-    assert(!new java.io.File(dir, "WRITER.LEASE").exists(),
+    assert(!new java.io.File(
+        new java.io.File(dir).getCanonicalPath + ".WRITER.LEASE").exists(),
       "lease must be released after append")
   }
 
   test("writer lease: unexpired foreign lease refused; expired lease taken over") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lease2").toString + "/st"
     new java.io.File(dir).mkdirs()
-    val lease = new java.io.File(dir, "WRITER.LEASE")
+    val lease = new java.io.File(
+      new java.io.File(dir).getCanonicalPath + ".WRITER.LEASE")
     // another process's ACTIVE lease (foreign pid, future expiry) → loud no
     java.nio.file.Files.writeString(lease.toPath,
-      s"${ProcessHandle.current().pid() + 999999} ${System.currentTimeMillis() + 600000}")
+      s"otherhost:4242 ${System.currentTimeMillis() + 600000}")
     intercept[Versioned.ConcurrentWriterException] {
       Versioned.withWriterLease(dir) { fail("body must not run under a foreign lease") }
     }
     // a crashed writer's EXPIRED lease → takeover, body runs, lease cleaned
     java.nio.file.Files.writeString(lease.toPath,
-      s"${ProcessHandle.current().pid() + 999999} ${System.currentTimeMillis() - 1000}")
+      s"otherhost:4242 ${System.currentTimeMillis() - 1000}")
     var ran = false
     Versioned.withWriterLease(dir) { ran = true }
     assert(ran && !lease.exists())
@@ -572,7 +575,8 @@ class ArtifactStoresSpec extends SparkTestBase {
 
   test("writer lease heartbeat: a long-running holder renews past its TTL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lease3").toString + "/st"
-    val lease = new java.io.File(dir, "WRITER.LEASE")
+    val lease = new java.io.File(
+      new java.io.File(dir).getCanonicalPath + ".WRITER.LEASE")
     def expiry(): Long =
       java.nio.file.Files.readString(lease.toPath).trim.split(" ")(1).toLong
     // ttl 300 ms, body runs 1 s: without the heartbeat the lease would be
