@@ -43,6 +43,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→timestamp interprets wall-clock in the SESSION timezone; pin
+        // it here (like nanosAsLong above) so library callers on a non-UTC
+        // JVM get the same instants as the nanos path and the oracle —
+        // Verify/Bench set it too, but loadEvents must not depend on that
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }

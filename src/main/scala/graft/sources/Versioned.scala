@@ -70,8 +70,13 @@ object Versioned {
   // mkdirs would make PhysicalLayout.ensureDir's atomic rename publication
   // fail spuriously against a half-created target), and the lease survives
   // whole-directory rewrites.
-  private def leaseFile(canonical: String) =
-    new java.io.File(canonical + ".WRITER.LEASE")
+  private def leasePath(canonical: String) = canonical + ".WRITER.LEASE"
+
+  /** Arbitration backend for lease mutations ([[LeaseBackend]]). POSIX
+    * file-lock CAS by default; swap for an object-store backend (S3
+    * conditional-put) or an in-memory one in protocol drills.
+    */
+  @volatile var leaseBackend: LeaseBackend = PosixLeaseBackend
 
   /** Writer identity: host + pid. Pid alone is NOT an identity on shared
     * storage — pid spaces wrap per host, and a cross-host collision would
@@ -138,118 +143,104 @@ object Versioned {
     }
   }
 
-  // ONE shared daemon scheduler for every lease heartbeat in the process —
-  // per-acquisition executors would create and tear down a thread for every
-  // sub-second store append in a streaming sink
-  private lazy val renewScheduler: java.util.concurrent.ScheduledExecutorService =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+  // SMALL POOL of daemon threads shared by every lease heartbeat in the
+  // process — per-acquisition executors would create and tear down a thread
+  // for every sub-second store append in a streaming sink, while a SINGLE
+  // shared thread doing blocking file I/O would let one renewal hung on
+  // stalled storage (NFS stall) delay every other held lease's heartbeat
+  // past its TTL, turning healthy concurrent writers into takeover victims.
+  private lazy val renewScheduler: java.util.concurrent.ScheduledExecutorService = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newScheduledThreadPool(4,
       (r: Runnable) => {
-        val t = new Thread(r, "graft-lease-renew")
+        val t = new Thread(r, s"graft-lease-renew-${n.incrementAndGet()}")
         t.setDaemon(true)
         t
       })
+  }
 
-  /** Renew OUR lease incarnation: only while the file still carries the
-    * exact content we last wrote (a successor that legitimately took over
-    * after a pathological stall must not have its lease stolen back), via
-    * atomic tmp+MOVE replace (a contender never sees a torn lease).
+  /** Renew OUR lease incarnation via one backend CAS: the compare (file
+    * still carries the exact content we last wrote) and the write are a
+    * single linearizable step, so a holder stalled between heartbeats can
+    * never land a renewal on top of a successor's fresh lease — the old
+    * read-compare-then-move shape had exactly that window. A failed CAS
+    * means the lease was legitimately taken over after a stall: stop
+    * renewing, flag the holder.
     */
-  private def renewLease(canonical: String, ttlMs: Long,
+  private[sources] def renewLease(canonical: String, ttlMs: Long,
                          owned: java.util.concurrent.atomic.AtomicReference[String]): Unit =
     try {
       val mine = owned.get()
       if (mine == null) return
-      val f = leaseFile(canonical)
-      val current = try java.nio.file.Files.readString(f.toPath)
-                    catch { case _: Exception => null }
-      if (current != mine) {
+      val next = s"$selfId ${System.currentTimeMillis() + ttlMs}"
+      if (leaseBackend.replaceIfContent(leasePath(canonical), mine, next))
+        owned.set(next)
+      else {
         System.err.println(s"[graft] writer lease for $canonical was lost " +
           "(taken over after a stall?): stopping renewal for this holder")
         owned.set(null)
-        return
       }
-      val next = s"$selfId ${System.currentTimeMillis() + ttlMs}"
-      val tmp = new java.io.File(canonical + s".WRITER.LEASE.tmp-${System.nanoTime()}")
-      java.nio.file.Files.write(tmp.toPath, next.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      owned.set(next)
-    } catch { case _: Exception => () } // next tick retries; expiry has slack
+    } catch { case _: Exception => () } // transient I/O: next tick retries
 
-  /** Create-exclusive acquisition; returns the lease content we wrote.
+  /** Acquisition; returns the lease content we wrote.
     *
-    * - Claim = CREATE_NEW (O_EXCL — the one truly atomic filesystem
-    *   arbitration primitive) followed by the content write. A contender
-    *   that reads the file in the sub-millisecond window before the
-    *   content lands sees an UNPARSEABLE lease and judges it by file AGE,
-    *   not as expired: younger than the TTL → active writer (loud
-    *   refusal); older → genuinely torn garbage from a crash → takeover.
-    * - Takeover of an expired lease is arbitrated by an atomic RENAME to a
-    *   unique retire-name: exactly one contender's move succeeds (rename
-    *   of a vanished source fails), so two takeover racers can never both
-    *   proceed — the old delete-then-create dance let the slower racer
-    *   delete the winner's FRESH lease.
+    * - Claim = [[LeaseBackend.createIfAbsent]] (O_EXCL under the POSIX
+    *   backend; `If-None-Match: *` under an object-store one).
+    * - An existing lease is judged: parseable + unexpired + foreign →
+    *   active writer, loud refusal. Unparseable (torn garbage from a
+    *   crash mid-claim on a backend whose create isn't content-atomic) →
+    *   judged by AGE: younger than the TTL → active; NEGATIVE age (mtime
+    *   in the future — cross-host clock skew on shared storage) is also
+    *   judged active, so a skewed-clock contender can never retire a
+    *   lease another host created milliseconds ago.
+    * - Takeover of an expired lease is ONE backend CAS (expired content →
+    *   ours): exactly one contender succeeds, and a last-millisecond
+    *   renewal by the old holder changes the content first, failing every
+    *   contender's CAS — the holder keeps its lease.
     */
-  private def acquireFileLease(canonical: String, ttlMs: Long): String = {
-    val f = leaseFile(canonical)
+  private[sources] def acquireFileLease(canonical: String, ttlMs: Long): String = {
+    val path = leasePath(canonical)
     val content = s"$selfId ${System.currentTimeMillis() + ttlMs}"
-    def claim(): Boolean =
-      try {
-        java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (claim()) return content
+    if (leaseBackend.createIfAbsent(path, content)) return content
+    val cur = leaseBackend.read(path) match {
+      case Some(c) => c
+      case None => // vanished between claim and read (holder released): retry once
+        if (leaseBackend.createIfAbsent(path, content)) return content
+        else throw new ConcurrentWriterException(
+          s"artifact $canonical: lost the lease claim race to another writer")
+    }
     val (id, expiry, parsed) =
       try {
-        val Array(p, e) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
+        val Array(p, e) = cur.trim.split(" ")
         (p, e.toLong, true)
       } catch { case _: Exception => ("?", 0L, false) }
     val now = System.currentTimeMillis()
     val active =
       if (parsed) expiry >= now && id != selfId
-      else { // torn/in-flight content: judge by file age, never assume expired
-        val age = try now - java.nio.file.Files
-          .getLastModifiedTime(f.toPath).toMillis
-        catch { case _: Exception => Long.MaxValue } // vanished: retry below
-        age <= ttlMs && age >= 0
-      }
+      else // torn content: judge by age; absent/negative age → conservative
+        leaseBackend.ageMs(path).forall(_ <= ttlMs)
     if (active)
       throw new ConcurrentWriterException(
         s"artifact $canonical has an active writer lease ($id, " +
           s"expires ${new java.util.Date(expiry)}): Versioned " +
           "single-writer contract — a second concurrent appender would " +
           "double-insert against the same base snapshot")
-    // expired (or ancient torn garbage): atomically retire THIS incarnation
-    val retired = new java.io.File(
-      canonical + s".WRITER.LEASE.retired-${System.nanoTime()}")
-    try {
-      java.nio.file.Files.move(f.toPath, retired.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.deleteIfExists(retired.toPath)
-    } catch {
-      case _: Exception =>
-        throw new ConcurrentWriterException(
-          s"artifact $canonical: lost the takeover race for an expired " +
-            "writer lease to another process")
-    }
-    if (claim()) content
+    if (leaseBackend.replaceIfContent(path, cur, content)) content
     else throw new ConcurrentWriterException(
-      s"artifact $canonical: another writer claimed the lease immediately " +
-        "after the expired one was retired")
+      s"artifact $canonical: lost the takeover race for an expired " +
+        "writer lease to another process")
   }
 
-  /** Delete the lease only while it still carries OUR content — release
-    * after a pathological takeover must not remove the successor's lease.
+  /** Delete the lease only while it still carries OUR content (one backend
+    * CAS) — release after a pathological takeover must not remove the
+    * successor's lease, and the compare-and-delete is atomic where the old
+    * read-then-delete was not.
     */
-  private def releaseFileLease(canonical: String, mine: String): Unit =
+  private[sources] def releaseFileLease(canonical: String, mine: String): Unit =
     try {
       if (mine == null) return
-      val f = leaseFile(canonical)
-      val current = try java.nio.file.Files.readString(f.toPath)
-                    catch { case _: Exception => null }
-      if (current == mine) java.nio.file.Files.deleteIfExists(f.toPath)
+      leaseBackend.deleteIfContent(leasePath(canonical), mine)
+      ()
     } catch { case _: Exception => () } // expiry reclaims a leaked lease
 
   private def pointerFile(path: String, name: String) =

@@ -532,9 +532,16 @@ object StreamingOps {
               // first ingest creates the index (train on the first batch —
               // the bounded driver-side sample the IVF contract documents)
               // and stamps the drift baseline the retrain check consumes
-              graft.sources.VectorIndexStore.buildIvfAt(sp, ivfPath, vecs)
+              retryOnContention() {
+                graft.sources.VectorIndexStore.buildIvfAt(sp, ivfPath, vecs)
+              }
             } else {
-              graft.sources.VectorIndexStore.appendIvf(sp, ivfPath, vecs)
+              // lease contention (external maintenance holding the writer
+              // lease) gets the same bounded retry as the keyword-store
+              // sink — ConcurrentWriterException must not kill the stream
+              retryOnContention() {
+                graft.sources.VectorIndexStore.appendIvf(sp, ivfPath, vecs)
+              }
               // close the watermark loop: when appended batches have
               // drifted past the build-time baseline, retrain + re-gate +
               // atomic pointer swap (below threshold this costs one read
@@ -543,7 +550,9 @@ object StreamingOps {
               // recall gate must NOT kill ingestion: the stale-but-valid
               // geometry keeps serving and the failure surfaces as an
               // operator alert (the direct API still throws).
-              try graft.sources.VectorIndexStore.retrainIvfIfNeeded(sp, ivfPath)
+              try retryOnContention() {
+                graft.sources.VectorIndexStore.retrainIvfIfNeeded(sp, ivfPath)
+              }
               catch {
                 case e: graft.sources.VectorIndexStore.RetrainRecallGateFailed =>
                   System.err.println(s"[graft] retrain skipped: ${e.getMessage}")
