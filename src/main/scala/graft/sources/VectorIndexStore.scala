@@ -211,13 +211,12 @@ object VectorIndexStore {
   private def logWatermark(spark: SparkSession, path: String,
                            stats: org.apache.spark.sql.DataFrame): (Long, Double) = {
     import spark.implicits._
+    // fs existence check, not exception-driven control flow: an expected
+    // missing path surfaced as ERROR-level listener noise on every first
+    // append when probed by catching PATH_NOT_FOUND
     val seq =
-      try spark.read.parquet(s"$path/qerr").count()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" => 0L
-        case _: java.io.FileNotFoundException => 0L
-      }
+      if (!new java.io.File(path, "qerr").exists()) 0L
+      else spark.read.parquet(s"$path/qerr").count()
     val (n, mean) = stats
       .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
         org.apache.spark.sql.functions.col("mean_sq_err").cast("double"))
@@ -266,17 +265,12 @@ object VectorIndexStore {
     */
   def driftFactor(spark: SparkSession, path: String): Option[Double] = {
     import spark.implicits._
-    val rows =
-      try spark.read.parquet(s"$path/qerr")
-        .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
-          org.apache.spark.sql.functions.col("mean_sq_err").cast("double"),
-          org.apache.spark.sql.functions.col("append_seq").cast("long"))
-        .as[(Long, Double, Long)].collect().sortBy(_._3)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" => return None
-        case _: java.io.FileNotFoundException => return None
-      }
+    if (!new java.io.File(path, "qerr").exists()) return None // no appends yet
+    val rows = spark.read.parquet(s"$path/qerr")
+      .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
+        org.apache.spark.sql.functions.col("mean_sq_err").cast("double"),
+        org.apache.spark.sql.functions.col("append_seq").cast("long"))
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
     if (rows.isEmpty) return None
     val (baseMean, fromSeq) = readBaseline(path).getOrElse {
       val first = rows.head

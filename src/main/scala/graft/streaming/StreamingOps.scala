@@ -141,6 +141,16 @@ object StreamingOps {
     throw new IllegalStateException("unreachable")
   }
 
+  /** First-batch store probe: fs existence check, not exception-driven
+    * control flow (an expected PATH_NOT_FOUND surfaces as ERROR-level
+    * listener noise on every sink's first micro-batch). Any read failure
+    * on an EXISTING path still propagates — treating it as "absent" would
+    * re-append rows the store already holds and silently break
+    * first-arrival semantics.
+    */
+  private def parquetIfExists(sp: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(path).exists()) Some(sp.read.parquet(path)) else None
+
   /** Checkpoint parent for bounded drains: tmpfs when the host has it.
     * Every state-store commit is a write+rename per partition per batch —
     * on the local disk that IO is the drain's floor; on tmpfs it's memory
@@ -299,16 +309,9 @@ object StreamingOps {
           val sp = batch.sparkSession
           val dedup = graft.operators.Ingest
             .dedupExactDeterministic(batch.toDF(), Seq("doc_key"))
-          // first batch only: the store does not exist yet. Any OTHER read
-          // failure (corrupt store, IO error) must propagate — treating it
-          // as "absent" would re-append rows whose hash the store already
-          // holds and silently break first-arrival semantics.
+          // first batch only: the store does not exist yet
           val existingKeys =
-            try Some(sp.read.parquet(targetPath).select("text_hash").distinct())
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getErrorClass == "PATH_NOT_FOUND" => None
-            }
+            parquetIfExists(sp, targetPath).map(_.select("text_hash").distinct())
           val fresh = existingKeys match {
             case Some(ex) => dedup.join(ex, Seq("text_hash"), "left_anti")
             case None => dedup
@@ -386,11 +389,7 @@ object StreamingOps {
             val dedup = graft.operators.Ingest.dedupExactDeterministic(
               b.select("doc_key", "text_hash", "n_chars_norm"), Seq("doc_key"))
             val existingKeys =
-              try Some(sp.read.parquet(targetPath).select("text_hash").distinct())
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getErrorClass == "PATH_NOT_FOUND" => None
-              }
+              parquetIfExists(sp, targetPath).map(_.select("text_hash").distinct())
             val freshRows = existingKeys match {
               case Some(ex) => dedup.join(ex, Seq("text_hash"), "left_anti")
               case None => dedup
@@ -495,11 +494,7 @@ object StreamingOps {
           try {
             // (a) sparse embedding store, keyed on its own ids
             val existing =
-              try Some(sp.read.parquet(storePath).select("doc_id").distinct())
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getErrorClass == "PATH_NOT_FOUND" => None
-              }
+              parquetIfExists(sp, storePath).map(_.select("doc_id").distinct())
             val freshSparse = existing match {
               case Some(ex) => b.join(ex, Seq("doc_id"), "left_anti")
               case None => b
@@ -583,12 +578,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        val existingKeys =
-          try sp.read.parquet(targetPath).select(keyCol).distinct()
-          catch { case _: Throwable => null }
-        val fresh =
-          if (existingKeys == null) batch.dropDuplicates(keyCol)
-          else batch.dropDuplicates(keyCol).join(existingKeys, Seq(keyCol), "left_anti")
+        val existingKeys = parquetIfExists(sp, targetPath).map(_.select(keyCol).distinct())
+        val fresh = existingKeys match {
+          case None => batch.dropDuplicates(keyCol)
+          case Some(ex) => batch.dropDuplicates(keyCol).join(ex, Seq(keyCol), "left_anti")
+        }
         fresh.write.mode("append").parquet(targetPath)
       }
       .start()
