@@ -56,6 +56,50 @@ object AnnEval {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
   }
 
+  /** Hash-stratified ORACLE-RECOMPUTABLE panel: the `maxPanel` rows with
+    * the smallest `md5(vec_id-as-string)` (vec_id tie-break). Same sampling
+    * idea as [[rowPanel]], but the ordering key is md5 of the decimal id
+    * string, which ANSI SQL engines compute identically
+    * (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT P` in DuckDB) —
+    * so panel MEMBERSHIP itself can be re-derived inside a correctness
+    * oracle, making panel-restricted exact quantities hash-checkable.
+    * Plan: distributed partial top-k (TakeOrderedAndProject) + a P-row
+    * collect — safe at any corpus size.
+    */
+  def md5Panel(corpus: DataFrame, maxPanel: Int): Seq[(Long, Seq[Float])] = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxPanel)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** Exact cosine near-dup pairs ANCHORED on a fixed panel: canonical
+    * (id_a < id_b) pairs with `sim > tau` where AT LEAST ONE endpoint is a
+    * panel member. This is the 100×-runnable grading baseline that replaces
+    * a full Θ(n²) exact pair computation inside declared queries: work is
+    * |panel|·n distance evaluations — LINEAR in corpus size with the panel
+    * held constant — executed as one broadcast of the P-row panel frame
+    * against a single corpus scan (the [[exactTopK]] layout). Pairs with
+    * both endpoints in the panel are produced from both sides and collapsed
+    * by the canonicalizing distinct. With a [[md5Panel]] panel the result
+    * is recomputable verbatim in the DuckDB oracle, so anchored pair/drop
+    * counts are hash-gated rather than taken on faith.
+    */
+  def panelAnchoredPairs(corpus: DataFrame, panel: Seq[(Long, Seq[Float])],
+                         tau: Double): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val panelDf = broadcast(panel.toDF("pid", "pemb"))
+    corpus.crossJoin(panelDf)
+      .filter(col("vec_id") =!= col("pid"))
+      .filter(graft.expressions.GraftFunctions.cosine_sim(
+        col("embedding"), col("pemb")) > tau)
+      .select(least(col("pid"), col("vec_id")).as("id_a"),
+        greatest(col("pid"), col("vec_id")).as("id_b"))
+      .distinct()
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rn", row_number().over(

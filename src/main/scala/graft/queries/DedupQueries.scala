@@ -63,11 +63,12 @@ object DedupQueries extends QuerySet {
       graft.sources.MinhashStore.bands(s, d),
       graft.sources.MinhashStore.shingleSets(s, d), threshold = 0.5)
 
-  /** The exact cosine near-dup drop set over funnel survivors — ONE
-    * definition of the `cp`/`sd` CTE pair both funnel oracles (x11/x14)
-    * embed, with the threshold interpolated from the SAME constant the
-    * Spark side passes to SemDedup.cellPairs (VectorQueries.SemDedupTau):
-    * a threshold change now updates every consumer or none.
+  /** The exact cosine near-dup drop set over funnel survivors — the
+    * `cp`/`sd` CTE pair x11's oracle embeds (x14's oracle restricts to the
+    * panel-anchored pair set instead), with the threshold interpolated
+    * from the SAME constant the Spark side passes to SemDedup.cellPairs
+    * (VectorQueries.SemDedupTau): a threshold change now updates every
+    * consumer or none.
     */
   private val semanticDropSql: String =
     s"""cp AS (SELECT a.vec_id AS da, b.vec_id AS db
@@ -85,7 +86,7 @@ object DedupQueries extends QuerySet {
     * counted — without it the four stage counts re-run the whole upstream
     * lineage once per action (4.2 s → ~2 s at sf0.1).
     */
-  private def funnelStages(s: SparkSession, d: String)
+  private[queries] def funnelStages(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("gnorm"))
     val gtk = docs.select(col("doc_id"),
@@ -131,14 +132,23 @@ object DedupQueries extends QuerySet {
        |s3 AS (SELECT doc_id FROM s2
        |  WHERE doc_id NOT IN (SELECT doc_id FROM jd))""".stripMargin
 
-  /** x14's pair-recall floor for the IVF-cell semantic stage RESTRICTED to
-    * funnel survivors — same discipline as v18's SemDedupRecallFloor
-    * (measured recall with ≥1.5× margin under the cross-SF minimum).
-    * Measured restricted-pair recall at assignK=3: 1.0 (sf0.01) / 0.875
-    * (sf0.1) — the s3 restriction only removes pairs, and cell-blocking
-    * recovers the survivors' pairs at the same rate as the full set.
+  /** x14's pair-recall floor for the IVF-cell semantic stage over the
+    * PANEL-ANCHORED pair set RESTRICTED to funnel survivors — same
+    * discipline as v18's SemDedupPanelRecallFloor (measured recall with
+    * ≥1.5× margin under the cross-SF minimum). Measured anchored+restricted
+    * recall at assignK=3: 1.0 (1/1, sf0.01) / 0.75 (6/8, sf0.1); the
+    * anchored exact counts match DuckDB's independent recompute at both
+    * SFs, so panel membership provably agrees across engines.
     */
-  private val FunnelSemRecallFloor = 0.55
+  private val FunnelSemRecallFloor = 0.5
+
+  /** x11's corpus-size cap on the exact semantic stage: below this many
+    * documents the blocked exact pair computation (~n²/2 distance evals
+    * sharded as bounded-memory tasks — ≤ 5·10⁹ evals at the cap, a few
+    * cluster-minutes) runs and every stage count is bit-exact oracle-able;
+    * above it the stage is served from the persisted IVF artifact (x14's
+    * production path) and `semantic_mode` records the switch. */
+  private val ExactSemanticCap = 100000L
 
   /** [[exactJaccardPairsSql]] with a doc filter pushed into the base CTE —
     * the oracle side of probes over PARTIAL corpora (s14's streamed-store
@@ -579,20 +589,41 @@ object DedupQueries extends QuerySet {
     // The whole curation pipeline composed end-to-end: Gopher gates (g01
     // semantics) → exact-hash dedup (d04 keep-lowest-id) → MinHash-LSH
     // near-dup served from the PERSISTED band/set store (x03 semantics,
-    // exact at this corpus's duplicate band) → exact-cosine semantic dedup
-    // (v03 block-grid). This is the fully-ORACLE-ABLE baseline: its stage 4
-    // is deliberately the Θ(n²) exact computation so every stage count
-    // hash-matches DuckDB; the PRODUCTION funnel — stage 4 served from the
-    // persisted IVF artifact, no Θ(n²) anywhere — is x14 below.
+    // exact at this corpus's duplicate band) → exact-cosine semantic dedup.
+    // This is the fully-ORACLE-ABLE baseline: its stage 4 is deliberately
+    // the exact computation so every stage count hash-matches DuckDB — but
+    // the exact mode is CORPUS-SIZE-CAPPED: above ExactSemanticCap docs
+    // the query switches stage 4 to the persisted-IVF cell path (x14's
+    // production stage) instead of attempting Θ(n²) work, and the
+    // `semantic_mode` column records which mode ran — so the DECLARED
+    // query is runnable at any corpus size while remaining bit-exact
+    // oracle-able at every size where exact is tractable (the driver SFs
+    // are far below the cap, so the oracle pins mode = 'exact').
     // Near-dup/semantic stages use the one-pass drop policy
     // (drop iff a LOWER-id partner exists in the PRE-stage surviving set
     // — SemDedup.dropped's rule: deterministic, fixpoint-free). The
     // funnel proves the operators compose: the oracle recomputes all four
     // stages from scratch in DuckDB and the cumulative counts hash-match.
+    // The PRODUCTION funnel — stage 4 ALWAYS served from the persisted
+    // IVF artifact, panel-anchored grading, no Θ(n²) anywhere — is x14.
     Q("x11_curation_funnel",
       (s, d) => {
         val (nTotal, s1, s2, s3) = funnelStages(s, d)
-        val sdrop = VectorQueries.cosineNearDupPairs(s, d)
+        val (pairSrc, mode) =
+          if (nTotal <= ExactSemanticCap)
+            (VectorQueries.cosineNearDupPairs(s, d).select("id_a", "id_b"),
+              "exact")
+          else {
+            val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+            (graft.operators.SemDedup.cellPairs(
+                graft.operators.SemDedup.multiAssign(
+                  graft.operators.IvfIndex.loadVectors(s, ivfPath),
+                  graft.operators.IvfIndex.loadModel(s, ivfPath),
+                  VectorQueries.SemDedupAssignK),
+                tau = VectorQueries.SemDedupTau).select("id_a", "id_b"),
+              "ivf")
+          }
+        val sdrop = pairSrc
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
           .join(s3.select(col("doc_id").as("id_b")), "id_b")
           .select(col("id_b").as("doc_id")).distinct()
@@ -602,7 +633,7 @@ object DedupQueries extends QuerySet {
         s.range(1).select(
           lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
           lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
-          lit(c4).as("after_semantic"))
+          lit(c4).as("after_semantic"), lit(mode).as("semantic_mode"))
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,
@@ -612,25 +643,30 @@ object DedupQueries extends QuerySet {
         | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3
-        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic""".stripMargin)),
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic,
+        | 'exact' AS semantic_mode""".stripMargin)),
 
     // THE PRODUCTION CURATION FUNNEL — x11 with its one scale-killer
     // replaced: stage 4 is served from the PERSISTED IVF artifact
     // (SemDedup.cellPairs over multiAssign(assignK=3), v18's path) instead
     // of the Θ(n²) exact block-grid, so no stage of the composed pipeline
-    // exceeds Σ_cells(n_c)² work at any corpus size. Graded v18-style:
-    // stages 1–3 and the EXACT stage-4 outcome are hash-checked against
-    // DuckDB's from-scratch recompute, and the approximate stage is pinned
-    // by three deterministic gates — `pair_recall_ok` (within-cell pairs
-    // restricted to funnel survivors recover ≥ FunnelSemRecallFloor of the
-    // exact restricted pair set), `drop_subset_ok` (IVF drops ⊆ exact
-    // drops — cosine is exact within cells, so a violation means a broken
-    // pair generator), and `survivors_ok` (the production survivor count
-    // is bounded by [exact survivors, after_neardup] — implied by the
-    // subset property, asserted independently). The engine-side exact
-    // recompute exists ONLY as the grading baseline (v18 pattern); the
-    // production output is s4 from the artifact path. Ref lineage:
-    // dedup-before-store, db_utils.py:135-146.
+    // exceeds Σ_cells(n_c)² work at any corpus size.
+    //
+    // GRADING IS PANEL-ANCHORED (v18's pattern): the engine-side exact
+    // baseline is AnnEval.panelAnchoredPairs over the fixed md5Panel,
+    // restricted to funnel survivors — |panel|·n work, linear in corpus
+    // size, so the DECLARED QUERY ITSELF is 100×-runnable; the full
+    // all-pairs recompute lives only in the DuckDB oracle's independent
+    // panel restriction. Stages 1–3 AND the anchored exact pair/drop
+    // counts are hash-checked; the approximate stage is pinned by three
+    // deterministic gates — `pair_recall_ok` (panel-anchored within-cell
+    // pairs over survivors recover ≥ FunnelSemRecallFloor of the anchored
+    // exact restricted pair set), `drop_subset_ok` (anchored IVF drops ⊆
+    // anchored exact drops — cosine is exact within cells, so a violation
+    // means a broken pair generator), and `survivors_ok` (the production
+    // survivor count is internally consistent with the drop set and
+    // bounded by after_neardup). The production output is s4 from the
+    // artifact path. Ref lineage: dedup-before-store, db_utils.py:135-146.
     Q("x14_funnel_ivf_semantic",
       (s, d) => {
         val (nTotal, s1, s2, s3) = funnelStages(s, d)
@@ -638,7 +674,8 @@ object DedupQueries extends QuerySet {
         val vectors = graft.operators.IvfIndex.loadVectors(s, ivfPath)
         val model = graft.operators.IvfIndex.loadModel(s, ivfPath)
         val cellPairs = graft.operators.SemDedup.cellPairs(
-            graft.operators.SemDedup.multiAssign(vectors, model, assignK = 3),
+            graft.operators.SemDedup.multiAssign(vectors, model,
+              VectorQueries.SemDedupAssignK),
             tau = VectorQueries.SemDedupTau)
           .select("id_a", "id_b")
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
@@ -647,40 +684,60 @@ object DedupQueries extends QuerySet {
         val ivfDrop = cellPairs.select(col("id_b").as("doc_id")).distinct()
           .graftCheckpoint()
         val s4 = s3.join(ivfDrop, Seq("doc_id"), "left_anti")
-        // grading baseline (v18 pattern): the exact pair set restricted to
-        // the same survivors — what DuckDB recomputes independently
-        val exactPairs = VectorQueries.cosineNearDupPairs(s, d)
-          .select("id_a", "id_b")
+        // grading baseline (v18 pattern): panel-anchored exact pairs
+        // restricted to the same survivors — what DuckDB recomputes
+        // independently from its own md5-ordered panel
+        val emb = t(s, d, "embeddings")
+        val panel = graft.operators.AnnEval.md5Panel(
+          emb, VectorQueries.ExactPanelSize)
+        val panelIds = panel.map(_._1)
+        val exactPairs = graft.operators.AnnEval.panelAnchoredPairs(
+            emb, panel, VectorQueries.SemDedupTau)
           .join(s3.select(col("doc_id").as("id_a")), "id_a")
           .join(s3.select(col("doc_id").as("id_b")), "id_b")
           .graftCheckpoint()
         val exactDrop = exactPairs.select(col("id_b").as("doc_id")).distinct()
           .graftCheckpoint()
+        val cellAnchored = cellPairs.filter(
+          col("id_a").isin(panelIds: _*) || col("id_b").isin(panelIds: _*))
+        val ivfDropAnchored = cellAnchored.select(col("id_b").as("doc_id"))
+          .distinct()
         val c1 = s1.count(); val c2 = s2.count(); val c3 = s3.count()
         val c4ivf = s4.count()
-        val c4exact = c3 - exactDrop.count()
-        val nCellPairs = cellPairs.count()
-        val nExactPairs = exactPairs.count()
-        val escaped = ivfDrop.join(exactDrop, Seq("doc_id"), "left_anti").count()
+        val nIvfDrop = ivfDrop.count()
+        val nCellAnchored = cellAnchored.count()
+        val nPanelPairs = exactPairs.count()
+        val nPanelDropped = exactDrop.count()
+        val escaped = ivfDropAnchored.join(exactDrop, Seq("doc_id"), "left_anti")
+          .count()
         s.range(1).select(
           lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
           lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
-          lit(c4exact).as("after_semantic_exact"),
-          (lit(nCellPairs) >= lit(nExactPairs * FunnelSemRecallFloor))
+          lit(nPanelPairs).as("panel_pairs_exact"),
+          lit(nPanelDropped).as("panel_dropped_exact"),
+          (lit(nCellAnchored) >= lit(nPanelPairs * FunnelSemRecallFloor))
             .cast("int").as("pair_recall_ok"),
           (lit(escaped) === 0).cast("int").as("drop_subset_ok"),
-          (lit(c4ivf) >= lit(c4exact) && lit(c4ivf) <= lit(c3))
+          (lit(c4ivf + nIvfDrop) === lit(c3) && lit(c4ivf) <= lit(c3))
             .cast("int").as("survivors_ok"))
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,
-        |$semanticDropSql
+        |${VectorQueries.exactPanelSql},
+        |pp AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE (a.vec_id IN (SELECT vec_id FROM panel)
+        |      OR b.vec_id IN (SELECT vec_id FROM panel))
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) > ${VectorQueries.SemDedupTau}
+        |    AND a.vec_id IN (SELECT doc_id FROM s3)
+        |    AND b.vec_id IN (SELECT doc_id FROM s3))
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
         | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_gates,
         | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
         | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
-        | (SELECT CAST(count(*) AS BIGINT) FROM s3
-        |    WHERE doc_id NOT IN (SELECT doc_id FROM sd)) AS after_semantic_exact,
+        | (SELECT CAST(count(*) AS BIGINT) FROM pp) AS panel_pairs_exact,
+        | (SELECT CAST(count(DISTINCT db) AS BIGINT) FROM pp) AS panel_dropped_exact,
         | 1 AS pair_recall_ok, 1 AS drop_subset_ok, 1 AS survivors_ok""".stripMargin)),
 
     // Per-document corpus-duplicated n-gram coverage — the "duplicate

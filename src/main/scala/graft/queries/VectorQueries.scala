@@ -524,48 +524,63 @@ object VectorQueries extends QuerySet {
     // only way that survives 100 TB (within-cell pairs, Σ(n_c)² work; the
     // exact v03 block-grid is the Θ(n²) baseline it approximates), with
     // assignK=3 multi-probe assignment closing the cell-boundary recall
-    // hole (SemDedup.multiAssign — measured 0.33→0.85 at sf0.1). The
-    // exact quantities (corpus size, exact pair count, exact drop count
-    // under the same keep-lowest-id policy) are HASH-checked against
-    // DuckDB's own all-pairs recompute; the approximation is graded by two
-    // deterministic gates — `pair_recall_ok` (within-cell pairs recover
-    // >= SemDedupRecallFloor of the exact pair set; seeded k-means, fixed
-    // data → stable per corpus) and `drop_subset_ok` (the cell-blocked
-    // drop set is a SUBSET of the exact drop set — cosine is exact within
-    // cells, so a violation means the pair generator itself is broken).
+    // hole (SemDedup.multiAssign — measured 0.33→0.85 at sf0.1).
+    //
+    // GRADING IS PANEL-ANCHORED, NOT Θ(n²): the exact baseline inside the
+    // engine query is AnnEval.panelAnchoredPairs over a fixed
+    // hash-stratified md5Panel — |panel|·n distance evaluations, linear in
+    // corpus size — so the declared query itself is 100×-runnable (the
+    // full all-pairs recompute exists ONLY in the DuckDB oracle's own
+    // independent panel restriction). Because md5-ordering is computable
+    // identically in SQL, the anchored exact pair/drop counts are
+    // HASH-checked, and the approximation is graded by two deterministic
+    // gates — `pair_recall_ok` (panel-anchored within-cell pairs recover
+    // >= SemDedupPanelRecallFloor of the anchored exact pair set; seeded
+    // k-means, fixed data → stable per corpus) and `drop_subset_ok` (the
+    // anchored cell-blocked drop set is a SUBSET of the anchored exact
+    // drop set — cosine is exact within cells, so a violation means the
+    // pair generator itself is broken).
     Q("v18_semdedup",
       (s, d) => {
         val path = graft.sources.VectorIndexStore.ensureIvf(s, d)
         val vectors = graft.operators.IvfIndex.loadVectors(s, path)
         val model = graft.operators.IvfIndex.loadModel(s, path)
+        val emb = t(s, d, "embeddings")
+        val panel = graft.operators.AnnEval.md5Panel(emb, ExactPanelSize)
+        val panelIds = panel.map(_._1)
         val exactPairs = graft.operators.ScaleOps.checkpointed(
-          cosineNearDupPairs(s, d).select("id_a", "id_b"))
+          graft.operators.AnnEval.panelAnchoredPairs(emb, panel, SemDedupTau))
         val exactDropped = exactPairs.select(col("id_b").as("vec_id")).distinct()
         val cellPairs = graft.operators.ScaleOps.checkpointed(
           graft.operators.SemDedup.cellPairs(
             graft.operators.SemDedup.multiAssign(vectors, model, SemDedupAssignK),
             SemDedupTau))
-        val cellDropped = cellPairs.select(col("id_b").as("vec_id")).distinct()
+        val cellAnchored = cellPairs.filter(
+          col("id_a").isin(panelIds: _*) || col("id_b").isin(panelIds: _*))
+        val cellDropped = cellAnchored.select(col("id_b").as("vec_id")).distinct()
         val nDocs = vectors.count()
-        val nExactPairs = exactPairs.count()
-        val nExactDropped = exactDropped.count()
-        val nCellPairs = cellPairs.count()
+        val nPanelPairs = exactPairs.count()
+        val nPanelDropped = exactDropped.count()
+        val nCellAnchored = cellAnchored.count()
         val escaped = cellDropped.join(exactDropped, Seq("vec_id"), "left_anti").count()
         vectors.sparkSession.range(1).select(
           lit(nDocs).as("n_docs"),
-          lit(nExactPairs).as("n_exact_pairs"),
-          lit(nExactDropped).as("n_exact_dropped"),
-          (lit(nCellPairs) >= lit(nExactPairs * SemDedupRecallFloor)).cast("int")
-            .as("pair_recall_ok"),
+          lit(nPanelPairs).as("n_panel_pairs"),
+          lit(nPanelDropped).as("n_panel_dropped"),
+          (lit(nCellAnchored) >= lit(nPanelPairs * SemDedupPanelRecallFloor))
+            .cast("int").as("pair_recall_ok"),
           (lit(escaped) === 0).cast("int").as("drop_subset_ok"))
       },
-      Some("""WITH pairs AS (
+      Some(s"""WITH $exactPanelSql,
+        |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45)
+        |  WHERE (a.vec_id IN (SELECT vec_id FROM panel)
+        |      OR b.vec_id IN (SELECT vec_id FROM panel))
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > $SemDedupTau)
         |SELECT (SELECT count(*) FROM embeddings) AS n_docs,
-        |       (SELECT count(*) FROM pairs) AS n_exact_pairs,
-        |       (SELECT count(DISTINCT id_b) FROM pairs) AS n_exact_dropped,
+        |       (SELECT count(*) FROM pairs) AS n_panel_pairs,
+        |       (SELECT count(DISTINCT id_b) FROM pairs) AS n_panel_dropped,
         |       1 AS pair_recall_ok, 1 AS drop_subset_ok""".stripMargin)),
 
     // DRIFT-TRIGGERED RETRAIN LIFECYCLE (the consumer of the qerr
@@ -675,13 +690,36 @@ object VectorQueries extends QuerySet {
 
   /** v18: same τ as the exact v03 baseline, so the within-cell pair set is
     * a strict subset of v03's and the oracle can recompute every exact
-    * quantity. Measured pair recall at assignK=3 (sf0.01 / sf0.1):
-    * 1.0 / 0.847 (vs 0.5 / 0.33 single-assignment); floor = 0.55, >= 1.5x
-    * margin under the cross-SF minimum, same discipline as the v17 floors.
+    * quantity. Full-set pair recall at assignK=3 (sf0.01 / sf0.1):
+    * 1.0 / 0.847 (vs 0.5 / 0.33 single-assignment).
     */
   private[queries] val SemDedupTau = 0.45
-  private val SemDedupAssignK = 3
-  private val SemDedupRecallFloor = 0.55
+  private[queries] val SemDedupAssignK = 3
+
+  /** Size of the hash-stratified exact grading panel shared by v18/x14
+    * (AnnEval.md5Panel): FIXED — not a corpus fraction — so the engine-side
+    * exact baseline stays |panel|·n work at any scale. 256 anchors 9 / 31
+    * exact pairs at sf0.01 / sf0.1 — enough signal for the recall gate.
+    */
+  private[queries] val ExactPanelSize = 256
+
+  /** The DuckDB CTE recomputing [[graft.operators.AnnEval.md5Panel]]'s
+    * membership (CTE name `panel`) — md5 of the decimal id string orders
+    * identically in both engines, so panel-anchored exact quantities are
+    * hash-gated rather than emitted as tolerance flags.
+    */
+  private[queries] val exactPanelSql: String =
+    s"""panel AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ExactPanelSize)""".stripMargin
+
+  /** v18's recall floor over the PANEL-ANCHORED pair sets (see the v18
+    * comment): measured anchored recall at assignK=3 (sf0.01 / sf0.1):
+    * 1.0 (9/9) / 0.871 (27/31); floor = 0.55, >= 1.58x margin under the
+    * cross-SF minimum, same discipline as the v17 floors. The anchored
+    * exact counts match DuckDB's independent recompute at both SFs, so the
+    * two engines provably agree on panel membership.
+    */
+  private val SemDedupPanelRecallFloor = 0.55
 
   /** Multi-probe LSH kNN: the query's 8-bit hyperplane signature plus every
     * bucket within `radius` sign flips (radius 3 → 93 of 256 buckets ≈ 36%

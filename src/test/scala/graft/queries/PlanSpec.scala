@@ -268,6 +268,24 @@ class PlanSpec extends SparkTestBase {
       ivf.queryExecution.optimizedPlan.toString)
   }
 
+  test("v18/x14: panel-anchored exact grading is a P-row broadcast against ONE corpus scan — no all-pairs") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val panel = graft.operators.AnnEval.md5Panel(emb, 16)
+    val pairs = graft.operators.AnnEval.panelAnchoredPairs(emb, panel, tau = 0.45)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+    // The grading baseline inside v18/x14 must stay |panel|·n work: the
+    // collected panel is a local relation broadcast against a single
+    // corpus scan. An all-pairs regression would reappear either as the
+    // v03 block-grid (a Range scan joined into embeddings twice) or as a
+    // second full corpus scan on the build side — both asserted away.
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Range ("), s"block-grid Range scan in grading plan\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans\n$p")
+  }
+
   test("k04: the tok predicate reaches the postings scan through the SQL view") {
     val p = plan("k04_postings_sql")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(tok,dup)"), p)
