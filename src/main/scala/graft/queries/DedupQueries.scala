@@ -798,8 +798,100 @@ object DedupQueries extends QuerySet {
         |SELECT f.doc_id, f.text_hash FROM h f
         |WHERE f.doc_id >= 250
         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.text_hash = f.text_hash)
-        |ORDER BY f.doc_id""".stripMargin))
+        |ORDER BY f.doc_id""".stripMargin)),
+
+    // EXACT-SUBSTRING DEDUP (Lee et al. 2022's ExactSubstr modality —
+    // the fourth dedup family next to exact-hash / shingle-similarity /
+    // semantic): per-document verbatim spans of >= AnchorWords words
+    // shared with at least one OTHER document, plus the duplicated-word
+    // fraction. Where the paper builds a suffix array, the engine serves
+    // everything from the PERSISTED positional anchor artifact
+    // (graft.sources.SubstrStore): dup anchors come from ONE equi-join of
+    // the posting rows with the precomputed df table (df >= 2 ⇔ the
+    // window occurs verbatim in another document), anchor starts expand
+    // to their covered word positions (bounded ×W explode on dup anchors
+    // only), and maximal spans fall out of one per-doc gaps-and-islands
+    // window (pos - row_number) + two partial-aggregating groupBys. No
+    // pair enumeration, no text pipeline, no global sort — cost is
+    // O(postings + dup positions) with every shuffle keyed on h or
+    // doc_id. A shared span of S >= W words contributes S-W+1 consecutive
+    // anchors covering exactly its S positions, so spans are neither
+    // missed nor overcounted. The oracle recomputes the anchors AS
+    // STRINGS from `documents`; the artifact stores xxhash64(anchor), so
+    // a hash-green run also certifies the hashed postings collide-free on
+    // this corpus.
+    Q("x15_exact_substring_dedup",
+      (s, d) => {
+        val w = graft.sources.SubstrStore.AnchorWords
+        val rows = graft.sources.SubstrStore.rows(s, d)
+        val dfT = graft.sources.SubstrStore.dfTable(s, d)
+        val docsT = graft.sources.SubstrStore.docTable(s, d)
+        val dup = rows.join(dfT.filter(col("df") >= 2), Seq("h"))
+        val cov = dup.select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+          .distinct()
+        val isl = cov.withColumn("grp",
+          col("p") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("p")))
+        val spans = isl.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("span_len"))
+        val agg = spans.groupBy("doc_id").agg(
+          sum("span_len").as("dup_words"),
+          count(lit(1)).as("n_spans"),
+          max("span_len").as("max_span_words"))
+        docsT.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+            coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
+            round(coalesce(col("dup_words"), lit(0L)) /
+              col("n_words").cast("double"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH norms AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(norm, ' ') AS toks,
+        |    len(string_split(norm, ' ')) AS n_words
+        |  FROM norms WHERE length(norm) > 0),
+        |starts AS (
+        |  SELECT doc_id, n_words, toks,
+        |    unnest(range(1, n_words - $SubstrW + 2)) AS pos
+        |  FROM base WHERE n_words >= $SubstrW),
+        |psh AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[pos:pos+$SubstrW-1], ' ') AS sh
+        |  FROM starts),
+        |dfreq AS (
+        |  SELECT sh FROM psh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT s.doc_id, unnest(range(s.pos, s.pos + $SubstrW)) AS p
+        |    FROM psh s JOIN dfreq d USING (sh))),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov),
+        |spans AS (
+        |  SELECT doc_id, count(*) AS span_len FROM isl GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_words,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(max(span_len) AS BIGINT) AS max_span_words
+        |  FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |  COALESCE(a.dup_words, 0) AS dup_words,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.max_span_words, 0) AS max_span_words,
+        |  round(COALESCE(a.dup_words, 0) / CAST(b.n_words AS DOUBLE), 6) AS dup_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin))
   )
+
+  /** x15's anchor width, spliced into its oracle from the ONE constant the
+    * store build uses ([[graft.sources.SubstrStore.AnchorWords]]).
+    */
+  private def SubstrW = graft.sources.SubstrStore.AnchorWords
 
   private val Two64 = "CAST(18446744073709551616 AS HUGEINT)"
   private val Two63 = "CAST(9223372036854775808 AS HUGEINT)"

@@ -314,6 +314,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("x15: substring dedup is artifact equi-joins + per-doc windows — no pairs, no text pipeline") {
+    val df: org.apache.spark.sql.DataFrame =
+      graft.queries.Registry.asMap("x15_exact_substring_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // served ENTIRELY from the persisted anchor artifact: a documents
+    // scan here would mean the query re-ran the tokenize pipeline
+    assert(!p.contains("documents.parquet"), p)
+    // anchors ⋈ df and docs ⋈ agg are equi-joins; pair enumeration or an
+    // all-pairs join would surface as NLJ/cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // span windows must partition by doc_id — a global (unpartitioned)
+    // window would serialize the corpus through one task
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      df.queryExecution.optimizedPlan.toString)
+    // per-doc counts partial-aggregate before the doc_id exchange
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
   test("x13: bloom probe is a narrow filter — no join at all on the definite-new branch") {
     val p = plan("x13_bloom_crossload_dedup")
     // the mask probe compiles to a Filter over the scan (forall + bit ops);

@@ -26,6 +26,46 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(df.except(freshDf).isEmpty && freshDf.except(df).isEmpty)
   }
 
+  test("SubstrStore rows/docs/df equal a fresh computation; append equals build; delete tombstones") {
+    import org.apache.spark.sql.DataFrame
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+    val stored = SubstrStore.rows(spark, sf)
+    val fresh = SubstrStore.anchorRowsOf(docs)
+    assert(eq(stored, fresh))
+    assert(eq(SubstrStore.docTable(spark, sf), SubstrStore.docRowsOf(docs)))
+    val freshDf = fresh.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    assert(eq(SubstrStore.dfTable(spark, sf), freshDf))
+    // every anchor start must sit at a valid window position
+    assert(fresh.filter(col("pos") < 1 ||
+      col("pos") > col("n_words") - (SubstrStore.AnchorWords - 1)).isEmpty)
+
+    // incremental: build half, append full corpus, compare to one-shot
+    val root = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val halfA = docs.filter(col("doc_id") < 25)
+    SubstrStore.build(spark, halfA, s"$root/inc")
+    SubstrStore.append(spark, s"$root/inc", docs)
+    SubstrStore.build(spark, docs, s"$root/full")
+    assert(eq(SubstrStore.rowsAt(spark, s"$root/inc"),
+      SubstrStore.rowsAt(spark, s"$root/full")))
+    assert(eq(SubstrStore.docsAt(spark, s"$root/inc"),
+      SubstrStore.docsAt(spark, s"$root/full")))
+    assert(eq(SubstrStore.dfAt(spark, s"$root/inc"),
+      SubstrStore.dfAt(spark, s"$root/full")))
+    // idempotence: re-appending the same corpus changes nothing
+    val before = SubstrStore.rowsAt(spark, s"$root/inc").count()
+    SubstrStore.append(spark, s"$root/inc", docs)
+    assert(SubstrStore.rowsAt(spark, s"$root/inc").count() == before)
+    // delete: tombstoned doc vanishes from every table, df realigns
+    val victim = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+    val vid = victim.head().getLong(0)
+    SubstrStore.delete(spark, s"$root/inc", victim)
+    assert(SubstrStore.rowsAt(spark, s"$root/inc")
+      .filter(col("doc_id") === vid).isEmpty)
+    assert(SubstrStore.docsAt(spark, s"$root/inc")
+      .filter(col("doc_id") === vid).isEmpty)
+  }
+
   test("MinhashStore bands/sets equal fresh computation; probed pairs identical") {
     val bands = MinhashStore.bands(spark, sf)
     val freshBands = NearDup.minhashBuckets(spark, docs)
