@@ -39,6 +39,26 @@ object Bench {
     // warmup: touch every table + exercise codegen once
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
 
+    // WORK COUNTERS: rows read from sources and rows written to shuffles,
+    // accumulated per task. These make a timing claim falsifiable from the
+    // artifact alone — identical work + different seconds = environment
+    // noise, different work = a real plan change (the round-8 driver tail
+    // showed 2-5x per-query "regressions" that a clean re-run measured
+    // flat; with counters that distinction needs no re-run).
+    val rowsInAcc = new java.util.concurrent.atomic.AtomicLong
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            rowsInAcc.addAndGet(m.inputMetrics.recordsRead)
+            shuffleAcc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      })
+
     // Per-query MIN over `reps` timed runs (default 3). A single timing
     // charges whatever the OS page cache / JIT felt like that second to the
     // query — round-4 driver tails showed 2-9x phantom "regressions" in
@@ -50,23 +70,51 @@ object Bench {
       // A rep that throws must not contribute its wall time to min() — an
       // intermittently fast-failing query would otherwise report the
       // failure's elapsed time as its benchmark number with no error signal.
-      val times = (1 to reps).flatMap { _ =>
+      // Each successful rep carries its (secs, rows_in, shuffle_rows); the
+      // reported counters come from the same rep as the reported min time.
+      val runs = (1 to reps).flatMap { _ =>
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        val in0 = rowsInAcc.get(); val sh0 = shuffleAcc.get()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        // noop sink, not count(): count() lets Catalyst PRUNE work that
+        // doesn't change cardinality (a final unique-key left join and its
+        // whole build subtree, every projected expression, final sorts) —
+        // x15 benched at ~5% of its real work that way. The noop write
+        // evaluates every output column and executes the full declared
+        // plan, so secs/rows_in/shuffle_rows describe the query as
+        // declared, not a cardinality skeleton.
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          true
+        } catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        if (ok) Some((secs, rowsInAcc.get() - in0, shuffleAcc.get() - sh0))
+        else None
       }
-      name -> times
+      name -> runs
     }
-    val failed = results.collect { case (n, ts) if ts.isEmpty => n }
+    val failed = results.collect { case (n, rs) if rs.isEmpty => n }
     // a query whose every rep failed reports -1 (never a plausible seconds
     // value) and is named in the errors array
-    val qs = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
+    val qs = results.map { case (k, rs) =>
+      s"\"" + k + "\":" + (if (rs.nonEmpty) rs.map(_._1).min else -1.0)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val work = results.map { case (k, rs) =>
+      val (sec, in, sh) =
+        if (rs.nonEmpty) rs.minBy(_._1) else (-1.0, -1L, -1L)
+      "\"" + k + "\":" + s"""{"secs":$sec,"rows_in":$in,"shuffle_rows":$sh}"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, rs) if rs.nonEmpty => rs.map(_._1).min }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Two emissions of the same total: a SHORT leading line (readable at
+    // the head of any log), then the full contract line with `value` as
+    // its LAST key — a tail-truncated capture of the long line still ends
+    // in ...,"unit":"sec","value":N} so the headline number survives
+    // truncation from either side (the round-8 driver artifact lost the
+    // front-loaded total to tail truncation).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qs,"work":$work,"errors":$errs,"sf":"$sfDir","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -76,15 +76,20 @@ object Curation {
     */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column): DataFrame = {
-    val tk = docs
+    // tk feeds BOTH the LM aggregation and the scoring join, and lm feeds
+    // both the consts aggregate and the broadcast join — without the
+    // checkpoints Catalyst re-runs the corpus scan + tokenize once per
+    // consumer (three full passes; at 100 TB each is a full corpus read).
+    // Materialized: the token stream once, the vocabulary-sized LM once.
+    val tk = ScaleOps.checkpointed(docs
       .select(col(idCol).as("id"), isTarget.as("__tgt"),
         trim(regexp_replace(col(textCol), "\\s+", " ")).as("norm"))
       .filter(length(col("norm")) > 0)
       .select(col("id"), col("__tgt"),
-        explode(split(col("norm"), " ")).as("tok"))
-    val lm = tk.groupBy("tok").agg(
+        explode(split(col("norm"), " ")).as("tok")))
+    val lm = ScaleOps.checkpointed(tk.groupBy("tok").agg(
       count(lit(1)).as("cs"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct")))
     val consts = broadcast(lm.agg(
       sum("cs").as("ns"), sum("ct").as("nt"), count(lit(1)).as("v")))
     tk.join(broadcast(lm), "tok").crossJoin(consts)

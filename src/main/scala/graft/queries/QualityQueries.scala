@@ -295,8 +295,14 @@ object QualityQueries extends QuerySet {
     // broadcast-sized join (vocabulary << corpus).
     Q("g09_unigram_logprob",
       (s, d) => {
-        val tk = toks(s, d).select("doc_id", "tok")
-        val freq = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        // tk feeds the frequency agg AND the scoring join; freq feeds the
+        // total agg AND the broadcast join — checkpoint both so the corpus
+        // is scanned + tokenized exactly once (the t13/g14 discipline;
+        // without it each consumer re-runs the scan + explode)
+        val tk = graft.operators.ScaleOps.checkpointed(
+          toks(s, d).select("doc_id", "tok"))
+        val freq = graft.operators.ScaleOps.checkpointed(
+          tk.groupBy("tok").agg(count(lit(1)).as("c")))
         val total = freq.agg(sum("c").as("total"))
         tk.join(broadcast(freq), "tok")
           .crossJoin(broadcast(total))
@@ -430,8 +436,11 @@ object QualityQueries extends QuerySet {
     // assignment ties broken by doc_id on both engines.
     Q("g13_perplexity_buckets",
       (s, d) => {
-        val tk = toks(s, d).select("doc_id", "tok")
-        val freq = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        // same one-scan discipline as g09 (tk and freq both double-read)
+        val tk = graft.operators.ScaleOps.checkpointed(
+          toks(s, d).select("doc_id", "tok"))
+        val freq = graft.operators.ScaleOps.checkpointed(
+          tk.groupBy("tok").agg(count(lit(1)).as("c")))
         val total = freq.agg(sum("c").as("total"))
         val scored = tk.join(broadcast(freq), "tok")
           .crossJoin(broadcast(total))
@@ -557,7 +566,10 @@ object QualityQueries extends QuerySet {
     // hundreds-of-terms ln sum, so pred cannot flip between engines.
     Q("g17_nb_quality_classifier",
       (s, d) => {
-        val tk = toks(s, d).select("doc_id", "tok")
+        // tk has THREE consumers (labeling agg, NB training, held-out
+        // scoring) — checkpoint so the corpus tokenizes exactly once
+        val tk = graft.operators.ScaleOps.checkpointed(
+          toks(s, d).select("doc_id", "tok"))
         val labels = tk.groupBy("doc_id").agg(
             count(lit(1)).as("n_words"),
             avg(length(col("tok"))).as("mean_raw"),

@@ -324,13 +324,21 @@ object TextQueries extends QuerySet {
     // TF-IDF: the top-scoring token per document under ln(N/df) idf.
     // Three aggregations (tf, df, N) + one window; the df table is
     // vocabulary-sized, so its join is broadcast at any corpus scale.
+    // ONE tokenize pass: df is DERIVED from the tf table (tf has exactly
+    // one row per (doc, tok), so count-per-tok IS the document frequency)
+    // instead of re-aggregating the token stream, and tf — read by both
+    // the scoring join and the df derivation — is checkpointed so Catalyst
+    // cannot re-run the corpus scan + explode once per consumer (at 100 TB
+    // that second pass is a full extra read of the corpus; the
+    // materialized tf frame is the compressed (doc, tok) aggregate, far
+    // smaller than the raw token stream).
     Q("t13_tfidf_top_token",
       (s, d) => {
         val tk = t(s, d, "documents")
           .select(col("doc_id"), explode(split(normCol, " ")).as("tok"))
         val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = tk.select("doc_id", "tok").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .graftCheckpoint()
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         // N stays in the lazy plan (broadcast single-row cross join, the
         // g09 pattern) — no eager count() job at query-construction time
         val n = broadcast(t(s, d, "documents")

@@ -21,6 +21,12 @@ object GraftShim {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drain the listener bus so SparkListener-accumulated metrics are
+    * complete before a snapshot (waitUntilEmpty is private[spark]).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(10000L)
+
   /** Idempotently add a planner strategy to the session. */
   def registerStrategy(spark: SparkSession,
                        s: org.apache.spark.sql.execution.SparkStrategy): Unit = {

@@ -358,6 +358,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("t13/g09/g13/g14/g17: multi-agg text queries scan documents AT MOST once") {
+    // each of these reads its tokenized frame from more than one consumer;
+    // the checkpoint discipline materializes it once, so the FINAL plan may
+    // contain at most one corpus scan (the count-only N aggregate) — a
+    // second `documents` scan here means Catalyst is re-running the
+    // tokenize pipeline per consumer again (a full extra corpus pass per
+    // extra scan at 100 TB)
+    for (q <- Seq("t13_tfidf_top_token", "g09_unigram_logprob",
+        "g13_perplexity_buckets", "g14_dsir_weight",
+        "g17_nb_quality_classifier")) {
+      val df: org.apache.spark.sql.DataFrame =
+        graft.queries.Registry.asMap(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "documents".r.findAllIn(p).length
+      assert(scans <= 1, s"$q scans documents $scans times\n$p")
+    }
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
