@@ -25,18 +25,41 @@ object MultimodalQueries extends QuerySet {
   def queries: Seq[Q] = Seq(
 
     // Binary columns + typed metadata + per-partition feature extraction.
+    // HASH-GATED: the stub decoder's metadata is deterministic arithmetic
+    // on the payload byte length (StubDecoder.decodeFeatures — fakeW/fakeH
+    // from byte_len mod/div 64, dims fixed), so the oracle recomputes the
+    // full output from `documents` directly. A real codec would move this
+    // back behind a golden gate; the Spark plumbing under test (binary
+    // column, per-partition batch map, schema) is identical either way.
     Q("m01_media_features",
       (s, d) => Multimodal.extractFeatures(s, synthMedia(s, d))
         .select(col("media_id"), col("modality"), col("width"), col("height"),
           size(col("features")).as("n_dims"))
-        .orderBy("media_id")),
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+        |  SELECT source || '_' || CAST(doc_id AS VARCHAR) AS media_id,
+        |    octet_length(encode(text)) AS bl FROM documents)
+        |SELECT media_id, 'text' AS modality,
+        |  CAST(64 + bl % 64 AS INT) AS width,
+        |  CAST(64 + (bl // 64) % 64 AS INT) AS height,
+        |  64 AS n_dims
+        |FROM m ORDER BY media_id""".stripMargin)),
 
     // Frame/window sampling plumbing (video-style 1→N narrow expansion).
+    // HASH-GATED: the stub samples every 4th 16-byte window, so per-media
+    // frame count and max index are ceil/floor arithmetic on byte length.
     Q("m02_frame_sample",
       (s, d) => Multimodal.sampleFrames(s, synthMedia(s, d), everyK = 4)
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("max_idx"))
-        .orderBy("media_id")),
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+        |  SELECT source || '_' || CAST(doc_id AS VARCHAR) AS media_id,
+        |    (octet_length(encode(text)) + 15) // 16 AS nw
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT media_id, CAST((nw + 3) // 4 AS BIGINT) AS n_frames,
+        |  CAST(((nw - 1) // 4) * 4 AS INT) AS max_idx
+        |FROM m ORDER BY media_id""".stripMargin)),
 
     // A2-A6: page extraction + conditional OCR + provenance-tagged assembly.
     Q("m03_extract_ocr_assemble",
@@ -48,12 +71,16 @@ object MultimodalQueries extends QuerySet {
       }),
 
     // Resize plumbing: payload renormalized to the target pixel budget,
-    // dims recorded in metadata (codec stubbed).
+    // dims recorded in metadata (codec stubbed). HASH-GATED: the stub's
+    // output metadata is the target dims + the fixed 32*32/16 byte budget.
     Q("m05_resize",
       (s, d) => Multimodal.resize(s, synthMedia(s, d), targetW = 32, targetH = 32)
         .select(col("media_id"), col("width"), col("height"),
           length(col("content")).as("byte_len"))
-        .orderBy("media_id")),
+        .orderBy("media_id"),
+      Some("""SELECT source || '_' || CAST(doc_id AS VARCHAR) AS media_id,
+        | 32 AS width, 32 AS height, 64 AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin)),
 
     // The reference's full EP1 lifecycle from bytes (SURVEY.md §3):
     // binary doc → pages (A2-A4) → conditional OCR + tagged assembly
@@ -73,16 +100,25 @@ object MultimodalQueries extends QuerySet {
         vectorDigest(graft.operators.Ingest.pipeline(s, assembled)).orderBy("id")
       }),
 
-    // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator.
+    // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator,
+    // HASH-GATED as a corpus digest (the d08 golden-VALUES pattern — the
+    // generator is exercised through the SQL surface end-to-end, and the
+    // xor-folded digest of every (doc_id, chunk_id, chunk) pins each byte
+    // of its output; the literal values are pinned per fixture corpus and
+    // selected by document count).
     Q("m04_chunks_sql",
       (s, d) => {
         GraftFunctions.register(s)
         t(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql("""SELECT doc_id, c.chunk_id, c.chunk
+        s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_chunked,
+                |  bit_xor(xxhash64(doc_id, c.chunk_id, c.chunk)) AS chunks_digest
                 |FROM documents
-                |LATERAL VIEW chunk_text(text) c AS chunk_id, chunk
-                |ORDER BY doc_id, chunk_id""".stripMargin)
-      }),
+                |LATERAL VIEW chunk_text(text) c AS chunk_id, chunk""".stripMargin)
+      },
+      Some(goldenBySize(
+        "n_chunks BIGINT, n_docs_chunked BIGINT, chunks_digest BIGINT",
+        GoldenM04))),
 
     // TRUE PAGE PROVENANCE through A6 assembly + A8 chunking (the page
     // half of SURVEY §1.2's provenance note; d16 covers the character
@@ -155,4 +191,11 @@ object MultimodalQueries extends QuerySet {
         |  CAST(count(*) AS BIGINT) AS docs_last_page_reached
         |FROM p""".stripMargin))
   )
+
+  /** m04's pinned corpus digests, keyed by fixture document count —
+    * same recipe + drift contract as PipelineQueries.GoldenD08.
+    */
+  private val GoldenM04: Map[Long, Seq[String]] = Map(
+    500L -> Seq("646, 500, 5444003693352786898"),
+    5000L -> Seq("6440, 5000, -2791939972946292199"))
 }

@@ -85,17 +85,38 @@ object PipelineQueries extends QuerySet {
       Some("SELECT CAST(count(*) AS BIGINT) AS total_count, " +
         "CAST(count(DISTINCT source) AS BIGINT) AS n_files FROM documents")),
 
-    // A8 chunker output — not SQL-expressible; unit-tested + rows-only here.
+    // A8 chunker output, HASH-GATED as a corpus digest: the chunker itself
+    // is not SQL-expressible (recursive separator descent), so the oracle
+    // is the GOLDEN-VALUES pattern — the digest of every chunk's
+    // (id, content, start_off, end_off), xor-folded order-independently,
+    // pinned as a literal per fixture corpus and selected by corpus size.
+    // The pinned values come from the round-9 engine, whose chunker is
+    // behaviorally pinned by ChunkerSpec's 852-case parity suite +
+    // ChunkerPropertySpec; any later chunker/offset regression flips the
+    // digest and fails the driver gate (previously this was a rows-only
+    // check). An UNPINNED corpus yields an empty oracle result — a loud
+    // rows_match failure, never a silent pass.
     Q("d08_chunks",
-      (s, d) => Ingest.chunkDocuments(s, t(s, d, "documents")).toDF().orderBy("id")),
+      (s, d) => Ingest.chunkDocuments(s, t(s, d, "documents")).toDF()
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("text_hash")).as("n_unique_hashes"),
+          expr("bit_xor(xxhash64(id, content, start_off, end_off))")
+            .as("chunks_digest")),
+      Some(goldenBySize("n_chunks BIGINT, n_unique_hashes BIGINT, chunks_digest BIGINT",
+        GoldenD08))),
 
+    // Per-source chunk statistics, hash-gated by the same golden-VALUES
+    // pattern as d08 (one literal row per (corpus, source)).
     Q("d09_chunk_stats",
       (s, d) => Ingest.chunkDocuments(s, t(s, d, "documents")).toDF()
         .groupBy("filename")
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct("text_hash").as("n_unique_chunks"),
           max(length(col("content"))).as("max_chunk_len"))
-        .orderBy("filename")),
+        .orderBy("filename"),
+      Some(goldenBySize(
+        "filename VARCHAR, n_chunks BIGINT, n_unique_chunks BIGINT, max_chunk_len INT",
+        GoldenD09) + "\nORDER BY filename")),
 
     // Full A1→A14 pipeline to the canonical 10-field chunk store (vector
     // reported as dim + L2 digest — see QuerySet.vectorDigest).
@@ -372,4 +393,35 @@ object PipelineQueries extends QuerySet {
         | 0 AS n_overlap_violations, 0 AS n_oversize
         |FROM nd""".stripMargin))
   )
+
+  /** d08's pinned corpus digests, keyed by fixture document count
+    * (sf0.01 = 500 docs, sf0.1 = 5000) — regenerate with
+    * `tools/golden_chunk_oracles.md`'s recipe after an INTENDED chunker
+    * change; any unintended drift fails the driver gate.
+    */
+  private val GoldenD08: Map[Long, Seq[String]] = Map(
+    500L -> Seq("646, 639, -8869728023756628100"),
+    5000L -> Seq("6440, 6367, 3347215212891739754"))
+
+  /** d09's pinned per-source chunk statistics, same key + recipe. */
+  private val GoldenD09: Map[Long, Seq[String]] = Map(
+    500L -> Seq(
+      "'src0', 34, 34, 400", "'src1', 35, 35, 400", "'src10', 32, 32, 400",
+      "'src11', 32, 32, 399", "'src12', 29, 29, 400", "'src13', 36, 36, 400",
+      "'src14', 34, 34, 399", "'src15', 30, 30, 400", "'src16', 32, 32, 400",
+      "'src17', 32, 32, 400", "'src18', 31, 31, 400", "'src19', 29, 29, 400",
+      "'src2', 32, 32, 400", "'src3', 34, 34, 400", "'src4', 33, 33, 400",
+      "'src5', 31, 31, 400", "'src6', 34, 34, 400", "'src7', 35, 35, 400",
+      "'src8', 30, 30, 400", "'src9', 31, 31, 400"),
+    5000L -> Seq(
+      "'src0', 318, 318, 400", "'src1', 320, 320, 400",
+      "'src10', 317, 317, 400", "'src11', 321, 321, 400",
+      "'src12', 336, 336, 400", "'src13', 331, 331, 400",
+      "'src14', 305, 305, 400", "'src15', 325, 325, 400",
+      "'src16', 323, 323, 400", "'src17', 319, 319, 400",
+      "'src18', 316, 316, 400", "'src19', 322, 322, 400",
+      "'src2', 324, 324, 400", "'src3', 328, 328, 400",
+      "'src4', 324, 324, 400", "'src5', 333, 333, 400",
+      "'src6', 316, 316, 400", "'src7', 307, 307, 400",
+      "'src8', 329, 329, 400", "'src9', 326, 326, 400"))
 }

@@ -50,6 +50,33 @@ trait QuerySet {
         round(graft.functions.VectorFunctions.norm(col("content_vector")), 6))
       .drop("content_vector")
   }
+
+  /** GOLDEN-VALUES oracle for outputs whose generator is not
+    * SQL-expressible (the recursive chunker): the expected rows are pinned
+    * as literals PER FIXTURE CORPUS and selected by document count, so one
+    * oracle string stays valid at every pinned SF. `schema` is
+    * "name TYPE, ..." (types forced by CAST so VALUES inference can't
+    * drift from the Spark side); `golden` maps corpus doc-count → literal
+    * row tuples (WITHOUT the leading corpus key). An unpinned corpus
+    * selects zero rows — a loud rows_match failure, never a silent pass.
+    * Pinned values are produced by a verified engine run and guarded
+    * upstream by the chunker parity/property suites; the gate's job is to
+    * fail on any later behavioral drift.
+    */
+  protected def goldenBySize(schema: String,
+                             golden: Map[Long, Seq[String]]): String = {
+    val cols = schema.split(",").map(_.trim.split("\\s+", 2))
+      .map(a => (a(0), a(1)))
+    val sel = cols.map { case (n, ty) => s"CAST($n AS $ty) AS $n" }
+      .mkString(", ")
+    val names = cols.map(_._1).mkString(", ")
+    val rows = golden.toSeq.sortBy(_._1)
+      .flatMap { case (n, rs) => rs.map(r => s"($n, $r)") }
+      .mkString(",\n  ")
+    s"""SELECT $sel FROM (VALUES\n  $rows)
+       |AS g(corpus_docs, $names)
+       |WHERE corpus_docs = (SELECT count(*) FROM documents)""".stripMargin
+  }
 }
 
 object Registry {
