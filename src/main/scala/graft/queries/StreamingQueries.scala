@@ -393,23 +393,7 @@ object StreamingQueries extends QuerySet {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
-        val pid = ProcessHandle.current().pid()
-        val srcDir = s"/tmp/graft_s15_$pid/src_$tag"
-        val store = s"/tmp/graft_s15_$pid/sparse_$tag"
-        val ivf = s"/tmp/graft_s15_$pid/ivf_$tag"
-        val ckpt = s"${StreamingOps.ckptParent}/graft_s15_$pid/ckpt_$tag"
-        // lifecycle once per process (DrillOnce; the driver's fresh-JVM
-        // Verify always runs it): two tranches across a restart maintain
-        // the sparse store + the IVF index
-        DrillOnce.ensure(s"s15_$tag") {
-          DrillOnce.freshDirs(srcDir, store, ivf, ckpt)
-          StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
-          StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf)
-          StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
-          StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf)
-        }
+        val (store, ivf, _) = s15Drill(s, d)
         // exact cosine top-10 vs doc 0, all-integer inputs from the
         // streamed store: dp and the squared norms are exact long sums,
         // the one double division is IEEE-identical in DuckDB
@@ -486,6 +470,122 @@ object StreamingQueries extends QuerySet {
         |  FROM e GROUP BY 1, 2)
         |SELECT w_start, event_type, n, total FROM w, mx
         |WHERE w_start + INTERVAL 6 HOUR <= m - INTERVAL 1 HOUR
-        |ORDER BY w_start, event_type""".stripMargin))
+        |ORDER BY w_start, event_type""".stripMargin)),
+
+    // STREAMED SEMANTIC-PAIR MAINTENANCE (the SemDeDup stage kept current
+    // by the ingest sink itself — the semantic sibling of s14's streamed
+    // near-dup artifacts): the s15 lifecycle's sink also maintains a
+    // semantic-pair store (StreamingOps.maintainSemPairs — candidates
+    // from the maintained IVF cells, verified with EXACT integer cosine
+    // from the maintained sparse store, appended incrementally with
+    // redelivery-safe anti-joins). This probe grades that store against
+    // the from-scratch exact pair set at the same τ, computed engine-side
+    // from the streamed sparse rows with the same integer arithmetic the
+    // DuckDB oracle reproduces bit-exactly (the d14/s15 discipline):
+    // n_vectors / n_exact_pairs / n_exact_dropped are HASH-gated, and the
+    // maintained store is pinned by `sem_subset_ok` (stored ⊆ exact —
+    // cells only propose, the exact predicate disposes, so a violation
+    // means broken maintenance) + `sem_recall_ok` (the incremental store
+    // recovers ≥ SemPairRecallFloor of the exact pair set; measured 1.0
+    // at both SFs — identical-text pairs share cells by construction).
+    // The exact pair join is an EQUI-join on the shared dimension index
+    // (the standard sparse-similarity join; df-capped at real scale, the
+    // x02 discipline), never an all-pairs cross.
+    Q("s16_streamed_semantic_pairs",
+      (s, d) => {
+        val (store, _, pairs) = s15Drill(s, d)
+        val nz = s.read.parquet(store)
+        val l2 = nz.groupBy("doc_id")
+          .agg(sqrt(sum(col("cnt").cast("long") * col("cnt"))).as("l2"))
+        val exact = graft.operators.ScaleOps.checkpointed(
+          nz.select(col("doc_id").as("id_a"), col("idx"), col("cnt").as("ca"))
+            .join(nz.select(col("doc_id").as("id_b"), col("idx"),
+              col("cnt").as("cb")), Seq("idx"))
+            .filter(col("id_a") < col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(sum(col("ca").cast("long") * col("cb")).as("dp"))
+            .join(l2.select(col("doc_id").as("id_a"), col("l2").as("la")), "id_a")
+            .join(l2.select(col("doc_id").as("id_b"), col("l2").as("lb")), "id_b")
+            .filter(col("dp") / (col("la") * col("lb")) >
+              StreamingOps.SemPairTau)
+            .select(col("id_a"), col("id_b")))
+        val stored = s.read.parquet(pairs)
+        val nVec = nz.select("doc_id").distinct().count()
+        val nExact = exact.count()
+        val nExactDropped = exact.select("id_b").distinct().count()
+        val nStored = stored.count()
+        val escaped = stored.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+        s.range(1).select(
+          lit(nVec).as("n_vectors"),
+          lit(nExact).as("n_exact_pairs"),
+          lit(nExactDropped).as("n_exact_dropped"),
+          (lit(escaped) === 0).cast("int").as("sem_subset_ok"),
+          (lit(nStored) >= lit(nExact * SemPairRecallFloor)).cast("int")
+            .as("sem_recall_ok"))
+      },
+      Some(s"""WITH n AS (
+        |  SELECT doc_id, lower($normSql) AS norm FROM documents WHERE doc_id < 500),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n WHERE norm <> ''),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk),
+        |b AS (
+        |  SELECT doc_id, CAST((h // 2) % ${graft.schemas.Schemas.VectorDimensions} AS INT) AS idx,
+        |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        |nz AS (
+        |  SELECT doc_id, idx, CAST(sum(sgn) AS INT) AS cnt
+        |  FROM b GROUP BY doc_id, idx HAVING sum(sgn) <> 0),
+        |l2 AS (SELECT doc_id, sqrt(sum(CAST(cnt AS BIGINT) * cnt)) AS l2
+        |  FROM nz GROUP BY doc_id),
+        |dot AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    sum(CAST(a.cnt AS BIGINT) * bb.cnt) AS dp
+        |  FROM nz a JOIN nz bb ON a.idx = bb.idx AND a.doc_id < bb.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM dot
+        |  JOIN l2 la ON la.doc_id = id_a
+        |  JOIN l2 lb ON lb.doc_id = id_b
+        |  WHERE dp / (la.l2 * lb.l2) > ${StreamingOps.SemPairTau})
+        |SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM nz) AS n_vectors,
+        | (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_exact_pairs,
+        | (SELECT CAST(count(DISTINCT id_b) AS BIGINT) FROM pairs) AS n_exact_dropped,
+        | 1 AS sem_subset_ok, 1 AS sem_recall_ok""".stripMargin))
   )
+
+  /** s15/s16 shared lifecycle (one DrillOnce key — whichever probe runs
+    * first in a fresh JVM pays it): two tranches across a streaming
+    * restart maintain the sparse integer store, the IVF index, AND the
+    * semantic-pair store. Returns (sparseStore, ivfPath, semPairsPath).
+    */
+  private def s15Drill(s: org.apache.spark.sql.SparkSession,
+                       d: String): (String, String, String) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+    val pid = ProcessHandle.current().pid()
+    val srcDir = s"/tmp/graft_s15_$pid/src_$tag"
+    val store = s"/tmp/graft_s15_$pid/sparse_$tag"
+    val ivf = s"/tmp/graft_s15_$pid/ivf_$tag"
+    val pairs = s"/tmp/graft_s15_$pid/sempairs_$tag"
+    val ckpt = s"${StreamingOps.ckptParent}/graft_s15_$pid/ckpt_$tag"
+    DrillOnce.ensure(s"s15_$tag") {
+      DrillOnce.freshDirs(srcDir, store, ivf, pairs, ckpt)
+      StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+      StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf,
+        Some(pairs))
+      StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
+      StreamingOps.arrivalEmbedIngest(s, srcDir, "*.txt", store, ckpt, ivf,
+        Some(pairs))
+    }
+    (store, ivf, pairs)
+  }
+
+  /** s16's floor on the maintained pair store's recovery of the exact
+    * τ=0.9 pair set: measured 1.0 at both SFs (53/53 and 44/44 — every
+    * exact pair at this τ is an identical-or-near-identical text pair,
+    * and those share IVF cells by construction); floor 0.5 keeps ≥ 2×
+    * margin while still catching a maintenance path that drops half the
+    * pair set.
+    */
+  private val SemPairRecallFloor = 0.5
 }

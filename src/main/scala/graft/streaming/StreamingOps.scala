@@ -464,7 +464,8 @@ object StreamingOps {
     */
   def arrivalEmbedIngest(spark: SparkSession, srcDir: String, glob: String,
                          storePath: String, checkpoint: String,
-                         ivfPath: String): Unit = {
+                         ivfPath: String,
+                         semPairsPath: Option[String] = None): Unit = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("path", StringType),
@@ -554,6 +555,15 @@ object StreamingOps {
               }
               ()
             }
+            // (c) OPTIONAL semantic-pair maintenance (SemDeDup's pair set
+            // kept current by the sink itself, the s14 near-dup pattern):
+            // candidates from the just-maintained IVF cells, verified with
+            // EXACT integer cosine from the just-maintained sparse store,
+            // appended incrementally — see maintainSemPairs
+            semPairsPath.foreach { pp =>
+              maintainSemPairs(sp, ivfPath, storePath, pp,
+                b.select(col("doc_id")))
+            }
           } finally b.unpersist()
         }
         .start()
@@ -564,6 +574,67 @@ object StreamingOps {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
     }
+  }
+
+  /** Cosine threshold for the STREAMED semantic-pair store: the hashing
+    * embedder's token-count vectors share stopword mass, so the background
+    * similarity between unrelated documents sits far above dense-embedding
+    * levels — 0.9 isolates the true near-duplicate pair set (53 / 44 pairs
+    * on the 500-doc drill corpus at sf0.01 / sf0.1 vs ~112k at 0.45).
+    */
+  val SemPairTau = 0.9
+
+  /** INCREMENTAL SemDeDup pair maintenance, run inside the vector-ingest
+    * sink after the IVF append (the near-dup maintenance pattern of the
+    * keyword sink): candidates for the NEW batch come from the
+    * just-maintained IVF cells (SemDedup.multiAssign new-side ⋈ full-side
+    * on cell — work ∝ |batch| × cell density, never all-pairs), and each
+    * candidate is verified with EXACT integer-arithmetic cosine from the
+    * just-maintained sparse store (long dot product and long squared
+    * norms; one IEEE double division — the d14/s15 discipline that DuckDB
+    * reproduces bit-exactly, which float32 vector math could not).
+    * Verified pairs append to `pairsPath` behind an existing-pair
+    * anti-join, so batch redelivery is a no-op and
+    * pairs(A then B) == pairs(A ∪ B) for the covered id set (every pair is
+    * generated exactly when its later member's batch arrives). The stored
+    * set is by construction a SUBSET of the exact tau-threshold pair set —
+    * cells only propose, the exact predicate disposes.
+    */
+  def maintainSemPairs(spark: SparkSession, ivfPath: String,
+                       storePath: String, pairsPath: String,
+                       batchIds: DataFrame): Unit = {
+    val vectors = graft.operators.IvfIndex.loadVectors(spark, ivfPath)
+    val model = graft.operators.IvfIndex.loadModel(spark, ivfPath)
+    val assignAll = graft.operators.SemDedup.multiAssign(vectors, model, 3)
+      .select(col("vec_id"), col("cell"))
+    val assignNew = assignAll
+      .join(batchIds.select(col("doc_id").as("vec_id")).distinct(), "vec_id")
+    val cand = assignNew.select(col("vec_id").as("na"), col("cell"))
+      .join(assignAll.select(col("vec_id").as("nb"), col("cell")), "cell")
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("id_a"),
+        greatest(col("na"), col("nb")).as("id_b"))
+      .distinct()
+    val nz = spark.read.parquet(storePath)
+    val l2 = nz.groupBy("doc_id")
+      .agg(sqrt(sum(col("cnt").cast("long") * col("cnt"))).as("l2"))
+    val verified = cand
+      .join(nz.select(col("doc_id").as("id_a"), col("idx"),
+        col("cnt").as("ca")), Seq("id_a"))
+      .join(nz.select(col("doc_id").as("id_b"), col("idx"),
+        col("cnt").as("cb")), Seq("id_b", "idx"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("ca").cast("long") * col("cb")).as("dp"))
+      .join(l2.select(col("doc_id").as("id_a"), col("l2").as("la")), "id_a")
+      .join(l2.select(col("doc_id").as("id_b"), col("l2").as("lb")), "id_b")
+      .filter(col("dp") / (col("la") * col("lb")) > SemPairTau)
+      .select(col("id_a"), col("id_b"))
+    val fresh =
+      if (new java.io.File(pairsPath).exists())
+        verified.join(spark.read.parquet(pairsPath),
+          Seq("id_a", "id_b"), "left_anti")
+      else verified
+    fresh.write.mode("append").parquet(pairsPath)
   }
 
   /** foreachBatch upsert sink (A14): per micro-batch, merge-on-key into a

@@ -198,6 +198,55 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(graft.operators.IvfIndex.loadVectors(spark, ivf).count() == nDocs)
   }
 
+  test("semantic-pair maintenance: incremental equals one-shot, subset of exact, redelivery no-op") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sempairs").toString
+    val src = s"$dir/src"
+    val store = s"$dir/sparse"
+    val ivf = s"$dir/ivf"
+    val pairs = s"$dir/sempairs"
+    // two tranches through the sink, pairs maintained incrementally
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 25)
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, s"$dir/ckpt",
+      ivf, Some(pairs))
+    StreamingOps.writeDocFiles(spark, sf, src, 25, 1000)
+    StreamingOps.arrivalEmbedIngest(spark, src, "*.txt", store, s"$dir/ckpt",
+      ivf, Some(pairs))
+    val stored = spark.read.parquet(pairs)
+    // canonical ordering and no duplicate pairs
+    assert(stored.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(stored.distinct().count() == stored.count())
+    // subset of the from-scratch exact tau-threshold pair set over the
+    // same sparse rows (cells only propose; the exact predicate disposes)
+    val nz = spark.read.parquet(store)
+    val l2 = nz.groupBy("doc_id")
+      .agg(sqrt(sum(col("cnt").cast("long") * col("cnt"))).as("l2"))
+    val exact = nz.select(col("doc_id").as("id_a"), col("idx"), col("cnt").as("ca"))
+      .join(nz.select(col("doc_id").as("id_b"), col("idx"), col("cnt").as("cb")),
+        Seq("idx"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("ca").cast("long") * col("cb")).as("dp"))
+      .join(l2.select(col("doc_id").as("id_a"), col("l2").as("la")), "id_a")
+      .join(l2.select(col("doc_id").as("id_b"), col("l2").as("lb")), "id_b")
+      .filter(col("dp") / (col("la") * col("lb")) > StreamingOps.SemPairTau)
+      .select("id_a", "id_b")
+    assert(stored.join(exact, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // a one-shot maintenance pass over the full corpus finds nothing new
+    // beyond the incremental store (same candidates, same predicate)
+    val oneShot = s"$dir/sempairs_oneshot"
+    StreamingOps.maintainSemPairs(spark, ivf, store, oneShot,
+      nz.select(col("doc_id")).distinct())
+    val full = spark.read.parquet(oneShot)
+    assert(full.except(stored).isEmpty,
+      "one-shot maintenance found pairs the incremental store missed")
+    // redelivery is a no-op
+    val before = stored.count()
+    StreamingOps.maintainSemPairs(spark, ivf, store, pairs,
+      nz.select(col("doc_id")).distinct())
+    assert(spark.read.parquet(pairs).count() == before)
+  }
+
   test("streamed drift triggers the sink's retrain: pointer-published geometry, baseline reset") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_embed_drift").toString
