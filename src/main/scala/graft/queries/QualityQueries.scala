@@ -363,13 +363,15 @@ object QualityQueries extends QuerySet {
         val k = 8
         val docsT = t(s, d, "documents")
           .select(col("doc_id"), split(normCol, " ").as("toks"))
-        val grams = docsT
+        // grams feeds BOTH the bench and corpus filters — checkpoint so
+        // the tokenize + gram explode + distinct runs once (g09 discipline)
+        val grams = graft.operators.ScaleOps.checkpointed(docsT
           .select(col("doc_id"), explode(
             when(size(col("toks")) >= k,
               expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
                 s"i -> array_join(slice(toks, i, $k), ' '))"))
               .otherwise(array().cast("array<string>"))).as("gram"))
-          .distinct()
+          .distinct())
         val bench = grams.filter(col("doc_id") % 10 === 0)
           .withColumnRenamed("doc_id", "bench_id")
         val corpus = grams.filter(col("doc_id") % 10 =!= 0)
@@ -522,9 +524,12 @@ object QualityQueries extends QuerySet {
     // BigramLmKeepThreshold).
     Q("g16_bigram_lm_filter",
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), splitCol.as("split"),
-            split(normCol, " ").as("toks"))
+        // docs feeds the train and held-out halves — checkpoint so the
+        // corpus is scanned + tokenized once (g09 discipline)
+        val docs = graft.operators.ScaleOps.checkpointed(
+          t(s, d, "documents")
+            .select(col("doc_id"), splitCol.as("split"),
+              split(normCol, " ").as("toks")))
         val model = graft.text.NgramLm.train(graft.text.NgramLm.bigrams(
           docs.filter(col("split") === "train"), "doc_id", "toks"))
         val heldBg = graft.text.NgramLm.bigrams(

@@ -402,8 +402,11 @@ object TextQueries extends QuerySet {
     // the same tolerance-flag oracle pattern as t14.
     Q("t18_hll_union",
       (s, d) => {
-        val tk = t(s, d, "documents")
-          .select(col("source"), explode(split(lower(normCol), " ")).as("tok"))
+        // tk feeds the sketch agg AND the exact-distinct baseline —
+        // checkpoint so the corpus tokenizes once (t13/g09 discipline)
+        val tk = graft.operators.ScaleOps.checkpointed(
+          t(s, d, "documents")
+            .select(col("source"), explode(split(lower(normCol), " ")).as("tok")))
         val per = tk.groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
         val merged = per.agg(
           count(lit(1)).as("n_sketches"),
@@ -506,8 +509,11 @@ object TextQueries extends QuerySet {
     // graded as an output column for the exact top-20.
     Q("t20_cms_heavy_hitters",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .select(explode(split(lower(normCol), " ")).as("tok"))
+        // toks feeds the sketch build AND the exact top-20 baseline —
+        // checkpoint so the corpus tokenizes once (t13/g09 discipline)
+        val toks = graft.operators.ScaleOps.checkpointed(
+          t(s, dir, "documents")
+            .select(explode(split(lower(normCol), " ")).as("tok")))
         def bucket(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
           pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 15),
             16, 10).cast("long"), lit(CmsW.toLong))
