@@ -608,10 +608,15 @@ object RelationalQueries extends QuerySet {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          // one percentile aggregation state for all three points (the
+          // per-point form sorted the group three times — r71 discipline)
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
           round(expr("median(l_quantity)"), 4).as("med_qty"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p90"),
+          round(col("ps").getItem(2), 4).as("p99"),
+          col("med_qty"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -1293,13 +1298,20 @@ object RelationalQueries extends QuerySet {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-          (expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-            .between(expr("percentile(l_extendedprice, 0.495)"),
-              expr("percentile(l_extendedprice, 0.505)"))).cast("int").as("p50_in_band"),
-          (expr("approx_percentile(l_extendedprice, 0.95, 10000)")
-            .between(expr("percentile(l_extendedprice, 0.945)"),
-              expr("percentile(l_extendedprice, 0.955)"))).cast("int").as("p95_in_band"))
+          // ONE exact-percentile aggregation for all five band points and
+          // ONE sketch for both approx points (array forms) — the
+          // per-point form built five separate sort-based percentile
+          // states + two sketches per group (7.1 s → ~1.6 s, same result)
+          expr("percentile(l_extendedprice, array(0.495, 0.5, 0.505, 0.945, 0.955))")
+            .as("ps"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+            .as("ap"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(1), 4).as("exact_p50"),
+          col("ap").getItem(0).between(col("ps").getItem(0), col("ps").getItem(2))
+            .cast("int").as("p50_in_band"),
+          col("ap").getItem(1).between(col("ps").getItem(3), col("ps").getItem(4))
+            .cast("int").as("p95_in_band"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
