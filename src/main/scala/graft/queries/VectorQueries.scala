@@ -233,13 +233,17 @@ object VectorQueries extends QuerySet {
     // scalar digests (unit norm, first component) so output stays sortable.
     Q("v10_l2_normalize",
       (s, d) => {
-        val nrm = norm(col("embedding"))
-        val unit = transform(col("embedding").cast("array<double>"), x => x / nrm)
+        // nrm is BOUND before the lambda uses it (v11 discipline: a lambda
+        // referencing an outer aggregate re-evaluates it per element)
         t(s, d, "embeddings")
-          .filter(nrm > 0)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", norm(col("embedding")))
+          .filter(col("nrm") > 0)
+          .withColumn("unit", transform(col("embedding").cast("array<double>"),
+            x => x / col("nrm")))
           .select(col("vec_id"),
-            round(norm(unit), 6).as("unit_norm"),
-            round(element_at(unit, 1), 6).as("first_val"))
+            round(norm(col("unit")), 6).as("unit_norm"),
+            round(element_at(col("unit"), 1), 6).as("first_val"))
           .orderBy("vec_id")
       },
       Some(s"""SELECT vec_id,
@@ -301,17 +305,18 @@ object VectorQueries extends QuerySet {
     // rounding rule, or similarity kernel breaks the oracle.
     Q("v13_int8_knn",
       (s, d) => {
-        def dequant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val v = c.cast("array<double>")
-          val maxAbs = aggregate(transform(v, x => abs(x)), lit(0.0),
-            (acc, x) => greatest(acc, x))
-          val sc = maxAbs / lit(127.0)
-          transform(v, x => floor(x / sc + 0.5) * sc)
-        }
+        // maxabs/sc are BOUND through Project steps before the dequant
+        // lambda references them (v11 discipline)
         val emb = t(s, d, "embeddings")
-          .filter(aggregate(transform(col("embedding").cast("array<double>"),
-            x => abs(x)), lit(0.0), (acc, x) => greatest(acc, x)) > 0)
-          .select(col("vec_id"), col("label"), dequant(col("embedding")).as("dv"))
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("maxabs", aggregate(transform(col("v"), x => abs(x)),
+            lit(0.0), (acc, x) => greatest(acc, x)))
+          .filter(col("maxabs") > 0)
+          .withColumn("sc", col("maxabs") / lit(127.0))
+          .withColumn("dv", transform(col("v"),
+            x => floor(x / col("sc") + 0.5) * col("sc")))
+          .select(col("vec_id"), col("label"), col("dv"))
         val q = broadcast(emb.filter(col("vec_id") === 0).select(col("dv").as("qv")))
         val dot = aggregate(zip_with(col("dv"), col("qv"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x)
