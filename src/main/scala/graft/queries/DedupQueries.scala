@@ -277,7 +277,9 @@ object DedupQueries extends QuerySet {
     // so cost scales with actual shingle collisions, not corpus².
     Q("x02_jaccard_stats",
       (s, d) => {
-        val sh = cappedShingleRows(s, d)
+        // sh has THREE consumers (sizes + both join sides) — checkpoint so
+        // the posting scan + cap anti-join runs once (x07 discipline)
+        val sh = cappedShingleRows(s, d).graftCheckpoint()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -437,7 +439,11 @@ object DedupQueries extends QuerySet {
         // argument needs
         val dfTab = shingleDf(s, d)
         val hot = dfTab.filter(col("df") > ShingleDfCap).select("sh")
-        val sh = shingleRows(s, d).join(broadcast(hot), Seq("sh"), "left_anti")
+        // sh has FIVE consumers (sizes, prefix, candidate probe, both
+        // verify sides) — checkpoint so the posting scan + cap anti-join
+        // runs once instead of per consumer (t13/g09 discipline)
+        val sh = (shingleRows(s, d)
+          .join(broadcast(hot), Seq("sh"), "left_anti")).graftCheckpoint()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // prefix size = floor((1-t)·sz) + 2, NOT +1: (1-t) in binary64 is
         // 0.19999…96, so floor underestimates by one exactly at sz % 5 == 0
