@@ -334,16 +334,21 @@ object StreamingQueries extends QuerySet {
           // probe lifecycle is inside the hash gate
           graft.sources.PostingStore.compact(s, s"$idx/postings")
         }
-        // probe ALL THREE maintained stores inside the hash gate: BM25
+        // probe ALL FOUR maintained stores inside the hash gate: BM25
         // top-10 from the postings store, near-dup pairs from the band/set
-        // store (x03's probe), and the same pairs recomputed from the raw
-        // streamed shingle rows — each count must equal the oracle's
-        // from-documents recompute, so drift in ANY maintained store
-        // breaks the hash, not just the postings path.
+        // store (x03's probe), the same pairs recomputed from the raw
+        // streamed shingle rows, and the cross-doc-duplicated document
+        // count from the streamed SUBSTRING anchor store (x15's artifact)
+        // — each count must equal the oracle's from-documents recompute,
+        // so drift in ANY maintained store breaks the hash.
         val ndPairs = graft.operators.NearDup.minhashNearDupPairsFrom(s,
           graft.sources.MinhashStore.bandsAt(s, s"$idx/minhash"),
           graft.sources.MinhashStore.setsAt(s, s"$idx/minhash"),
           threshold = 0.5).count()
+        val subDupDocs = graft.sources.SubstrStore.rowsAt(s, s"$idx/substr")
+          .join(graft.sources.SubstrStore.dfAt(s, s"$idx/substr")
+            .filter(col("df") >= 2), Seq("h"))
+          .select("doc_id").distinct().count()
         val shRows = graft.sources.ShingleStore.rowsAt(s, s"$idx/shingles")
         val sizes = shRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val shPairs = shRows.select(col("doc_id").as("da"), col("sh"))
@@ -365,16 +370,28 @@ object StreamingQueries extends QuerySet {
           .limit(10)
           .withColumn("nd_pairs", lit(ndPairs).cast("int"))
           .withColumn("sh_pairs", lit(shPairs).cast("int"))
+          .withColumn("sub_dup_docs", lit(subDupDocs).cast("int"))
       },
       Some(s"""WITH ${KeywordQueries.bm25ContribSqlWhere("WHERE doc_id < 500")},
         |${DedupQueries.exactJaccardPairsSqlWhere("WHERE doc_id < 500")},
-        |ndc AS (SELECT CAST(count(*) AS INT) AS nd FROM jac WHERE j >= 0.5)
-        |SELECT doc_id, n_terms, score, nd AS nd_pairs, nd AS sh_pairs
+        |ndc AS (SELECT CAST(count(*) AS INT) AS nd FROM jac WHERE j >= 0.5),
+        |sbn AS (SELECT doc_id, lower($normSql) AS nrm
+        |  FROM documents WHERE doc_id < 500),
+        |sbs AS (SELECT doc_id, array_to_string(tk2[pos:pos+7], ' ') AS a8
+        |  FROM (SELECT doc_id, tk2, unnest(range(1, len(tk2) - 6)) AS pos
+        |        FROM (SELECT doc_id, string_split(nrm, ' ') AS tk2
+        |              FROM sbn WHERE length(nrm) > 0)
+        |        WHERE len(tk2) >= 8)),
+        |sbd AS (SELECT a8 FROM sbs GROUP BY a8 HAVING count(DISTINCT doc_id) >= 2),
+        |sdd AS (SELECT CAST(count(DISTINCT doc_id) AS INT) AS sdd
+        |  FROM sbs JOIN sbd USING (a8))
+        |SELECT doc_id, n_terms, score, nd AS nd_pairs, nd AS sh_pairs,
+        |  sdd AS sub_dup_docs
         |FROM (
         |  SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(c), 6) AS score
         |  FROM contrib GROUP BY doc_id
         |  ORDER BY score DESC, doc_id LIMIT 10)
-        |CROSS JOIN ndc
+        |CROSS JOIN ndc CROSS JOIN sdd
         |ORDER BY score DESC, doc_id""".stripMargin)),
 
     // THE REFERENCE'S LITERAL LOOP AS A STREAM: arrival → embed → vector-

@@ -190,6 +190,34 @@ object SubstrStore {
       if (eager) refreshDf(spark, path)
     }
 
+  /** Small-file compaction for the anchor rows table + the tiny docs
+    * sidecar (the ShingleStore.compactRows contract: atomic re-point,
+    * pending tombstones applied physically then cleared, df untouched).
+    */
+  def compactRows(spark: SparkSession, path: String, partitions: Int = 4): Unit =
+    Versioned.withWriterLease(path) {
+      val rows = rowsAt(spark, path)
+      val docs = docsAt(spark, path)
+      Versioned.publish(path, "rows", -1L) { v =>
+        rows.repartition(partitions).write.parquet(v)
+      }
+      Versioned.publish(path, "docs", -1L) { v =>
+        docs.coalesce(1).write.parquet(v)
+      }
+      Tombstones.clear(path)
+    }
+
+  /** Self-scheduling compaction (one driver-side file-count check). */
+  def compactRowsIfNeeded(spark: SparkSession, path: String,
+                          maxFiles: Int = 16, partitions: Int = 4): Boolean = {
+    val cur = Versioned.readPointer(path, "rows").get.dir
+    val n = Option(new java.io.File(s"$path/$cur").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    val fragmented = n > maxFiles
+    if (fragmented) compactRows(spark, path, partitions)
+    fragmented
+  }
+
   private[sources] def refreshDf(spark: SparkSession, path: String): Unit =
     Versioned.withWriterLease(path) {
       val rows = rowsAt(spark, path)

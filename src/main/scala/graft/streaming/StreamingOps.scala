@@ -415,6 +415,10 @@ object StreamingOps {
             retryOnContention() {
               graft.sources.MinhashStore.append(sp, s"$indexRoot/minhash", docs)
             }
+            retryOnContention() {
+              graft.sources.SubstrStore.append(sp, s"$indexRoot/substr", docs,
+                deferDerived = true)
+            }
             // self-scheduling compaction: the sink bounds its own
             // fragmentation across ALL maintained stores (driver-side
             // file-count checks per batch; rewrites run only past the
@@ -427,6 +431,9 @@ object StreamingOps {
             }
             retryOnContention() {
               graft.sources.MinhashStore.compactIfNeeded(sp, s"$indexRoot/minhash")
+            }
+            retryOnContention() {
+              graft.sources.SubstrStore.compactRowsIfNeeded(sp, s"$indexRoot/substr")
             }
             ()
           } finally b.unpersist()

@@ -30,6 +30,31 @@ class SemDedupSpec extends SparkTestBase {
       .select("id_a", "id_b").cache()
   }
 
+  test("md5Panel is the SQL-recomputable sample; panelAnchoredPairs == exact pairs restricted to anchors") {
+    val p = 16
+    val panel = AnnEval.md5Panel(emb, p)
+    assert(panel.size == p)
+    assert(panel.map(_._1) == panel.map(_._1).sorted)
+    // membership equals the md5-ordering definition computed independently
+    val expectIds = emb
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(p)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(panel.map(_._1).toSet == expectIds)
+    // anchored pairs are EXACTLY the all-pairs set restricted to pairs
+    // with >= 1 panel endpoint (the linear-work path loses nothing)
+    val anchored = AnnEval.panelAnchoredPairs(emb, panel, Tau)
+    val expected = exactPairs.filter(
+      col("id_a").isin(panel.map(_._1): _*) ||
+        col("id_b").isin(panel.map(_._1): _*))
+    assert(anchored.count() == expected.count())
+    assert(anchored.join(expected, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    assert(expected.join(anchored, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // panel larger than the corpus degrades to the full corpus (no dupes)
+    val all = AnnEval.md5Panel(emb, 1000000)
+    assert(all.size == emb.count())
+  }
+
   test("cell pairs are a subset of the exact pair set, with exact sims") {
     val cell = SemDedup.cellPairs(assigned, Tau)
     assert(cell.select("id_a", "id_b")
