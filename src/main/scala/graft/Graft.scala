@@ -79,6 +79,34 @@ object Graft {
                   algorithm: String = "alternating"): DataFrame =
     NearDup.connectedComponents(spark, pairs, algorithm)
 
+  /** Exact-substring dedup (Lee et al. 2022 ExactSubstr): per-document
+    * cross-corpus duplicated-span statistics — (doc_id, n_words,
+    * dup_words, n_spans, max_span_words, dup_frac), a span being a
+    * verbatim run of >= SubstrStore.AnchorWords words shared with another
+    * document. Computed fresh from `docs` (doc_id, text); corpora with a
+    * persisted anchor artifact probe [[sources.SubstrStore]] directly.
+    */
+  def duplicatedSpans(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val anchors = sources.SubstrStore.anchorRowsOf(docs)
+    val dfT = anchors.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    sources.SubstrStore.spanStats(anchors,
+      sources.SubstrStore.docRowsOf(docs), dfT)
+  }
+
+  /** SemDeDup (Abbas et al. 2023) semantic near-dup pairs served from a
+    * PERSISTED IVF index (see saveIvfIndex): within-cell exact-cosine
+    * pairs above `tau` under `assignK`-probe assignment — Σ(n_c)² work,
+    * never all-pairs. Feed to [[dupClusters]] or drop id_b per pair for
+    * the keep-lowest-id policy (SemDedup.dropped/survivors).
+    */
+  def semanticDupPairs(spark: SparkSession, indexPath: String,
+                       tau: Double = 0.45, assignK: Int = 3): DataFrame =
+    operators.SemDedup.cellPairs(
+      operators.SemDedup.multiAssign(
+        operators.IvfIndex.loadVectors(spark, indexPath),
+        operators.IvfIndex.loadModel(spark, indexPath), assignK), tau)
+
   // ---- similarity search ----
 
   /** Exact cosine top-k of `corpus` rows against one broadcast query row.
@@ -180,6 +208,16 @@ object Graft {
   def bands(spark: SparkSession, sfDir: String): DataFrame =
     sources.MinhashStore.bands(spark, sfDir)
 
+  /** The persisted positional substring-anchor rows
+    * (doc_id, n_words, pos, h).
+    */
+  def substrAnchors(spark: SparkSession, sfDir: String): DataFrame =
+    sources.SubstrStore.rows(spark, sfDir)
+
+  /** The persisted (h, df) substring-anchor document frequencies. */
+  def substrDf(spark: SparkSession, sfDir: String): DataFrame =
+    sources.SubstrStore.dfTable(spark, sfDir)
+
   /** Register every persisted artifact (plus the documents corpus) as a
     * temp view, so the SQL user can JOIN against the index structures
     * directly — `graft_postings`, `graft_posting_df`,
@@ -197,6 +235,8 @@ object Graft {
     sources.ShingleStore.rows(spark, sfDir).createOrReplaceTempView("graft_shingles")
     sources.ShingleStore.dfTable(spark, sfDir).createOrReplaceTempView("graft_shingle_df")
     sources.MinhashStore.bands(spark, sfDir).createOrReplaceTempView("graft_minhash_bands")
+    sources.SubstrStore.rows(spark, sfDir).createOrReplaceTempView("graft_substr_anchors")
+    sources.SubstrStore.dfTable(spark, sfDir).createOrReplaceTempView("graft_substr_df")
     sources.Tables.load(spark, sfDir, "documents").createOrReplaceTempView("graft_documents")
   }
 

@@ -827,33 +827,11 @@ object DedupQueries extends QuerySet {
     // a hash-green run also certifies the hashed postings collide-free on
     // this corpus.
     Q("x15_exact_substring_dedup",
-      (s, d) => {
-        val w = graft.sources.SubstrStore.AnchorWords
-        val rows = graft.sources.SubstrStore.rows(s, d)
-        val dfT = graft.sources.SubstrStore.dfTable(s, d)
-        val docsT = graft.sources.SubstrStore.docTable(s, d)
-        val dup = rows.join(dfT.filter(col("df") >= 2), Seq("h"))
-        val cov = dup.select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
-          .distinct()
-        val isl = cov.withColumn("grp",
-          col("p") - row_number().over(
-            Window.partitionBy("doc_id").orderBy("p")))
-        val spans = isl.groupBy("doc_id", "grp")
-          .agg(count(lit(1)).as("span_len"))
-        val agg = spans.groupBy("doc_id").agg(
-          sum("span_len").as("dup_words"),
-          count(lit(1)).as("n_spans"),
-          max("span_len").as("max_span_words"))
-        docsT.join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-            coalesce(col("dup_words"), lit(0L)).as("dup_words"),
-            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-            coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
-            round(coalesce(col("dup_words"), lit(0L)) /
-              col("n_words").cast("double"), 6).as("dup_frac"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.sources.SubstrStore.spanStats(
+          graft.sources.SubstrStore.rows(s, d),
+          graft.sources.SubstrStore.docTable(s, d),
+          graft.sources.SubstrStore.dfTable(s, d))
+        .orderBy("doc_id"),
       Some(s"""WITH norms AS (
         |  SELECT doc_id, lower($normSql) AS norm FROM documents),
         |base AS (

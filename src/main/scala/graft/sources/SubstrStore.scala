@@ -190,6 +190,41 @@ object SubstrStore {
       if (eager) refreshDf(spark, path)
     }
 
+  /** Per-document duplicated-span statistics from anchor/df/doc frames —
+    * the exact-substring-dedup computation itself (x15's engine side and
+    * the Graft.duplicatedSpans facade): anchors with df >= 2 expand to
+    * their covered word positions (bounded ×AnchorWords explode over DUP
+    * anchors only), maximal spans fall out of one per-doc
+    * gaps-and-islands window, and every non-empty doc gets a row
+    * (zeros when nothing is duplicated). Output: (doc_id, n_words,
+    * dup_words, n_spans, max_span_words, dup_frac).
+    */
+  def spanStats(anchorRows: DataFrame, docRows: DataFrame,
+                dfTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = AnchorWords
+    val dup = anchorRows.join(dfTable.filter(col("df") >= 2), Seq("h"))
+    val cov = dup.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val isl = cov.withColumn("grp",
+      col("p") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")))
+    val spans = isl.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("span_len"))
+    val agg = spans.groupBy("doc_id").agg(
+      sum("span_len").as("dup_words"),
+      count(lit(1)).as("n_spans"),
+      max("span_len").as("max_span_words"))
+    docRows.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
+        round(coalesce(col("dup_words"), lit(0L)) /
+          col("n_words").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Small-file compaction for the anchor rows table + the tiny docs
     * sidecar (the ShingleStore.compactRows contract: atomic re-point,
     * pending tombstones applied physically then cleared, df untouched).

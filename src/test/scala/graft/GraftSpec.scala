@@ -133,10 +133,35 @@ class GraftSpec extends SparkTestBase {
     assert((approx & exact).size >= 3, s"overlap ${(approx & exact).size}")
   }
 
+  test("duplicatedSpans: fresh-frame facade equals the store-served x15 computation") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val fresh = Graft.duplicatedSpans(spark, docs)
+    val stored = graft.sources.SubstrStore.spanStats(
+      graft.sources.SubstrStore.rows(spark, sf),
+      graft.sources.SubstrStore.docTable(spark, sf),
+      graft.sources.SubstrStore.dfTable(spark, sf))
+    assert(fresh.count() == stored.count())
+    assert(fresh.except(stored).isEmpty && stored.except(fresh).isEmpty)
+    // structural sanity: dup_words bounded by n_words, frac consistent
+    import org.apache.spark.sql.functions._
+    assert(fresh.filter(col("dup_words") > col("n_words")).count() == 0)
+    assert(fresh.filter(col("max_span_words") > col("dup_words")).count() == 0)
+  }
+
+  test("semanticDupPairs serves SemDedup's pair set from a persisted index") {
+    val path = graft.sources.VectorIndexStore.ensureIvf(spark, sf)
+    val pairs = Graft.semanticDupPairs(spark, path)
+    import org.apache.spark.sql.functions._
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "sim"))
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(pairs.filter(col("sim") <= 0.45).count() == 0)
+  }
+
   test("registerArtifactViews exposes joinable SQL views consistent with the stores") {
     Graft.registerArtifactViews(spark, sf)
     for (v <- Seq("graft_postings", "graft_posting_df", "graft_posting_stats",
-        "graft_shingles", "graft_shingle_df", "graft_minhash_bands", "graft_documents"))
+        "graft_shingles", "graft_shingle_df", "graft_minhash_bands",
+        "graft_substr_anchors", "graft_substr_df", "graft_documents"))
       assert(spark.catalog.tableExists(v), s"view $v not registered")
     // a cross-view join resolves and agrees with the store-level frames:
     // per-token doc counts from postings equal the df sidecar
