@@ -107,14 +107,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs) if rs.nonEmpty => rs.map(_._1).min }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Two emissions of the same total: a SHORT leading line (readable at
-    // the head of any log), then the full contract line with `value` as
-    // its LAST key — a tail-truncated capture of the long line still ends
-    // in ...,"unit":"sec","value":N} so the headline number survives
-    // truncation from either side (the round-8 driver artifact lost the
-    // front-loaded total to tail truncation).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","queries":$qs,"work":$work,"errors":$errs,"sf":"$sfDir","unit":"sec","value":$total}""")
+    // Two emissions of the same total: the full contract line FIRST (any
+    // parser reading the first JSON line sees the complete per-query
+    // data, with `value` additionally repeated as its LAST key), then a
+    // SHORT trailing total line — a tail-truncated capture always keeps
+    // the headline number (the round-8 driver artifact lost the
+    // front-loaded total of one long line to tail truncation).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"work":$work,"errors":$errs,"sf":"$sfDir","total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
