@@ -61,14 +61,29 @@ object MultimodalQueries extends QuerySet {
         |  CAST(((nw - 1) // 4) * 4 AS INT) AS max_idx
         |FROM m ORDER BY media_id""".stripMargin)),
 
-    // A2-A6: page extraction + conditional OCR + provenance-tagged assembly.
+    // A2-A6: page extraction + conditional OCR + provenance-tagged
+    // assembly. HASH-GATED on this fixture: the corpus text is pure ASCII
+    // with no \f/\t/\n (verified per generation by the oracle itself — a
+    // fixture WITH page breaks would change the page count and fail
+    // loudly), so each doc is one page, the OCR branch fires exactly on
+    // trimmed length < 100, and the stub's recognized token is
+    // 'ocr_text_' + md5(first 64 bytes) prefix — all recomputable in SQL.
+    // The multi-page/table/provenance paths stay covered by m07 and
+    // DocExtractSpec.
     Q("m03_extract_ocr_assemble",
       (s, d) => {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
         val pages = DocExtract.extractPages(s, docs)
         DocExtract.assembleWithOcr(s, pages).orderBy("doc_id")
-      }),
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN length(trim(text)) < 100 AND length(text) > 0
+        |    THEN '[Page 1 OCR Text]:' || chr(10) || 'ocr_text_' ||
+        |         substr(md5(substr(text, 1, 64)), 1, 8)
+        |    ELSE '[Page 1 Text]:' || chr(10) || text
+        |  END AS document_text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Resize plumbing: payload renormalized to the target pixel budget,
     // dims recorded in metadata (codec stubbed). HASH-GATED: the stub's
