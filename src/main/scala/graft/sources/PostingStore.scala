@@ -123,7 +123,11 @@ object PostingStore {
     derivedChecked(spark, path, "stats")
 
   private def derivedChecked(spark: SparkSession, path: String, name: String): DataFrame = {
-    val base = postingsAt(spark, path).count()
+    // fingerprint-cached: the staleness DECISION runs every read; the
+    // count recomputes only when the table's fs fingerprint changed
+    val base = RowCountCache.countFor(spark, path, "postings") {
+      postingsAt(spark, path).count()
+    }
     if (!Versioned.readPointer(path, name).exists(_.watermark == base))
       try refreshDerived(spark, path)
       catch {

@@ -109,7 +109,11 @@ object ShingleStore {
     * metadata, not a data scan.
     */
   def dfAt(spark: SparkSession, path: String): DataFrame = {
-    val base = rowsAt(spark, path).count()
+    // fingerprint-cached count (RowCountCache): the staleness check runs
+    // every read, the full count only when the table actually changed
+    val base = RowCountCache.countFor(spark, path, "rows") {
+      rowsAt(spark, path).count()
+    }
     if (!Versioned.readPointer(path, "df").exists(_.watermark == base))
       try refreshDf(spark, path)
       catch {

@@ -134,7 +134,10 @@ object SubstrStore {
     * the df refresh is repaired by one pass over persisted rows).
     */
   def dfAt(spark: SparkSession, path: String): DataFrame = {
-    val base = rowsAt(spark, path).count()
+    // fingerprint-cached count (RowCountCache, the ShingleStore.dfAt note)
+    val base = RowCountCache.countFor(spark, path, "rows") {
+      rowsAt(spark, path).count()
+    }
     if (!Versioned.readPointer(path, "df").exists(_.watermark == base))
       try refreshDf(spark, path)
       catch {

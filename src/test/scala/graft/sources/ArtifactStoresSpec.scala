@@ -26,6 +26,32 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(df.except(freshDf).isEmpty && freshDf.except(df).isEmpty)
   }
 
+  test("RowCountCache: cached while unchanged, recounts on append/delete/compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rcc").toString
+    val halfA = docs.filter(col("doc_id") < 25)
+    ShingleStore.build(spark, halfA, s"$root/sh")
+    var computes = 0
+    def counted(): Long = RowCountCache.countFor(spark, s"$root/sh", "rows") {
+      computes += 1
+      ShingleStore.rowsAt(spark, s"$root/sh").count()
+    }
+    val n1 = counted(); val n1b = counted()
+    assert(n1 == n1b && computes == 1, "unchanged table must serve the memo")
+    // append adds part files to the current version -> fingerprint moves
+    ShingleStore.append(spark, s"$root/sh", docs)
+    val n2 = counted()
+    assert(n2 > n1 && computes == 2, "append must invalidate the memo")
+    // delete writes the tombstone sidecar -> fingerprint moves
+    val victim = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+    ShingleStore.delete(spark, s"$root/sh", victim)
+    val n3 = counted()
+    assert(n3 < n2 && computes == 3, "tombstone must invalidate the memo")
+    // compaction re-points the version -> fingerprint moves; count stable
+    ShingleStore.compactRows(spark, s"$root/sh", partitions = 2)
+    val n4 = counted()
+    assert(n4 == n3 && computes == 4, "compact must invalidate the memo")
+  }
+
   test("SubstrStore rows/docs/df equal a fresh computation; append equals build; delete tombstones") {
     import org.apache.spark.sql.DataFrame
     def eq(a: DataFrame, b: DataFrame): Boolean =
