@@ -26,6 +26,43 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(df.except(freshDf).isEmpty && freshDf.except(df).isEmpty)
   }
 
+  test("duplicatedSpans: planted shared spans are recovered exactly, nothing else flagged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 20 docs over doc-unique vocabularies (no accidental 8-gram can
+    // repeat across docs); plant one shared span per doc pair (2j, 2j+1)
+    // of length 8..20 at a random interior position — the span is the
+    // ONLY cross-document text
+    val spans = (0 until 5).map { j =>
+      val len = 8 + rnd.nextInt(13)
+      (j, (0 until len).map(k => s"shared_${j}_$k"))
+    }
+    val docRows = (0 until 20).map { id =>
+      val base = (0 until 30 + rnd.nextInt(50)).map(i => s"w${id}_$i")
+      spans.find(s => id / 2 == s._1 && id < 10) match {
+        case Some((_, sp)) =>
+          val at = 3 + rnd.nextInt(base.size - 6)
+          val words = base.take(at) ++ sp ++ base.drop(at)
+          (id.toLong, words.mkString(" "), sp.size, words.size)
+        case None => (id.toLong, base.mkString(" "), 0, base.size)
+      }
+    }
+    val docs = docRows.map { case (id, tx, _, _) => (id, tx) }.toDF("doc_id", "text")
+    val got = graft.Graft.duplicatedSpans(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docRows.foreach { case (id, _, planted, nWords) =>
+      val (gn, dup, nSpans, maxSpan) = got(id)
+      assert(gn == nWords, s"doc $id n_words")
+      if (planted >= 8) {
+        assert(dup == planted, s"doc $id: dup_words $dup != planted $planted")
+        assert(nSpans == 1 && maxSpan == planted, s"doc $id span shape")
+      } else {
+        assert(dup == 0 && nSpans == 0 && maxSpan == 0, s"doc $id false positive")
+      }
+    }
+  }
+
   test("RowCountCache: cached while unchanged, recounts on append/delete/compact") {
     val root = java.nio.file.Files.createTempDirectory("graft_rcc").toString
     val halfA = docs.filter(col("doc_id") < 25)
