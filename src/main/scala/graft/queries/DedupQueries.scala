@@ -88,17 +88,22 @@ object DedupQueries extends QuerySet {
     */
   private[queries] def funnelStages(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame, DataFrame) = {
-    val docs = t(s, d, "documents").select(col("doc_id"), normCol.as("gnorm"))
+    // docs feeds the gate tokenization AND the exact-dedup hash join, and
+    // s1 is both consumed by s2 and counted by the callers — checkpoint
+    // both so the corpus is scanned + normalized once (t13/g09 discipline;
+    // the materialized frames are (doc_id, gnorm) and an id list)
+    val docs = (t(s, d, "documents")
+      .select(col("doc_id"), normCol.as("gnorm"))).graftCheckpoint()
     val gtk = docs.select(col("doc_id"),
       explode(split(col("gnorm"), " ")).as("tok"))
-    val s1 = gtk.groupBy("doc_id").agg(
+    val s1 = (gtk.groupBy("doc_id").agg(
         count(lit(1)).as("n"),
         avg(length(col("tok"))).as("ml"),
         countDistinct(when(col("tok").isin(QualityQueries.stopwords: _*),
           col("tok"))).as("ns"))
       .filter(col("n").between(50, 100000) && col("ml").between(3.0, 10.0)
         && col("ns") >= 2)
-      .select("doc_id")
+      .select("doc_id")).graftCheckpoint()
     val s2 = (docs.join(s1, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("gnorm"))).orderBy("doc_id")))
