@@ -567,8 +567,11 @@ object DedupQueries extends QuerySet {
         cands
           .join(titles.select(col("doc_id").as("id_a"), col("title").as("ta")), Seq("id_a"))
           .join(titles.select(col("doc_id").as("id_b"), col("title").as("tb")), Seq("id_b"))
-          .withColumn("dist", levenshtein(col("ta"), col("tb")))
-          .filter(col("dist") <= maxDist)
+          // THRESHOLDED levenshtein: the banded DP computes O(len·maxDist)
+          // cells and returns -1 past the bound, instead of the full
+          // O(len²) table per candidate — same kept pairs, same distances
+          .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+          .filter(col("dist") >= 0)
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy("id_a", "id_b")
       },
