@@ -86,13 +86,8 @@ object Graft {
     * document. Computed fresh from `docs` (doc_id, text); corpora with a
     * persisted anchor artifact probe [[sources.SubstrStore]] directly.
     */
-  def duplicatedSpans(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val anchors = sources.SubstrStore.anchorRowsOf(docs)
-    val dfT = anchors.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    sources.SubstrStore.spanStats(anchors,
-      sources.SubstrStore.docRowsOf(docs), dfT)
-  }
+  def duplicatedSpans(spark: SparkSession, docs: DataFrame): DataFrame =
+    sources.SubstrStore.freshStats(docs)
 
   /** SemDeDup (Abbas et al. 2023) semantic near-dup pairs served from a
     * PERSISTED IVF index (see saveIvfIndex): within-cell exact-cosine
@@ -101,7 +96,8 @@ object Graft {
     * the keep-lowest-id policy (SemDedup.dropped/survivors).
     */
   def semanticDupPairs(spark: SparkSession, indexPath: String,
-                       tau: Double = 0.45, assignK: Int = 3): DataFrame =
+                       tau: Double = 0.45,
+                       assignK: Int = operators.SemDedup.DefaultAssignK): DataFrame =
     operators.SemDedup.cellPairs(
       operators.SemDedup.multiAssign(
         operators.IvfIndex.loadVectors(spark, indexPath),

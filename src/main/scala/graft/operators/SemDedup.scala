@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** THE multi-probe assignment width every consumer shares — the declared
+    * queries (v18/x11/x14 via VectorQueries.SemDedupAssignK), the facade
+    * (Graft.semanticDupPairs), and the streamed pair maintenance
+    * (StreamingOps.maintainSemPairs): a width change updates every path
+    * or none (the SemDedupTau discipline).
+    */
+  val DefaultAssignK = 3
+
+
   /** Within-cell exact-cosine pairs above `tau` over a (vec_id, cell,
     * embedding) frame — the store's single-assignment table, or
     * [[multiAssign]]'s expansion of it. ONE equi-join on `cell` (the

@@ -677,10 +677,15 @@ object DedupQueries extends QuerySet {
     // pairs over survivors recover ≥ FunnelSemRecallFloor of the anchored
     // exact restricted pair set), `drop_subset_ok` (anchored IVF drops ⊆
     // anchored exact drops — cosine is exact within cells, so a violation
-    // means a broken pair generator), and `survivors_ok` (the production
-    // survivor count is internally consistent with the drop set and
-    // bounded by after_neardup). The production output is s4 from the
-    // artifact path. Ref lineage: dedup-before-store, db_utils.py:135-146.
+    // means a broken pair generator), and `panel_survivors_ok` (the
+    // PRODUCTION survivor set restricted to panel members keeps every
+    // exact panel survivor — a panel member's complete exact drop status
+    // is KNOWN, since any pair involving it is by definition anchored, so
+    // `panel_exact_survivors` is hash-gated and a drop policy that
+    // removes the wrong documents fails this gate even though the
+    // full-corpus exact survivor count is never computed). The production
+    // output is s4 from the artifact path. Ref lineage: dedup-before-
+    // store, db_utils.py:135-146.
     Q("x14_funnel_ivf_semantic",
       (s, d) => {
         val (nTotal, s1, s2, s3) = funnelStages(s, d)
@@ -717,23 +722,33 @@ object DedupQueries extends QuerySet {
         val ivfDropAnchored = cellAnchored.select(col("id_b").as("doc_id"))
           .distinct()
         val c1 = s1.count(); val c2 = s2.count(); val c3 = s3.count()
-        val c4ivf = s4.count()
-        val nIvfDrop = ivfDrop.count()
         val nCellAnchored = cellAnchored.count()
         val nPanelPairs = exactPairs.count()
         val nPanelDropped = exactDrop.count()
         val escaped = ivfDropAnchored.join(exactDrop, Seq("doc_id"), "left_anti")
+          .count()
+        // panel-restricted survivor cross-check: for panel members the
+        // exact drop status is complete (every pair touching a panel doc
+        // is anchored), so the production survivors must contain every
+        // exact panel survivor — the non-tautological survivor-side gate
+        val nPanelInS3 = s3.filter(col("doc_id").isin(panelIds: _*)).count()
+        val nPanelExactDropped = exactDrop
+          .filter(col("doc_id").isin(panelIds: _*)).count()
+        val nPanelExactSurvivors = nPanelInS3 - nPanelExactDropped
+        val nPanelProdSurvivors = s4.filter(col("doc_id").isin(panelIds: _*))
           .count()
         s.range(1).select(
           lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
           lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
           lit(nPanelPairs).as("panel_pairs_exact"),
           lit(nPanelDropped).as("panel_dropped_exact"),
+          lit(nPanelInS3).as("panel_docs_in_s3"),
+          lit(nPanelExactSurvivors).as("panel_exact_survivors"),
           (lit(nCellAnchored) >= lit(nPanelPairs * FunnelSemRecallFloor))
             .cast("int").as("pair_recall_ok"),
           (lit(escaped) === 0).cast("int").as("drop_subset_ok"),
-          (lit(c4ivf + nIvfDrop) === lit(c3) && lit(c4ivf) <= lit(c3))
-            .cast("int").as("survivors_ok"))
+          (lit(nPanelProdSurvivors) >= lit(nPanelExactSurvivors))
+            .cast("int").as("panel_survivors_ok"))
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,
@@ -752,7 +767,13 @@ object DedupQueries extends QuerySet {
         | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
         | (SELECT CAST(count(*) AS BIGINT) FROM pp) AS panel_pairs_exact,
         | (SELECT CAST(count(DISTINCT db) AS BIGINT) FROM pp) AS panel_dropped_exact,
-        | 1 AS pair_recall_ok, 1 AS drop_subset_ok, 1 AS survivors_ok""".stripMargin)),
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3
+        |    WHERE doc_id IN (SELECT vec_id FROM panel)) AS panel_docs_in_s3,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3
+        |    WHERE doc_id IN (SELECT vec_id FROM panel)) -
+        |   (SELECT CAST(count(DISTINCT db) AS BIGINT) FROM pp
+        |    WHERE db IN (SELECT vec_id FROM panel)) AS panel_exact_survivors,
+        | 1 AS pair_recall_ok, 1 AS drop_subset_ok, 1 AS panel_survivors_ok""".stripMargin)),
 
     // Per-document corpus-duplicated n-gram coverage — the "duplicate
     // n-gram fraction" curation signal (Dolma/RefinedWeb lineage), computed

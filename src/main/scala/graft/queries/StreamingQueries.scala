@@ -377,11 +377,13 @@ object StreamingQueries extends QuerySet {
         |ndc AS (SELECT CAST(count(*) AS INT) AS nd FROM jac WHERE j >= 0.5),
         |sbn AS (SELECT doc_id, lower($normSql) AS nrm
         |  FROM documents WHERE doc_id < 500),
-        |sbs AS (SELECT doc_id, array_to_string(tk2[pos:pos+7], ' ') AS a8
-        |  FROM (SELECT doc_id, tk2, unnest(range(1, len(tk2) - 6)) AS pos
+        |sbs AS (SELECT doc_id,
+        |    array_to_string(tk2[pos:pos+${graft.sources.SubstrStore.AnchorWords - 1}], ' ') AS a8
+        |  FROM (SELECT doc_id, tk2,
+        |          unnest(range(1, len(tk2) - ${graft.sources.SubstrStore.AnchorWords - 2})) AS pos
         |        FROM (SELECT doc_id, string_split(nrm, ' ') AS tk2
         |              FROM sbn WHERE length(nrm) > 0)
-        |        WHERE len(tk2) >= 8)),
+        |        WHERE len(tk2) >= ${graft.sources.SubstrStore.AnchorWords})),
         |sbd AS (SELECT a8 FROM sbs GROUP BY a8 HAVING count(DISTINCT doc_id) >= 2),
         |sdd AS (SELECT CAST(count(DISTINCT doc_id) AS INT) AS sdd
         |  FROM sbs JOIN sbd USING (a8))

@@ -708,7 +708,8 @@ object VectorQueries extends QuerySet {
     * 1.0 / 0.847 (vs 0.5 / 0.33 single-assignment).
     */
   private[queries] val SemDedupTau = 0.45
-  private[queries] val SemDedupAssignK = 3
+  private[queries] val SemDedupAssignK =
+    graft.operators.SemDedup.DefaultAssignK
 
   /** Size of the hash-stratified exact grading panel shared by v18/x14
     * (AnnEval.md5Panel): FIXED — not a corpus fraction — so the engine-side

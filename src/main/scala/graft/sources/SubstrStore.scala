@@ -81,9 +81,12 @@ object SubstrStore {
     * anchors (substring dedup of tiny documents is exact dedup's job);
     * `pos` is the 1-based word position of the window start.
     */
-  def anchorRowsOf(docs: DataFrame): DataFrame = {
+  def anchorRowsOf(docs: DataFrame): DataFrame =
+    anchorsFromBase(normBase(docs))
+
+  private def anchorsFromBase(base: DataFrame): DataFrame = {
     val w = AnchorWords
-    normBase(docs)
+    base
       .filter(col("n_words") >= w)
       .select(col("doc_id"), col("n_words"),
         posexplode(transform(sequence(lit(1), col("n_words") - (w - 1)), i =>
@@ -91,6 +94,22 @@ object SubstrStore {
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), col("n_words"),
         (col("pos0") + 1).as("pos"), col("h"))
+  }
+
+  /** [[spanStats]] computed FRESH from any (doc_id, text) frame with the
+    * one-scan discipline: the normalized base is checkpointed once (it
+    * feeds both the anchors and the per-doc word counts) and the anchors
+    * once (they feed both the df aggregation and the coverage join) —
+    * without the checkpoints Catalyst re-runs the corpus scan + tokenize
+    * per consumer, three passes in all. Store-backed corpora probe the
+    * persisted tables instead (x15's path).
+    */
+  def freshStats(docs: DataFrame): DataFrame = {
+    val base = graft.operators.ScaleOps.checkpointed(normBase(docs))
+    val anchors = graft.operators.ScaleOps.checkpointed(anchorsFromBase(base))
+    spanStats(anchors,
+      base.select(col("doc_id"), col("n_words")),
+      anchors.groupBy("h").agg(countDistinct(col("doc_id")).as("df")))
   }
 
   /** Build the artifact from any (doc_id, text) frame into `dir`. */

@@ -43,12 +43,18 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ→timestamp interprets wall-clock in the SESSION timezone; pin
-        // it here (like nanosAsLong above) so library callers on a non-UTC
-        // JVM get the same instants as the nanos path and the oracle —
-        // Verify/Bench set it too, but loadEvents must not depend on that
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // NTZ wall-clock must become the UTC instant REGARDLESS of the
+        // session timezone — and without mutating it (a library load must
+        // not hijack every later to_timestamp in the caller's session).
+        // convert_timezone rewrites the wall-clock from UTC into the
+        // session zone captured at plan-build, so the session-zone NTZ→
+        // LTZ cast lands on the original UTC instant; under the driver
+        // entry points (UTC session) the conversion is a no-op. Callers
+        // must not change the session timezone between load and action.
+        val z = spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        raw.withColumn("ts",
+          expr(s"cast(convert_timezone('UTC', '$z', ts) as timestamp)"))
       case _ => raw
     }
   }

@@ -215,7 +215,7 @@ object VectorIndexStore {
     // missing path surfaced as ERROR-level listener noise on every first
     // append when probed by catching PATH_NOT_FOUND
     val seq =
-      if (!new java.io.File(path, "qerr").exists()) 0L
+      if (!Fs.exists(spark, s"$path/qerr")) 0L
       else spark.read.parquet(s"$path/qerr").count()
     val (n, mean) = stats
       .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
@@ -265,7 +265,7 @@ object VectorIndexStore {
     */
   def driftFactor(spark: SparkSession, path: String): Option[Double] = {
     import spark.implicits._
-    if (!new java.io.File(path, "qerr").exists()) return None // no appends yet
+    if (!Fs.exists(spark, s"$path/qerr")) return None // no appends yet
     val rows = spark.read.parquet(s"$path/qerr")
       .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
         org.apache.spark.sql.functions.col("mean_sq_err").cast("double"),

@@ -33,7 +33,11 @@ object StreamingOps {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // zone-independent NTZ handling — the Tables.loadEvents note
+        val z = spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        raw.withColumn("ts",
+          expr(s"cast(convert_timezone('UTC', '$z', ts) as timestamp)"))
       case _ => raw
     }
   }
@@ -149,7 +153,7 @@ object StreamingOps {
     * first-arrival semantics.
     */
   private def parquetIfExists(sp: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(sp.read.parquet(path)) else None
+    if (graft.sources.Fs.exists(sp, path)) Some(sp.read.parquet(path)) else None
 
   /** Checkpoint parent for bounded drains: tmpfs when the host has it.
     * Every state-store commit is a write+rename per partition per batch —
@@ -612,7 +616,8 @@ object StreamingOps {
                        batchIds: DataFrame): Unit = {
     val vectors = graft.operators.IvfIndex.loadVectors(spark, ivfPath)
     val model = graft.operators.IvfIndex.loadModel(spark, ivfPath)
-    val assignAll = graft.operators.SemDedup.multiAssign(vectors, model, 3)
+    val assignAll = graft.operators.SemDedup.multiAssign(vectors, model,
+      graft.operators.SemDedup.DefaultAssignK)
       .select(col("vec_id"), col("cell"))
     val assignNew = assignAll
       .join(batchIds.select(col("doc_id").as("vec_id")).distinct(), "vec_id")
@@ -637,7 +642,7 @@ object StreamingOps {
       .filter(col("dp") / (col("la") * col("lb")) > SemPairTau)
       .select(col("id_a"), col("id_b"))
     val fresh =
-      if (new java.io.File(pairsPath).exists())
+      if (graft.sources.Fs.exists(spark, pairsPath))
         verified.join(spark.read.parquet(pairsPath),
           Seq("id_a", "id_b"), "left_anti")
       else verified

@@ -23,9 +23,13 @@ object GraftShim {
 
   /** Drain the listener bus so SparkListener-accumulated metrics are
     * complete before a snapshot (waitUntilEmpty is private[spark]).
+    * BEST-EFFORT: a drain that exceeds the bound (event flood on a loaded
+    * host) only skews one rep's work counters — it must never abort the
+    * caller's run, so the timeout is swallowed.
     */
   def drainListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty(10000L)
+    try spark.sparkContext.listenerBus.waitUntilEmpty(10000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 
   /** Idempotently add a planner strategy to the session. */
   def registerStrategy(spark: SparkSession,
