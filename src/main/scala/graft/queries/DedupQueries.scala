@@ -728,15 +728,19 @@ object DedupQueries extends QuerySet {
         val escaped = ivfDropAnchored.join(exactDrop, Seq("doc_id"), "left_anti")
           .count()
         // panel-restricted survivor cross-check: for panel members the
-        // exact drop status is complete (every pair touching a panel doc
-        // is anchored), so the production survivors must contain every
-        // exact panel survivor — the non-tautological survivor-side gate
-        val nPanelInS3 = s3.filter(col("doc_id").isin(panelIds: _*)).count()
-        val nPanelExactDropped = exactDrop
-          .filter(col("doc_id").isin(panelIds: _*)).count()
-        val nPanelExactSurvivors = nPanelInS3 - nPanelExactDropped
-        val nPanelProdSurvivors = s4.filter(col("doc_id").isin(panelIds: _*))
-          .count()
+        // exact drop status is COMPLETE (every pair touching a panel doc
+        // is anchored), so the production survivor SET must contain every
+        // exact panel survivor — checked as containment, not a count
+        // comparison (a policy dropping the same NUMBER of wrong panel
+        // docs would pass a count gate); the non-tautological
+        // survivor-side gate a wrong-drop policy fails.
+        val panelInS3 = s3.filter(col("doc_id").isin(panelIds: _*))
+        val exactPanelSurvivors = panelInS3
+          .join(exactDrop, Seq("doc_id"), "left_anti")
+        val nPanelInS3 = panelInS3.count()
+        val nPanelExactSurvivors = exactPanelSurvivors.count()
+        val survivorViolations = exactPanelSurvivors
+          .join(s4, Seq("doc_id"), "left_anti").count()
         s.range(1).select(
           lit(nTotal).as("n_total"), lit(c1).as("after_gates"),
           lit(c2).as("after_exact"), lit(c3).as("after_neardup"),
@@ -747,8 +751,7 @@ object DedupQueries extends QuerySet {
           (lit(nCellAnchored) >= lit(nPanelPairs * FunnelSemRecallFloor))
             .cast("int").as("pair_recall_ok"),
           (lit(escaped) === 0).cast("int").as("drop_subset_ok"),
-          (lit(nPanelProdSurvivors) >= lit(nPanelExactSurvivors))
-            .cast("int").as("panel_survivors_ok"))
+          (lit(survivorViolations) === 0).cast("int").as("panel_survivors_ok"))
       },
       Some(s"""WITH $exactJaccardPairsSql,
         |$funnelStagesSql,

@@ -55,6 +55,41 @@ class SemDedupSpec extends SparkTestBase {
     assert(all.size == emb.count())
   }
 
+  test("panel survivor containment gate catches a wrong-survivor drop policy") {
+    val spark2 = spark
+    import spark2.implicits._
+    // synthetic corpus with KNOWN structure: ids 0..19 each have an exact
+    // clone at 100+i (one-hot vectors — non-clone cosine is exactly 0);
+    // ids 20..39 have no partner. Keep-lowest-id must drop {100..119}.
+    val data = (0 until 40).flatMap { i =>
+      val v = Array.tabulate(40)(j => if (j == i) 1f else 0f).toSeq
+      if (i < 20) Seq((i.toLong, 0, v), ((100 + i).toLong, 0, v))
+      else Seq((i.toLong, 0, v))
+    }
+    val emb = data.toDF("vec_id", "label", "embedding")
+    val panel = AnnEval.md5Panel(emb, 20)
+    val panelIds = panel.map(_._1).toSet
+    // the synthetic id layout guarantees the panel straddles both sides
+    require(panelIds.exists(_ < 20) && panelIds.exists(_ >= 100),
+      s"fixture assumption broke: $panelIds")
+    val anchored = AnnEval.panelAnchoredPairs(emb, panel, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // anchored pairs are exactly the clone pairs touching the panel
+    assert(anchored.forall { case (a, b) => b == a + 100 })
+    val exactDropPanel = anchored.map(_._2).toSet & panelIds
+    val exactPanelSurvivors = panelIds -- exactDropPanel
+    // CORRECT policy (drop id_b of every pair): containment holds
+    val survCorrect = data.map(_._1).toSet -- (100 until 120).map(_.toLong)
+    assert((exactPanelSurvivors -- survCorrect).isEmpty)
+    // BROKEN policy (drop id_a — keep-HIGHEST-id): drops panel docs that
+    // are exact survivors, so the containment gate must fail...
+    val survBroken = data.map(_._1).toSet -- (0 until 20).map(_.toLong)
+    assert((exactPanelSurvivors -- survBroken).nonEmpty,
+      "gate failed to catch the wrong-survivor policy")
+    // ...where a COUNT-based gate can be fooled whenever the wrong drops
+    // happen to balance out — the reason x14 checks containment
+  }
+
   test("cell pairs are a subset of the exact pair set, with exact sims") {
     val cell = SemDedup.cellPairs(assigned, Tau)
     assert(cell.select("id_a", "id_b")
