@@ -125,7 +125,7 @@ object PostingStore {
   private def derivedChecked(spark: SparkSession, path: String, name: String): DataFrame = {
     // fingerprint-cached: the staleness DECISION runs every read; the
     // count recomputes only when the table's fs fingerprint changed
-    val base = RowCountCache.countFor(spark, path, "postings") {
+    val base = RowCountCache.countFor(path, "postings") {
       postingsAt(spark, path).count()
     }
     if (!Versioned.readPointer(path, name).exists(_.watermark == base))

@@ -1,7 +1,5 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
-
 /** Process-wide cache for the watermark row counts the checked derived-table
   * reads need (ShingleStore/SubstrStore/PostingStore `dfAt`-style repair
   * checks): the check itself must run on EVERY read — that is what detects a
@@ -42,8 +40,7 @@ object RowCountCache {
     * recomputed via `compute` only when the version's filesystem
     * fingerprint changed since the last call in this process.
     */
-  def countFor(spark: SparkSession, path: String, name: String)
-              (compute: => Long): Long = {
+  def countFor(path: String, name: String)(compute: => Long): Long = {
     val token = fingerprint(path, name)
     val hit = cache.get(s"$path#$name")
     if (hit != null && hit._1 == token) hit._2

@@ -111,7 +111,7 @@ object ShingleStore {
   def dfAt(spark: SparkSession, path: String): DataFrame = {
     // fingerprint-cached count (RowCountCache): the staleness check runs
     // every read, the full count only when the table actually changed
-    val base = RowCountCache.countFor(spark, path, "rows") {
+    val base = RowCountCache.countFor(path, "rows") {
       rowsAt(spark, path).count()
     }
     if (!Versioned.readPointer(path, "df").exists(_.watermark == base))
@@ -214,10 +214,7 @@ object ShingleStore {
     */
   def compactRowsIfNeeded(spark: SparkSession, path: String,
                           maxFiles: Int = 16, partitions: Int = 4): Boolean = {
-    val cur = Versioned.readPointer(path, "rows").get.dir
-    val n = Option(new java.io.File(s"$path/$cur").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
-    val fragmented = n > maxFiles
+    val fragmented = Versioned.partFileCount(path, "rows") > maxFiles
     if (fragmented) compactRows(spark, path, partitions)
     fragmented
   }

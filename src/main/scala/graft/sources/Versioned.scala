@@ -253,6 +253,16 @@ object Versioned {
     (if (end < 0) tail else tail.substring(0, end)).toLong
   }
 
+  /** Part-file count of `name`'s current version — the self-scheduling
+    * compaction trigger's one driver-side check (shared by every store's
+    * compactIfNeeded variant).
+    */
+  def partFileCount(path: String, name: String): Int = {
+    val cur = readPointer(path, name).get.dir
+    Option(new java.io.File(s"$path/$cur").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+  }
+
   /** Resolve the current version of derived table `name`, if published. */
   def readPointer(path: String, name: String): Option[Current] = {
     val f = pointerFile(path, name)

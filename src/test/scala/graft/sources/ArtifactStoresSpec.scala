@@ -68,7 +68,7 @@ class ArtifactStoresSpec extends SparkTestBase {
     val halfA = docs.filter(col("doc_id") < 25)
     ShingleStore.build(spark, halfA, s"$root/sh")
     var computes = 0
-    def counted(): Long = RowCountCache.countFor(spark, s"$root/sh", "rows") {
+    def counted(): Long = RowCountCache.countFor(s"$root/sh", "rows") {
       computes += 1
       ShingleStore.rowsAt(spark, s"$root/sh").count()
     }
