@@ -129,6 +129,25 @@ class ArtifactStoresSpec extends SparkTestBase {
       .filter(col("doc_id") === vid).isEmpty)
   }
 
+  test("SubstrStore deferred df: stale after append, checked read self-repairs through the count cache") {
+    val root = java.nio.file.Files.createTempDirectory("graft_substr_defer").toString
+    val halfA = docs.filter(col("doc_id") < 25)
+    SubstrStore.build(spark, halfA, s"$root/st")
+    val dfBefore = SubstrStore.dfAt(spark, s"$root/st").count()
+    // sink-mode append: rows land, df deliberately deferred (the crash-
+    // equivalent state — watermark no longer matches the rows count)
+    SubstrStore.append(spark, s"$root/st", docs, deferDerived = true)
+    val rowsNow = SubstrStore.rowsAt(spark, s"$root/st").count()
+    assert(!Versioned.readPointer(s"$root/st", "df").exists(_.watermark == rowsNow),
+      "deferred append must leave the df watermark stale")
+    // the checked read repairs it — and the fingerprint cache must not
+    // serve the pre-append count (the append changed the part listing)
+    val dfAfter = SubstrStore.dfAt(spark, s"$root/st").count()
+    assert(dfAfter > dfBefore, "repair must rebuild df over the appended rows")
+    assert(Versioned.readPointer(s"$root/st", "df").exists(_.watermark == rowsNow),
+      "repair must stamp the current rows count")
+  }
+
   test("MinhashStore bands/sets equal fresh computation; probed pairs identical") {
     val bands = MinhashStore.bands(spark, sf)
     val freshBands = NearDup.minhashBuckets(spark, docs)
