@@ -33,6 +33,8 @@ object GoldenGen {
       println("GOLDEN )")
       val m04 = m("m04_chunks_sql")(spark, d).head()
       println(s"""GOLDEN m04 ${n}L -> Seq("${m04.getLong(0)}, ${m04.getLong(1)}, ${m04.getLong(2)}")""")
+      val t21 = m("t21_bpe_encode_pack")(spark, d).head()
+      println(s"""GOLDEN t21 ${n}L -> Seq("${t21.getLong(0)}, ${t21.getLong(1)}, ${t21.getLong(2)}, ${t21.getLong(3)}, ${t21.getLong(4)}")""")
     }
     spark.stop()
   }

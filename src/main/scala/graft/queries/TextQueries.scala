@@ -548,8 +548,64 @@ object TextQueries extends QuerySet {
         |SELECT p.tok, p.cnt, min(s.c) AS cms_est,
         |  (min(s.c) >= p.cnt) AS no_underestimate
         |FROM probe p JOIN sk s ON s.i = p.i AND s.b = p.b
-        |GROUP BY 1, 2 ORDER BY cnt DESC, tok""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY cnt DESC, tok""".stripMargin)),
+
+    // CORPUS → TRAINING SEQUENCES end to end: train BPE merges on the
+    // corpus (t19's bounded-vocabulary shape), encode EVERY document under
+    // the trained table via the vocabulary-bounded broadcast join
+    // (BpeTokenizer.corpusTokenCounts — each distinct word encoded once,
+    // one corpus scan regardless of merge depth), then pack the real token
+    // counts into fixed-budget training sequences per source shard
+    // (Graft.packSequences — running-sum window partitioned by source, so
+    // packing parallelizes across shards at any corpus size). The chain is
+    // the missing last mile between the tokenizer family (t11/t19) and the
+    // packing family (g06): actual trained-tokenizer counts, not
+    // whitespace word counts, reach the packer. HASH-GATED through the
+    // golden-VALUES pattern (BPE encode is not SQL-expressible — the
+    // chunker discipline): the xor-folded digest of every document's
+    // (doc_id, source, pack_id) assignment pins the entire packing, and
+    // the summary stats pin the token accounting; BpeSpec's golden merge
+    // tables + properties certify the encode the digests then pin.
+    Q("t21_bpe_encode_pack",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.text.BpeTokenizer.train(
+          graft.text.BpeTokenizer.wordFreqs(docs, "text"), BpeMergeRounds)
+        val packed = graft.operators.ScaleOps.checkpointed(
+          graft.Graft.packSequences(
+            graft.text.BpeTokenizer
+              .corpusTokenCounts(docs, "doc_id", "text", merges)
+              .join(docs.select("doc_id", "source"), "doc_id"),
+            "n_tokens", PackTokenBudget, "source", "doc_id"))
+        val perPack = packed.groupBy("source", "pack_id")
+          .agg(sum("n_tokens").as("pk"), count(lit(1)).as("pd"))
+        val stats = perPack.agg(
+          sum("pd").as("n_docs"), sum("pk").as("total_tokens"),
+          count(lit(1)).as("n_packs"), max("pk").as("max_pack_tokens"))
+        val digest = packed.agg(
+          expr("bit_xor(xxhash64(doc_id, source, pack_id))").as("packs_digest"))
+        stats.crossJoin(digest)
+      },
+      Some(goldenBySize(
+        "n_docs BIGINT, total_tokens BIGINT, n_packs BIGINT, " +
+          "max_pack_tokens BIGINT, packs_digest BIGINT",
+        GoldenT21)))
   )
+
+  /** t21's merge-table depth and per-sequence token budget. 64 merges
+    * saturate the synthetic corpus's small vocabulary (training stops when
+    * no pair repeats), which is the interesting regime: most words encode
+    * to one or two learned tokens, some to character tails.
+    */
+  private val BpeMergeRounds = 64
+  private val PackTokenBudget = 2048
+
+  /** t21's pinned packing outcomes, keyed by fixture document count —
+    * regenerate via tools/golden_chunk_oracles.md (GoldenGen prints them).
+    */
+  private val GoldenT21: Map[Long, Seq[String]] = Map(
+    500L -> Seq("500, 48170, 38, 2180, 7881010267123398180"),
+    5000L -> Seq("5000, 484495, 244, 2202, -8434606551620654490"))
 
   /** DuckDB mirror of `TextAnalysis.detectLanguage` — stopword IN-lists are
     * spliced from the SAME `stopwordProfiles` the engine uses, so the two

@@ -146,4 +146,33 @@ object BpeTokenizer {
     merges.foreach { case (l, r) => if (syms.length > 1) syms = applyMerge(syms, l, r) }
     syms
   }
+
+  /** Per-document BPE token counts under a trained merge table — the
+    * vocabulary-bounded encode shape: each DISTINCT word is encoded ONCE
+    * driver-side (over the same bounded vocabulary training used), the
+    * (word → token count) table broadcast-joins against one tokenize pass
+    * of the corpus, and per-doc counts are a partial-aggregating groupBy —
+    * no per-occurrence encode, no UDF in the hot path, corpus cost is one
+    * scan regardless of merge-table depth. Tokenization is byte-identical
+    * to [[wordFreqs]]'s (lowercased normalized whitespace words). Returns
+    * (doc_id, n_words, n_tokens) for every document with >= 1 word.
+    */
+  def corpusTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)],
+                        maxWords: Int = 1 << 17): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vocab = wordFreqs(docs, textCol, maxWords).map(_._1)
+    val wt = broadcast(
+      vocab.map(w => (w, encode(w, merges).length.toLong)).toDF("w", "wtoks"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .join(wt, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("wtoks")).as("n_tokens"))
+  }
 }

@@ -10,6 +10,40 @@ import graft.sources.Tables
   */
 class BpeSpec extends SparkTestBase {
 
+  test("corpusTokenCounts equals a direct per-occurrence encode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "low low lower newest"),
+      (2L, "widest  newest newest low"),
+      (3L, "lower widest"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(
+      BpeTokenizer.wordFreqs(docs, "text"), 8)
+    val got = BpeTokenizer.corpusTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // direct recompute: encode every occurrence independently
+    val expect = Map(
+      1L -> Seq("low", "low", "lower", "newest"),
+      2L -> Seq("widest", "newest", "newest", "low"),
+      3L -> Seq("lower", "widest")
+    ).map { case (id, ws) =>
+      id -> (ws.size.toLong,
+        ws.map(w => BpeTokenizer.encode(w, merges).length.toLong).sum)
+    }
+    assert(got == expect) // doc 4 (whitespace only) contributes no row
+    // packing the real counts: pack sums reconstruct totals, ids contiguous
+    val counts = got.toSeq.map { case (id, (w, t)) => (id, w, t, "s0") }
+      .toDF("doc_id", "n_words", "n_tokens", "source")
+    val packed = graft.Graft.packSequences(counts, "n_tokens", 5, "source", "doc_id")
+    val perPack = packed.groupBy("pack_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("pk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perPack.values.sum == expect.values.map(_._2).sum)
+    assert(perPack.keySet == (0L until perPack.size).toSet,
+      "pack ids must be contiguous from 0")
+  }
+
   // the classic subword-NMT example corpus (Sennrich et al., ACL'16) — the
   // merge sequence is hand-checkable: es (9) before est (9) because counts
   // tie and training is deterministic by construction
