@@ -569,12 +569,15 @@ object TextQueries extends QuerySet {
     Q("t21_bpe_encode_pack",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val merges = graft.text.BpeTokenizer.train(
-          graft.text.BpeTokenizer.wordFreqs(docs, "text"), BpeMergeRounds)
+        // ONE vocabulary aggregation serves both training and the encode
+        // join (corpusTokenCounts would otherwise re-run wordFreqs)
+        val wf = graft.text.BpeTokenizer.wordFreqs(docs, "text")
+        val merges = graft.text.BpeTokenizer.train(wf, BpeMergeRounds)
         val packed = graft.operators.ScaleOps.checkpointed(
           graft.Graft.packSequences(
             graft.text.BpeTokenizer
-              .corpusTokenCounts(docs, "doc_id", "text", merges)
+              .corpusTokenCounts(docs, "doc_id", "text", merges,
+                vocabulary = Some(wf.map(_._1)))
               .join(docs.select("doc_id", "source"), "doc_id"),
             "n_tokens", PackTokenBudget, "source", "doc_id"))
         val perPack = packed.groupBy("source", "pack_id")

@@ -159,9 +159,12 @@ object BpeTokenizer {
     */
   def corpusTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)],
-                        maxWords: Int = 1 << 17): DataFrame = {
+                        maxWords: Int = 1 << 17,
+                        vocabulary: Option[Seq[String]] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val vocab = wordFreqs(docs, textCol, maxWords).map(_._1)
+    // callers that just trained pass the vocabulary they already
+    // aggregated (t21) — otherwise one wordFreqs pass derives it
+    val vocab = vocabulary.getOrElse(wordFreqs(docs, textCol, maxWords).map(_._1))
     val wt = broadcast(
       vocab.map(w => (w, encode(w, merges).length.toLong)).toDF("w", "wtoks"))
     docs
