@@ -508,8 +508,10 @@ object StreamingQueries extends QuerySet {
     // recovers ≥ SemPairRecallFloor of the exact pair set; measured 1.0
     // at both SFs — identical-text pairs share cells by construction).
     // The exact pair join is an EQUI-join on the shared dimension index
-    // (the standard sparse-similarity join; df-capped at real scale, the
-    // x02 discipline), never an all-pairs cross.
+    // (the standard sparse-similarity join), never an all-pairs cross; it
+    // is the DRILL's from-scratch grading baseline over the bounded
+    // 500-doc lifecycle corpus — the production path is the maintained
+    // store itself (cell candidates + per-pair verify, work ∝ batch).
     Q("s16_streamed_semantic_pairs",
       (s, d) => {
         val (store, _, pairs) = s15Drill(s, d)
