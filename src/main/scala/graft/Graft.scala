@@ -283,17 +283,23 @@ object Graft {
       graft.text.BpeTokenizer.wordFreqs(docs, textCol, maxWords), numMerges)
 
   /** Encode one word with a learned merge table (rank-order replay). */
-  /** Per-document token counts of the WHOLE corpus under a trained merge
-    * table — each distinct word encoded once, broadcast-joined against one
-    * tokenize pass (BpeTokenizer.corpusTokenCounts). Feed to
-    * [[packSequences]] for training-sequence packing (the t21 chain).
-    */
-  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Seq[(String, String)]): DataFrame =
-    graft.text.BpeTokenizer.corpusTokenCounts(docs, idCol, textCol, merges)
-
   def bpeEncode(word: String, merges: Seq[(String, String)]): IndexedSeq[String] =
     graft.text.BpeTokenizer.encode(word, merges)
+
+  /** Per-document token counts of the WHOLE corpus under a trained merge
+    * table — each distinct word encoded once, broadcast-joined against one
+    * tokenize pass (BpeTokenizer.corpusTokenCounts; a caller-supplied
+    * vocabulary that misses corpus words fails loudly). Mirror
+    * [[trainBpe]]'s `maxWords` here, or pass the vocabulary you already
+    * aggregated for training to skip the second word-frequency pass (the
+    * t21 pattern). Feed to [[packSequences]] for training-sequence packing.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)],
+                     maxWords: Int = 1 << 17,
+                     vocabulary: Option[Seq[String]] = None): DataFrame =
+    graft.text.BpeTokenizer.corpusTokenCounts(docs, idCol, textCol, merges,
+      maxWords, vocabulary)
 
   // ---- retrieval (k01-k03 as parameterized library calls) ----
 

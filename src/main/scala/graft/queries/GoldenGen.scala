@@ -2,14 +2,15 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 
-/** Golden-value generator for the chunker-derived oracles (the VALUES
-  * literals in PipelineQueries.GoldenD08/GoldenD09 and
-  * MultimodalQueries.GoldenM04): prints each map's rows from a live engine
-  * run at both pinned fixture SFs. Run after an INTENDED chunker change
-  * (recipe: tools/golden_chunk_oracles.md) — and only after the chunker
-  * parity/property suites pass, since they are what certify the new
-  * behavior the digests then pin. Printed numbers are SQL literals; strip
-  * nothing, copy verbatim.
+/** Golden-value generator for the non-SQL-expressible oracles (the VALUES
+  * literals in PipelineQueries.GoldenD08/GoldenD09,
+  * MultimodalQueries.GoldenM04, and TextQueries.GoldenT21): prints each
+  * map's rows from a live engine run at both pinned fixture SFs. Run after
+  * an INTENDED change to the generating operator (recipe:
+  * tools/golden_chunk_oracles.md) — and only after the suite certifying
+  * that operator passes: the chunker parity/property suites for
+  * d08/d09/m04, BpeSpec's golden merge tables + properties for t21.
+  * Printed numbers are SQL literals; strip nothing, copy verbatim.
   */
 object GoldenGen {
   def main(args: Array[String]): Unit = {

@@ -169,10 +169,7 @@ object MinhashStore {
     */
   def compactIfNeeded(spark: SparkSession, path: String,
                       maxFiles: Int = 16, partitions: Int = 4): Boolean = {
-    val cur = Versioned.readPointer(path, "bands").get.dir
-    val n = Option(new java.io.File(s"$path/$cur").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
-    val fragmented = n > maxFiles
+    val fragmented = Versioned.partFileCount(path, "bands") > maxFiles
     if (fragmented) compact(spark, path, partitions)
     fragmented
   }

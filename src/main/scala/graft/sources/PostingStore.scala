@@ -241,12 +241,8 @@ object PostingStore {
   /** Number of data files in the current postings version — the segment-
     * fragmentation signal (one driver-side directory listing, no job).
     */
-  def segmentFileCount(path: String): Int = {
-    val cur = Versioned.readPointer(path, "postings").get.dir
-    Option(new java.io.File(s"$path/$cur").listFiles())
-      .getOrElse(Array.empty)
-      .count(_.getName.startsWith("part-"))
-  }
+  def segmentFileCount(path: String): Int =
+    Versioned.partFileCount(path, "postings")
 
   /** SELF-SCHEDULING compaction: run [[compact]] only when the segment
     * file count exceeds `maxFiles` — the LSM-style trigger from SCALE.md

@@ -167,12 +167,29 @@ object BpeTokenizer {
     val vocab = vocabulary.getOrElse(wordFreqs(docs, textCol, maxWords).map(_._1))
     val wt = broadcast(
       vocab.map(w => (w, encode(w, merges).length.toLong)).toDF("w", "wtoks"))
-    docs
+    val perWord = docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))),
           " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    // a caller-supplied vocabulary that does not cover the corpus would
+    // silently drop every unseen word (and wordless docs) through the
+    // inner join below — fail loudly instead (the wordFreqs-derived
+    // default is complete by construction, so only the override pays
+    // this one extra aggregation)
+    val checked =
+      if (vocabulary.isEmpty) perWord
+      else {
+        val pw = graft.operators.ScaleOps.checkpointed(perWord)
+        val oov = pw.join(wt, Seq("w"), "left_anti").count()
+        require(oov == 0,
+          s"$oov distinct (doc, word) groups fall outside the supplied " +
+            "vocabulary — encoding would silently drop them; extend the " +
+            "vocabulary or pass vocabulary = None")
+        pw
+      }
+    checked
       .join(wt, "w")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"),

@@ -42,6 +42,13 @@ class BpeSpec extends SparkTestBase {
     assert(perPack.values.sum == expect.values.map(_._2).sum)
     assert(perPack.keySet == (0L until perPack.size).toSet,
       "pack ids must be contiguous from 0")
+    // a caller-supplied vocabulary that misses corpus words must fail
+    // loudly, never silently drop them through the encode join
+    val err = intercept[IllegalArgumentException] {
+      BpeTokenizer.corpusTokenCounts(docs, "doc_id", "text", merges,
+        vocabulary = Some(Seq("low", "lower"))).collect()
+    }
+    assert(err.getMessage.contains("outside the supplied"))
   }
 
   // the classic subword-NMT example corpus (Sennrich et al., ACL'16) — the
