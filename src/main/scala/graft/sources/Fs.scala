@@ -16,4 +16,16 @@ object Fs {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Recursive delete through the same API (no-op when absent) — the
+    * data-plane counterpart of [[exists]] for sidecar/GC removal. A
+    * `java.io`-based delete would silently leave every remote sidecar in
+    * place, turning "tombstones applied and cleared" into "tombstones
+    * applied forever" off the local filesystem.
+    */
+  def deleteRecursively(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
 }

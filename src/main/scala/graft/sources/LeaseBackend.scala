@@ -146,3 +146,62 @@ object PosixLeaseBackend extends LeaseBackend {
       else { Files.deleteIfExists(Paths.get(path)); true }
     }
 }
+
+/** In-memory linearizable backend — the executable reference
+  * implementation of the [[LeaseBackend]] contract and a faithful
+  * simulation of the documented S3 conditional-request mapping: every
+  * object carries an ETag; [[createIfAbsent]] is `If-None-Match: *`;
+  * [[replaceIfContent]] reads the object + ETag and writes conditional on
+  * that exact ETag (`If-Match`); [[deleteIfContent]] is the conditional
+  * DELETE. The protocol drills (VersionedSpec) run the full
+  * acquire/renew/takeover/release matrix against BOTH this and the POSIX
+  * backend, so any protocol step that silently assumed POSIX semantics
+  * fails the suite, not production. An object-store port replaces the map
+  * operations with the corresponding conditional requests 1:1.
+  */
+final class InMemoryCasLeaseBackend extends LeaseBackend {
+  private final case class Obj(content: String, etag: Long, mtime: Long)
+  private val etags = new java.util.concurrent.atomic.AtomicLong
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, Obj]
+
+  override def read(path: String): Option[String] =
+    Option(m.get(path)).map(_.content)
+
+  override def ageMs(path: String): Option[Long] =
+    Option(m.get(path)).map(o => System.currentTimeMillis() - o.mtime)
+
+  override def createIfAbsent(path: String, content: String): Boolean =
+    m.putIfAbsent(path,
+      Obj(content, etags.incrementAndGet(), System.currentTimeMillis())) == null
+
+  override def replaceIfContent(path: String, expected: String, next: String): Boolean = {
+    // read object + ETag, one write conditional on that exact ETag — the
+    // S3 recipe; a lost ETag race re-reads only to re-judge the CONTENT
+    // (which may now differ → lost), never to force the write through
+    while (true) {
+      val cur = m.get(path)
+      if (cur == null || cur.content != expected) return false
+      if (m.replace(path, cur,
+          Obj(next, etags.incrementAndGet(), System.currentTimeMillis())))
+        return true
+    }
+    false
+  }
+
+  override def deleteIfContent(path: String, expected: String): Boolean = {
+    while (true) {
+      val cur = m.get(path)
+      if (cur == null || cur.content != expected) return false
+      if (m.remove(path, cur)) return true
+    }
+    false
+  }
+
+  /** Drill support: backdate (or forward-date) an object's mtime to stage
+    * the age-judgment scenarios (crash garbage vs cross-host clock skew).
+    */
+  private[sources] def setMtime(path: String, epochMs: Long): Unit = {
+    val cur = m.get(path)
+    if (cur != null) { m.replace(path, cur, cur.copy(mtime = epochMs)); () }
+  }
+}

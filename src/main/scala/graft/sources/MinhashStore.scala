@@ -65,9 +65,7 @@ object MinhashStore {
     Versioned.publish(dir, "sets", -1L) { v =>
       setsOf(spark, docs).write.parquet(v)
     }
-    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
-    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
-      s"could not mark minhash artifact complete at $dir")
+    Versioned.metaBackend.createMarker(s"$dir/_SUCCESS")
   }
 
   /** Idempotent build over the `documents` fixture: one signature pass
@@ -159,7 +157,7 @@ object MinhashStore {
     }
     // both tables rewritten clean — publish-then-clear (a crash between
     // the two publishes leaves tombstones that still apply to sets)
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** SELF-SCHEDULING small-file compaction (the PostingStore.compactIfNeeded

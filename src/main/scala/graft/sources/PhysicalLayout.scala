@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * between scanning a table and scanning a slice — same query, same plan
   * shape, 10-100x less IO (asserted behaviorally in PhysicalLayoutSpec via
   * scan-node numOutputRows on sorted vs unsorted copies).
+  *
+  * Storage scope: [[ensureDir]]/[[sourceTag]] manage LOCAL derived caches
+  * of the test fixtures (driver-local by construction — the publication
+  * protocol relies on POSIX directory rename) and deliberately stay on
+  * `java.io`. Durable artifact metadata goes through [[MetaBackend]]; this
+  * helper is the fixture cache, not the artifact layer.
   */
 object PhysicalLayout {
 

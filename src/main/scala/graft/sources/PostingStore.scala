@@ -82,9 +82,7 @@ object PostingStore {
       PhysicalLayout.writeSorted(postingRowsOf(docs), "tok", v, blockSize = blockSize)
     }
     refreshDerived(spark, dir)
-    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
-    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
-      s"could not mark posting artifact complete at $dir")
+    Versioned.metaBackend.createMarker(s"$dir/_SUCCESS")
   }
 
   /** Idempotent index build over the `documents` fixture: one tokenization
@@ -235,7 +233,7 @@ object PostingStore {
     Versioned.publish(path, "postings", -1L) { v =>
       PhysicalLayout.writeSorted(all, "tok", v, blockSize = blockSize)
     }
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** Number of data files in the current postings version — the segment-

@@ -24,16 +24,14 @@ object RowCountCache {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def fingerprint(path: String, name: String): String = {
-    def listFp(dir: java.io.File): String =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.getName.startsWith("."))
-        .sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}")
+    def listFp(dir: String): String =
+      Versioned.metaBackend.list(dir)
+        .filterNot(_.name.startsWith("."))
+        .sortBy(_.name)
+        .map(e => s"${e.name}:${e.size}")
         .mkString("|")
     val cur = Versioned.readPointer(path, name).map(_.dir).getOrElse("-")
-    val rowsFp = listFp(new java.io.File(s"$path/$cur"))
-    val tombFp = listFp(new java.io.File(s"$path/tombstones"))
-    s"$cur#$rowsFp#$tombFp"
+    s"$cur#${listFp(s"$path/$cur")}#${listFp(s"$path/tombstones")}"
   }
 
   /** The row count of derived table `name`'s current version at `path`,

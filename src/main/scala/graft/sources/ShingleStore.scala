@@ -77,9 +77,7 @@ object ShingleStore {
     // df over the JUST-WRITTEN rows: one parquet read beats recomputing
     // the string pipeline a second time
     refreshDf(spark, dir)
-    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
-    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
-      s"could not mark shingle artifact complete at $dir")
+    Versioned.metaBackend.createMarker(s"$dir/_SUCCESS")
   }
 
   /** Idempotent build of the shingle artifact over the `documents` fixture:
@@ -205,7 +203,7 @@ object ShingleStore {
     Versioned.publish(path, "rows", -1L) { v =>
       all.repartition(partitions).write.parquet(v)
     }
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** SELF-SCHEDULING small-file compaction (the PostingStore.compactIfNeeded

@@ -122,9 +122,7 @@ object SubstrStore {
         docRowsOf(docs).write.parquet(v)
       }
       refreshDf(spark, dir)
-      val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
-      require(ok || new java.io.File(dir, "_SUCCESS").exists(),
-        s"could not mark substr artifact complete at $dir")
+      Versioned.metaBackend.createMarker(s"$dir/_SUCCESS")
     }
 
   /** Idempotent build over the `documents` fixture (first caller pays one
@@ -261,7 +259,7 @@ object SubstrStore {
       Versioned.publish(path, "docs", -1L) { v =>
         docs.coalesce(1).write.parquet(v)
       }
-      Tombstones.clear(path)
+      Tombstones.clear(spark, path)
     }
 
   /** Self-scheduling compaction (one driver-side file-count check). */

@@ -39,7 +39,7 @@ object Tombstones {
 
   /** The tombstoned ids, if any ([None] when no delete ever ran). */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
-    if (!new java.io.File(dir(path)).exists()) None
+    if (!Fs.exists(spark, dir(path))) None
     else Some(spark.read.parquet(dir(path)))
 
   /** Anti-join `df` against the sidecar on `idCol` (no-op without one).
@@ -56,9 +56,6 @@ object Tombstones {
     }
 
   /** Drop the sidecar (after a compaction physically applied it). */
-  def clear(path: String): Unit = {
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(dir(path))).deleteRecursively()
-    ()
-  }
+  def clear(spark: SparkSession, path: String): Unit =
+    Fs.deleteRecursively(spark, dir(path))
 }

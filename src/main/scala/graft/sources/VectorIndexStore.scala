@@ -149,13 +149,7 @@ object VectorIndexStore {
     }
     // the plain legacy dir has had no new readers since the first pointer
     // publish — remove it once a SECOND compaction confirms that
-    if (hadPointer) {
-      val legacy = new java.io.File(s"$path/vectors")
-      if (legacy.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(legacy).deleteRecursively()
-      }
-    }
+    if (hadPointer) deleteLegacy(path, "vectors")
   }
 
   /** [[compactIvf]] for the PQ encoded table — same pointer upgrade. */
@@ -167,13 +161,7 @@ object VectorIndexStore {
       all.repartition(nCells, org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").parquet(v)
     }
-    if (hadPointer) {
-      val legacy = new java.io.File(s"$path/encoded")
-      if (legacy.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(legacy).deleteRecursively()
-      }
-    }
+    if (hadPointer) deleteLegacy(path, "encoded")
   }
 
   /** INCREMENTAL maintenance for the IVF-PQ artifact: encode new vectors
@@ -236,24 +224,16 @@ object VectorIndexStore {
     * Written atomically (tmp + ATOMIC_MOVE) at build and after every
     * retrain.
     */
-  private def baselineFile(path: String) = new java.io.File(path, "qerr.BASELINE")
+  private def baselineFile(path: String) = s"$path/qerr.BASELINE"
 
-  private def writeBaseline(path: String, mean: Double, firstDriftSeq: Long): Unit = {
-    val tmp = new java.io.File(path, s"qerr.BASELINE.tmp-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp.toPath, s"$mean $firstDriftSeq")
-    java.nio.file.Files.move(tmp.toPath, baselineFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeBaseline(path: String, mean: Double, firstDriftSeq: Long): Unit =
+    Versioned.metaBackend.writeAtomic(baselineFile(path), s"$mean $firstDriftSeq")
 
-  private def readBaseline(path: String): Option[(Double, Long)] = {
-    val f = baselineFile(path)
-    if (!f.exists()) None
-    else {
-      val Array(m, s) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
-      Some((m.toDouble, s.toLong))
+  private def readBaseline(path: String): Option[(Double, Long)] =
+    Versioned.metaBackend.readString(baselineFile(path)).map { content =>
+      val Array(m, s) = content.trim.split(" ")
+      (m.toDouble, s.toLong)
     }
-  }
 
   /** Measured drift of the appended corpus against the build-time baseline:
     * ratio of the n-weighted mean error of every post-baseline qerr row to
@@ -415,20 +395,12 @@ object VectorIndexStore {
     } finally encoded.unpersist()
   }
 
-  private def deleteLegacy(path: String, name: String): Unit = {
-    val legacy = new java.io.File(s"$path/$name")
-    if (legacy.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(legacy).deleteRecursively()
-    }
-  }
+  private def deleteLegacy(path: String, name: String): Unit =
+    Versioned.metaBackend.deleteRecursively(s"$path/$name")
 
   // ensureDir's completeness marker is a top-level _SUCCESS; the parquet
   // sub-tables each write their own, but the artifact is only complete once
   // ALL sub-tables are down
-  private def markComplete(dir: String): Unit = {
-    val ok = new java.io.File(dir, "_SUCCESS").createNewFile()
-    require(ok || new java.io.File(dir, "_SUCCESS").exists(),
-      s"could not mark index artifact complete at $dir")
-  }
+  private def markComplete(dir: String): Unit =
+    Versioned.metaBackend.createMarker(s"$dir/_SUCCESS")
 }

@@ -78,6 +78,12 @@ object Versioned {
     */
   @volatile var leaseBackend: LeaseBackend = PosixLeaseBackend
 
+  /** Storage backend for the artifact metadata plane ([[MetaBackend]]):
+    * pointer files, completeness markers, version listings/GC. POSIX by
+    * default; [[HadoopMetaBackend]] for hdfs://-class deployments.
+    */
+  @volatile var metaBackend: MetaBackend = PosixMetaBackend
+
   /** Writer identity: host + pid. Pid alone is NOT an identity on shared
     * storage — pid spaces wrap per host, and a cross-host collision would
     * make an ACTIVE foreign lease look like our own crashed predecessor.
@@ -101,9 +107,17 @@ object Versioned {
     * the same artifact is one lease).
     */
   def withWriterLease[T](path: String, ttlMs: Long = LeaseTtlMs)(body: => T): T = {
-    val dir = new java.io.File(path)
-    Option(dir.getParentFile).foreach(_.mkdirs()) // lease is a SIBLING file
-    val canonical = dir.getCanonicalPath
+    // URI paths (hdfs://, s3a://) are already canonical and need no parent
+    // mkdirs (object stores have no directories; the lease backend for
+    // such a deployment writes objects, not files). java.io canonicalizes
+    // only genuinely-local paths.
+    val canonical =
+      if (path.contains("://")) path.stripSuffix("/")
+      else {
+        val dir = new java.io.File(path)
+        Option(dir.getParentFile).foreach(_.mkdirs()) // lease is a SIBLING file
+        dir.getCanonicalPath
+      }
     val lock = jvmLocks.computeIfAbsent(canonical,
       _ => new java.util.concurrent.locks.ReentrantLock())
     if (lock.isHeldByCurrentThread) { lock.lock(); try body finally lock.unlock() }
@@ -244,7 +258,7 @@ object Versioned {
     } catch { case _: Exception => () } // expiry reclaims a leaked lease
 
   private def pointerFile(path: String, name: String) =
-    new java.io.File(path, s"$name.CURRENT")
+    s"$path/$name.CURRENT"
 
   /** Version number encoded in a version-directory name. */
   private def versionOf(dir: String): Long = {
@@ -259,19 +273,15 @@ object Versioned {
     */
   def partFileCount(path: String, name: String): Int = {
     val cur = readPointer(path, name).get.dir
-    Option(new java.io.File(s"$path/$cur").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    metaBackend.list(s"$path/$cur").count(_.name.startsWith("part-"))
   }
 
   /** Resolve the current version of derived table `name`, if published. */
-  def readPointer(path: String, name: String): Option[Current] = {
-    val f = pointerFile(path, name)
-    if (!f.exists()) None
-    else {
-      val Array(dir, wm) = java.nio.file.Files.readString(f.toPath).trim.split(" ")
-      Some(Current(dir, wm.toLong))
+  def readPointer(path: String, name: String): Option[Current] =
+    metaBackend.readString(pointerFile(path, name)).map { content =>
+      val Array(dir, wm) = content.trim.split(" ")
+      Current(dir, wm.toLong)
     }
-  }
 
   /** The current version of `name` as a DataFrame (fails loudly when no
     * version was ever published — an incomplete artifact, not an empty
@@ -295,24 +305,17 @@ object Versioned {
     val n = prev.map(c => versionOf(c.dir) + 1).getOrElse(1L)
     val dir = s"$name-v$n-${ProcessHandle.current().pid()}-${System.nanoTime()}"
     write(s"$path/$dir")
-    val tmp = new java.io.File(path, s"$name.CURRENT.tmp-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp.toPath, s"$dir $watermark")
-    java.nio.file.Files.move(tmp.toPath, pointerFile(path, name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    metaBackend.writeAtomic(pointerFile(path, name), s"$dir $watermark")
     // GC anything older than the version that was current just before the
     // flip: a reader holding THAT version finishes unharmed; anything older
     // (including orphans of crashed publications) has no live readers
     prev.foreach { c =>
       val cutoff = versionOf(c.dir)
-      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$name-v") &&
-          f.getName != c.dir && f.getName != dir &&
-          versionOf(f.getName) < cutoff)
-        .foreach { f =>
-          import scala.reflect.io.Directory
-          new Directory(f).deleteRecursively()
-        }
+      metaBackend.list(path)
+        .filter(e => e.isDir && e.name.startsWith(s"$name-v") &&
+          e.name != c.dir && e.name != dir &&
+          versionOf(e.name) < cutoff)
+        .foreach(e => metaBackend.deleteRecursively(s"$path/${e.name}"))
     }
   }
 }

@@ -534,8 +534,8 @@ object StreamingOps {
             // $path/model, and a plain-dir check would "rebuild" the index
             // from one micro-batch into dirs no reader resolves — silently
             // dropping every later batch from the served index
-            if (!new java.io.File(
-                graft.operators.IvfIndex.modelDir(ivfPath)).exists()) {
+            if (!graft.sources.Fs.exists(sp,
+                graft.operators.IvfIndex.modelDir(ivfPath))) {
               // first ingest creates the index (train on the first batch —
               // the bounded driver-side sample the IVF contract documents)
               // and stamps the drift baseline the retrain check consumes

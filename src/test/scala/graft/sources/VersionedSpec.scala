@@ -96,38 +96,12 @@ class VersionedSpec extends SparkTestBase {
 
   // ------------------------------------------------------------------
   // Lease protocol drills THROUGH the LeaseBackend interface: the same
-  // acquire/renew/release logic every store runs, driven against (a) the
-  // default POSIX backend's CAS primitives and (b) an in-memory backend
-  // where adversarial interleavings can be staged deterministically.
+  // acquire/renew/takeover/release logic every store runs, driven against
+  // BOTH shipped backends — the POSIX file-lock CAS and the in-memory
+  // ETag-simulating object-store reference (InMemoryCasLeaseBackend) — so
+  // a protocol step that silently assumes POSIX semantics fails this
+  // matrix, not a production object-store deployment.
   // ------------------------------------------------------------------
-
-  /** Linearizable in-memory backend — the reference implementation of the
-    * LeaseBackend contract (what an object-store conditional-put gives).
-    */
-  private final class InMemoryLeaseBackend extends LeaseBackend {
-    private val m = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]
-    def read(path: String): Option[String] = Option(m.get(path)).map(_._1)
-    def ageMs(path: String): Option[Long] =
-      Option(m.get(path)).map(v => System.currentTimeMillis() - v._2)
-    def createIfAbsent(path: String, content: String): Boolean =
-      m.putIfAbsent(path, (content, System.currentTimeMillis())) == null
-    def replaceIfContent(path: String, expected: String, next: String): Boolean = {
-      while (true) {
-        val cur = m.get(path)
-        if (cur == null || cur._1 != expected) return false
-        if (m.replace(path, cur, (next, System.currentTimeMillis()))) return true
-      }
-      false
-    }
-    def deleteIfContent(path: String, expected: String): Boolean = {
-      while (true) {
-        val cur = m.get(path)
-        if (cur == null || cur._1 != expected) return false
-        if (m.remove(path, cur)) return true
-      }
-      false
-    }
-  }
 
   private def withBackend[T](be: LeaseBackend)(body: => T): T = {
     val prev = Versioned.leaseBackend
@@ -135,57 +109,84 @@ class VersionedSpec extends SparkTestBase {
     try body finally Versioned.leaseBackend = prev
   }
 
-  test("PosixLeaseBackend: primitives are content-conditional (CAS)") {
-    val p = s"${mkRoot()}/a.WRITER.LEASE"
-    val be = PosixLeaseBackend
-    assert(be.read(p).isEmpty && be.ageMs(p).isEmpty)
-    assert(be.createIfAbsent(p, "me 1"))
-    assert(!be.createIfAbsent(p, "you 2"), "create must lose against an existing lease")
-    assert(be.read(p).contains("me 1"))
-    assert(be.ageMs(p).exists(a => a >= 0 && a < 60000))
-    assert(!be.replaceIfContent(p, "stale", "x"), "CAS with wrong expected must fail")
-    assert(be.read(p).contains("me 1"))
-    assert(be.replaceIfContent(p, "me 1", "me 2"))
-    assert(!be.deleteIfContent(p, "me 1"), "delete with wrong expected must fail")
-    assert(be.read(p).contains("me 2"))
-    assert(be.deleteIfContent(p, "me 2"))
-    assert(be.read(p).isEmpty)
-  }
+  /** One drill environment per backend: fresh backend instance, fresh
+    * canonical artifact path, and an mtime override for staging the
+    * age-judgment scenarios. The in-memory paths are URI-shaped so
+    * withWriterLease takes the no-java.io canonicalization branch — the
+    * same one a real object-store path takes.
+    */
+  private case class LeaseEnv(name: String, mkBackend: () => LeaseBackend,
+                              mkArtifact: () => String,
+                              setMtime: (LeaseBackend, String, Long) => Unit)
 
-  test("lease protocol: a stalled holder's renewal/release can never clobber a successor") {
-    val be = new InMemoryLeaseBackend
-    withBackend(be) {
-      val canonical = "/mem/artifact"
-      val path = canonical + ".WRITER.LEASE"
-      // holder acquires with an immediately-expiring lease, then stalls
-      val mine = Versioned.acquireFileLease(canonical, ttlMs = 1)
-      Thread.sleep(5)
-      // a foreign contender takes over the expired lease (its own CAS)
-      val successor = s"otherhost:4242 ${System.currentTimeMillis() + 600000}"
-      assert(be.replaceIfContent(path, mine, successor))
-      // the stalled holder's heartbeat fires late: must observe LOST, not
-      // overwrite — this is the read-compare-then-move TOCTOU, closed
-      val owned = new java.util.concurrent.atomic.AtomicReference[String](mine)
-      Versioned.renewLease(canonical, 60000, owned)
-      assert(owned.get() == null, "stalled holder must mark the lease lost")
-      assert(be.read(path).contains(successor), "successor's lease must be untouched")
-      // and its release path must not delete the successor's lease either
-      Versioned.releaseFileLease(canonical, mine)
-      assert(be.read(path).contains(successor))
-      // a healthy renewal (content still ours) DOES advance the expiry
-      assert(be.replaceIfContent(path, successor, mine)) // hand it back
-      val owned2 = new java.util.concurrent.atomic.AtomicReference[String](mine)
-      Versioned.renewLease(canonical, 60000, owned2)
-      assert(owned2.get() != null && owned2.get() != mine)
-      assert(be.read(path).contains(owned2.get()))
+  private val leaseEnvs: Seq[LeaseEnv] = Seq(
+    LeaseEnv("posix", () => PosixLeaseBackend,
+      () => {
+        val d = new java.io.File(s"${mkRoot()}/art"); d.mkdirs(); d.getCanonicalPath
+      },
+      (_, path, t) => java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path),
+        java.nio.file.attribute.FileTime.fromMillis(t))),
+    LeaseEnv("inmem-etag", () => new InMemoryCasLeaseBackend,
+      () => s"mem://drill/${java.util.UUID.randomUUID()}/art",
+      (be, path, t) => be.asInstanceOf[InMemoryCasLeaseBackend].setMtime(path, t)))
+
+  private def leaseFileOf(canonical: String) = canonical + ".WRITER.LEASE"
+
+  for (env <- leaseEnvs) {
+
+    test(s"[${env.name}] backend primitives are content-conditional (CAS)") {
+      val be = env.mkBackend()
+      val p = leaseFileOf(env.mkArtifact())
+      assert(be.read(p).isEmpty && be.ageMs(p).isEmpty)
+      assert(be.createIfAbsent(p, "me 1"))
+      assert(!be.createIfAbsent(p, "you 2"), "create must lose against an existing lease")
+      assert(be.read(p).contains("me 1"))
+      assert(be.ageMs(p).exists(a => a >= 0 && a < 60000))
+      assert(!be.replaceIfContent(p, "stale", "x"), "CAS with wrong expected must fail")
+      assert(be.read(p).contains("me 1"))
+      assert(be.replaceIfContent(p, "me 1", "me 2"))
+      assert(!be.deleteIfContent(p, "me 1"), "delete with wrong expected must fail")
+      assert(be.read(p).contains("me 2"))
+      assert(be.deleteIfContent(p, "me 2"))
+      assert(be.read(p).isEmpty)
     }
-  }
 
-  test("lease takeover arbitration: distinct contenders racing the CAS — exactly one winner") {
-    // the protocol's takeover step is ONE replaceIfContent(expiredContent,
-    // mine): exclusivity reduces to the backend CAS, drilled here with 8
-    // distinct foreign identities against BOTH backends
-    def drill(be: LeaseBackend, path: String): Unit = {
+    test(s"[${env.name}] a stalled holder's renewal/release can never clobber a successor") {
+      val be = env.mkBackend()
+      withBackend(be) {
+        val canonical = env.mkArtifact()
+        val path = leaseFileOf(canonical)
+        // holder acquires with an immediately-expiring lease, then stalls
+        val mine = Versioned.acquireFileLease(canonical, ttlMs = 1)
+        Thread.sleep(5)
+        // a foreign contender takes over the expired lease (its own CAS)
+        val successor = s"otherhost:4242 ${System.currentTimeMillis() + 600000}"
+        assert(be.replaceIfContent(path, mine, successor))
+        // the stalled holder's heartbeat fires late: must observe LOST, not
+        // overwrite — this is the read-compare-then-move TOCTOU, closed
+        val owned = new java.util.concurrent.atomic.AtomicReference[String](mine)
+        Versioned.renewLease(canonical, 60000, owned)
+        assert(owned.get() == null, "stalled holder must mark the lease lost")
+        assert(be.read(path).contains(successor), "successor's lease must be untouched")
+        // and its release path must not delete the successor's lease either
+        Versioned.releaseFileLease(canonical, mine)
+        assert(be.read(path).contains(successor))
+        // a healthy renewal (content still ours) DOES advance the expiry
+        assert(be.replaceIfContent(path, successor, mine)) // hand it back
+        val owned2 = new java.util.concurrent.atomic.AtomicReference[String](mine)
+        Versioned.renewLease(canonical, 60000, owned2)
+        assert(owned2.get() != null && owned2.get() != mine)
+        assert(be.read(path).contains(owned2.get()))
+      }
+    }
+
+    test(s"[${env.name}] takeover arbitration: distinct contenders racing the CAS — exactly one winner") {
+      // the protocol's takeover step is ONE replaceIfContent(expiredContent,
+      // mine): exclusivity reduces to the backend CAS, drilled with 8
+      // distinct foreign identities
+      val be = env.mkBackend()
+      val path = leaseFileOf(env.mkArtifact())
       val dead = s"deadhost:1 ${System.currentTimeMillis() - 1000}"
       assert(be.createIfAbsent(path, dead))
       val winners = new java.util.concurrent.atomic.AtomicInteger
@@ -201,29 +202,51 @@ class VersionedSpec extends SparkTestBase {
       // and the surviving lease is the winner's, intact
       assert(be.read(path).exists(_.startsWith("host")))
     }
-    drill(new InMemoryLeaseBackend, "/mem/artifact2.WRITER.LEASE")
-    drill(PosixLeaseBackend, s"${mkRoot()}/art2.WRITER.LEASE")
-  }
 
-  test("lease protocol: negative torn-lease age (clock skew) is judged ACTIVE") {
-    val root = mkRoot()
-    val dir = s"$root/art"
-    new java.io.File(dir).mkdirs()
-    val lease = new java.io.File(new java.io.File(dir).getCanonicalPath + ".WRITER.LEASE")
-    // unparseable (torn) content with mtime in the FUTURE — another host's
-    // clock runs ahead; must be treated as an active writer, not garbage
-    java.nio.file.Files.writeString(lease.toPath, "torn-garbage-no-expiry")
-    java.nio.file.Files.setLastModifiedTime(lease.toPath,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 120000))
-    intercept[Versioned.ConcurrentWriterException] {
-      Versioned.withWriterLease(dir) { fail("body must not run under a skewed-clock torn lease") }
+    test(s"[${env.name}] acquire refuses an active foreign lease, takes over an expired one, release leaves nothing") {
+      val be = env.mkBackend()
+      withBackend(be) {
+        val canonical = env.mkArtifact()
+        val path = leaseFileOf(canonical)
+        // active foreign lease → loud refusal, lease untouched
+        val foreign = s"otherhost:7 ${System.currentTimeMillis() + 600000}"
+        assert(be.createIfAbsent(path, foreign))
+        intercept[Versioned.ConcurrentWriterException] {
+          Versioned.withWriterLease(canonical) { fail("body must not run") }
+        }
+        assert(be.read(path).contains(foreign))
+        // expire it → full acquire/body/release cycle succeeds and the
+        // release removes OUR lease (expiry-released, nothing leaks)
+        assert(be.replaceIfContent(path, foreign,
+          s"otherhost:7 ${System.currentTimeMillis() - 1000}"))
+        var ran = false
+        Versioned.withWriterLease(canonical) { ran = true }
+        assert(ran)
+        assert(be.read(path).isEmpty, "release must remove our own lease")
+      }
     }
-    // the same torn content AGED past the TTL is genuine crash garbage → takeover
-    java.nio.file.Files.setLastModifiedTime(lease.toPath,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 600000))
-    var ran = false
-    Versioned.withWriterLease(dir, ttlMs = 300000) { ran = true }
-    assert(ran && !lease.exists())
+
+    test(s"[${env.name}] torn-lease age judgment: future mtime (clock skew) is ACTIVE, aged garbage is takeover") {
+      val be = env.mkBackend()
+      withBackend(be) {
+        val canonical = env.mkArtifact()
+        val path = leaseFileOf(canonical)
+        // unparseable (torn) content with mtime in the FUTURE — another
+        // host's clock runs ahead; must be treated as an active writer
+        assert(be.createIfAbsent(path, "torn-garbage-no-expiry"))
+        env.setMtime(be, path, System.currentTimeMillis() + 120000)
+        intercept[Versioned.ConcurrentWriterException] {
+          Versioned.withWriterLease(canonical) {
+            fail("body must not run under a skewed-clock torn lease")
+          }
+        }
+        // the same torn content AGED past the TTL is crash garbage → takeover
+        env.setMtime(be, path, System.currentTimeMillis() - 600000)
+        var ran = false
+        Versioned.withWriterLease(canonical, ttlMs = 300000) { ran = true }
+        assert(ran && be.read(path).isEmpty)
+      }
+    }
   }
 
   test("independent names version independently") {
