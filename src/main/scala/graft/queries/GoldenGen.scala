@@ -36,6 +36,10 @@ object GoldenGen {
       println(s"""GOLDEN m04 ${n}L -> Seq("${m04.getLong(0)}, ${m04.getLong(1)}, ${m04.getLong(2)}")""")
       val t21 = m("t21_bpe_encode_pack")(spark, d).head()
       println(s"""GOLDEN t21 ${n}L -> Seq("${t21.getLong(0)}, ${t21.getLong(1)}, ${t21.getLong(2)}, ${t21.getLong(3)}, ${t21.getLong(4)}")""")
+      val d10 = m("d10_ingest_canonical")(spark, d).head()
+      println(s"""GOLDEN d10 ${n}L -> Seq("${d10.getLong(0)}, ${d10.getLong(1)}, ${d10.getLong(2)}")""")
+      val m06 = m("m06_e2e_binary_ingest")(spark, d).head()
+      println(s"""GOLDEN m06 ${n}L -> Seq("${m06.getLong(0)}, ${m06.getLong(1)}, ${m06.getLong(2)}")""")
     }
     spark.stop()
   }

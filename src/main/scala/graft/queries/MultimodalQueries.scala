@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * The fixture set has no binary media, so the payloads are synthesized from
   * document text (encode → binary) — the decode step is a stub either way
   * (no codecs in this container); the Spark plumbing (schema, per-partition
-  * batching, narrow maps) is the real, tested artifact. Rows-only checks;
+  * batching, narrow maps) is the real, tested artifact. Every query is
+  * hash-gated (direct SQL recompute or golden-VALUES corpus digest);
   * behavior is unit-tested in MultimodalSpec/DocExtractSpec.
   */
 object MultimodalQueries extends QuerySet {
@@ -100,7 +101,10 @@ object MultimodalQueries extends QuerySet {
     // The reference's full EP1 lifecycle from bytes (SURVEY.md §3):
     // binary doc → pages (A2-A4) → conditional OCR + tagged assembly
     // (A5-A6) → normalize/chunk/hash (A7-A9) → dedup (A12) → embed (A11) →
-    // canonical store rows (A13).
+    // canonical store rows (A13). HASH-GATED like d10: every field of
+    // every canonical row xor-folds into one corpus digest pinned per
+    // fixture corpus (golden-VALUES); the byte-level raw dump stays
+    // pinned in GoldenChunksSpec.
     Q("m06_e2e_binary_ingest",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -112,8 +116,16 @@ object MultimodalQueries extends QuerySet {
           .select(col("doc_id"), col("document_text").as("text"),
             lit("und").as("lang"), col("source"),
             length(col("document_text")).cast("long").as("n_chars"))
-        vectorDigest(graft.operators.Ingest.pipeline(s, assembled)).orderBy("id")
-      }),
+        vectorDigest(graft.operators.Ingest.pipeline(s, assembled))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("id")).as("n_unique_ids"),
+            expr("bit_xor(xxhash64(id, content, vec_dim, vec_l2, filename, " +
+              "chunk_id, text_hash, CAST(timestamp AS STRING), file_type, " +
+              "page_number, metadata))").as("canonical_digest"))
+      },
+      Some(goldenBySize(
+        "n_rows BIGINT, n_unique_ids BIGINT, canonical_digest BIGINT",
+        GoldenM06))),
 
     // A8 via the SQL surface: LATERAL VIEW over the chunk_text Generator,
     // HASH-GATED as a corpus digest (the d08 golden-VALUES pattern — the
@@ -213,4 +225,11 @@ object MultimodalQueries extends QuerySet {
   private val GoldenM04: Map[Long, Seq[String]] = Map(
     500L -> Seq("646, 500, 5444003693352786898"),
     5000L -> Seq("6440, 5000, -2791939972946292199"))
+
+  /** m06's pinned full-canonical-row corpus digests (binary-ingest
+    * composition), same key + recipe as PipelineQueries.GoldenD10.
+    */
+  private val GoldenM06: Map[Long, Seq[String]] = Map(
+    500L -> Seq("640, 640, -413015937512899790"),
+    5000L -> Seq("6356, 6356, -4378049162926391502"))
 }

@@ -118,11 +118,26 @@ object PipelineQueries extends QuerySet {
         "filename VARCHAR, n_chunks BIGINT, n_unique_chunks BIGINT, max_chunk_len INT",
         GoldenD09) + "\nORDER BY filename")),
 
-    // Full A1→A14 pipeline to the canonical 10-field chunk store (vector
-    // reported as dim + L2 digest — see QuerySet.vectorDigest).
+    // Full A1→A14 pipeline to the canonical 10-field chunk store, HASH-
+    // GATED: every field of every canonical row (vector as dim + L2
+    // digest — see QuerySet.vectorDigest; the injected deterministic
+    // timestamp as a string) xor-folds into one corpus digest, pinned per
+    // fixture corpus by the d08 golden-VALUES pattern. This closes the
+    // last rows-only gap on the pipeline side — the driver now hash-gates
+    // the composed A1→A14 output instead of only counting it; the
+    // byte-level raw dump stays pinned in GoldenChunksSpec (golden
+    // parquet at both SFs).
     Q("d10_ingest_canonical",
       (s, d) => vectorDigest(
-        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder())).orderBy("id")),
+        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("id")).as("n_unique_ids"),
+          expr("bit_xor(xxhash64(id, content, vec_dim, vec_l2, filename, " +
+            "chunk_id, text_hash, CAST(timestamp AS STRING), file_type, " +
+            "page_number, metadata))").as("canonical_digest")),
+      Some(goldenBySize(
+        "n_rows BIGINT, n_unique_ids BIGINT, canonical_digest BIGINT",
+        GoldenD10))),
 
     // Fallback doc-key generation (reference db_utils.py:147-151) over
     // keyless rows: sanitize(filename_chunkid_suffix) with the 6-hex
@@ -402,6 +417,14 @@ object PipelineQueries extends QuerySet {
   private val GoldenD08: Map[Long, Seq[String]] = Map(
     500L -> Seq("646, 639, -8869728023756628100"),
     5000L -> Seq("6440, 6367, 3347215212891739754"))
+
+  /** d10's pinned full-canonical-row corpus digests, same key + recipe
+    * (GoldenGen prints them; regenerate only after an INTENDED change to
+    * the chunker, embedder, or canonical projection).
+    */
+  private val GoldenD10: Map[Long, Seq[String]] = Map(
+    500L -> Seq("639, 639, 4265898243113962015"),
+    5000L -> Seq("6367, 6367, -8859581365459929359"))
 
   /** d09's pinned per-source chunk statistics, same key + recipe. */
   private val GoldenD09: Map[Long, Seq[String]] = Map(

@@ -44,9 +44,14 @@ object GoldenChunksGen {
       tidy(s"src/test/resources/golden/chunk_digest_$suffix", "chunk_digest.parquet")
       println(s"[golden] wrote chunk_digest_$suffix")
       // the composed flagship output (d10: full A1→A14 pipeline to the
-      // canonical store, vector as dim+L2 digest) — the driver records d10
-      // rows-only, so this golden is its only drift net
-      graft.queries.Registry.asMap("d10_ingest_canonical")(spark, s"/root/testdata/$sf")
+      // canonical store, vector as dim+L2 digest), raw rows — the driver's
+      // d10 query hash-gates a one-row xor digest of these; this golden is
+      // the byte-level backstop and is built directly, not via the registry
+      Ingest.pipeline(spark, docs, new graft.operators.HashingEmbedder())
+        .withColumn("vec_dim", size(col("content_vector")))
+        .withColumn("vec_l2", round(
+          graft.functions.VectorFunctions.norm(col("content_vector")), 6))
+        .drop("content_vector")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"src/test/resources/golden/d10_digest_$suffix")

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * sf0.01 corpus, digested to (id, filename, chunk_id, text_hash = md5 of
   * chunk content, n_chars), must match the checked-in golden parquet
   * byte-for-byte. Any change to the splitter — separators, sizes, overlap,
-  * merge rules — fails here even though the driver records d08 as
-  * rows-only (the chunker is the one nontrivial pure algorithm, A8).
+  * merge rules — fails here at full row granularity (the driver's d08
+  * gate is a golden-VALUES corpus digest; the chunker is the one
+  * nontrivial pure algorithm, A8).
   *
   * Regenerate the goldens ONLY for an intentional semantics change:
   * `sbt "Test/runMain graft.text.GoldenChunksGen"` (see GoldenChunksGen).
@@ -45,14 +46,23 @@ class GoldenChunksSpec extends SparkTestBase {
   }
 
   /** d10 drift gate: the COMPOSED flagship output (normalize → chunk →
-    * hash → dedup → embed → canonical rows, vector as dim+L2 digest) is
-    * rows-only at the driver — chunker and embedder are each pinned
-    * separately (above; d14), but a drift in the composition (dedup
-    * survivor rule, key construction, field wiring) had no net of its own
-    * until this golden.
+    * hash → dedup → embed → canonical rows, vector as dim+L2 digest),
+    * EVERY ROW byte-for-byte. The driver's d10 query now hash-gates a
+    * single xor-folded corpus digest of the same rows (golden-VALUES
+    * oracle); this golden parquet stays as the byte-level backstop —
+    * a digest collision or a row-level regression the fold happens to
+    * cancel still fails here. Built directly (not via the registry,
+    * whose d10 entry returns the one-row digest).
     */
   private def d10Drift(sfDir: String, goldenDir: String): Unit = {
-    val actual = graft.queries.Registry.asMap("d10_ingest_canonical")(spark, sfDir)
+    val actual = {
+      val full = Ingest.pipeline(spark, Tables.load(spark, sfDir, "documents"),
+        new graft.operators.HashingEmbedder())
+      full.withColumn("vec_dim", size(col("content_vector")))
+        .withColumn("vec_l2",
+          round(graft.functions.VectorFunctions.norm(col("content_vector")), 6))
+        .drop("content_vector")
+    }
     val golden = spark.read.parquet(goldenDir)
     assert(actual.count() == golden.count(), "d10 row count drifted")
     val missing = golden.except(actual).count()
