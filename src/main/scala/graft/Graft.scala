@@ -210,7 +210,11 @@ object Graft {
   def substrAnchors(spark: SparkSession, sfDir: String): DataFrame =
     sources.SubstrStore.rows(spark, sfDir)
 
-  /** The persisted (h, df) substring-anchor document frequencies. */
+  /** The persisted (h, df) substring-anchor document frequencies for
+    * DUPLICATED anchors (df >= 2 — the only rows substring dedup reads;
+    * unique anchors are not stored, which keeps the table broadcast-sized
+    * at any corpus scale).
+    */
   def substrDf(spark: SparkSession, sfDir: String): DataFrame =
     sources.SubstrStore.dfTable(spark, sfDir)
 

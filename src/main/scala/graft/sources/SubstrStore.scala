@@ -31,14 +31,32 @@ import org.apache.spark.sql.functions._
   *   `docs` — (doc_id, n_words): per-document token counts for EVERY
   *            non-empty document (including those shorter than the anchor
   *            width), so coverage queries never re-read the corpus text.
-  *   `df`   — (h, df): distinct-document frequency per anchor, precomputed
+  *   `df`   — (h, df) for DUPLICATED anchors only (df >= 2), precomputed
   *            once per maintenance cycle (watermarked like ShingleStore's
   *            df — a crash between a rows append and the refresh is
-  *            detected and self-repaired on the next read).
+  *            detected and self-repaired on the next read). Unique
+  *            anchors dominate any real corpus (the table would otherwise
+  *            be as large as the corpus word count), and every consumer
+  *            filters df >= 2 anyway — storing only the dup side shrinks
+  *            the artifact by orders of magnitude AND turns the
+  *            anchors ⋈ df join's build side into a frame small enough
+  *            that the planner broadcasts it (no shuffle of the anchor
+  *            table at all; PlanSpec's x15 guard pins this), degrading
+  *            gracefully to a sort-merge join only when the dup set is
+  *            genuinely huge.
   *
-  * At 100 TB: rows/df bucketed by `h` make the df join shuffle-free; the
-  * per-doc span windows partition by doc_id (no global sort anywhere); and
-  * maintenance is append-only with cost ∝ new documents. The DuckDB
+  * At 100 TB: rows are written CLUSTERED by doc_id (PhysicalLayout
+  * .writeSorted — each document's anchors co-located, tight doc_id
+  * row-group ranges for per-doc provenance probes). Clustering by `h`
+  * was measured and REJECTED: no declared query probes by h, and
+  * h-ordering scatters each doc's anchors across partitions, which
+  * destroys the partial-aggregation locality of the covered-position
+  * distinct (measured at sf0.1: shuffle_rows 59.8k doc-clustered vs
+  * 117k h-sorted — the partial distinct stops collapsing same-doc
+  * duplicates before the exchange). The dup-only df broadcast keeps the
+  * big table un-shuffled; the per-doc span windows partition by doc_id
+  * (no global sort anywhere); and maintenance is append-only with cost
+  * ∝ new documents. The DuckDB
   * oracles recompute anchors from `documents` as strings — the artifact
   * is a plan-level materialization, not a semantic change (modulo the
   * documented hash-collision odds).
@@ -61,7 +79,10 @@ object SubstrStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_substr")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       PhysicalLayout.sourceTag(sfDir, "documents")
-    s"$root/sub${AnchorWords}_$tag"
+    // v2: dup-only df table + h-sorted rows (round 10) — the layout
+    // version in the path retires pre-change cached artifacts instead of
+    // serving a stale full-df table through the idempotent ensure()
+    s"$root/sub${AnchorWords}v2_$tag"
   }
 
   private def normBase(docs: DataFrame): DataFrame = {
@@ -116,7 +137,7 @@ object SubstrStore {
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit =
     Versioned.withWriterLease(dir) {
       Versioned.publish(dir, "rows", -1L) { v =>
-        anchorRowsOf(docs).write.parquet(v)
+        PhysicalLayout.writeSorted(anchorRowsOf(docs), "doc_id", v)
       }
       Versioned.publish(dir, "docs", -1L) { v =>
         docRowsOf(docs).write.parquet(v)
@@ -146,7 +167,8 @@ object SubstrStore {
     Tombstones.applyTo(spark, path,
       Versioned.read(spark, path, "docs"), "doc_id")
 
-  /** Current df table, watermark-checked against the rows footer count
+  /** Current df table (DUPLICATED anchors only, df >= 2), watermark-checked
+    * against the rows footer count
     * (the ShingleStore.dfAt protocol: a crash between a rows append and
     * the df refresh is repaired by one pass over persisted rows).
     */
@@ -171,7 +193,9 @@ object SubstrStore {
   def docTable(spark: SparkSession, sfDir: String): DataFrame =
     docsAt(spark, ensure(spark, sfDir))
 
-  /** The persisted (h, df) anchor-frequency table over the fixture. */
+  /** The persisted (h, df) dup-anchor (df >= 2) frequency table over the
+    * fixture.
+    */
   def dfTable(spark: SparkSession, sfDir: String): DataFrame =
     dfAt(spark, ensure(spark, sfDir))
 
@@ -254,7 +278,7 @@ object SubstrStore {
       val rows = rowsAt(spark, path)
       val docs = docsAt(spark, path)
       Versioned.publish(path, "rows", -1L) { v =>
-        rows.repartition(partitions).write.parquet(v)
+        PhysicalLayout.writeSorted(rows, "doc_id", v, partitions = partitions)
       }
       Versioned.publish(path, "docs", -1L) { v =>
         docs.coalesce(1).write.parquet(v)
@@ -274,7 +298,11 @@ object SubstrStore {
     Versioned.withWriterLease(path) {
       val rows = rowsAt(spark, path)
       Versioned.publish(path, "df", rows.count()) { v =>
+        // dup anchors only (df >= 2) — see the layout scaladoc: consumers
+        // never read unique anchors, and dropping them is what keeps this
+        // table broadcast-sized at any corpus scale
         rows.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
           .write.parquet(v)
       }
     }

@@ -97,7 +97,10 @@ class ArtifactStoresSpec extends SparkTestBase {
     val fresh = SubstrStore.anchorRowsOf(docs)
     assert(eq(stored, fresh))
     assert(eq(SubstrStore.docTable(spark, sf), SubstrStore.docRowsOf(docs)))
+    // the stored df table keeps ONLY duplicated anchors (df >= 2) — the
+    // broadcast-sized dup side every consumer joins against
     val freshDf = fresh.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
     assert(eq(SubstrStore.dfTable(spark, sf), freshDf))
     // every anchor start must sit at a valid window position
     assert(fresh.filter(col("pos") < 1 ||
