@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling drill: measure the artifact-heavy query families at
+  * 1× and N× corpus size and report per-query (secs, rows_in,
+  * shuffle_rows), so the 100 TB arguments in SCALE.md carry MEASURED
+  * scaling ratios instead of plan-shape reasoning alone.
+  *
+  * The N× corpus is synthesized from the sf0.1 fixtures by unioning N
+  * deterministic tranches (the v19 translated-tranche pattern — never
+  * touches /root/testdata):
+  *   - documents: tranche i shifts doc_id by i·10⁷, suffixes the source,
+  *     and rewrites the text through a per-tranche `translate` rotation —
+  *     word boundaries, lengths and the WITHIN-tranche duplicate
+  *     structure are preserved exactly, while hashes differ ACROSS
+  *     tranches, so ground truth scales linearly (pairs/clusters/spans
+  *     are exactly N copies of the base corpus's);
+  *   - embeddings: vec_id shifted identically; the vector is rotated by
+  *     i positions (a permutation — norms and within-tranche cosine
+  *     structure preserved exactly).
+  *
+  * Store builds are timed separately on cold artifact roots; queries are
+  * timed as first-run (may build remaining artifacts) plus min-of-2 warm
+  * probes — the probe number is the steady-state cost the bench measures.
+  *
+  * Output: one `DRILL {json}` line per measurement; the SCALE.md table is
+  * transcribed from these.
+  */
+object ScaleDrill {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_scaledrill")
+    val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+
+    val rowsInAcc = new java.util.concurrent.atomic.AtomicLong
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            rowsInAcc.addAndGet(m.inputMetrics.recordsRead)
+            shuffleAcc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      })
+
+    def timed[T](body: => T): (Double, Long, Long) = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val in0 = rowsInAcc.get(); val sh0 = shuffleAcc.get()
+      val t0 = System.nanoTime()
+      body
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      (secs, rowsInAcc.get() - in0, shuffleAcc.get() - sh0)
+    }
+    def report(scale: Int, name: String, phase: String,
+               m: (Double, Long, Long)): Unit =
+      println(f"""DRILL {"scale":$scale,"name":"$name","phase":"$phase","secs":${m._1}%.3f,"rows_in":${m._2},"shuffle_rows":${m._3}}""")
+
+    def ensureScaled(scale: Int): String = {
+      val dir = s"$outRoot/x$scale"
+      graft.sources.PhysicalLayout.ensureDir(dir) { tmp =>
+        new java.io.File(tmp).mkdirs()
+        val alpha = "aeiousrlnt" // 10 distinct rotations, i=0 is identity
+        def rot(i: Int) = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        val dim = embs.select(size(col("embedding"))).head().getInt(0)
+        val scaledDocs = (0 until scale).map { i =>
+          docs.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            (if (i == 0) col("text")
+             else translate(col("text"), alpha, rot(i))).as("text"),
+            col("lang"),
+            concat(col("source"), lit(s"_t$i")).as("source"),
+            col("n_chars"))
+        }.reduce(_ unionAll _)
+        val scaledEmbs = (0 until scale).map { i =>
+          embs.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            (if (i == 0) col("embedding")
+             else concat(slice(col("embedding"), i + 1, dim - i),
+               slice(col("embedding"), 1, i))).as("embedding"),
+            col("label"))
+        }.reduce(_ unionAll _)
+        scaledDocs.repartition(math.max(4, scale))
+          .write.parquet(s"$tmp/documents.parquet")
+        scaledEmbs.repartition(math.max(2, scale / 2))
+          .write.parquet(s"$tmp/embeddings.parquet")
+        // top-level completeness marker for ensureDir's publish protocol
+        graft.sources.Versioned.metaBackend.createMarker(s"$tmp/_SUCCESS")
+      }
+      dir
+    }
+
+    val all = Seq(
+      "x02_jaccard_stats", "x03_minhash_neardup", "x06_dup_clusters",
+      "x07_containment", "x11_curation_funnel", "x14_funnel_ivf_semantic",
+      "x15_exact_substring_dedup", "v18_semdedup")
+    // focus filter for drilling a subset (same contract as Bench's ONLY)
+    val queries = sys.env.get("SPARK_GRAFT_DRILL_ONLY")
+      .map(f => all.filter(f.split(",").map(_.trim).toSet))
+      .getOrElse(all)
+    val m = SparkEntry.queries
+
+    for (scale <- scales) {
+      val dir = ensureScaled(scale)
+      println(s"DRILL# corpus x$scale ready at $dir")
+      // cold store builds, timed individually (delete any prior artifact)
+      val builds = if (sys.env.contains("SPARK_GRAFT_DRILL_ONLY"))
+        Seq.empty else Seq[(String, () => String)](
+        ("build:shingle", () => graft.sources.ShingleStore.ensure(spark, dir)),
+        ("build:minhash", () => graft.sources.MinhashStore.ensure(spark, dir)),
+        ("build:substr", () => graft.sources.SubstrStore.ensure(spark, dir)))
+      for ((name, build) <- builds) {
+        // resolve the artifact path by running ensure once on a warm or
+        // cold store, then delete + rebuild cold for the timed number
+        val p = build()
+        graft.sources.PosixMetaBackend.deleteRecursively(p)
+        report(scale, name, "cold", timed { build(); () })
+      }
+      for (q <- queries) {
+        val fn = m(q)
+        report(scale, q, "first", timed {
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+        })
+        val probes = (1 to 2).map { _ =>
+          timed { fn(spark, dir).write.mode("overwrite").format("noop").save() }
+        }
+        report(scale, q, "probe", probes.minBy(_._1))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -453,6 +453,21 @@ object DedupQueries extends QuerySet {
     // quadratic — there the prefix join touches ~(1-t) of postings,
     // picked rarest-first, and fan-out drops superlinearly while the
     // added passes stay linear.
+    //
+    // VERIFY stage (round-10 10x scaling drill finding): the original
+    // posting-join verify fanned every candidate pair out to one row per
+    // contained-doc shingle — Θ(candidates · |doc|) rows (205M at 10x
+    // sf0.1). At test SF that mass hides inside a broadcast-join pipeline
+    // (zero shuffle rows, partial aggregation collapses in place); the
+    // moment the posting side outgrows the broadcast threshold the plan
+    // legitimately switches to sort-merge and the WHOLE fan-out
+    // materializes through an exchange (measured: x07 shuffle_rows
+    // 266k → 226M, 851x, at 10x the data). PPJoin's own verify step
+    // fetches the two candidate RECORDS instead — here each doc's
+    // distinct shingle set is aggregated once and each candidate pair
+    // joins to exactly two set rows, with |A∩B| computed by a codegen
+    // array_intersect — Θ(candidates) shuffle rows at any scale
+    // (measured at 10x: 226M → ~7M shuffle rows, 67.6 s → ~8 s probe).
     Q("x07_containment",
       (s, d) => {
         val threshold = 0.8
@@ -462,12 +477,18 @@ object DedupQueries extends QuerySet {
         // argument needs
         val dfTab = shingleDf(s, d)
         val hot = dfTab.filter(col("df") > ShingleDfCap).select("sh")
-        // sh has FIVE consumers (sizes, prefix, candidate probe, both
-        // verify sides) — checkpoint so the posting scan + cap anti-join
-        // runs once instead of per consumer (t13/g09 discipline)
+        // sh feeds the per-doc set aggregation, the prefix rank and the
+        // candidate probe — checkpoint so the posting scan + cap
+        // anti-join runs once instead of per consumer (t13/g09 discipline)
         val sh = (shingleRows(s, d)
           .join(broadcast(hot), Seq("sh"), "left_anti")).graftCheckpoint()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // one aggregation serves the prefix-length arithmetic (sz) AND the
+        // verify sets: shingle rows are distinct per doc, so collect_list
+        // IS the doc's set (checkpointed — read by prefix + both pair sides)
+        val docSets = (sh.groupBy("doc_id")
+          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("sz")))
+          .graftCheckpoint()
+        val sizes = docSets.select(col("doc_id"), col("sz"))
         // prefix size = floor((1-t)·sz) + 2, NOT +1: (1-t) in binary64 is
         // 0.19999…96, so floor underestimates by one exactly at sz % 5 == 0
         // (e.g. sz=5: floor(0.9999…) = 0, losing a legitimate pair — caught
@@ -485,10 +506,11 @@ object DedupQueries extends QuerySet {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         cands
-          .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
-          .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-          .groupBy("da", "db").agg(count(lit(1)).as("i"))
-          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), Seq("da"))
+          .join(docSets.select(col("doc_id").as("da"),
+            col("set").as("seta"), col("sz").as("sa")), Seq("da"))
+          .join(docSets.select(col("doc_id").as("db"),
+            col("set").as("setb")), Seq("db"))
+          .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
           .withColumn("containment", col("i") / col("sa").cast("double"))
           .filter(col("containment") >= threshold)
           .select(col("da").as("contained_id"), col("db").as("container_id"),

@@ -1329,7 +1329,15 @@ object RelationalQueries extends QuerySet {
       (s, d) => t(s, d, "lineitem")
         .select(col("l_returnflag"),
           try_divide(col("l_extendedprice"), col("l_linenumber") - 1).as("safe_div"),
-          expr("TRY_CAST(l_returnflag AS INT)").as("flag_as_int"))
+          // digit-guarded TRY_CAST: Spark's string→int TRY_CAST pays a
+          // thrown-and-caught JVM exception per FAILING row (~9 µs —
+          // measured 5.6 s over 600k all-failing rows vs 0.2 s when casts
+          // succeed). Any string that casts to INT must contain a digit,
+          // so the guard is strictly semantics-preserving (guard false ⇒
+          // cast surely null) and converts the 100%-failure worst case
+          // into one cheap regex per row. Oracle unchanged.
+          when(col("l_returnflag").rlike("[0-9]"),
+            expr("TRY_CAST(l_returnflag AS INT)")).as("flag_as_int"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           count(col("safe_div")).as("n_divisible"),

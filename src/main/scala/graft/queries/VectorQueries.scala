@@ -849,6 +849,17 @@ object VectorQueries extends QuerySet {
 
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
     * id_a < id_b. See the v03 comment for the block-grid scale rationale.
+    *
+    * Blocks come from a HASH of the id and the grid is sized from the row
+    * COUNT — never from the id RANGE. The previous `vec_id div blockSize`
+    * blocking assumed dense ids: under snowflake-style sparse ids the
+    * grid blew up as (range/1024)² — the round-10 10× scaling drill
+    * measured a 20k-vector corpus whose tranche-offset ids span 9·10⁷,
+    * which sized a 7.4·10⁹-row grid through a broadcast and OOM'd the
+    * driver. Hash blocks hold ~blockSize vectors for ANY id distribution.
+    * Triangular coverage is kept block-wise (grid ba ≤ bb; cross-block
+    * pairs appear exactly once in arbitrary orientation, same-block pairs
+    * ordered by id), and the output is canonicalized to id_a < id_b.
     */
   private[queries] def cosineNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String,
                                  threshold: Double = 0.45): org.apache.spark.sql.DataFrame = {
@@ -856,20 +867,22 @@ object VectorQueries extends QuerySet {
     val blockSize = 1024L
     // one scalar agg sizes the grid (cf. IvfIndex's driver-side coarse
     // quantizer — a bounded metadata read, not a data collect)
-    val maxId = emb.agg(max("vec_id")).head.getLong(0)
-    val nBlocks = maxId / blockSize + 1
+    val n = emb.count()
+    val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize)
     val grid = s.range(nBlocks * nBlocks)
       .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")
       .filter(col("ba") <= col("bb"))
     val a = emb.selectExpr("vec_id AS id_a", "embedding AS ea",
-      s"vec_id div $blockSize AS ba")
+      s"pmod(xxhash64(vec_id), $nBlocks) AS ba")
     val b = emb.selectExpr("vec_id AS id_b", "embedding AS eb",
-      s"vec_id div $blockSize AS bb")
+      s"pmod(xxhash64(vec_id), $nBlocks) AS bb")
     broadcast(grid).join(a, "ba").join(b, "bb")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
       .withColumn("sim", cosineSim(col("ea"), col("eb")))
       .filter(col("sim") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** Seeded random hyperplanes for v06's signature LSH: component (p, i) is
