@@ -668,7 +668,9 @@ object DedupQueries extends QuerySet {
             (VectorQueries.cosineNearDupPairs(s, d).select("id_a", "id_b"),
               "exact")
           else {
-            val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+            val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d,
+              graft.sources.VectorIndexStore.autoCells(
+                t(s, d, "embeddings").count()))
             (graft.operators.SemDedup.cellPairs(
                 graft.operators.SemDedup.multiAssign(
                   graft.operators.IvfIndex.loadVectors(s, ivfPath),
@@ -729,7 +731,10 @@ object DedupQueries extends QuerySet {
     Q("x14_funnel_ivf_semantic",
       (s, d) => {
         val (nTotal, s1, s2, s3) = funnelStages(s, d)
-        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        // constant-occupancy geometry — see v18/autoCells
+        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d,
+          graft.sources.VectorIndexStore.autoCells(
+            t(s, d, "embeddings").count()))
         val vectors = graft.operators.IvfIndex.loadVectors(s, ivfPath)
         val model = graft.operators.IvfIndex.loadModel(s, ivfPath)
         val cellPairs = graft.operators.SemDedup.cellPairs(

@@ -556,7 +556,11 @@ object VectorQueries extends QuerySet {
     // pair generator itself is broken).
     Q("v18_semdedup",
       (s, d) => {
-        val path = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val emb0 = t(s, d, "embeddings")
+        // constant-occupancy geometry (autoCells): Σ n_c² stays ∝ n; at
+        // the fixture sizes this is the historical 16-cell artifact
+        val path = graft.sources.VectorIndexStore.ensureIvf(s, d,
+          graft.sources.VectorIndexStore.autoCells(emb0.count()))
         val vectors = graft.operators.IvfIndex.loadVectors(s, path)
         val model = graft.operators.IvfIndex.loadModel(s, path)
         val emb = t(s, d, "embeddings")

@@ -53,6 +53,18 @@ object VectorIndexStore {
   def pqPath(spark: SparkSession, sfDir: String): String =
     s"${root(spark)}/pq_${tag(sfDir)}"
 
+  /** Cell count for an n-vector corpus at constant target occupancy.
+    * SemDeDup consumers size their IVF geometry with this: the within-cell
+    * pair work is Σ n_c², so FIXED cells make it grow quadratically with
+    * corpus density (measured in SCALE.md's round-10 drill: 16 cells gave
+    * v18 a 6.6× time ratio at 10× data), while constant ~targetCellSize
+    * occupancy keeps it ∝ n·targetCellSize — linear. At the fixture sizes
+    * (≤ 2048 vectors) this resolves to the historical default 16, so
+    * every pinned oracle, golden and artifact path is unchanged there.
+    */
+  def autoCells(n: Long, targetCellSize: Int = 128): Int =
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+
   /** Idempotent IVF index build over the `embeddings` fixture: train the
     * coarse quantizer, assign every vector its cell, publish model sidecar +
     * cell-partitioned vectors. Returns the artifact path; a complete
