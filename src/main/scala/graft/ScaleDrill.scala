@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *     tranches, so ground truth scales linearly (pairs/clusters/spans
   *     are exactly N copies of the base corpus's);
   *   - embeddings: vec_id shifted identically; the vector is rotated by
-  *     i positions (a permutation — norms and within-tranche cosine
-  *     structure preserved exactly).
+  *     i % dim positions and globally negated for i >= dim (128 distinct
+  *     bijections — norms and within-tranche cosine structure preserved
+  *     exactly, nothing duplicated across tranches up to scale 128).
   *
   * Store builds are timed separately on cold artifact roots; queries are
   * timed as first-run (may build remaining artifacts) plus min-of-2 warm
@@ -75,26 +76,44 @@ object ScaleDrill {
       val dir = s"$outRoot/x$scale"
       graft.sources.PhysicalLayout.ensureDir(dir) { tmp =>
         new java.io.File(tmp).mkdirs()
-        val alpha = "aeiousrlnt" // 10 distinct rotations, i=0 is identity
-        def rot(i: Int) = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+        // two disjoint rotation alphabets give 10×10 = 100 distinct,
+        // length-preserving text bijections (i = 0 is the identity) — no
+        // two tranches share a transform up to scale 100, so no
+        // cross-tranche hash collides and ground truth stays exactly N×
+        val alphaA = "aeiousrlnt"
+        val alphaB = "bcdfghmpwy"
+        def rot(a: String, k: Int) =
+          a.drop(k % a.length) + a.take(k % a.length)
         val docs = spark.read.parquet(s"$baseDir/documents.parquet")
         val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
         val dim = embs.select(size(col("embedding"))).head().getInt(0)
         val scaledDocs = (0 until scale).map { i =>
+          val t0 = if (i % 10 == 0) col("text")
+                   else translate(col("text"), alphaA, rot(alphaA, i % 10))
+          val t1 = if (i / 10 == 0) t0
+                   else translate(t0, alphaB, rot(alphaB, i / 10))
           docs.select(
             (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            (if (i == 0) col("text")
-             else translate(col("text"), alpha, rot(i))).as("text"),
+            t1.as("text"),
             col("lang"),
             concat(col("source"), lit(s"_t$i")).as("source"),
             col("n_chars"))
         }.reduce(_ unionAll _)
         val scaledEmbs = (0 until scale).map { i =>
+          // rotation (i % dim) × optional global negation (i / dim) gives
+          // 2·dim = 128 distinct vector bijections — enough for scale 100.
+          // Both preserve WITHIN-tranche cosine structure exactly
+          // (rotation permutes coordinates; cos(−a, −b) = cos(a, b)).
+          val r = i % dim
+          val rotated =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r))
+          val vec = if (i / dim == 0) rotated
+                    else transform(rotated, x => -x)
           embs.select(
             (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-            (if (i == 0) col("embedding")
-             else concat(slice(col("embedding"), i + 1, dim - i),
-               slice(col("embedding"), 1, i))).as("embedding"),
+            vec.as("embedding"),
             col("label"))
         }.reduce(_ unionAll _)
         scaledDocs.repartition(math.max(4, scale))
@@ -121,7 +140,7 @@ object ScaleDrill {
       val dir = ensureScaled(scale)
       println(s"DRILL# corpus x$scale ready at $dir")
       // cold store builds, timed individually (delete any prior artifact)
-      val builds = if (sys.env.contains("SPARK_GRAFT_DRILL_ONLY"))
+      val builds = if (sys.env.contains("SPARK_GRAFT_DRILL_SKIP_BUILDS"))
         Seq.empty else Seq[(String, () => String)](
         ("build:shingle", () => graft.sources.ShingleStore.ensure(spark, dir)),
         ("build:minhash", () => graft.sources.MinhashStore.ensure(spark, dir)),

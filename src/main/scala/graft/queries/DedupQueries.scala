@@ -670,7 +670,7 @@ object DedupQueries extends QuerySet {
           else {
             val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d,
               graft.sources.VectorIndexStore.autoCells(
-                t(s, d, "embeddings").count()))
+                VectorQueries.embeddingCount(s, d)))
             (graft.operators.SemDedup.cellPairs(
                 graft.operators.SemDedup.multiAssign(
                   graft.operators.IvfIndex.loadVectors(s, ivfPath),
@@ -734,7 +734,7 @@ object DedupQueries extends QuerySet {
         // constant-occupancy geometry — see v18/autoCells
         val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d,
           graft.sources.VectorIndexStore.autoCells(
-            t(s, d, "embeddings").count()))
+            VectorQueries.embeddingCount(s, d)))
         val vectors = graft.operators.IvfIndex.loadVectors(s, ivfPath)
         val model = graft.operators.IvfIndex.loadModel(s, ivfPath)
         val cellPairs = graft.operators.SemDedup.cellPairs(

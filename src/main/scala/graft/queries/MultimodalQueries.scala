@@ -106,23 +106,10 @@ object MultimodalQueries extends QuerySet {
     // fixture corpus (golden-VALUES); the byte-level raw dump stays
     // pinned in GoldenChunksSpec.
     Q("m06_e2e_binary_ingest",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
-            col("source"))
-        val pages = DocExtract.extractPages(s, docs)
-        val assembled = DocExtract.assembleWithOcr(s, pages)
-          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-          .select(col("doc_id"), col("document_text").as("text"),
-            lit("und").as("lang"), col("source"),
-            length(col("document_text")).cast("long").as("n_chars"))
-        vectorDigest(graft.operators.Ingest.pipeline(s, assembled))
-          .agg(count(lit(1)).as("n_rows"),
-            countDistinct(col("id")).as("n_unique_ids"),
-            expr("bit_xor(xxhash64(id, content, vec_dim, vec_l2, filename, " +
-              "chunk_id, text_hash, CAST(timestamp AS STRING), file_type, " +
-              "page_number, metadata))").as("canonical_digest"))
-      },
+      (s, d) => m06Canonical(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("id")).as("n_unique_ids"),
+          canonicalDigest.as("canonical_digest")),
       Some(goldenBySize(
         "n_rows BIGINT, n_unique_ids BIGINT, canonical_digest BIGINT",
         GoldenM06))),
@@ -219,6 +206,25 @@ object MultimodalQueries extends QuerySet {
         |FROM p""".stripMargin))
   )
 
+  /** m06's raw canonical output (binary ingest → full A1→A14 pipeline →
+    * canonical rows, vector as dim+L2 digest) — the frame the declared
+    * query digests, shared with GoldenChunksGen/Spec so the byte-level
+    * golden-parquet backstop pins exactly what the digest folds.
+    */
+  private[graft] def m06Canonical(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        col("source"))
+    val pages = DocExtract.extractPages(s, docs)
+    val assembled = DocExtract.assembleWithOcr(s, pages)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("document_text").as("text"),
+        lit("und").as("lang"), col("source"),
+        length(col("document_text")).cast("long").as("n_chars"))
+    vectorDigest(graft.operators.Ingest.pipeline(s, assembled))
+  }
+
   /** m04's pinned corpus digests, keyed by fixture document count —
     * same recipe + drift contract as PipelineQueries.GoldenD08.
     */
@@ -230,6 +236,6 @@ object MultimodalQueries extends QuerySet {
     * composition), same key + recipe as PipelineQueries.GoldenD10.
     */
   private val GoldenM06: Map[Long, Seq[String]] = Map(
-    500L -> Seq("640, 640, -413015937512899790"),
-    5000L -> Seq("6356, 6356, -4378049162926391502"))
+    500L -> Seq("640, 640, 5622015880296669731"),
+    5000L -> Seq("6356, 6356, 5426002302470608462"))
 }

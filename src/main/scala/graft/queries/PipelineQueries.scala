@@ -132,9 +132,7 @@ object PipelineQueries extends QuerySet {
         Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("id")).as("n_unique_ids"),
-          expr("bit_xor(xxhash64(id, content, vec_dim, vec_l2, filename, " +
-            "chunk_id, text_hash, CAST(timestamp AS STRING), file_type, " +
-            "page_number, metadata))").as("canonical_digest")),
+          canonicalDigest.as("canonical_digest")),
       Some(goldenBySize(
         "n_rows BIGINT, n_unique_ids BIGINT, canonical_digest BIGINT",
         GoldenD10))),
@@ -423,8 +421,8 @@ object PipelineQueries extends QuerySet {
     * the chunker, embedder, or canonical projection).
     */
   private val GoldenD10: Map[Long, Seq[String]] = Map(
-    500L -> Seq("639, 639, 4265898243113962015"),
-    5000L -> Seq("6367, 6367, -8859581365459929359"))
+    500L -> Seq("639, 639, -5255039728369282928"),
+    5000L -> Seq("6367, 6367, 5187865124372119781"))
 
   /** d09's pinned per-source chunk statistics, same key + recipe. */
   private val GoldenD09: Map[Long, Seq[String]] = Map(

@@ -51,6 +51,24 @@ trait QuerySet {
       .drop("content_vector")
   }
 
+  /** Xor-folded xxhash64 digest over the full canonical chunk row
+    * (post-[[vectorDigest]]) with every field NULL-SENTINELED: Spark's
+    * multi-arg xxhash64 SKIPS null arguments (a null leaves the running
+    * hash unchanged), so a raw xxhash64(a, b, ...) cannot distinguish a
+    * value shifting between two nullable fields from the original row —
+    * exactly the field-wiring drift class the d10/m06 digests exist to
+    * catch. Each field is cast to string and coalesced to a \u0001
+    * sentinel no fixture value contains.
+    */
+  protected def canonicalDigest: org.apache.spark.sql.Column = {
+    val fields = Seq("id", "content", "vec_dim", "vec_l2", "filename",
+      "chunk_id", "text_hash", "timestamp", "file_type", "page_number",
+      "metadata")
+    val args = fields
+      .map(f => s"coalesce(CAST($f AS STRING), '\u0001')").mkString(", ")
+    org.apache.spark.sql.functions.expr(s"bit_xor(xxhash64($args))")
+  }
+
   /** GOLDEN-VALUES oracle for outputs whose generator is not
     * SQL-expressible (the recursive chunker): the expected rows are pinned
     * as literals PER FIXTURE CORPUS and selected by document count, so one

@@ -556,11 +556,10 @@ object VectorQueries extends QuerySet {
     // pair generator itself is broken).
     Q("v18_semdedup",
       (s, d) => {
-        val emb0 = t(s, d, "embeddings")
         // constant-occupancy geometry (autoCells): Σ n_c² stays ∝ n; at
         // the fixture sizes this is the historical 16-cell artifact
         val path = graft.sources.VectorIndexStore.ensureIvf(s, d,
-          graft.sources.VectorIndexStore.autoCells(emb0.count()))
+          graft.sources.VectorIndexStore.autoCells(embeddingCount(s, d)))
         val vectors = graft.operators.IvfIndex.loadVectors(s, path)
         val model = graft.operators.IvfIndex.loadModel(s, path)
         val emb = t(s, d, "embeddings")
@@ -850,6 +849,18 @@ object VectorQueries extends QuerySet {
       .filter(col("rn") <= k)
       .select("qid", "vec_id")
   }
+
+  /** Memoized embeddings row count per (context, fixture fingerprint) —
+    * sizes autoCells for v18/x11/x14 without re-running a count action on
+    * every query invocation (the count is fixture-stable; the key embeds
+    * the source fingerprint so a regenerated corpus recounts).
+    */
+  private[queries] def embeddingCount(s: org.apache.spark.sql.SparkSession,
+                                      d: String): Long =
+    DrillOnce.cached("emb_count#" + s.sparkContext.applicationId + "#" + d +
+        "#" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")) {
+      t(s, d, "embeddings").count()
+    }
 
   /** Blocked exact cosine pair join above `threshold` — (id_a, id_b, sim),
     * id_a < id_b. See the v03 comment for the block-grid scale rationale.

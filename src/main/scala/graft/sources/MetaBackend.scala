@@ -45,7 +45,13 @@ package graft.sources
   */
 trait MetaBackend {
 
-  /** Whole content of a small metadata object, or None when absent. */
+  /** Whole content of a small metadata object, or None when ABSENT.
+    * Absence is the ONLY condition mapped to None: an IO failure must
+    * THROW, never read as absence — Versioned.publish derives the next
+    * version number from readPointer, so a transient read error silently
+    * reported as "never published" would restart the version chain at v1
+    * and permanently defeat GC (every orphan would sort above the cutoff).
+    */
   def readString(path: String): Option[String]
 
   /** Publish `content` at `path` atomically: a concurrent reader sees the
@@ -86,7 +92,10 @@ object PosixMetaBackend extends MetaBackend {
 
   override def readString(path: String): Option[String] =
     try Some(Files.readString(Paths.get(path)))
-    catch { case _: Exception => None }
+    catch { // absence only — IO failures propagate (see the trait contract)
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException => None
+    }
 
   override def writeAtomic(path: String, content: String): Unit = {
     val tmp = Paths.get(path + s".tmp-${System.nanoTime()}")
@@ -140,16 +149,24 @@ final class HadoopMetaBackend(conf: org.apache.hadoop.conf.Configuration)
     try {
       val in = fs(p).open(p)
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { // absence only — other IOExceptions propagate (trait contract)
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   override def writeAtomic(path: String, content: String): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + s".tmp-${System.nanoTime()}")
-    val out = fs(tmp).create(tmp, true)
+    // create the tmp through FileContext too: FileSystem.create on file:
+    // goes through ChecksumFileSystem and writes a `.<name>.crc` sidecar
+    // the rename below would orphan (one per pointer flip, forever);
+    // FileContext's AbstractFileSystem layer is checksum-free
+    val fc = FileContext.getFileContext(p.toUri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   override def createMarker(path: String): Unit = {

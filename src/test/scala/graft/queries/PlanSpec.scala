@@ -334,10 +334,13 @@ class PlanSpec extends SparkTestBase {
     // per-doc counts partial-aggregate before the doc_id exchange
     assert(p.contains("partial_count") || p.contains("Partial"), p)
     // the dup-only df table (df >= 2 rows only — SubstrStore layout v2)
-    // must be the BROADCAST side of the anchors join: the big anchor
-    // table is never shuffled for it. A full-df artifact would be scan-
-    // sized again and silently regress to shuffling every anchor row.
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // must be the BROADCAST side of the anchors join ON h specifically:
+    // the big anchor table is never shuffled for it. A full-df artifact
+    // would be scan-sized again and silently regress to shuffling every
+    // anchor row — and x15's OTHER join (docs ⋈ span agg) broadcasts too,
+    // so a bare contains("BroadcastHashJoin") could never fire; the key
+    // name pins the right join.
+    assert("""BroadcastHashJoin \[h#""".r.findFirstIn(p).isDefined, p)
   }
 
   test("x13: bloom probe is a narrow filter — no join at all on the definite-new branch") {

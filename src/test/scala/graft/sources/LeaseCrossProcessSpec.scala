@@ -39,9 +39,19 @@ class LeaseCrossProcessSpec extends AnyFunSuite {
       .redirectErrorStream(true).start()
   }
 
-  /** Block until the child prints `marker` (its flushed progress line). */
+  /** Block until the child prints `marker` (its flushed progress line).
+    * A watchdog kills the child at the deadline so a silent hung child
+    * surfaces as EOF + a loud assert instead of a readLine that blocks
+    * the suite forever.
+    */
   private def awaitLine(p: Process, marker: String, timeoutMs: Long = 30000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    val watchdog = new Thread(() => {
+      if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        p.destroyForcibly()
+      ()
+    })
+    watchdog.setDaemon(true); watchdog.start()
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     var line = r.readLine()
@@ -49,7 +59,7 @@ class LeaseCrossProcessSpec extends AnyFunSuite {
       assert(System.currentTimeMillis() < deadline, s"no '$marker' within ${timeoutMs}ms")
       line = r.readLine()
     }
-    assert(line != null, s"child exited before printing '$marker'")
+    assert(line != null, s"child exited (or was killed at the ${timeoutMs}ms deadline) before printing '$marker'")
   }
 
   private def drainOutput(p: Process): String = {
@@ -85,14 +95,24 @@ class LeaseCrossProcessSpec extends AnyFunSuite {
 
   test("a crashed holder (halt, no release) excludes until lease expiry, then is taken over") {
     val art = mkArtifact()
-    val ttlMs = 4000L
+    val ttlMs = 8000L
     val child = spawn("crash", art, ttlMs.toString)
     awaitLine(child, "CRASHED")
     child.waitFor()
     // process is DEAD (OS lock released) but the lease content is live:
-    // contenders must still be excluded — arbitration is content, not lock
-    intercept[Versioned.ConcurrentWriterException] {
-      Versioned.withWriterLease(art) { fail("unexpired crashed lease must exclude") }
+    // contenders must still be excluded — arbitration is content, not lock.
+    // The exclusion assert is timing-guarded against a pathologically slow
+    // host: it only runs while the child's STAMPED expiry is comfortably
+    // in the future (the stamp is ground truth for what the protocol must
+    // enforce; asserting exclusion after it passed would be asserting a
+    // lie). The takeover half below is unconditional.
+    val stamped = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(art + ".WRITER.LEASE"))
+      .trim.split(" ")(1).toLong
+    if (System.currentTimeMillis() < stamped - 1000) {
+      intercept[Versioned.ConcurrentWriterException] {
+        Versioned.withWriterLease(art) { fail("unexpired crashed lease must exclude") }
+      }
     }
     // after expiry the takeover path must succeed without manual cleanup
     val deadline = System.currentTimeMillis() + ttlMs + 30000

@@ -57,6 +57,13 @@ object GoldenChunksGen {
         .parquet(s"src/test/resources/golden/d10_digest_$suffix")
       tidy(s"src/test/resources/golden/d10_digest_$suffix", "d10_digest.parquet")
       println(s"[golden] wrote d10_digest_$suffix")
+      // m06's composed binary-ingest output, same backstop role as d10's
+      graft.queries.MultimodalQueries.m06Canonical(spark, s"/root/testdata/$sf")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"src/test/resources/golden/m06_digest_$suffix")
+      tidy(s"src/test/resources/golden/m06_digest_$suffix", "m06_digest.parquet")
+      println(s"[golden] wrote m06_digest_$suffix")
     }
     spark.stop()
   }

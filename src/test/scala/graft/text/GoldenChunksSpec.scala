@@ -78,4 +78,27 @@ class GoldenChunksSpec extends SparkTestBase {
   test("d10 canonical output over sf0.1 matches the checked-in golden parquet") {
     d10Drift("/root/testdata/sf0.1", "src/test/resources/golden/d10_digest_sf01")
   }
+
+  /** m06's byte-level backstop — same role as d10's: the driver gate
+    * hash-checks a one-row xor digest of these rows; this golden pins
+    * every row byte-for-byte, so a digest collision or a fold-cancelling
+    * row regression still fails loudly.
+    */
+  private def m06Drift(sfDir: String, goldenDir: String): Unit = {
+    val actual = graft.queries.MultimodalQueries.m06Canonical(spark, sfDir)
+    val golden = spark.read.parquet(goldenDir)
+    assert(actual.count() == golden.count(), "m06 row count drifted")
+    val missing = golden.except(actual).count()
+    val extra = actual.except(golden).count()
+    assert(missing == 0 && extra == 0,
+      s"m06 drift: $missing golden rows missing, $extra unexpected rows")
+  }
+
+  test("m06 binary-ingest output over sf0.01 matches the checked-in golden parquet") {
+    m06Drift("/root/testdata/sf0.01", "src/test/resources/golden/m06_digest_sf001")
+  }
+
+  test("m06 binary-ingest output over sf0.1 matches the checked-in golden parquet") {
+    m06Drift("/root/testdata/sf0.1", "src/test/resources/golden/m06_digest_sf01")
+  }
 }
