@@ -162,6 +162,34 @@ object ScaleDrill {
         }
         report(scale, q, "probe", probes.minBy(_._1))
       }
+      // ANN probe flatness: constant-occupancy IVF geometry + a FIXED
+      // 20-query batch kNN. The probe reads nProbe cells of
+      // ~targetCellSize vectors each (cell-partitioned parquet →
+      // partition pruning), so its wall-clock should stay ~FLAT while
+      // the corpus and the cell count grow — the measured form of the
+      // partition-pruned ANN claim.
+      if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PROBE")) {
+        import spark.implicits._
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cells = graft.sources.VectorIndexStore.autoCells(emb.count())
+        graft.sources.PosixMetaBackend.deleteRecursively(
+          graft.sources.VectorIndexStore.ivfPath(spark, dir, cells))
+        report(scale, s"build:ivf", "cold", timed {
+          graft.sources.VectorIndexStore.ensureIvf(spark, dir, cells); ()
+        })
+        val ivfPath = graft.sources.VectorIndexStore.ivfPath(spark, dir, cells)
+        val probeQs = emb.orderBy("vec_id").limit(20)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().toSeq
+        val reps = (1 to 3).map { _ =>
+          timed {
+            graft.operators.AnnEval
+              .ivfTopK(spark, ivfPath, probeQs, k = 10, nProbe = 4)
+              .write.mode("overwrite").format("noop").save()
+          }
+        }
+        report(scale, "probe:ivf_knn20", "probe", reps.minBy(_._1))
+      }
     }
     spark.stop()
   }
