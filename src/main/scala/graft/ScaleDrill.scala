@@ -87,6 +87,11 @@ object ScaleDrill {
         val docs = spark.read.parquet(s"$baseDir/documents.parquet")
         val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
         val dim = embs.select(size(col("embedding"))).head().getInt(0)
+        // past these bounds tranches would repeat transforms and silently
+        // break the exactly-N× ground-truth premise every ratio rests on
+        require(scale <= math.min(100, 2 * dim),
+          s"scale $scale exceeds the distinct-transform budget " +
+            s"(100 text bijections, ${2 * dim} vector bijections)")
         val scaledDocs = (0 until scale).map { i =>
           val t0 = if (i % 10 == 0) col("text")
                    else translate(col("text"), alphaA, rot(alphaA, i % 10))

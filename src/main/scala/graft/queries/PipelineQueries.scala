@@ -128,8 +128,7 @@ object PipelineQueries extends QuerySet {
     // byte-level raw dump stays pinned in GoldenChunksSpec (golden
     // parquet at both SFs).
     Q("d10_ingest_canonical",
-      (s, d) => vectorDigest(
-        Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()))
+      (s, d) => d10Canonical(s, d)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("id")).as("n_unique_ids"),
           canonicalDigest.as("canonical_digest")),
@@ -415,6 +414,17 @@ object PipelineQueries extends QuerySet {
   private val GoldenD08: Map[Long, Seq[String]] = Map(
     500L -> Seq("646, 639, -8869728023756628100"),
     5000L -> Seq("6440, 6367, 3347215212891739754"))
+
+  /** d10's raw canonical output (full A1→A14 pipeline to the canonical
+    * store, vector as dim+L2 digest) — the frame the declared query
+    * digests, shared with GoldenChunksGen/Spec so the byte-level
+    * golden-parquet backstop pins exactly what the digest folds (the
+    * m06Canonical contract).
+    */
+  private[graft] def d10Canonical(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame =
+    vectorDigest(
+      Ingest.pipeline(s, t(s, d, "documents"), new HashingEmbedder()))
 
   /** d10's pinned full-canonical-row corpus digests, same key + recipe
     * (GoldenGen prints them; regenerate only after an INTENDED change to

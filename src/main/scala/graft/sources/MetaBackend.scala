@@ -157,10 +157,12 @@ final class HadoopMetaBackend(conf: org.apache.hadoop.conf.Configuration)
   override def writeAtomic(path: String, content: String): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + s".tmp-${System.nanoTime()}")
-    // create the tmp through FileContext too: FileSystem.create on file:
-    // goes through ChecksumFileSystem and writes a `.<name>.crc` sidecar
-    // the rename below would orphan (one per pointer flip, forever);
-    // FileContext's AbstractFileSystem layer is checksum-free
+    // create and rename through the SAME FileContext: one API owns the
+    // whole tmp→target publication. (Empirically, on file: both the
+    // FileSystem and FileContext layers are checksum-backed and both
+    // RENAME the `.crc` sidecar along with the data file — each flip
+    // overwrites `.<name>.crc` in place, nothing accumulates — so this
+    // is a layer-consistency choice, not a checksum fix.)
     val fc = FileContext.getFileContext(p.toUri, conf)
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,

@@ -46,20 +46,27 @@ class LeaseCrossProcessSpec extends AnyFunSuite {
     */
   private def awaitLine(p: Process, marker: String, timeoutMs: Long = 30000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    // armed ONLY while we wait for the marker, and disarmed the moment it
+    // arrives — a watchdog that outlives the wait would force-kill a
+    // child a later assertion still depends on being alive
     val watchdog = new Thread(() => {
-      if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-        p.destroyForcibly()
+      try {
+        if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+          p.destroyForcibly()
+      } catch { case _: InterruptedException => () } // disarmed
       ()
     })
     watchdog.setDaemon(true); watchdog.start()
-    val r = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
-    var line = r.readLine()
-    while (line != null && !line.contains(marker)) {
-      assert(System.currentTimeMillis() < deadline, s"no '$marker' within ${timeoutMs}ms")
-      line = r.readLine()
-    }
-    assert(line != null, s"child exited (or was killed at the ${timeoutMs}ms deadline) before printing '$marker'")
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null && !line.contains(marker)) {
+        assert(System.currentTimeMillis() < deadline, s"no '$marker' within ${timeoutMs}ms")
+        line = r.readLine()
+      }
+      assert(line != null, s"child exited (or was killed at the ${timeoutMs}ms deadline) before printing '$marker'")
+    } finally watchdog.interrupt()
   }
 
   private def drainOutput(p: Process): String = {

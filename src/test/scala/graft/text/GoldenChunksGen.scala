@@ -30,6 +30,11 @@ object GoldenChunksGen {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // UTC like SparkTestBase/Verify: the canonical metadata column
+      // renders the injected timestamp with the SESSION timezone, so a
+      // generator on a non-UTC host would write goldens the UTC-pinned
+      // spec (and the pinned digest literals) could never match
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,12 +51,9 @@ object GoldenChunksGen {
       // the composed flagship output (d10: full A1→A14 pipeline to the
       // canonical store, vector as dim+L2 digest), raw rows — the driver's
       // d10 query hash-gates a one-row xor digest of these; this golden is
-      // the byte-level backstop and is built directly, not via the registry
-      Ingest.pipeline(spark, docs, new graft.operators.HashingEmbedder())
-        .withColumn("vec_dim", size(col("content_vector")))
-        .withColumn("vec_l2", round(
-          graft.functions.VectorFunctions.norm(col("content_vector")), 6))
-        .drop("content_vector")
+      // the byte-level backstop, built from the SAME frame helper the
+      // declared query digests (d10Canonical)
+      graft.queries.PipelineQueries.d10Canonical(spark, s"/root/testdata/$sf")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"src/test/resources/golden/d10_digest_$suffix")

@@ -23,19 +23,27 @@ import org.apache.spark.sql.functions._
   */
 class GoldenChunksSpec extends SparkTestBase {
 
-  private def digestDrift(sfDir: String, goldenDir: String): Unit = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val actual = Ingest.chunkDocuments(spark, docs).toDF()
-      .select(col("id"), col("filename"), col("chunk_id"), col("text_hash"),
-        length(col("content")).as("n_chars"))
+  /** One drift check: `actualRaw` (materialized once — the composed
+    * pipelines are the suite's most expensive frames and the check reads
+    * them three times) must equal the checked-in golden exactly.
+    */
+  private def driftCheck(label: String, actualRaw: org.apache.spark.sql.DataFrame,
+                         goldenDir: String): Unit = {
+    val actual = actualRaw.localCheckpoint(true)
     val golden = spark.read.parquet(goldenDir)
-
-    assert(actual.count() == golden.count(), "chunk count drifted")
+    assert(actual.count() == golden.count(), s"$label row count drifted")
     val missing = golden.except(actual).count()
     val extra = actual.except(golden).count()
     assert(missing == 0 && extra == 0,
-      s"splitter drift: $missing golden rows missing, $extra unexpected rows")
+      s"$label drift: $missing golden rows missing, $extra unexpected rows")
   }
+
+  private def digestDrift(sfDir: String, goldenDir: String): Unit =
+    driftCheck("splitter",
+      Ingest.chunkDocuments(spark, Tables.load(spark, sfDir, "documents")).toDF()
+        .select(col("id"), col("filename"), col("chunk_id"), col("text_hash"),
+          length(col("content")).as("n_chars")),
+      goldenDir)
 
   test("chunker digest over sf0.01 matches the checked-in golden parquet") {
     digestDrift("/root/testdata/sf0.01", "src/test/resources/golden/chunk_digest_sf001")
@@ -54,22 +62,9 @@ class GoldenChunksSpec extends SparkTestBase {
     * cancel still fails here. Built directly (not via the registry,
     * whose d10 entry returns the one-row digest).
     */
-  private def d10Drift(sfDir: String, goldenDir: String): Unit = {
-    val actual = {
-      val full = Ingest.pipeline(spark, Tables.load(spark, sfDir, "documents"),
-        new graft.operators.HashingEmbedder())
-      full.withColumn("vec_dim", size(col("content_vector")))
-        .withColumn("vec_l2",
-          round(graft.functions.VectorFunctions.norm(col("content_vector")), 6))
-        .drop("content_vector")
-    }
-    val golden = spark.read.parquet(goldenDir)
-    assert(actual.count() == golden.count(), "d10 row count drifted")
-    val missing = golden.except(actual).count()
-    val extra = actual.except(golden).count()
-    assert(missing == 0 && extra == 0,
-      s"d10 drift: $missing golden rows missing, $extra unexpected rows")
-  }
+  private def d10Drift(sfDir: String, goldenDir: String): Unit =
+    driftCheck("d10", graft.queries.PipelineQueries.d10Canonical(spark, sfDir),
+      goldenDir)
 
   test("d10 canonical output over sf0.01 matches the checked-in golden parquet") {
     d10Drift("/root/testdata/sf0.01", "src/test/resources/golden/d10_digest_sf001")
@@ -84,15 +79,9 @@ class GoldenChunksSpec extends SparkTestBase {
     * every row byte-for-byte, so a digest collision or a fold-cancelling
     * row regression still fails loudly.
     */
-  private def m06Drift(sfDir: String, goldenDir: String): Unit = {
-    val actual = graft.queries.MultimodalQueries.m06Canonical(spark, sfDir)
-    val golden = spark.read.parquet(goldenDir)
-    assert(actual.count() == golden.count(), "m06 row count drifted")
-    val missing = golden.except(actual).count()
-    val extra = actual.except(golden).count()
-    assert(missing == 0 && extra == 0,
-      s"m06 drift: $missing golden rows missing, $extra unexpected rows")
-  }
+  private def m06Drift(sfDir: String, goldenDir: String): Unit =
+    driftCheck("m06", graft.queries.MultimodalQueries.m06Canonical(spark, sfDir),
+      goldenDir)
 
   test("m06 binary-ingest output over sf0.01 matches the checked-in golden parquet") {
     m06Drift("/root/testdata/sf0.01", "src/test/resources/golden/m06_digest_sf001")
