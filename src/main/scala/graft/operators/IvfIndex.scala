@@ -10,15 +10,195 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic: centroid init = lowest-id vectors, fixed Lloyd iteration
   * count, no RNG. The quantizer trains on a bounded driver-side sample
-  * (independent of corpus size); assignment is a narrow map over the corpus.
+  * (independent of corpus size); assignment is a narrow map over the corpus
+  * — flat exact scan up to [[HierThreshold]] cells, two-level grouped
+  * search ([[Hier]], O(2√k·dim) per row) above it, so the build stays
+  * linear in n when `VectorIndexStore.autoCells` grows k with the corpus
+  * (the round-10 drill measured the flat path quadratic there: 443 s at
+  * 100× — SCALE.md "final-engine drill numbers").
   * At 100 TB the cell id becomes the table's partition column so probes are
   * partition-pruned at the source.
   */
 object IvfIndex {
 
-  final case class Model(centroids: Array[Array[Double]]) extends Serializable {
-    def nearestCell(v: Seq[Float]): Int = nearestCells(v, 1).head
+  /** Above this cell count, [[Model.nearestCell]] routes through the
+    * two-level grouped accelerator ([[Model.hier]]) instead of the flat
+    * O(k·dim) scan. Every declared fixture-scale geometry (8/16 cells —
+    * `VectorIndexStore.autoCells` resolves to 16 at ≤ 2048 vectors) stays
+    * on the flat EXACT path, so all pinned oracles/goldens/artifacts are
+    * bit-identical; the accelerator engages exactly where autoCells makes
+    * k grow with the corpus — the regime where the round-10 drill measured
+    * the flat assignment going quadratic (O(n·k), k ∝ n → 443 s at 100×,
+    * SCALE.md "final-engine drill numbers").
+    */
+  val HierThreshold = 64
 
+  /** Deterministic two-level assignment accelerator: the k flat centroids
+    * are themselves k-means-clustered into g ≈ √k GROUPS (init = first g
+    * centroids, fixed Lloyd iterations, ties to the lowest index — no
+    * RNG); an assignment scans the g group centers, then only the member
+    * centroids of the [[Hier.WProbeGroups]] nearest groups:
+    * O((√k + wProbe·k/√k)·dim) = O(2√k·dim) per vector instead of
+    * O(k·dim). Derived purely from the centroid array, so it never touches
+    * the artifact format — saved models are unchanged and the accelerator
+    * is rebuilt identically (deterministic build) wherever the model is
+    * deserialized.
+    */
+  final case class Hier(groupCenters: Array[Array[Double]],
+                        members: Array[Array[Int]]) extends Serializable {
+
+    /** Nearest centroid id under grouped search (ties by lowest id). */
+    def nearestCell(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+      // distances to every group center (g ≈ √k of them)
+      val g = groupCenters.length
+      val gd = new Array[Double](g)
+      var gi = 0
+      while (gi < g) { gd(gi) = Hier.sqDist(groupCenters(gi), v); gi += 1 }
+      // wProbe nearest groups (ties by lowest group id): tiny g — two
+      // linear argmin passes beat a sort
+      var best = -1
+      var bestD = Double.MaxValue
+      var probed = 0
+      val taken = new Array[Boolean](g)
+      while (probed < Hier.WProbeGroups && probed < g) {
+        var bg = -1
+        var bgD = Double.MaxValue
+        gi = 0
+        while (gi < g) {
+          if (!taken(gi) && gd(gi) < bgD) { bgD = gd(gi); bg = gi }
+          gi += 1
+        }
+        taken(bg) = true
+        val mem = members(bg)
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val d = Hier.sqDist(centroids(c), v)
+          if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+          mi += 1
+        }
+        probed += 1
+      }
+      best
+    }
+
+    /** `n` nearest centroid ids under grouped search (for corpus-side
+      * multi-assignment): groups are scanned in ascending center distance
+      * until at least [[Hier.WProbeGroups]] groups AND `n` candidate
+      * centroids have been seen; candidates sort by (distance, id).
+      */
+    def nearestCells(v: Seq[Float], centroids: Array[Array[Double]],
+                     n: Int): Seq[Int] = {
+      val g = groupCenters.length
+      val order = groupCenters.indices
+        .map(gi => (Hier.sqDist(groupCenters(gi), v), gi))
+        .sorted.map(_._2)
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      var probed = 0
+      while (probed < g &&
+        (probed < Hier.WProbeGroups || cand.length < n)) {
+        members(order(probed)).foreach { c =>
+          cand += ((Hier.sqDist(centroids(c), v), c))
+        }
+        probed += 1
+      }
+      cand.sorted.take(n).map(_._2).toSeq
+    }
+  }
+
+  object Hier {
+    /** Groups scanned per assignment — the standard multi-probe guard
+      * against boundary vectors whose true nearest centroid sits in a
+      * close-but-not-closest group. 3 measures ≥ 0.9 exact-agreement even
+      * on UNIFORM random vectors (no cluster structure — the worst case
+      * for a grouped search; IvfIndexSpec gates it), at O((√k + 3k/√k)·dim)
+      * per row — still √k-class.
+      */
+    val WProbeGroups = 3
+
+    private[operators] def sqDist(cent: Array[Double], v: Seq[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      val lim = math.min(cent.length, v.length)
+      while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+      d
+    }
+
+    private def sqDistDD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      val lim = math.min(a.length, b.length)
+      while (i < lim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+
+    /** Group the centroids: deterministic k-means with g = ceil(√k)
+      * (same init/iteration discipline as [[trainFromSample]]), then one
+      * final hard assignment; empty groups are dropped so every probed
+      * group has members. O(k·√k·dim) once per model — negligible next to
+      * one corpus sweep.
+      */
+    private[operators] def build(centroids: Array[Array[Double]]): Hier = {
+      val k = centroids.length
+      val g = math.ceil(math.sqrt(k.toDouble)).toInt
+      var centers = centroids.take(g).map(_.clone())
+      val assignTo = (cs: Array[Array[Double]], v: Array[Double]) => {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = sqDistDD(cs(c), v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until 5) {
+        val dims = centers(0).length
+        val sums = Array.fill(g)(new Array[Double](dims))
+        val counts = new Array[Long](g)
+        centroids.foreach { v =>
+          val b = assignTo(centers, v)
+          counts(b) += 1
+          var i = 0
+          val lim = math.min(dims, v.length)
+          while (i < lim) { sums(b)(i) += v(i); i += 1 }
+        }
+        centers = Array.tabulate(g) { c =>
+          if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      val memberBuf = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      centroids.zipWithIndex.foreach { case (v, i) =>
+        memberBuf(assignTo(centers, v)) += i
+      }
+      val nonEmpty = memberBuf.indices.filter(memberBuf(_).nonEmpty)
+      Hier(nonEmpty.map(centers(_)).toArray,
+        nonEmpty.map(memberBuf(_).toArray).toArray)
+    }
+  }
+
+  final case class Model(centroids: Array[Array[Double]]) extends Serializable {
+
+    /** Grouped accelerator, present only past [[HierThreshold]] cells.
+      * Transient + lazy: each deserialized copy (driver, every executor a
+      * broadcast reaches) rebuilds it on first use, deterministically, so
+      * all copies assign identically.
+      */
+    @transient private lazy val hier: Option[Hier] =
+      if (centroids.length > HierThreshold) Some(Hier.build(centroids)) else None
+
+    def nearestCell(v: Seq[Float]): Int = hier match {
+      case Some(h) => h.nearestCell(v, centroids)
+      case None => nearestCells(v, 1).head
+    }
+
+    /** Exact n nearest centroids by full scan — the PROBE-side primitive
+      * (per-query, O(k·dim) on a handful of queries) and the flat
+      * assignment path below [[HierThreshold]]. Deliberately NOT routed
+      * through [[hier]]: probe cell selection drives recall directly and
+      * its cost is per-query, not per-corpus-row.
+      */
     def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
       val dists = centroids.indices.map { c =>
         var d = 0.0
@@ -31,24 +211,43 @@ object IvfIndex {
       dists.sortBy { case (c, d) => (d, c) }.take(n).map(_._1)
     }
 
-    /** Squared L2 distance of `v` to its NEAREST centroid — the coarse
+    /** Squared L2 distance of `v` to its ASSIGNED centroid — the coarse
       * assignment distortion (the k-means objective per row). A corpus
       * drifting away from the trained cells shows a rising mean, which is
       * the signal that the scheduled retrain is due (appendIvf logs it).
+      * Below [[HierThreshold]] this is the exact min over all centroids;
+      * above it, the distance to the centroid [[nearestCell]] actually
+      * picks — the distortion of the REAL assignment, consistent with
+      * what the index serves (and the sweep stays O(2√k·dim) per row
+      * instead of the flat O(k·dim) that made the baseline sweep half of
+      * the quadratic build).
       */
-    def assignmentDistortion(v: Seq[Float]): Double = {
-      var best = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0
-        val cent = centroids(c)
-        var i = 0
-        val lim = math.min(cent.length, v.length)
-        while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
-        if (d < best) best = d
-        c += 1
-      }
-      best
+    /** `n` nearest cells for CORPUS-SIDE multi-assignment (SemDeDup's
+      * multi-probe expansion — one call per corpus row): exact
+      * [[nearestCells]] below [[HierThreshold]], grouped search above it.
+      * Probe-side cell selection keeps using [[nearestCells]] directly
+      * (per-query cost, exactness buys recall).
+      */
+    def assignCells(v: Seq[Float], n: Int): Seq[Int] = hier match {
+      case Some(h) => h.nearestCells(v, centroids, n)
+      case None => nearestCells(v, n)
+    }
+
+    def assignmentDistortion(v: Seq[Float]): Double = hier match {
+      case Some(h) => Hier.sqDist(centroids(h.nearestCell(v, centroids)), v)
+      case None =>
+        var best = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          val cent = centroids(c)
+          var i = 0
+          val lim = math.min(cent.length, v.length)
+          while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+          if (d < best) best = d
+          c += 1
+        }
+        best
     }
   }
 

@@ -81,7 +81,11 @@ object SemDedup {
     vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, e) =>
-        bc.value.nearestCells(e, assignK).map(c => (id, c, e)) }
+        // assignCells: exact below IvfIndex.HierThreshold (fixture
+        // geometries unchanged), grouped O(2√k·dim) above it — this is a
+        // per-corpus-row sweep, the regime where flat O(k·dim) turns
+        // quadratic under autoCells (k ∝ n)
+        bc.value.assignCells(e, assignK).map(c => (id, c, e)) }
       .toDF("vec_id", "cell", "embedding")
   }
 

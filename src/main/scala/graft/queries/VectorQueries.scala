@@ -880,9 +880,9 @@ object VectorQueries extends QuerySet {
                                  threshold: Double = 0.45): org.apache.spark.sql.DataFrame = {
     val emb = t(s, d, "embeddings")
     val blockSize = 1024L
-    // one scalar agg sizes the grid (cf. IvfIndex's driver-side coarse
-    // quantizer — a bounded metadata read, not a data collect)
-    val n = emb.count()
+    // grid sizing reuses the memoized fixture count (same fingerprint key
+    // v18/x11/x14 already consult) — no per-invocation count() scan
+    val n = embeddingCount(s, d)
     val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize)
     val grid = s.range(nBlocks * nBlocks)
       .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")

@@ -77,6 +77,14 @@ object PosixLeaseBackend extends LeaseBackend {
   private val LockWaitMs = 2000L
 
   private def withFileLock[T](path: String)(body: => T): T = {
+    // LOUD misconfiguration guard (mirrors PosixMetaBackend.local): a URI
+    // lease path reaching the POSIX backend means a remote deployment
+    // forgot to swap Versioned.leaseBackend — RandomAccessFile would fail
+    // incidentally (or worse, lock a meaningless local relative path)
+    require(!path.contains("://"),
+      s"PosixLeaseBackend got URI path $path: swap Versioned.leaseBackend " +
+        "for a remote backend (S3 conditional-put class) — POSIX file " +
+        "locks cannot arbitrate an object-store lease")
     val raf = new java.io.RandomAccessFile(path + ".LOCK", "rw")
     try {
       val ch = raf.getChannel

@@ -90,37 +90,60 @@ object MetaBackend {
 object PosixMetaBackend extends MetaBackend {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
+  /** LOUD misconfiguration guard: a `hdfs://`/`s3a://`/`mem://` URI
+    * reaching the POSIX backend means a remote deployment forgot to swap
+    * [[Versioned.metaBackend]]. `Paths.get` would map the URI to a
+    * nonexistent local relative path and every read would answer "absent"
+    * — exactly the silent never-published/restart-at-v1/defeat-GC failure
+    * the [[MetaBackend]] trait contract forbids. Throw instead.
+    */
+  private def local(path: String): java.nio.file.Path = {
+    require(!path.contains("://"),
+      s"PosixMetaBackend got URI path $path: swap Versioned.metaBackend " +
+        "for a remote backend (HadoopMetaBackend / object-store) — the " +
+        "POSIX backend would silently read every remote pointer as absent")
+    Paths.get(path)
+  }
+
   override def readString(path: String): Option[String] =
-    try Some(Files.readString(Paths.get(path)))
+    try Some(Files.readString(local(path)))
     catch { // absence only — IO failures propagate (see the trait contract)
       case _: java.nio.file.NoSuchFileException => None
       case _: java.io.FileNotFoundException => None
     }
 
   override def writeAtomic(path: String, content: String): Unit = {
+    val target = local(path)
     val tmp = Paths.get(path + s".tmp-${System.nanoTime()}")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, content.getBytes("UTF-8"))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable =>
+      // abandoned tmp siblings would pollute list() results (GC listings,
+      // freshness fingerprints) — remove ours before rethrowing
+      try Files.deleteIfExists(tmp) catch { case _: Exception => () }
+      throw e
+    }
     ()
   }
 
   override def createMarker(path: String): Unit = {
-    val created = new java.io.File(path).createNewFile()
+    val created = new java.io.File(local(path).toString).createNewFile()
     require(created || Files.exists(Paths.get(path)),
       s"could not create completeness marker $path")
   }
 
   override def exists(path: String): Boolean =
-    Files.exists(Paths.get(path))
+    Files.exists(local(path))
 
   override def list(dir: String): Seq[MetaBackend.Entry] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    Option(new java.io.File(local(dir).toString).listFiles()).getOrElse(Array.empty)
       .map(f => MetaBackend.Entry(f.getName, f.length(), f.isDirectory))
       .toIndexedSeq
 
   override def deleteRecursively(path: String): Unit = {
-    val f = new java.io.File(path)
+    val f = new java.io.File(local(path).toString)
     if (f.exists()) {
       import scala.reflect.io.Directory
       new Directory(f).deleteRecursively()
@@ -164,11 +187,18 @@ final class HadoopMetaBackend(conf: org.apache.hadoop.conf.Configuration)
     // overwrites `.<name>.crc` in place, nothing accumulates — so this
     // is a layer-consistency choice, not a checksum fix.)
     val fc = FileContext.getFileContext(p.toUri, conf)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    try {
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    } catch { case e: Throwable =>
+      // failed write/rename must not leak the tmp sibling into list()
+      // consumers (GC listings, freshness fingerprints)
+      try fs(tmp).delete(tmp, false) catch { case _: Exception => () }
+      throw e
+    }
   }
 
   override def createMarker(path: String): Unit = {

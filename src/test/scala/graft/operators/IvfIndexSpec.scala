@@ -65,4 +65,77 @@ class IvfIndexSpec extends SparkTestBase {
     val recall = hit.toDouble / total
     assert(recall >= 0.3, s"recall@10 with nProbe=4/16 was $recall")
   }
+
+  // -------------------------------------------------------------------
+  // Hierarchical (two-level) assignment: engages above HierThreshold
+  // cells, where autoCells' k ∝ n made the flat O(n·k) build quadratic.
+  // -------------------------------------------------------------------
+
+  /** Deterministic synthetic corpus big enough to train past the
+    * threshold: 96-dim, values from a hash — no RNG, no fixture reliance.
+    */
+  private def syntheticSample(n: Int, dim: Int = 96): Array[Array[Double]] =
+    Array.tabulate(n) { i =>
+      Array.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+        (h % 1000) / 1000.0
+      }
+    }
+
+  test("grouped assignment agrees with the flat exact scan on nearly all vectors") {
+    val k = IvfIndex.HierThreshold * 4 // 256 cells — hier path active
+    val sample = syntheticSample(2048)
+    val model = IvfIndex.trainFromSample(sample, k, iters = 5)
+    assert(model.centroids.length == k)
+    val flat = IvfIndex.Model(model.centroids.take(IvfIndex.HierThreshold))
+    // exact nearest over the FULL centroid set, via the public probe path
+    def exactCell(v: Seq[Float]) = model.nearestCells(v, 1).head
+    val probes = syntheticSample(512, 96).map(_.map(_.toFloat).toSeq)
+    var agree = 0
+    var distRatioSum = 0.0
+    probes.foreach { v =>
+      val h = model.nearestCell(v)
+      val e = exactCell(v)
+      if (h == e) agree += 1
+      val dh = IvfIndex.Hier.sqDist(model.centroids(h), v)
+      val de = IvfIndex.Hier.sqDist(model.centroids(e), v)
+      assert(dh >= de - 1e-12) // exact is a lower bound by definition
+      distRatioSum += (if (de > 0) dh / de else 1.0)
+    }
+    val agreement = agree.toDouble / probes.length
+    assert(agreement >= 0.9,
+      s"hier/exact assignment agreement $agreement < 0.9 over ${probes.length} probes")
+    val meanRatio = distRatioSum / probes.length
+    assert(meanRatio <= 1.1,
+      s"mean hier/exact distortion ratio $meanRatio > 1.1")
+    // flat path (k <= threshold) is byte-identical to the probe-side scan
+    probes.take(32).foreach { v =>
+      assert(flat.nearestCell(v) == flat.nearestCells(v, 1).head)
+    }
+  }
+
+  test("grouped assignment is deterministic across independent model copies") {
+    val k = IvfIndex.HierThreshold * 3
+    val sample = syntheticSample(1024)
+    val m1 = IvfIndex.trainFromSample(sample, k, iters = 5)
+    val m2 = IvfIndex.Model(m1.centroids.map(_.clone())) // fresh accelerator build
+    val probes = syntheticSample(256, 96).map(_.map(_.toFloat).toSeq)
+    probes.foreach { v =>
+      assert(m1.nearestCell(v) == m2.nearestCell(v))
+      assert(m1.assignCells(v, 3) == m2.assignCells(v, 3))
+      assert(m1.assignmentDistortion(v) == m2.assignmentDistortion(v))
+    }
+  }
+
+  test("assignCells returns n distinct cells, subset-consistent with the grouped search") {
+    val k = IvfIndex.HierThreshold * 2
+    val model = IvfIndex.trainFromSample(syntheticSample(1024), k, iters = 5)
+    val probes = syntheticSample(64, 96).map(_.map(_.toFloat).toSeq)
+    probes.foreach { v =>
+      val cells = model.assignCells(v, 3)
+      assert(cells.length == 3 && cells.distinct.length == 3)
+      // first assigned cell IS the single-assignment cell (same search)
+      assert(cells.head == model.nearestCell(v))
+    }
+  }
 }

@@ -3,23 +3,52 @@ package graft.sources
 import graft.SparkTestBase
 
 /** Conformance matrix for the artifact metadata plane ([[MetaBackend]]):
-  * every primitive drilled over BOTH shipped implementations, plus the
-  * full Versioned pointer lifecycle (publish / re-publish / GC / reader
-  * resolve) and a store freshness fingerprint run with the Hadoop backend
-  * installed — so the pointer protocol is proven against the interface,
-  * not against POSIX behavior it happened to inherit.
+  * every primitive drilled over ALL THREE shipped storage classes —
+  * POSIX, Hadoop FileSystem, and the native object store (single-PUT, no
+  * rename) — plus the full Versioned pointer lifecycle (publish /
+  * re-publish / GC / reader resolve) and the RowCountCache freshness
+  * fingerprint run with each non-default backend installed, so the
+  * pointer protocol is proven against the interface, not against POSIX
+  * behavior it happened to inherit. The object-store rows run the data
+  * plane through [[MemFileSystem]] (`mem://`) over the SAME bucket the
+  * meta backend writes — one namespace, like a real `s3a://` deployment.
   */
 class MetaBackendSpec extends SparkTestBase {
 
-  private def mkRoot() =
+  private def mkLocalRoot() =
     java.nio.file.Files.createTempDirectory("graft_meta").toString
 
-  private def backends: Seq[(String, () => MetaBackend)] = Seq(
-    ("posix", () => PosixMetaBackend),
-    ("hadoop", () => new HadoopMetaBackend(
-      spark.sparkContext.hadoopConfiguration)))
+  private val memSeq = new java.util.concurrent.atomic.AtomicInteger()
+  private def mkMemRoot() = s"mem://graftspec/r${memSeq.incrementAndGet()}"
 
-  for ((name, mkBe) <- backends) {
+  /** (name, backend, mkRoot, rawPut, rawMkdir) — rawPut/rawMkdir create
+    * test fixtures OUTSIDE the backend under test, through the storage
+    * class's own native API (nio for the file-backed pair, bucket PUT for
+    * the object store).
+    */
+  private def backends: Seq[(String, () => MetaBackend, () => String,
+      (String, String) => Unit, String => Unit)] = {
+    def nioPut(path: String, content: String): Unit = {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+      ()
+    }
+    def nioMkdir(path: String): Unit = { new java.io.File(path).mkdirs(); () }
+    def memPut(path: String, content: String): Unit = {
+      val (b, k) = MemObjectStore.parse(path)
+      b.put(k, content.getBytes("UTF-8"))
+    }
+    def memMkdir(path: String): Unit = {
+      val (b, k) = MemObjectStore.parse(path)
+      b.mkdir(k)
+    }
+    Seq(
+      ("posix", () => PosixMetaBackend, mkLocalRoot _, nioPut _, nioMkdir _),
+      ("hadoop", () => new HadoopMetaBackend(
+        spark.sparkContext.hadoopConfiguration), mkLocalRoot _, nioPut _, nioMkdir _),
+      ("objectstore", () => ObjectStoreMetaBackend, mkMemRoot _, memPut _, memMkdir _))
+  }
+
+  for ((name, mkBe, mkRoot, rawPut, rawMkdir) <- backends) {
 
     test(s"[$name] readString/writeAtomic: whole-object publish, absent reads None") {
       val be = mkBe()
@@ -63,10 +92,10 @@ class MetaBackendSpec extends SparkTestBase {
     test(s"[$name] list returns children with sizes and dir flags; absent dir lists empty") {
       val be = mkBe()
       val root = mkRoot()
+      rawMkdir(root)
       assert(be.list(s"$root/missing").isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/part-00000"), "12345")
-      new java.io.File(s"$root/sub").mkdirs()
+      rawPut(s"$root/part-00000", "12345")
+      rawMkdir(s"$root/sub")
       val entries = be.list(root).sortBy(_.name)
       assert(entries.map(_.name) == Seq("part-00000", "sub"))
       assert(entries.head.size == 5 && !entries.head.isDir)
@@ -76,12 +105,47 @@ class MetaBackendSpec extends SparkTestBase {
     test(s"[$name] deleteRecursively removes a tree, no-ops on absence") {
       val be = mkBe()
       val root = mkRoot()
-      new java.io.File(s"$root/d/nested").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/d/nested/f"), "x")
+      rawMkdir(s"$root/d/nested")
+      rawPut(s"$root/d/nested/f", "x")
       be.deleteRecursively(s"$root/d")
       assert(!be.exists(s"$root/d"))
       be.deleteRecursively(s"$root/d") // already gone: no-op, no throw
+    }
+
+    test(s"[$name] a failed writeAtomic leaks no tmp sibling into list()") {
+      val be = mkBe()
+      val root = mkRoot()
+      rawMkdir(root)
+      name match {
+        case "objectstore" =>
+          // single-PUT backends CANNOT leak: no tmp object ever exists.
+          // 50 flips later the parent lists exactly the pointer object.
+          for (i <- 1 to 50) be.writeAtomic(s"$root/t.CURRENT", s"v$i")
+          assert(be.list(root).map(_.name) == Seq("t.CURRENT"))
+        case _ =>
+          // force the publish to fail AFTER the tmp write: the target is a
+          // non-empty directory, so the atomic move must throw — and the
+          // tmp sibling must be cleaned up before the rethrow
+          rawMkdir(s"$root/t.CURRENT")
+          rawPut(s"$root/t.CURRENT/occupant", "x")
+          intercept[Exception] { be.writeAtomic(s"$root/t.CURRENT", "v1") }
+          val leaked = be.list(root).map(_.name).filter(_.contains(".tmp-"))
+          assert(leaked.isEmpty, s"tmp siblings leaked: $leaked")
+      }
+    }
+  }
+
+  test("PosixMetaBackend refuses URI paths loudly (misconfigured remote deployment)") {
+    // the silent alternative is every remote pointer reading as absent —
+    // version chain restarts at v1 and GC collects live versions
+    intercept[IllegalArgumentException] {
+      PosixMetaBackend.readString("hdfs://nn/artifacts/t.CURRENT")
+    }
+    intercept[IllegalArgumentException] {
+      PosixMetaBackend.writeAtomic("s3a://bucket/t.CURRENT", "v1 1")
+    }
+    intercept[IllegalArgumentException] {
+      PosixLeaseBackend.createIfAbsent("s3a://bucket/t.WRITER.LEASE", "x 1")
     }
   }
 
@@ -91,40 +155,77 @@ class MetaBackendSpec extends SparkTestBase {
     try body finally Versioned.metaBackend = prev
   }
 
-  test("Versioned pointer lifecycle runs green with the Hadoop backend installed") {
-    import spark.implicits._
-    withMetaBackend(new HadoopMetaBackend(spark.sparkContext.hadoopConfiguration)) {
-      val root = mkRoot()
-      def pub(n: Int): Unit = Versioned.publish(root, "t", n.toLong) { dir =>
-        Seq.fill(n)(n).toDF("v").write.parquet(dir)
+  /** The full-lifecycle matrix runs over the two NON-DEFAULT backends
+    * (every other suite in the repo exercises the POSIX default end to
+    * end): (name, backend, root factory). The object-store row needs the
+    * `mem://` data plane registered so Versioned's parquet write/read and
+    * the meta plane share the bucket.
+    */
+  private def lifecycleBackends: Seq[(String, () => MetaBackend, () => String)] = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mem.impl", classOf[MemFileSystem].getName)
+    Seq(
+      ("hadoop", () => new HadoopMetaBackend(
+        spark.sparkContext.hadoopConfiguration), mkLocalRoot _),
+      ("objectstore", () => ObjectStoreMetaBackend, mkMemRoot _))
+  }
+
+  for ((name, mkBe, mkRoot) <- lifecycleBackends) {
+
+    test(s"[$name] Versioned pointer lifecycle: publish / re-publish / GC / read-back") {
+      import spark.implicits._
+      val be = mkBe()
+      withMetaBackend(be) {
+        val root = mkRoot()
+        def pub(n: Int): Unit = Versioned.publish(root, "t", n.toLong) { dir =>
+          Seq.fill(n)(n).toDF("v").write.parquet(dir)
+        }
+        pub(1); val v1 = Versioned.readPointer(root, "t").get.dir
+        pub(2); val v2 = Versioned.readPointer(root, "t").get.dir
+        pub(3)
+        val cur = Versioned.readPointer(root, "t").get
+        assert(cur.dir.startsWith("t-v3-") && cur.watermark == 3L)
+        // GC: immediately-previous version kept, older collected — through
+        // the backend's list/deleteRecursively, not java.io
+        assert(be.exists(s"$root/$v2"))
+        assert(!be.exists(s"$root/$v1"))
+        assert(Versioned.read(spark, root, "t").count() == 3)
+        assert(Versioned.partFileCount(root, "t") >= 1)
       }
-      pub(1); val v1 = Versioned.readPointer(root, "t").get.dir
-      pub(2); val v2 = Versioned.readPointer(root, "t").get.dir
-      pub(3)
-      val cur = Versioned.readPointer(root, "t").get
-      assert(cur.dir.startsWith("t-v3-") && cur.watermark == 3L)
-      // GC: immediately-previous version kept, older collected — through
-      // the backend's list/deleteRecursively, not java.io
-      assert(new java.io.File(s"$root/$v2").exists())
-      assert(!new java.io.File(s"$root/$v1").exists())
-      assert(Versioned.read(spark, root, "t").count() == 3)
-      assert(Versioned.partFileCount(root, "t") >= 1)
+    }
+
+    test(s"[$name] RowCountCache fingerprint moves on mutation") {
+      import spark.implicits._
+      withMetaBackend(mkBe()) {
+        val root = mkRoot()
+        Versioned.publish(root, "t", 1L)(d => Seq(1, 2).toDF("v").write.parquet(d))
+        var computes = 0
+        def count() = RowCountCache.countFor(root, "t") {
+          computes += 1; Versioned.read(spark, root, "t").count()
+        }
+        assert(count() == 2 && computes == 1)
+        assert(count() == 2 && computes == 1) // memo hit: token unchanged
+        Versioned.publish(root, "t", 2L)(d => Seq(1, 2, 3).toDF("v").write.parquet(d))
+        assert(count() == 3 && computes == 2) // re-point moved the token
+      }
     }
   }
 
-  test("RowCountCache fingerprint moves on mutation under the Hadoop backend") {
-    import spark.implicits._
-    withMetaBackend(new HadoopMetaBackend(spark.sparkContext.hadoopConfiguration)) {
-      val root = mkRoot()
-      Versioned.publish(root, "t", 1L)(d => Seq(1, 2).toDF("v").write.parquet(d))
-      var computes = 0
-      def count() = RowCountCache.countFor(root, "t") {
-        computes += 1; Versioned.read(spark, root, "t").count()
-      }
-      assert(count() == 2 && computes == 1)
-      assert(count() == 2 && computes == 1) // memo hit: token unchanged
-      Versioned.publish(root, "t", 2L)(d => Seq(1, 2, 3).toDF("v").write.parquet(d))
-      assert(count() == 3 && computes == 2) // re-point moved the token
+  test("object-store writeAtomic is rename-free: pointer flips PUT, nothing else") {
+    // the design claim in MetaBackend's scaladoc, asserted: after a flip
+    // the bucket holds exactly the pointer object at that key — no tmp,
+    // no rename artifacts, one object write per publication
+    val root = mkMemRoot()
+    val (bucket, rootKey) = MemObjectStore.parse(root)
+    ObjectStoreMetaBackend.writeAtomic(s"$root/t.CURRENT", "t-v1-x 1")
+    ObjectStoreMetaBackend.writeAtomic(s"$root/t.CURRENT", "t-v2-x 2")
+    val keys = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      bucket.objects.forEach((k, _) => if (k.startsWith(rootKey)) buf += k)
+      buf.toSeq
     }
+    assert(keys == Seq(s"$rootKey/t.CURRENT"))
+    assert(ObjectStoreMetaBackend.readString(s"$root/t.CURRENT")
+      .contains("t-v2-x 2"))
   }
 }
