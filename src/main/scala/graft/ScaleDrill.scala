@@ -26,8 +26,26 @@ import org.apache.spark.sql.functions._
   * timed as first-run (may build remaining artifacts) plus min-of-2 warm
   * probes — the probe number is the steady-state cost the bench measures.
   *
-  * Output: one `DRILL {json}` line per measurement; the SCALE.md table is
-  * transcribed from these.
+  * Shuffle parallelism is the config a real deployment runs: AQE
+  * coalescing DOWN from a high initial partition count
+  * (`initialPartitionNum` = `SPARK_GRAFT_DRILL_PARTS`, default 256), so
+  * the achieved partition count GROWS with the data and the reported
+  * ratios are the achieved ones — not artifacts of a fixed partition
+  * count that is right at one scale and wrong at the other (the round-10
+  * drill held partitions=8 at every scale and had to footnote x07's
+  * ratio as a config artifact).
+  *
+  * Output: one `DRILL {json}` line per measurement, mirrored to
+  * `<outRoot>/drill_results.jsonl` (the Bench artifact pattern). When the
+  * drilled scales include 1 and 10, a `DRILLCHECK` summary line asserts
+  * the 1→10 time ratios stay inside per-family regression budgets — the
+  * CI-grade guard that turns the next accidental quadratic (the round-10
+  * flat-IVF build, the id-range block grid) into a failing run instead of
+  * a prose finding. `SPARK_GRAFT_DRILL_NOCHECK` disables the exit-code
+  * failure (measure-only mode); `SPARK_GRAFT_DRILL_EXPLAIN` additionally
+  * prints a `DRILLPLAN` line per query with the AQE-final join/exchange
+  * node census (how broadcast→shuffle plan transitions across scales are
+  * evidenced, cf. SCALE.md on x03).
   */
 object ScaleDrill {
   def main(args: Array[String]): Unit = {
@@ -35,9 +53,14 @@ object ScaleDrill {
     val outRoot = args.lift(1).getOrElse("/tmp/graft_scaledrill")
     val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_DRILL_PARTS", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // deployment-shaped parallelism: start high, let AQE coalesce to
+      // the data volume (parallelismFirst + 1 MB min partition are the
+      // Spark defaults a real cluster runs with)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -68,9 +91,29 @@ object ScaleDrill {
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
       (secs, rowsInAcc.get() - in0, shuffleAcc.get() - sh0)
     }
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Double, Long, Long)]
     def report(scale: Int, name: String, phase: String,
-               m: (Double, Long, Long)): Unit =
+               m: (Double, Long, Long)): Unit = {
+      rows += ((scale, name, phase, m._1, m._2, m._3))
       println(f"""DRILL {"scale":$scale,"name":"$name","phase":"$phase","secs":${m._1}%.3f,"rows_in":${m._2},"shuffle_rows":${m._3}}""")
+    }
+
+    /** AQE-final plan census for a query: executes the plan once (noop
+      * row drain) so AdaptiveSparkPlanExec finalizes, then counts the
+      * join/exchange physical nodes — the evidence trail for plan
+      * transitions across scales (broadcast→sort-merge is invisible in
+      * counters alone; it shows here as BHJ count dropping / SMJ rising).
+      */
+    def planCensus(df: DataFrame): String = {
+      val qe = df.queryExecution
+      qe.toRdd.count() // finalize AQE
+      val s = qe.executedPlan.toString
+      val nodes = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin", "Exchange",
+        "AQEShuffleRead")
+      nodes.map(n => s""""$n":${n.r.findAllIn(s).length}""").mkString(",")
+    }
 
     def ensureScaled(scale: Int): String = {
       val dir = s"$outRoot/x$scale"
@@ -135,10 +178,15 @@ object ScaleDrill {
       "x02_jaccard_stats", "x03_minhash_neardup", "x06_dup_clusters",
       "x07_containment", "x11_curation_funnel", "x14_funnel_ivf_semantic",
       "x15_exact_substring_dedup", "v18_semdedup")
+    // The retrain-at-scale drill (below) runs to 10×: the recall-grading
+    // half (exactTopK panel oracle) is what grades the retrain, and at
+    // 100× the measurement would mostly time that oracle, not the engine.
+    val retrainScaleCap = 10
     // focus filter for drilling a subset (same contract as Bench's ONLY)
-    val queries = sys.env.get("SPARK_GRAFT_DRILL_ONLY")
-      .map(f => all.filter(f.split(",").map(_.trim).toSet))
-      .getOrElse(all)
+    val filter = sys.env.get("SPARK_GRAFT_DRILL_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(scale: Int): Seq[String] =
+      filter.map(f => all.filter(f)).getOrElse(all)
     val m = SparkEntry.queries
 
     for (scale <- scales) {
@@ -157,7 +205,7 @@ object ScaleDrill {
         graft.sources.PosixMetaBackend.deleteRecursively(p)
         report(scale, name, "cold", timed { build(); () })
       }
-      for (q <- queries) {
+      for (q <- selected(scale)) {
         val fn = m(q)
         report(scale, q, "first", timed {
           fn(spark, dir).write.mode("overwrite").format("noop").save()
@@ -166,6 +214,8 @@ object ScaleDrill {
           timed { fn(spark, dir).write.mode("overwrite").format("noop").save() }
         }
         report(scale, q, "probe", probes.minBy(_._1))
+        if (sys.env.contains("SPARK_GRAFT_DRILL_EXPLAIN"))
+          println(s"""DRILLPLAN {"scale":$scale,"name":"$q",${planCensus(fn(spark, dir))}}""")
       }
       // ANN probe flatness: constant-occupancy IVF geometry + a FIXED
       // 20-query batch kNN. The probe reads nProbe cells of
@@ -194,6 +244,99 @@ object ScaleDrill {
           }
         }
         report(scale, "probe:ivf_knn20", "probe", reps.minBy(_._1))
+      }
+      // Drift-retrain at scale (the v19 lifecycle, drill edition): build
+      // a PQ artifact on tranche A, append a SHIFTED tranche B (drift
+      // factor > 2 by construction), then time the full recall-gated
+      // retrain. Two scale-aware choices vs the declared v19 fixture
+      // drill: the grading panel stays FIXED-size (rowPanel caps at 32 —
+      // the exact oracle is Θ(panel·n), linear), and the re-rank
+      // shortlist scales with the corpus (recall@10 over 10× candidates
+      // at a FIXED shortlist is the grading getting harder, not the
+      // retrain getting worse — a deployment holds its recall floor by
+      // sizing re-rank depth to the corpus, so the drill does too).
+      if (scale <= retrainScaleCap &&
+          filter.forall(_.contains("retrain:pq"))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val trancheA = emb.select((col("vec_id") * 2).as("vec_id"),
+          col("label"), col("embedding"))
+        val trancheB = emb.select((col("vec_id") * 2 + 1).as("vec_id"),
+          col("label"),
+          transform(col("embedding"), x => x + lit(8.0f))
+            .cast("array<float>").as("embedding"))
+        val corpus = trancheA.unionAll(trancheB)
+        val shortlist = math.max(50L, corpus.count() / 80L).toInt
+        val root = s"$outRoot/retrain_x$scale"
+        graft.sources.PosixMetaBackend.deleteRecursively(root)
+        graft.sources.VectorIndexStore.buildPqAt(spark, root, trancheA)
+        graft.sources.VectorIndexStore.appendPq(spark, root, trancheB)
+        report(scale, "retrain:pq", "cold", timed {
+          val did = graft.sources.VectorIndexStore.retrainPqIfNeeded(
+            spark, root, corpus, shortlist = shortlist)
+          require(did, s"retrain:pq at x$scale: drift below threshold — " +
+            "the drill premise (shifted tranche B) no longer drifts")
+        })
+      }
+    }
+
+    // ---- drill artifact (the Bench pattern): one JSONL row per line ----
+    val jsonl = rows.map { case (sc, n, ph, secs, in, sh) =>
+      f"""{"scale":$sc,"name":"$n","phase":"$ph","secs":$secs%.3f,"rows_in":$in,"shuffle_rows":$sh}"""
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outRoot/drill_results.jsonl"),
+      jsonl.getBytes("UTF-8"))
+    println(s"DRILL# artifact: $outRoot/drill_results.jsonl (${rows.length} rows)")
+
+    // ---- regression guard: 1→10 time-ratio budgets per family ----------
+    // Budgets are ~2× the worst ratio the round-10/11 measured tables
+    // show for each family at exactly-10× work — wide enough for host
+    // noise, narrow enough that a quadratic (ratio ≈ 100) or the flat-IVF
+    // build (ratio 38 at 10×) fails loudly. Sub-second pairs are skipped
+    // (pure noise). NOCHECK turns failures into report-only.
+    def budget(name: String, phase: String): Option[Double] = (name, phase) match {
+      case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
+      case ("retrain:pq", "cold") => Some(25.0)    // build-class path
+      case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2 measured
+      case ("x03_minhash_neardup", "probe") |
+           ("x15_exact_substring_dedup", "probe")
+        => Some(4.0)                               // store-served: 1.8-2.1 measured
+      case ("x02_jaccard_stats", "probe") => Some(7.0)   // 3.2 measured
+      case ("x06_dup_clusters", "probe") => Some(4.0)    // 1.0 measured
+      case ("x07_containment", "probe") => Some(18.0)    // 8.1 measured: linear
+        // work at 10×; the 1× run underutilizes the executor (note 3)
+      case ("x14_funnel_ivf_semantic", "probe") |
+           ("v18_semdedup", "probe") => Some(9.0)  // 1.9 / 4.1 measured
+      case ("x11_curation_funnel", "probe") => Some(22.0) // 10.0 measured —
+        // the DECLARED exact mode does ~n²/2 distance evals by contract
+        // below ExactSemanticCap (100k vectors); the cap bounds it, x14
+        // measures the IVF path that serves above the cap
+      case _ => None                               // report-only
+    }
+    if (scales.contains(1) && scales.contains(10)) {
+      val at = rows.groupBy(r => (r._2, r._3)).view
+        .mapValues(rs => rs.map(r => r._1 -> r._4).toMap)
+      val checks = at.toSeq.sortBy(_._1).flatMap { case ((name, phase), byScale) =>
+        for {
+          t1 <- byScale.get(1)
+          t10 <- byScale.get(10)
+          b <- budget(name, phase)
+          if math.max(t1, t10) >= 0.5 // both trivial: noise, no signal
+        } yield {
+          val ratio = t10 / math.max(t1, 1e-9)
+          (name, phase, ratio, b, ratio <= b)
+        }
+      }
+      val failed = checks.filterNot(_._5)
+      val detail = checks.map { case (n, ph, r, b, ok) =>
+        f""""$n/$ph":{"ratio":$r%.2f,"budget":$b,"ok":$ok}"""
+      }.mkString("{", ",", "}")
+      println(s"""DRILLCHECK {"pass":${failed.isEmpty},"checks":$detail}""")
+      if (failed.nonEmpty && !sys.env.contains("SPARK_GRAFT_DRILL_NOCHECK")) {
+        failed.foreach { case (n, ph, r, b, _) =>
+          System.err.println(f"[drillcheck] $n/$ph 1->10 time ratio $r%.2f exceeds budget $b") }
+        spark.stop()
+        sys.exit(1)
       }
     }
     spark.stop()
