@@ -288,57 +288,75 @@ object ScaleDrill {
       jsonl.getBytes("UTF-8"))
     println(s"DRILL# artifact: $outRoot/drill_results.jsonl (${rows.length} rows)")
 
-    // ---- regression guard: 1→10 time-ratio budgets per family ----------
-    // Budgets are ~2× the worst ratio the round-10/11 measured tables
-    // show for each family at exactly-10× work — wide enough for host
-    // noise, narrow enough that a quadratic (ratio ≈ 100) or the flat-IVF
-    // build (ratio 38 at 10×) fails loudly. Sub-second pairs are skipped
-    // (pure noise). NOCHECK turns failures into report-only.
-    def budget(name: String, phase: String): Option[Double] = (name, phase) match {
-      case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
-      case ("retrain:pq", "cold") => Some(25.0)    // build-class path
-      case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2 measured
-      case ("x03_minhash_neardup", "probe") |
-           ("x15_exact_substring_dedup", "probe")
-        => Some(4.0)                               // store-served: 1.8-2.1 measured
-      case ("x02_jaccard_stats", "probe") => Some(7.0)   // 3.2 measured
-      case ("x06_dup_clusters", "probe") => Some(4.0)    // 1.0 measured
-      case ("x07_containment", "probe") => Some(18.0)    // 8.1 measured: linear
-        // work at 10×; the 1× run underutilizes the executor (note 3)
-      case ("x14_funnel_ivf_semantic", "probe") |
-           ("v18_semdedup", "probe") => Some(9.0)  // 1.9 / 4.1 measured
-      case ("x11_curation_funnel", "probe") => Some(22.0) // 10.0 measured —
-        // the DECLARED exact mode does ~n²/2 distance evals by contract
-        // below ExactSemanticCap (100k vectors); the cap bounds it, x14
-        // measures the IVF path that serves above the cap
-      case _ => None                               // report-only
-    }
     if (scales.contains(1) && scales.contains(10)) {
-      val at = rows.groupBy(r => (r._2, r._3)).view
-        .mapValues(rs => rs.map(r => r._1 -> r._4).toMap)
-      val checks = at.toSeq.sortBy(_._1).flatMap { case ((name, phase), byScale) =>
-        for {
-          t1 <- byScale.get(1)
-          t10 <- byScale.get(10)
-          b <- budget(name, phase)
-          if math.max(t1, t10) >= 0.5 // both trivial: noise, no signal
-        } yield {
-          val ratio = t10 / math.max(t1, 1e-9)
-          (name, phase, ratio, b, ratio <= b)
-        }
-      }
-      val failed = checks.filterNot(_._5)
-      val detail = checks.map { case (n, ph, r, b, ok) =>
-        f""""$n/$ph":{"ratio":$r%.2f,"budget":$b,"ok":$ok}"""
+      val checks = DrillCheck.evaluate(rows.toSeq)
+      val failed = checks.filterNot(_.ok)
+      val detail = checks.map { c =>
+        f""""${c.name}/${c.phase}":{"ratio":${c.ratio}%.2f,"budget":${c.budget},"ok":${c.ok}}"""
       }.mkString("{", ",", "}")
       println(s"""DRILLCHECK {"pass":${failed.isEmpty},"checks":$detail}""")
       if (failed.nonEmpty && !sys.env.contains("SPARK_GRAFT_DRILL_NOCHECK")) {
-        failed.foreach { case (n, ph, r, b, _) =>
-          System.err.println(f"[drillcheck] $n/$ph 1->10 time ratio $r%.2f exceeds budget $b") }
+        failed.foreach { c =>
+          System.err.println(f"[drillcheck] ${c.name}/${c.phase} 1->10 time ratio ${c.ratio}%.2f exceeds budget ${c.budget}") }
         spark.stop()
         sys.exit(1)
       }
     }
     spark.stop()
+  }
+}
+
+/** The drill's regression guard, pure and spec-testable: 1→10 time-ratio
+  * budgets per family. Budgets are ~2× the worst ratio the round-10/11
+  * measured tables show for each family at exactly-10× work — wide
+  * enough for host noise, narrow enough that a quadratic (ratio ≈ 100)
+  * or the round-10 flat-IVF build (measured 38× at 10× under autoCells)
+  * fails loudly. Sub-second pairs are skipped (pure noise). A crashing
+  * drill (the round-10 id-range block-grid OOM) fails by nonzero exit
+  * before this ever runs — the guard covers the quieter failure mode
+  * where everything completes but one family's slope silently broke.
+  */
+object DrillCheck {
+  final case class Check(name: String, phase: String, ratio: Double,
+                         budget: Double, ok: Boolean)
+
+  /** Per-(name, phase) ratio budget; None = report-only (unguarded). */
+  def budget(name: String, phase: String): Option[Double] = (name, phase) match {
+    case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
+    case ("retrain:pq", "cold") => Some(25.0)    // build-class path
+    case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
+    case ("x03_minhash_neardup", "probe") |
+         ("x15_exact_substring_dedup", "probe")
+      => Some(4.0)                               // store-served: 1.1-2.1 measured
+    case ("x02_jaccard_stats", "probe") => Some(7.0)   // 2.7-3.2 measured
+    case ("x06_dup_clusters", "probe") => Some(4.0)    // 1.0-2.7 measured
+    case ("x07_containment", "probe") => Some(18.0)    // 7.0-8.1 measured: linear
+      // work at 10×; the 1× run underutilizes the executor (SCALE.md note)
+    case ("x14_funnel_ivf_semantic", "probe") |
+         ("v18_semdedup", "probe") => Some(9.0)  // 1.4-2.9 measured
+    case ("x11_curation_funnel", "probe") => Some(22.0) // 6.5-10.0 measured —
+      // the DECLARED exact mode does ~n²/2 distance evals by contract
+      // below ExactSemanticCap (100k vectors); the cap bounds it, x14
+      // measures the IVF path that serves above the cap
+    case _ => None                               // report-only
+  }
+
+  /** Evaluate every budgeted (name, phase) present at BOTH scale 1 and
+    * scale 10 in `rows` ((scale, name, phase, secs, rows_in, shuffle)).
+    */
+  def evaluate(rows: Seq[(Int, String, String, Double, Long, Long)]): Seq[Check] = {
+    val at = rows.groupBy(r => (r._2, r._3)).view
+      .mapValues(rs => rs.map(r => r._1 -> r._4).toMap)
+    at.toSeq.sortBy(_._1).flatMap { case ((name, phase), byScale) =>
+      for {
+        t1 <- byScale.get(1)
+        t10 <- byScale.get(10)
+        b <- budget(name, phase)
+        if math.max(t1, t10) >= 0.5 // both trivial: noise, no signal
+      } yield {
+        val ratio = t10 / math.max(t1, 1e-9)
+        Check(name, phase, ratio, b, ratio <= b)
+      }
+    }
   }
 }

@@ -211,6 +211,35 @@ class MetaBackendSpec extends SparkTestBase {
     }
   }
 
+  test("ChunkStore ensure/upsert lifecycle runs on the object-store data plane (mem://)") {
+    // the INGEST store's committer path on object-store semantics: ensure
+    // (ErrorIfExists create), idempotent re-ensure, two Append-mode
+    // upserts with overlapping keys (anti-join merge reads the store back
+    // through mem:// and the second commit appends into a NON-empty
+    // directory — a different committer path than Versioned.publish's
+    // fresh-dir writes, which the lifecycle rows above cover)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mem.impl", classOf[MemFileSystem].getName)
+    val store = s"${mkMemRoot()}/chunks"
+    ChunkStore.ensure(spark, store)
+    ChunkStore.ensure(spark, store) // idempotent: no truncate, no throw
+    assert(spark.read.parquet(store).count() == 0)
+    def batch(rows: Seq[(String, String)]) = {
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, h) =>
+          Row(id, s"content $id", null, s"$id.txt", 0, h, null, "txt", null, null)
+        }),
+        graft.schemas.Schemas.chunkStore)
+    }
+    ChunkStore.upsert(spark, batch(Seq(("a", "h1"), ("b", "h2"))), store)
+    // overlapping batch: h2 must be skipped (first arrival), h3 appended
+    ChunkStore.upsert(spark, batch(Seq(("b2", "h2"), ("c", "h3"))), store)
+    val got = spark.read.parquet(store)
+      .select("id", "text_hash").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("a", "h1"), ("b", "h2"), ("c", "h3")))
+  }
+
   test("object-store writeAtomic is rename-free: pointer flips PUT, nothing else") {
     // the design claim in MetaBackend's scaladoc, asserted: after a flip
     // the bucket holds exactly the pointer object at that key — no tmp,
