@@ -82,6 +82,41 @@ object IvfIndex {
       best
     }
 
+    /** [[nearestCell]] over a double-array vector — the training-sample
+      * variant used by the grouped Lloyd rounds in `trainFromSample`.
+      * Same scan order and tie-breaking as the float path.
+      */
+    def nearestCellD(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+      val g = groupCenters.length
+      val gd = new Array[Double](g)
+      var gi = 0
+      while (gi < g) { gd(gi) = Hier.sqDistDD(groupCenters(gi), v); gi += 1 }
+      var best = -1
+      var bestD = Double.MaxValue
+      var probed = 0
+      val taken = new Array[Boolean](g)
+      while (probed < Hier.WProbeGroups && probed < g) {
+        var bg = -1
+        var bgD = Double.MaxValue
+        gi = 0
+        while (gi < g) {
+          if (!taken(gi) && gd(gi) < bgD) { bgD = gd(gi); bg = gi }
+          gi += 1
+        }
+        taken(bg) = true
+        val mem = members(bg)
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val d = Hier.sqDistDD(centroids(c), v)
+          if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+          mi += 1
+        }
+        probed += 1
+      }
+      best
+    }
+
     /** `n` nearest centroid ids under grouped search (for corpus-side
       * multi-assignment): groups are scanned in ascending center distance
       * until at least [[Hier.WProbeGroups]] groups AND `n` candidate
@@ -279,14 +314,48 @@ object IvfIndex {
       .map(_.map(_.toDouble).toArray)
   }
 
+  /** Hard ceiling on trainable cell counts: past this, the driver-side
+    * sample (8 points/cell, see [[train]]) approaches ~1M vectors and
+    * flat-k-means-on-the-driver is the wrong tool even grouped. A corpus
+    * that WANTS more cells at constant occupancy (≳ 17M vectors at
+    * occupancy 128) should cap occupancy growth (`targetCellSize`) or
+    * train per-group sub-quantizers distributed — failing loudly with the
+    * design path beats a silent OOM or a degenerate model.
+    */
+  val MaxTrainCells = 131072
+
   /** Train the coarse quantizer: deterministic k-means (init = first k
     * vectors by id, `iters` Lloyd steps) on a driver-side sample.
+    *
+    * The sample GROWS with k (≥ 8 points per cell): constant-occupancy
+    * geometries (`VectorIndexStore.autoCells`) grow k with the corpus,
+    * and a fixed 2048-vector sample would first degenerate (k ≈ samples:
+    * one point per centroid) and then throw (k > samples) — the round-11
+    * self-review caught this one decade past the 100× drill point
+    * (k = 2048 at ~262k vectors). At the fixture and drill-10×
+    * geometries (k ≤ 256) the effective sample is the historical 2048,
+    * so nothing previously measured or pinned moves.
     */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int,
-            iters: Int = 5, sampleSize: Int = 2048): Model =
-    trainFromSample(collectSample(spark, embeddings, sampleSize), k, iters)
+            iters: Int = 5, sampleSize: Int = 2048): Model = {
+    require(k <= MaxTrainCells,
+      s"k=$k coarse cells exceeds MaxTrainCells=$MaxTrainCells: cap the " +
+        "occupancy growth (autoCells targetCellSize) or train the " +
+        "quantizer hierarchically off-driver — see IvfIndex.MaxTrainCells")
+    val eff = math.max(sampleSize, 8 * k)
+    trainFromSample(collectSample(spark, embeddings, eff), k, iters)
+  }
 
-  /** [[train]] body over a pre-collected sample. */
+  /** [[train]] body over a pre-collected sample. Above [[HierThreshold]]
+    * cells each Lloyd round assigns the sample through a grouped search
+    * over the CURRENT centroids (rebuilt per round — centroids move), so
+    * training is O(sample·√k·dim·iters) instead of O(sample·k·dim·iters):
+    * with the sample itself ∝ k (see [[train]]) the flat form would be
+    * the same O(k²) the assignment sweep just stopped paying. Grouped
+    * Lloyd is the standard approximate-assignment k-means; deterministic
+    * here (the accelerator build is), and the fixture geometries
+    * (k ≤ 16 ≪ threshold) keep the exact flat rounds bit-identical.
+    */
   private[operators] def trainFromSample(sample: Array[Array[Double]], k: Int,
                                          iters: Int): Model = {
     require(sample.length >= k, s"need >= $k sample vectors")
@@ -295,19 +364,28 @@ object IvfIndex {
       val dims = centroids(0).length
       val sums = Array.fill(k)(new Array[Double](dims))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var d = 0.0
-          var i = 0
-          val lim = math.min(dims, v.length) // ragged vectors: missing tail = 0
-          while (i < lim) { val t = centroids(c)(i) - v(i); d += t * t; i += 1 }
-          while (i < dims) { val t = centroids(c)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+      val cents = centroids // stable reference for the closure
+      val assignOf: Array[Double] => Int =
+        if (k > HierThreshold) {
+          val h = Hier.build(cents)
+          v => h.nearestCellD(v, cents)
+        } else { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0
+            var i = 0
+            val lim = math.min(dims, v.length) // ragged vectors: missing tail = 0
+            while (i < lim) { val t = cents(c)(i) - v(i); d += t * t; i += 1 }
+            while (i < dims) { val t = cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
         }
+      sample.foreach { v =>
+        val best = assignOf(v)
         counts(best) += 1
         var i = 0
         val lim = math.min(dims, v.length)

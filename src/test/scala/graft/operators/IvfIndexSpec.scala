@@ -127,6 +127,34 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("train past the fixed-sample ceiling (autoCells regime) adapts the sample instead of throwing") {
+    // k > 2048 used to violate trainFromSample's sample >= k requirement
+    // (autoCells reaches k = 2048 at ~262k vectors — one decade past the
+    // 100x drill point). train now grows the sample to 8 points/cell.
+    import spark.implicits._
+    val dim = 8
+    val df = spark.range(20000).map { i =>
+      (i, 0, Seq.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+        ((h % 1000) / 1000.0).toFloat
+      })
+    }.toDF("vec_id", "label", "embedding")
+    val k = 2100
+    val m1 = IvfIndex.train(spark, df, k)
+    assert(m1.centroids.length == k)
+    val m2 = IvfIndex.train(spark, df, k) // deterministic end to end
+    assert(m1.centroids.zip(m2.centroids).forall { case (a, b) => a.sameElements(b) })
+    // the trained model assigns (grouped path) without degenerate cells
+    // dominating: the first few sample rows land in distinct cells
+    val probes = df.orderBy("vec_id").limit(64)
+      .select("embedding").as[Seq[Float]].collect()
+    assert(probes.map(m1.nearestCell(_)).distinct.length > 16)
+    // far past MaxTrainCells the build must refuse loudly, not degrade
+    intercept[IllegalArgumentException] {
+      IvfIndex.train(spark, df, IvfIndex.MaxTrainCells + 1)
+    }
+  }
+
   test("assignCells returns n distinct cells, subset-consistent with the grouped search") {
     val k = IvfIndex.HierThreshold * 2
     val model = IvfIndex.trainFromSample(syntheticSample(1024), k, iters = 5)
