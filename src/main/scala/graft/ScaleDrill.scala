@@ -244,6 +244,19 @@ object ScaleDrill {
           }
         }
         report(scale, "probe:ivf_knn20", "probe", reps.minBy(_._1))
+        // Recall gate for the ACCELERATED build: the same 20-query probe
+        // graded against exact kNN over the full corpus (one broadcast
+        // pass — cheap at drill sizes). The timing rows can't see a
+        // broken grouped assignment (a quality bug probes just as fast);
+        // this line can — recall collapsing across scales would mean the
+        // hierarchical build is mis-assigning, not merely accelerating.
+        if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+          val exact = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+          val got = graft.operators.AnnEval.ivfTopK(spark, ivfPath, probeQs,
+            k = 10, nProbe = 4)
+          val r = graft.operators.AnnEval.meanRecall(got, exact)
+          println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
+        }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
       // a PQ artifact on tranche A, append a SHIFTED tranche B (drift
