@@ -422,10 +422,19 @@ object IvfIndex {
     *                    directories are ever listed or read.
     *
     * No training, encoding, or corpus scan happens after this write.
+    *
+    * The write CLUSTERS by cell first (one shuffle of the corpus): a raw
+    * `partitionBy` write emits one file per (writer task × cell) — at a
+    * deployment-scale geometry (1000 tasks × 100k cells) that is 10⁸
+    * files from the INITIAL build alone, before compaction ever runs.
+    * Clustered, the build lands exactly one file per cell (constant
+    * occupancy keeps cells file-sized by construction); `compactIvf`
+    * remains the owner of re-coalescing APPEND fragmentation.
     */
   def save(spark: SparkSession, model: Model, assigned: DataFrame, path: String): Unit = {
     saveModel(spark, model, s"$path/model")
-    assigned.write.partitionBy("cell").parquet(s"$path/vectors")
+    assigned.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/vectors")
   }
 
   /** Write just the centroid sidecar — [[save]]'s model half, reused by the

@@ -234,7 +234,10 @@ object PqIndex {
     */
   def save(spark: SparkSession, model: Model, encoded: DataFrame, path: String): Unit = {
     saveModel(spark, model, s"$path/coarse", s"$path/codebooks")
-    encoded.write.partitionBy("cell").parquet(s"$path/encoded")
+    // clustered write: one file per cell, not one per (task × cell) —
+    // see IvfIndex.save, same small-file rationale
+    encoded.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/encoded")
   }
 
   /** Write just the model sidecars — [[save]]'s model half, reused by the

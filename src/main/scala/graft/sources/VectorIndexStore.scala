@@ -342,7 +342,9 @@ object VectorIndexStore {
       val hadVecPtr = Versioned.readPointer(path, "vectors").isDefined
       val hadModelPtr = Versioned.readPointer(path, "model").isDefined
       Versioned.publish(path, "vectors", -1L) { v =>
-        assigned.write.partitionBy("cell").parquet(v)
+        // clustered: one file per cell (IvfIndex.save's rationale)
+        assigned.repartition(org.apache.spark.sql.functions.col("cell"))
+          .write.partitionBy("cell").parquet(v)
       }
       Versioned.publish(path, "model", -1L) { v =>
         IvfIndex.saveModel(spark, model, v)
@@ -390,7 +392,9 @@ object VectorIndexStore {
       val hadEncPtr = Versioned.readPointer(path, "encoded").isDefined
       val hadCoarsePtr = Versioned.readPointer(path, "coarse").isDefined
       Versioned.publish(path, "encoded", -1L) { v =>
-        encoded.write.partitionBy("cell").parquet(v)
+        // clustered: one file per cell (IvfIndex.save's rationale)
+        encoded.repartition(org.apache.spark.sql.functions.col("cell"))
+          .write.partitionBy("cell").parquet(v)
       }
       Versioned.publish(path, "coarse", -1L) { v =>
         IvfIndex.saveModel(spark, model.coarse, v)
