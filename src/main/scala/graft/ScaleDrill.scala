@@ -225,6 +225,11 @@ object ScaleDrill {
       // partition-pruned ANN claim.
       if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PROBE")) {
         import spark.implicits._
+        // nProbe knob: fixed 4 measures probe FLATNESS across scales;
+        // scaling it with the cell count (a deployment's recall policy)
+        // measures the hold-recall cost — see the DRILLRECALL notes
+        val nProbe = sys.env.get("SPARK_GRAFT_DRILL_NPROBE")
+          .flatMap(_.toIntOption).getOrElse(4)
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val cells = graft.sources.VectorIndexStore.autoCells(emb.count())
         graft.sources.PosixMetaBackend.deleteRecursively(
@@ -239,7 +244,7 @@ object ScaleDrill {
         val reps = (1 to 3).map { _ =>
           timed {
             graft.operators.AnnEval
-              .ivfTopK(spark, ivfPath, probeQs, k = 10, nProbe = 4)
+              .ivfTopK(spark, ivfPath, probeQs, k = 10, nProbe = nProbe)
               .write.mode("overwrite").format("noop").save()
           }
         }
@@ -253,7 +258,7 @@ object ScaleDrill {
         if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
           val exact = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
           val got = graft.operators.AnnEval.ivfTopK(spark, ivfPath, probeQs,
-            k = 10, nProbe = 4)
+            k = 10, nProbe = nProbe)
           val r = graft.operators.AnnEval.meanRecall(got, exact)
           println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
         }
