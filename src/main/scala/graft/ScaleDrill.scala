@@ -372,7 +372,10 @@ object DrillCheck {
         b <- budget(name, phase)
         if math.max(t1, t10) >= 0.5 // both trivial: noise, no signal
       } yield {
-        val ratio = t10 / math.max(t1, 1e-9)
+        // Clamp the denominator to the noise floor: a sub-noise 1× time
+        // (t1 = 0.1 s, t10 = 0.6 s) must not fabricate a 6× "breach" out of
+        // two measurements that are both within host jitter.
+        val ratio = t10 / math.max(t1, 0.3)
         Check(name, phase, ratio, b, ratio <= b)
       }
     }

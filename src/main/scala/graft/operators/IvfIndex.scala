@@ -129,6 +129,14 @@ object IvfIndex {
         .map(gi => (Hier.sqDist(groupCenters(gi), v), gi))
         .sorted.map(_._2)
       val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      // Min over the first min(W, g) groups — EXACTLY nearestCell's scan
+      // set and tie rule — pinned as the head so that
+      // `assignCells(v, n).head == nearestCell(v)` holds even when fewer
+      // than n candidates force extra groups to be probed (an extra group
+      // may hold a closer centroid, which must rank AFTER the
+      // single-assignment cell, not displace it).
+      var headBest: (Double, Int) = null
+      val headGroups = math.min(Hier.WProbeGroups, g)
       var probed = 0
       while (probed < g &&
         (probed < Hier.WProbeGroups || cand.length < n)) {
@@ -136,8 +144,15 @@ object IvfIndex {
           cand += ((Hier.sqDist(centroids(c), v), c))
         }
         probed += 1
+        if (probed == headGroups && cand.nonEmpty) headBest = cand.min
       }
-      cand.sorted.take(n).map(_._2).toSeq
+      if (headBest == null && cand.nonEmpty) headBest = cand.min
+      if (cand.isEmpty) Seq.empty
+      else {
+        val head = headBest._2
+        head +: cand.sorted.iterator.map(_._2)
+          .filter(_ != head).take(n - 1).toSeq
+      }
     }
   }
 
@@ -151,19 +166,28 @@ object IvfIndex {
       */
     val WProbeGroups = 3
 
+    /** Squared L2 in the CENTROID's dimension space — the engine-wide
+      * ragged-vector convention (declared at `trainFromSample`): a vector
+      * shorter than the centroid reads as zero-padded (the centroid-tail
+      * squares are accumulated); vector dims beyond the centroid's are
+      * ignored, exactly as training ignores them in the sums.
+      */
     private[operators] def sqDist(cent: Array[Double], v: Seq[Float]): Double = {
       var d = 0.0
       var i = 0
       val lim = math.min(cent.length, v.length)
       while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+      while (i < cent.length) { val t = cent(i); d += t * t; i += 1 }
       d
     }
 
-    private def sqDistDD(a: Array[Double], b: Array[Double]): Double = {
+    /** [[sqDist]] over doubles; first argument is the centroid/center. */
+    private[operators] def sqDistDD(cent: Array[Double], b: Array[Double]): Double = {
       var d = 0.0
       var i = 0
-      val lim = math.min(a.length, b.length)
-      while (i < lim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      val lim = math.min(cent.length, b.length)
+      while (i < lim) { val t = cent(i) - b(i); d += t * t; i += 1 }
+      while (i < cent.length) { val t = cent(i); d += t * t; i += 1 }
       d
     }
 
@@ -236,12 +260,7 @@ object IvfIndex {
       */
     def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
       val dists = centroids.indices.map { c =>
-        var d = 0.0
-        val cent = centroids(c)
-        var i = 0
-        val lim = math.min(cent.length, v.length)
-        while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
-        (c, d)
+        (c, Hier.sqDist(centroids(c), v))
       }
       dists.sortBy { case (c, d) => (d, c) }.take(n).map(_._1)
     }
@@ -274,11 +293,7 @@ object IvfIndex {
         var best = Double.MaxValue
         var c = 0
         while (c < centroids.length) {
-          var d = 0.0
-          val cent = centroids(c)
-          var i = 0
-          val lim = math.min(cent.length, v.length)
-          while (i < lim) { val t = cent(i) - v(i); d += t * t; i += 1 }
+          val d = Hier.sqDist(centroids(c), v)
           if (d < best) best = d
           c += 1
         }

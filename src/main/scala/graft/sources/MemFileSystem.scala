@@ -171,6 +171,7 @@ object MemFileSystem {
       else { val v = bytes(pos) & 0xff; pos += 1; v }
 
     override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0 // InputStream contract: zero-length read is 0, even at EOF
       if (pos >= bytes.length) return -1
       val n = math.min(len, bytes.length - pos)
       System.arraycopy(bytes, pos, buf, off, n)

@@ -254,6 +254,15 @@ object VectorIndexStore {
     * artifact without a `qerr.BASELINE` sidecar treats its EARLIEST
     * watermark row as the baseline (conservative, and exactly what that
     * row meant when it was written).
+    *
+    * Upgrade note (intended behavior): above `IvfIndex.HierThreshold`
+    * cells, `assignmentDistortion` reports the distortion of the REAL
+    * grouped assignment (>= the exact min a pre-accelerator build wrote
+    * into `qerr.BASELINE` of a k > 64 artifact). The first post-upgrade
+    * qerr append on such an artifact can therefore read slightly inflated
+    * and trigger ONE early recall-gated retrain — which rewrites the
+    * baseline under the new semantics and self-heals. A one-time drift
+    * jump on an upgraded large-k artifact is this, not corpus drift.
     */
   def driftFactor(spark: SparkSession, path: String): Option[Double] = {
     import spark.implicits._

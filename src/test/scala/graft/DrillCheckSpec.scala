@@ -76,6 +76,20 @@ class DrillCheckSpec extends AnyFunSuite {
     assert(DrillCheck.evaluate(rows).isEmpty)
   }
 
+  test("a sub-noise 1x time cannot fabricate a breach (denominator clamp)") {
+    // t1 = 0.1 s is below the host-noise floor; t10 = 0.6 s crosses the
+    // signal threshold, so the pair IS checked — but the ratio must be
+    // computed against the 0.3 s noise floor (0.6/0.3 = 2.0 <= 4), not
+    // the raw noise denominator (0.6/0.1 = 6 > 4, a spurious red).
+    val rows = Seq(
+      row(1, "x03_minhash_neardup", "probe", 0.1),
+      row(10, "x03_minhash_neardup", "probe", 0.6))
+    val checks = DrillCheck.evaluate(rows)
+    assert(checks.length == 1 && checks.head.ok,
+      s"noise-floor 1x time produced a spurious breach: $checks")
+    assert(math.abs(checks.head.ratio - 2.0) < 1e-9)
+  }
+
   test("a pair missing either scale endpoint is not checked") {
     val rows = Seq(
       row(10, "build:ivf", "cold", 500.0),

@@ -155,6 +155,68 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("ragged vectors score as zero-padded on BOTH the flat and grouped paths") {
+    // Declared semantics (trainFromSample): a vector shorter than the
+    // centroid reads as zero-padded — the centroid-tail squares count.
+    // The grouped accelerator must agree with the flat scan on that.
+    val k = IvfIndex.HierThreshold * 2
+    val model = IvfIndex.trainFromSample(syntheticSample(1024), k, iters = 5)
+    val dim = model.centroids(0).length
+    val probes = syntheticSample(32, dim).map(_.map(_.toFloat).toSeq)
+    probes.foreach { full =>
+      val short = full.take(dim / 2)
+      val padded = short ++ Seq.fill(dim - short.length)(0.0f)
+      model.centroids.take(8).foreach { cent =>
+        assert(IvfIndex.Hier.sqDist(cent, short) == IvfIndex.Hier.sqDist(cent, padded))
+      }
+      // grouped assignment of the short vector == of its padded twin
+      assert(model.nearestCell(short) == model.nearestCell(padded))
+      assert(model.assignmentDistortion(short) == model.assignmentDistortion(padded))
+      // flat probe path agrees with itself under padding too
+      assert(model.nearestCells(short, 3) == model.nearestCells(padded, 3))
+    }
+  }
+
+  test("nearestCells head survives forced extra-group widening (skewed geometry)") {
+    // A geometry where the WProbeGroups nearest groups hold FEWER than n
+    // centroids, so the search must widen — and the extra group contains
+    // a centroid CLOSER than anything in the first groups. The head must
+    // still be nearestCell's pick (the single-assignment invariant), with
+    // the closer latecomer ranked after it.
+    // Three singleton groups near the probe (scanned first), one far
+    // group whose MEMBERS include a centroid closer to the probe than
+    // anything in the scanned groups — the adversarial skew case.
+    val centroids = Array(
+      Array(0.0, 0.0, 0.0, 1.0),   // group A — nearestCell's pick
+      Array(0.0, 0.0, 0.0, 1.2),   // group B
+      Array(0.0, 0.0, 0.0, 1.4),   // group C
+      Array(0.0, 0.0, 0.0, 5.0),   // group D (far center)
+      Array(0.0, 0.0, 0.0, 5.2),   // group D
+      Array(0.0, 0.0, 0.0, 1.05)   // group D — CLOSEST to the probe, but
+                                   // invisible to the 3-group scan
+    )
+    val hier = IvfIndex.Hier(
+      groupCenters = Array(
+        Array(0.0, 0.0, 0.0, 1.0),
+        Array(0.0, 0.0, 0.0, 1.2),
+        Array(0.0, 0.0, 0.0, 1.4),
+        Array(0.0, 0.0, 0.0, 5.1)),
+      members = Array(Array(0), Array(1), Array(2), Array(3, 4, 5)))
+    val probe: Seq[Float] = Seq(0f, 0f, 0f, 1.05f)
+    // group-center distances: A=0.0025 < B=0.0225 < C=0.1225 << D — the
+    // WProbeGroups=3 scan sees only centroids {0,1,2} and picks 0.
+    val single = hier.nearestCell(probe, centroids)
+    assert(single == 0)
+    // n=4 exceeds the 3 candidates those groups hold → widening probes D,
+    // which surfaces centroid 5 at distance ~0 — it must rank AFTER the
+    // single-assignment cell, not displace it.
+    val multi = hier.nearestCells(probe, centroids, n = 4)
+    assert(multi.head == single,
+      s"widening displaced the single-assignment cell: $multi vs $single")
+    assert(multi.length == 4 && multi.distinct.length == 4)
+    assert(multi.contains(5)) // the latecomer is still returned
+  }
+
   test("assignCells returns n distinct cells, subset-consistent with the grouped search") {
     val k = IvfIndex.HierThreshold * 2
     val model = IvfIndex.trainFromSample(syntheticSample(1024), k, iters = 5)

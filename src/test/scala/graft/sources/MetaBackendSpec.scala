@@ -211,6 +211,27 @@ class MetaBackendSpec extends SparkTestBase {
     }
   }
 
+  test("mem:// input stream honors the InputStream read contract at EOF") {
+    // InputStream.read(buf, off, len) must return 0 for len == 0 — even
+    // at end-of-stream; -1 there reads as spurious EOF to parquet/Hadoop
+    // readers that issue zero-length reads while buffering.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mem.impl", classOf[MemFileSystem].getName)
+    val p = new org.apache.hadoop.fs.Path(s"${mkMemRoot()}/contract.bin")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](8)
+      assert(in.read(buf, 0, 0) == 0)      // zero-length read mid-stream
+      assert(in.read(buf, 0, 8) == 3)      // drains the object
+      assert(in.read(buf, 0, 0) == 0)      // zero-length read AT EOF: 0, not -1
+      assert(in.read(buf, 0, 8) == -1)     // real EOF still signals -1
+      assert(in.read() == -1)
+    } finally in.close()
+  }
+
   test("ChunkStore ensure/upsert lifecycle runs on the object-store data plane (mem://)") {
     // the INGEST store's committer path on object-store semantics: ensure
     // (ErrorIfExists create), idempotent re-ensure, two Append-mode
