@@ -124,7 +124,8 @@ object Graft {
     * shortlist only. Corpus needs (vec_id, label, embedding).
     */
   def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queryVec: Array[Float],
-               k: Int, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+               k: Int, nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
+               shortlist: Int = 50): DataFrame = {
     val model = graft.operators.PqIndex.train(spark, corpus)
     val encoded = graft.operators.PqIndex.encode(spark, corpus, model)
     graft.operators.PqIndex.search(spark, encoded, corpus, model,
@@ -168,8 +169,12 @@ object Graft {
     * partition pruning — no training, no full scan; IndexStoreSpec asserts
     * the plan).
     */
+  /** `nProbe` defaults to the engine probe policy
+    * ([[graft.operators.IvfIndex.autoNProbe]]: constant cell fraction,
+    * floor 4 — resolves to the historical 4 at every fixture geometry).
+    */
   def ivfProbe(spark: SparkSession, indexPath: String, queryVec: Array[Float],
-               k: Int, nProbe: Int = 4): DataFrame = {
+               k: Int, nProbe: Int = graft.operators.IvfIndex.NProbeAuto): DataFrame = {
     val model = graft.operators.IvfIndex.loadModel(spark, indexPath)
     graft.operators.IvfIndex.search(spark,
       graft.operators.IvfIndex.loadVectors(spark, indexPath), model,

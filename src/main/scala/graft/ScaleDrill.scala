@@ -225,11 +225,14 @@ object ScaleDrill {
       // partition-pruned ANN claim.
       if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PROBE")) {
         import spark.implicits._
-        // nProbe knob: fixed 4 measures probe FLATNESS across scales;
-        // scaling it with the cell count (a deployment's recall policy)
-        // measures the hold-recall cost — see the DRILLRECALL notes
-        val nProbe = sys.env.get("SPARK_GRAFT_DRILL_NPROBE")
-          .flatMap(_.toIntOption).getOrElse(4)
+        // nProbe knob: fixed 4 (the default here) measures probe FLATNESS
+        // across scales; "auto" measures the ENGINE default policy
+        // (IvfIndex.autoNProbe constant cell fraction — the hold-recall
+        // cost, see the DRILLRECALL notes and SCALE.md §8)
+        val nProbe = sys.env.get("SPARK_GRAFT_DRILL_NPROBE") match {
+          case Some("auto") => graft.operators.IvfIndex.NProbeAuto
+          case v => v.flatMap(_.toIntOption).getOrElse(4)
+        }
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val cells = graft.sources.VectorIndexStore.autoCells(emb.count())
         graft.sources.PosixMetaBackend.deleteRecursively(
@@ -261,6 +264,32 @@ object ScaleDrill {
             k = 10, nProbe = nProbe)
           val r = graft.operators.AnnEval.meanRecall(got, exact)
           println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
+        }
+        // DISTRIBUTED trainer at the SAME constant-occupancy geometry —
+        // the off-driver Lloyd that serves past IvfIndex.MaxTrainCells,
+        // drilled at every scale: one full train (iters corpus sweeps +
+        // deterministic per-cell sums) plus the assignment sweep, then
+        // the same 20-query panel graded against the same exact oracle.
+        // Recall parity with the sampled build:ivf above is what makes
+        // the MaxTrainCells routing safe; the time/counter row shows the
+        // build staying linear (budget: the build: 25x family line).
+        if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_DIST")) {
+          val vecsDf = emb.select(col("vec_id"), col("label"), col("embedding"))
+          var distModel: graft.operators.IvfIndex.Model = null
+          report(scale, "build:ivf_dist", "cold", timed {
+            distModel = graft.operators.IvfIndex.trainDistributed(spark, vecsDf, cells)
+            graft.operators.IvfIndex.assign(spark, vecsDf, distModel)
+              .write.mode("overwrite").format("noop").save()
+          })
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            val exactD = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+            val gotD = graft.operators.AnnEval.ivfTopKFrames(spark,
+              graft.operators.IvfIndex.assign(spark, vecsDf, distModel)
+                .filter(col("vec_id") =!= 0),
+              distModel, probeQs, k = 10, nProbe = nProbe)
+            val rD = graft.operators.AnnEval.meanRecall(gotD, exactD)
+            println(f"""DRILLRECALL {"scale":$scale,"name":"build:ivf_dist","recall_at_10":$rD%.3f}""")
+          }
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
@@ -315,7 +344,7 @@ object ScaleDrill {
       println(s"""DRILLCHECK {"pass":${failed.isEmpty},"checks":$detail}""")
       if (failed.nonEmpty && !sys.env.contains("SPARK_GRAFT_DRILL_NOCHECK")) {
         failed.foreach { c =>
-          System.err.println(f"[drillcheck] ${c.name}/${c.phase} 1->10 time ratio ${c.ratio}%.2f exceeds budget ${c.budget}") }
+          System.err.println(f"[drillcheck] ${c.name}/${c.phase} 1->10 ratio ${c.ratio}%.2f exceeds budget ${c.budget}") }
         spark.stop()
         sys.exit(1)
       }
@@ -338,7 +367,57 @@ object DrillCheck {
   final case class Check(name: String, phase: String, ratio: Double,
                          budget: Double, ok: Boolean)
 
-  /** Per-(name, phase) ratio budget; None = report-only (unguarded). */
+  /** Pairs where BOTH endpoints are below this are skipped entirely —
+    * two trivial wall-times carry no slope signal at all.
+    */
+  val MinSignalSecs = 0.5
+
+  /** Denominator clamp for the TIME ratio: a 1× time below this is host
+    * jitter, and dividing by it fabricates breaches out of noise (the
+    * round-11 ADVICE case). The two constants are one policy: a pair
+    * only carries signal above [[MinSignalSecs]], and within such a pair
+    * the denominator is trusted down to the smaller [[NoiseFloorSecs]]
+    * (both from the measured host noise band, SCALE.md "measurement
+    * noise"). The clamp's known blind spot — a genuinely fast 1× time
+    * hiding a real superlinear slope (t1 = 0.05 s real, t10 = 1.1 s is
+    * ~22× but reads 1.1/0.3 = 3.7) — is closed by the WORK-COUNTER
+    * checks below, which have no noise floor to clamp.
+    */
+  val NoiseFloorSecs = 0.3
+
+  /** Counter-ratio checks skip pairs whose 1× counter is below this:
+    * a sub-50k-row baseline means the 1× plan is broadcast-dominated and
+    * the 10× ratio measures a LEGITIMATE broadcast→shuffle plan
+    * transition (x03's root-caused 112× shuffle ratio on a 516-row
+    * base), not the work slope.
+    */
+  val MinCounterBase = 50000L
+
+  /** 1→10 rows_in budget for every time-budgeted pair: input scans are
+    * exactly-linear by construction of the drill corpus (measured 5.8–11×
+    * across every family, SCALE_DRILL_r11.jsonl), so 25 = generous
+    * headroom that still fails a corpus getting rescanned per-key.
+    */
+  val RowsInBudget = 25.0
+
+  /** Per-name 1→10 shuffle_rows budget, ~2× the worst measured ratio for
+    * names whose 1× base clears [[MinCounterBase]]. x07's 120 reflects
+    * its measured 59.7× — per-decade broadcast→SMJ transitions shift
+    * join sides into the shuffle (SCALE.md round-11 §4), legitimate and
+    * linear-per-plan; the budget still fails a true quadratic (~100× on
+    * top of the transition).
+    */
+  def shuffleBudget(name: String): Option[Double] = name match {
+    case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
+    case "x02_jaccard_stats" => Some(30.0)         // 13.2 measured (pre-r13 layout)
+    case "x06_dup_clusters" => Some(25.0)          // 10.0 measured
+    case "x07_containment" => Some(120.0)          // 59.7 measured: plan transitions
+    case "x15_exact_substring_dedup" => Some(25.0) // 10.0 measured
+    case "retrain:pq" => Some(30.0)                // 14.6 measured
+    case _ => None
+  }
+
+  /** Per-(name, phase) TIME ratio budget; None = report-only (unguarded). */
   def budget(name: String, phase: String): Option[Double] = (name, phase) match {
     case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
     case ("retrain:pq", "cold") => Some(25.0)    // build-class path
@@ -361,22 +440,43 @@ object DrillCheck {
 
   /** Evaluate every budgeted (name, phase) present at BOTH scale 1 and
     * scale 10 in `rows` ((scale, name, phase, secs, rows_in, shuffle)).
+    * Each pair yields up to three checks: the noise-clamped TIME ratio,
+    * plus noise-free ROWS_IN and SHUFFLE ratios wherever the 1× counter
+    * clears [[MinCounterBase]] — the counter checks are what catch a
+    * superlinear regression whose 1× time sits under the clamp.
     */
   def evaluate(rows: Seq[(Int, String, String, Double, Long, Long)]): Seq[Check] = {
     val at = rows.groupBy(r => (r._2, r._3)).view
-      .mapValues(rs => rs.map(r => r._1 -> r._4).toMap)
+      .mapValues(rs => rs.map(r => r._1 -> (r._4, r._5, r._6)).toMap)
     at.toSeq.sortBy(_._1).flatMap { case ((name, phase), byScale) =>
-      for {
-        t1 <- byScale.get(1)
-        t10 <- byScale.get(10)
-        b <- budget(name, phase)
-        if math.max(t1, t10) >= 0.5 // both trivial: noise, no signal
-      } yield {
-        // Clamp the denominator to the noise floor: a sub-noise 1× time
-        // (t1 = 0.1 s, t10 = 0.6 s) must not fabricate a 6× "breach" out of
-        // two measurements that are both within host jitter.
-        val ratio = t10 / math.max(t1, 0.3)
-        Check(name, phase, ratio, b, ratio <= b)
+      (byScale.get(1), byScale.get(10)) match {
+        case (Some((t1, in1, sh1)), Some((t10, in10, sh10))) =>
+          val time = for {
+            b <- budget(name, phase)
+            if math.max(t1, t10) >= MinSignalSecs // both trivial: noise
+          } yield {
+            // Clamp the denominator to the noise floor: a sub-noise 1×
+            // time (t1 = 0.1 s, t10 = 0.6 s) must not fabricate a 6×
+            // "breach" out of two measurements inside host jitter.
+            val ratio = t10 / math.max(t1, NoiseFloorSecs)
+            Check(name, phase, ratio, b, ratio <= b)
+          }
+          val rowsIn = for {
+            _ <- budget(name, phase) // counters guard the time-budgeted set
+            if in1 >= MinCounterBase
+          } yield {
+            val ratio = in10.toDouble / in1
+            Check(s"$name#rows_in", phase, ratio, RowsInBudget, ratio <= RowsInBudget)
+          }
+          val shuffle = for {
+            b <- shuffleBudget(name)
+            if sh1 >= MinCounterBase
+          } yield {
+            val ratio = sh10.toDouble / sh1
+            Check(s"$name#shuffle", phase, ratio, b, ratio <= b)
+          }
+          time.toSeq ++ rowsIn.toSeq ++ shuffle.toSeq
+        case _ => Seq.empty
       }
     }
   }

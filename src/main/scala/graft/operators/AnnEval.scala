@@ -133,7 +133,8 @@ object AnnEval {
     * scored only against the queries probing its cell.
     */
   def ivfTopK(spark: SparkSession, indexPath: String,
-              queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame =
+              queries: Seq[(Long, Seq[Float])], k: Int,
+              nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
     ivfTopKFrames(spark,
       IvfIndex.loadVectors(spark, indexPath).filter(col("vec_id") =!= 0),
       IvfIndex.loadModel(spark, indexPath), queries, k, nProbe)
@@ -143,10 +144,12 @@ object AnnEval {
     * pointers are published (nothing on disk references it yet).
     */
   def ivfTopKFrames(spark: SparkSession, vectors: DataFrame, model: IvfIndex.Model,
-                    queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+                    queries: Seq[(Long, Seq[Float])], k: Int,
+                    nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
     import spark.implicits._
+    val np = IvfIndex.resolveNProbe(nProbe, model.centroids.length)
     val probes = queries.flatMap { case (qid, qv) =>
-      model.nearestCells(qv, nProbe).map(c => (qid, c, qv))
+      model.nearestCells(qv, np).map(c => (qid, c, qv))
     }
     val cells = probes.map(_._2).distinct
     val probeDf = broadcast(probes.toDF("qid", "cell", "qemb"))
@@ -167,8 +170,8 @@ object AnnEval {
     * the batched form of [[PqIndex.search]].
     */
   def pqTopK(spark: SparkSession, pqPath: String, fullPrecision: DataFrame,
-             queries: Seq[(Long, Seq[Float])], k: Int, nProbe: Int,
-             shortlist: Int): DataFrame =
+             queries: Seq[(Long, Seq[Float])], k: Int,
+             nProbe: Int = IvfIndex.NProbeAuto, shortlist: Int = 50): DataFrame =
     pqTopKFrames(spark,
       PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0),
       PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe, shortlist)
@@ -179,13 +182,15 @@ object AnnEval {
     */
   def pqTopKFrames(spark: SparkSession, encoded: DataFrame, model: PqIndex.Model,
                    fullPrecision: DataFrame, queries: Seq[(Long, Seq[Float])],
-                   k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+                   k: Int, nProbe: Int = IvfIndex.NProbeAuto,
+                   shortlist: Int = 50): DataFrame = {
     import spark.implicits._
+    val np = IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length)
     val probes = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, nProbe).map(c => (qid, c))
+      model.coarse.nearestCells(qv, np).map(c => (qid, c))
     }
     val tables = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, nProbe).map(c => (qid, c) -> model.adcTable(qv, c))
+      model.coarse.nearestCells(qv, np).map(c => (qid, c) -> model.adcTable(qv, c))
     }.toMap
     val bc = spark.sparkContext.broadcast(tables)
     val cells = probes.map(_._2).distinct

@@ -124,6 +124,10 @@ object IvfIndex {
       */
     def nearestCells(v: Seq[Float], centroids: Array[Array[Double]],
                      n: Int): Seq[Int] = {
+      // n <= 0 returns empty like the flat Model.nearestCells (take(n)) —
+      // without this the pinned head would make the grouped path return
+      // one cell where the flat path returns none
+      if (n <= 0) return Seq.empty
       val g = groupCenters.length
       val order = groupCenters.indices
         .map(gi => (Hier.sqDist(groupCenters(gi), v), gi))
@@ -329,13 +333,17 @@ object IvfIndex {
       .map(_.map(_.toDouble).toArray)
   }
 
-  /** Hard ceiling on trainable cell counts: past this, the driver-side
-    * sample (8 points/cell, see [[train]]) approaches ~1M vectors and
-    * flat-k-means-on-the-driver is the wrong tool even grouped. A corpus
-    * that WANTS more cells at constant occupancy (≳ 17M vectors at
-    * occupancy 128) should cap occupancy growth (`targetCellSize`) or
-    * train per-group sub-quantizers distributed — failing loudly with the
-    * design path beats a silent OOM or a degenerate model.
+  /** Ceiling on DRIVER-SAMPLE-trainable cell counts: past this, the
+    * driver-side sample (8 points/cell, see [[train]]) approaches ~1M
+    * vectors and flat-k-means-on-the-driver is the wrong tool even
+    * grouped. A corpus that WANTS more cells at constant occupancy
+    * (≳ 17M vectors at occupancy 128) is routed to
+    * [[trainDistributed]] — Lloyd as Spark jobs over the full corpus,
+    * nothing corpus- or sample-sized ever collected. The remaining hard
+    * boundary above that path is the broadcastability of the k×dim
+    * centroid array itself — the same object every probe already
+    * broadcasts, ~1 GB at k = 10⁶ × dim 128 — which is inherent to a
+    * single flat IVF coarse quantizer, not to its training.
     */
   val MaxTrainCells = 131072
 
@@ -350,15 +358,90 @@ object IvfIndex {
     * (k = 2048 at ~262k vectors). At the fixture and drill-10×
     * geometries (k ≤ 256) the effective sample is the historical 2048,
     * so nothing previously measured or pinned moves.
+    *
+    * Past `maxTrainCells` the call routes to [[trainDistributed]]
+    * instead of refusing (round 13; the parameter exists so specs can
+    * exercise the routing without a 131k-cell corpus).
     */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int,
-            iters: Int = 5, sampleSize: Int = 2048): Model = {
-    require(k <= MaxTrainCells,
-      s"k=$k coarse cells exceeds MaxTrainCells=$MaxTrainCells: cap the " +
-        "occupancy growth (autoCells targetCellSize) or train the " +
-        "quantizer hierarchically off-driver — see IvfIndex.MaxTrainCells")
+            iters: Int = 5, sampleSize: Int = 2048,
+            maxTrainCells: Int = MaxTrainCells): Model = {
+    if (k > maxTrainCells) return trainDistributed(spark, embeddings, k, iters)
     val eff = math.max(sampleSize, 8 * k)
     trainFromSample(collectSample(spark, embeddings, eff), k, iters)
+  }
+
+  /** DISTRIBUTED coarse-quantizer training — the off-driver path past
+    * [[MaxTrainCells]]: each Lloyd round runs as Spark jobs over the
+    * FULL corpus. Assignment is the same narrow map the index build
+    * uses (broadcast current centroids; grouped O(√k·dim) search above
+    * [[HierThreshold]]); the update clusters the corpus by assigned
+    * cell (one hash shuffle of n rows per round) and folds each cell's
+    * vectors SEQUENTIALLY IN ASCENDING vec_id ORDER inside the cell's
+    * single sorted partition, so the floating-point sum order — and
+    * therefore the trained model — is identical regardless of
+    * parallelism, partition count, or cluster layout (spec-asserted).
+    * A map-side partial aggregation would shuffle k-ish rows instead of
+    * n but makes the sum order layout-dependent; a deterministic model
+    * is an engine-wide contract (persisted artifacts, retrain
+    * convergence, oracle stability), so the build job pays the n-row
+    * shuffle — linear per round, `iters` rounds total.
+    *
+    * Only model-sized data crosses the driver: the k-row init sample
+    * and one (cell, sum, count) row per non-empty cell per round.
+    * Ragged vectors follow the engine-wide convention (missing tail =
+    * zero, dims beyond the centroid's ignored — see [[Hier.sqDist]]).
+    * Not bit-identical to [[trainFromSample]] at equal k (full corpus
+    * vs 8/cell sample; different fold order) — recall parity at equal
+    * k is what IvfIndexSpec gates.
+    *
+    * Reference lineage: this is the engine's build-scale answer to the
+    * reference's HNSW index DDL (db_utils.py:93-110) — the one
+    * component whose BUILD must scale for 100 TB ingest to hold.
+    */
+  def trainDistributed(spark: SparkSession, embeddings: DataFrame, k: Int,
+                       iters: Int = 5): Model = {
+    import spark.implicits._
+    var centroids = collectSample(spark, embeddings, k)
+    require(centroids.length >= k, s"need >= $k corpus vectors")
+    val dims = centroids(0).length
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(Model(centroids))
+      val perCell = vecs
+        .map { case (id, e) => (bc.value.nearestCell(e), id, e) }
+        .toDF("cell", "vec_id", "embedding")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .as[(Int, Long, Seq[Float])]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Array[Double], Long)]
+          var cur = Int.MinValue
+          var acc: Array[Double] = null
+          var n = 0L
+          def flush(): Unit =
+            if (acc != null) out += ((cur, acc, n))
+          it.foreach { case (cell, _, e) =>
+            if (cell != cur) { flush(); cur = cell; acc = new Array[Double](dims); n = 0L }
+            var i = 0
+            val lim = math.min(dims, e.length)
+            while (i < lim) { acc(i) += e(i); i += 1 }
+            n += 1
+          }
+          flush()
+          out.iterator
+        }
+        .collect() // <= one row per non-empty cell: model-sized
+      val next = centroids.map(_.clone())
+      perCell.foreach { case (cell, sum, n) =>
+        next(cell) = sum.map(_ / n) // empty cells keep their centroid
+      }
+      centroids = next
+      bc.unpersist()
+    }
+    Model(centroids)
   }
 
   /** [[train]] body over a pre-collected sample. Above [[HierThreshold]]
@@ -499,12 +582,42 @@ object IvfIndex {
   def loadVectors(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(vectorsDir(path))
 
+  /** Sentinel `nProbe` value: resolve the probe width from the model's
+    * cell count via [[autoNProbe]] — the ENGINE DEFAULT probe policy.
+    */
+  val NProbeAuto: Int = -1
+
+  /** Default probe-width fraction of the cell count. Measured (SCALE.md §8,
+    * round-11 drill): holding the PROBED CELL FRACTION constant as
+    * `autoCells` grows k with the corpus held recall@10 at 0.86 across two
+    * decades (1×→100×) for +28% probe time, where a fixed nProbe=4 decayed
+    * to 0.715. 2.6% is that measured fraction (nProbe 40 of 1563 cells at
+    * the 100× point).
+    */
+  val NProbeFraction: Double = 0.026
+
+  /** Probe width for a k-cell geometry under the constant-cell-fraction
+    * policy: `max(floor, ceil(fraction·k))`. The floor keeps every pinned
+    * fixture geometry (16 cells) at the historical nProbe 4, so declared
+    * oracles are bit-identical under auto resolution.
+    */
+  def autoNProbe(nCells: Int, fraction: Double = NProbeFraction,
+                 floor: Int = 4): Int =
+    math.max(floor, math.ceil(nCells * fraction).toInt)
+
+  /** `nProbe` argument resolution: [[NProbeAuto]] → [[autoNProbe]] of the
+    * model's cell count; any explicit positive value is taken verbatim.
+    */
+  private[graft] def resolveNProbe(nProbe: Int, nCells: Int): Int =
+    if (nProbe == NProbeAuto) autoNProbe(nCells) else nProbe
+
   /** Approximate top-k: scan only the `nProbe` cells nearest to the query
-    * vector, exact cosine within them.
+    * vector, exact cosine within them. `nProbe` defaults to the
+    * constant-cell-fraction policy ([[autoNProbe]]).
     */
   def search(spark: SparkSession, assigned: DataFrame, model: Model,
-             query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
-    val cells = model.nearestCells(query, nProbe)
+             query: Seq[Float], k: Int, nProbe: Int = NProbeAuto): DataFrame = {
+    val cells = model.nearestCells(query, resolveNProbe(nProbe, model.centroids.length))
     val qCol = lit(query.toArray).cast("array<float>")
     assigned
       .filter(col("cell").isin(cells: _*))

@@ -305,9 +305,11 @@ object PqIndex {
     * distances (TakeOrderedAndProject). Returns (vec_id, label, approx_d).
     */
   def adcShortlist(spark: SparkSession, encoded: DataFrame, model: Model,
-                   query: Seq[Float], nProbe: Int, shortlist: Int): DataFrame = {
+                   query: Seq[Float], nProbe: Int = IvfIndex.NProbeAuto,
+                   shortlist: Int = 50): DataFrame = {
     import spark.implicits._
-    val cells = model.coarse.nearestCells(query, nProbe)
+    val cells = model.coarse.nearestCells(query,
+      IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length))
     val tables = cells.map(c => c -> model.adcTable(query, c)).toMap
     val bc = spark.sparkContext.broadcast(tables)
     encoded
@@ -331,8 +333,8 @@ object PqIndex {
     * lookup of `shortlist` rows, the only full-precision read).
     */
   def search(spark: SparkSession, encoded: DataFrame, fullPrecision: DataFrame,
-             model: Model, query: Seq[Float], k: Int, nProbe: Int,
-             shortlist: Int): DataFrame = {
+             model: Model, query: Seq[Float], k: Int,
+             nProbe: Int = IvfIndex.NProbeAuto, shortlist: Int = 50): DataFrame = {
     val short = adcShortlist(spark, encoded, model, query, nProbe, shortlist)
     val qCol = lit(query.toArray).cast("array<float>")
     short.select("vec_id")

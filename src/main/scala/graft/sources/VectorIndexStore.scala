@@ -217,34 +217,84 @@ object VectorIndexStore {
     val seq =
       if (!Fs.exists(spark, s"$path/qerr")) 0L
       else spark.read.parquet(s"$path/qerr").count()
-    val (n, mean) = stats
-      .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
-        org.apache.spark.sql.functions.col("mean_sq_err").cast("double"))
-      .as[(Long, Double)].head()
+    val (n, mean) = statsMeanOf(spark, stats)
     Seq((n, mean, seq)).toDF("n_vectors", "mean_sq_err", "append_seq")
       .coalesce(1).write.mode("append").parquet(s"$path/qerr")
     (seq, mean)
+  }
+
+  /** Execute a one-row (n_vectors, mean_sq_err) stats frame. */
+  private def statsMeanOf(spark: SparkSession,
+                          stats: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    import spark.implicits._
+    stats
+      .select(org.apache.spark.sql.functions.col("n_vectors").cast("long"),
+        org.apache.spark.sql.functions.col("mean_sq_err").cast("double"))
+      .as[(Long, Double)].head()
   }
 
   // ---------------------------------------------------------------------
   // Drift baseline + scheduled retrain: the consumer of the qerr series.
   // ---------------------------------------------------------------------
 
-  /** `qerr.BASELINE` sidecar: `<meanSqErr> <firstDriftSeq>` — the mean
-    * error of the CURRENT geometry over the corpus it was (re)trained on,
-    * and the first qerr append_seq that counts as post-baseline drift.
-    * Written atomically (tmp + ATOMIC_MOVE) at build and after every
-    * retrain.
+  /** Version of the error SEMANTICS a `qerr.BASELINE` mean was computed
+    * under. A baseline is only comparable to fresh watermarks computed the
+    * same way; when the engine changes what "assignment distortion" means,
+    * this version bumps and [[rebaselineIfStale]] recomputes the baseline
+    * in place instead of letting the cross-semantics comparison fire one
+    * spurious recall-gated retrain.
+    *
+    *   v1 — pre-round-11: exact-min distortion at every k, no zero-pad
+    *        tail term for ragged vectors;
+    *   v2 — round-11/12 semantics: above `IvfIndex.HierThreshold` cells
+    *        the distortion of the REAL grouped assignment (>= the exact
+    *        min), and ragged vectors score with the centroid-tail term on
+    *        BOTH the flat and grouped paths (affects flat-path small-k
+    *        artifacts too when the corpus has ragged vectors).
+    */
+  val DistortionSemanticsVersion = 2
+
+  /** `qerr.BASELINE` sidecar: `<meanSqErr> <firstDriftSeq> <semver>` — the
+    * mean error of the CURRENT geometry over the corpus it was (re)trained
+    * on, the first qerr append_seq that counts as post-baseline drift, and
+    * the [[DistortionSemanticsVersion]] the mean was computed under (a
+    * legacy 2-field sidecar reads as version 1). Written atomically
+    * (tmp + ATOMIC_MOVE) at build and after every retrain.
     */
   private def baselineFile(path: String) = s"$path/qerr.BASELINE"
 
   private def writeBaseline(path: String, mean: Double, firstDriftSeq: Long): Unit =
-    Versioned.metaBackend.writeAtomic(baselineFile(path), s"$mean $firstDriftSeq")
+    Versioned.metaBackend.writeAtomic(baselineFile(path),
+      s"$mean $firstDriftSeq $DistortionSemanticsVersion")
 
-  private def readBaseline(path: String): Option[(Double, Long)] =
+  /** (mean, firstDriftSeq, semanticsVersion); 2-field legacy → version 1. */
+  private def readBaseline(path: String): Option[(Double, Long, Int)] =
     Versioned.metaBackend.readString(baselineFile(path)).map { content =>
-      val Array(m, s) = content.trim.split(" ")
-      (m.toDouble, s.toLong)
+      content.trim.split(" ") match {
+        case Array(m, s) => (m.toDouble, s.toLong, 1)
+        case Array(m, s, v) => (m.toDouble, s.toLong, v.toInt)
+      }
+    }
+
+  /** Rebaseline an artifact whose `qerr.BASELINE` predates the current
+    * [[DistortionSemanticsVersion]]: recompute the baseline mean under the
+    * CURRENT semantics (one corpus scan via `stats`) and mark every
+    * existing qerr row pre-baseline, so drift measured from here on is
+    * corpus drift, not a semantics change. Returns true when a rewrite
+    * happened. Called by the retrain entry points before their drift
+    * check — the scan runs at most once per upgraded artifact.
+    */
+  private def rebaselineIfStale(spark: SparkSession, path: String)
+                               (stats: => org.apache.spark.sql.DataFrame): Boolean =
+    readBaseline(path) match {
+      case Some((_, _, ver)) if ver < DistortionSemanticsVersion =>
+        val seq =
+          if (!Fs.exists(spark, s"$path/qerr")) 0L
+          else spark.read.parquet(s"$path/qerr").count()
+        val (_, mean) = statsMeanOf(spark, stats)
+        writeBaseline(path, mean, seq)
+        true
+      case _ => false
     }
 
   /** Measured drift of the appended corpus against the build-time baseline:
@@ -255,14 +305,19 @@ object VectorIndexStore {
     * watermark row as the baseline (conservative, and exactly what that
     * row meant when it was written).
     *
-    * Upgrade note (intended behavior): above `IvfIndex.HierThreshold`
-    * cells, `assignmentDistortion` reports the distortion of the REAL
-    * grouped assignment (>= the exact min a pre-accelerator build wrote
-    * into `qerr.BASELINE` of a k > 64 artifact). The first post-upgrade
-    * qerr append on such an artifact can therefore read slightly inflated
-    * and trigger ONE early recall-gated retrain — which rewrites the
-    * baseline under the new semantics and self-heals. A one-time drift
-    * jump on an upgraded large-k artifact is this, not corpus drift.
+    * Upgrade note (intended behavior): the round-11/12 semantics change
+    * ([[DistortionSemanticsVersion]] v2) inflates post-upgrade watermarks
+    * relative to a v1 baseline in two reachable cases — (a) k >
+    * `IvfIndex.HierThreshold` artifacts, where `assignmentDistortion` now
+    * reports the REAL grouped assignment's distortion (>= the exact min
+    * the v1 baseline recorded), and (b) ANY-k artifacts over a
+    * ragged-vector corpus, where the flat-path distance now accumulates
+    * the centroid zero-pad tail term that v1 dropped. This read-only
+    * monitor reports the cross-semantics ratio as-is (a drift jump on an
+    * upgraded artifact is the semantics, not the corpus); the RETRAIN
+    * entry points neutralize it by rebaselining under current semantics
+    * (one corpus scan, no retrain) before comparing — see
+    * [[rebaselineIfStale]].
     */
   def driftFactor(spark: SparkSession, path: String): Option[Double] = {
     import spark.implicits._
@@ -273,10 +328,12 @@ object VectorIndexStore {
         org.apache.spark.sql.functions.col("append_seq").cast("long"))
       .as[(Long, Double, Long)].collect().sortBy(_._3)
     if (rows.isEmpty) return None
-    val (baseMean, fromSeq) = readBaseline(path).getOrElse {
-      val first = rows.head
-      (first._2, first._3 + 1)
-    }
+    val (baseMean, fromSeq) = readBaseline(path)
+      .map { case (m, s, _) => (m, s) }
+      .getOrElse {
+        val first = rows.head
+        (first._2, first._3 + 1)
+      }
     val drift = rows.filter(_._3 >= fromSeq)
     if (drift.isEmpty) None
     else {
@@ -327,8 +384,13 @@ object VectorIndexStore {
     * measured panel recall falls below `recallFloor`.
     */
   def retrainIvfIfNeeded(spark: SparkSession, path: String, factor: Double = 2.0,
-                         recallFloor: Double = 0.2, nProbe: Int = 4,
+                         recallFloor: Double = 0.2,
+                         nProbe: Int = IvfIndex.NProbeAuto,
                          k: Int = 10): Boolean = Versioned.withWriterLease(path) {
+    // a semantics-stale baseline is rebaselined (one scan), never retrained
+    rebaselineIfStale(spark, path)(IvfIndex.distortionStats(spark,
+      IvfIndex.loadVectors(spark, path).select("vec_id", "label", "embedding"),
+      IvfIndex.loadModel(spark, path)))
     if (!driftFactor(spark, path).exists(_ > factor)) return false
     val corpus = IvfIndex.loadVectors(spark, path)
       .select("vec_id", "label", "embedding")
@@ -378,8 +440,12 @@ object VectorIndexStore {
   def retrainPqIfNeeded(spark: SparkSession, path: String,
                         fullPrecision: org.apache.spark.sql.DataFrame,
                         factor: Double = 2.0, recallFloor: Double = 0.2,
-                        nProbe: Int = 4, k: Int = 10,
+                        nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10,
                         shortlist: Int = 50): Boolean = Versioned.withWriterLease(path) {
+    // a semantics-stale baseline is rebaselined (one scan), never retrained
+    rebaselineIfStale(spark, path)(PqIndex.quantizationStats(spark,
+      fullPrecision.select("vec_id", "label", "embedding"),
+      PqIndex.loadModel(spark, path)))
     if (!driftFactor(spark, path).exists(_ > factor)) return false
     val corpus = fullPrecision.select("vec_id", "label", "embedding")
     val model = PqIndex.train(spark, corpus)

@@ -17,28 +17,90 @@ class DrillCheckSpec extends AnyFunSuite {
   private def row(scale: Int, name: String, phase: String, secs: Double) =
     (scale, name, phase, secs, 0L, 0L)
 
-  test("round-11 measured drill rows pass every budget") {
-    // transcribed from SCALE_DRILL_r11.jsonl (the committed artifact)
+  private def full(scale: Int, name: String, phase: String, secs: Double,
+                   in: Long, sh: Long) = (scale, name, phase, secs, in, sh)
+
+  test("round-11 measured drill rows pass every budget (time + counters)") {
+    // transcribed VERBATIM from SCALE_DRILL_r11.jsonl (the committed
+    // artifact): times AND work counters, so this pins the whole policy —
+    // time budgets, rows_in budget, per-name shuffle budgets, and the
+    // MinCounterBase skip rule — against real measured data.
     val measured = Seq(
-      row(1, "build:ivf", "cold", 1.32), row(10, "build:ivf", "cold", 5.83),
-      row(1, "build:shingle", "cold", 11.10), row(10, "build:shingle", "cold", 2.73),
-      row(1, "build:minhash", "cold", 2.15), row(10, "build:minhash", "cold", 1.75),
-      row(1, "build:substr", "cold", 4.36), row(10, "build:substr", "cold", 6.84),
-      row(1, "retrain:pq", "cold", 2.59), row(10, "retrain:pq", "cold", 4.85),
-      row(1, "probe:ivf_knn20", "probe", 0.27), row(10, "probe:ivf_knn20", "probe", 0.67),
-      row(1, "x02_jaccard_stats", "probe", 1.57), row(10, "x02_jaccard_stats", "probe", 4.31),
-      row(1, "x03_minhash_neardup", "probe", 0.94), row(10, "x03_minhash_neardup", "probe", 1.04),
-      row(1, "x06_dup_clusters", "probe", 1.50), row(10, "x06_dup_clusters", "probe", 3.98),
-      row(1, "x07_containment", "probe", 3.35), row(10, "x07_containment", "probe", 23.40),
-      row(1, "x11_curation_funnel", "probe", 1.71), row(10, "x11_curation_funnel", "probe", 11.08),
-      row(1, "x14_funnel_ivf_semantic", "probe", 4.85), row(10, "x14_funnel_ivf_semantic", "probe", 6.82),
-      row(1, "x15_exact_substring_dedup", "probe", 0.65), row(10, "x15_exact_substring_dedup", "probe", 1.04),
-      row(1, "v18_semdedup", "probe", 1.37), row(10, "v18_semdedup", "probe", 4.00))
+      full(1, "build:shingle", "cold", 7.759, 525776L, 98344L),
+      full(10, "build:shingle", "cold", 3.036, 5257760L, 1152547L),
+      full(1, "build:minhash", "cold", 1.720, 10000L, 0L),
+      full(10, "build:minhash", "cold", 1.875, 100000L, 0L),
+      full(1, "build:substr", "cold", 3.638, 486408L, 703323L),
+      full(10, "build:substr", "cold", 7.625, 4864080L, 7056649L),
+      full(1, "build:ivf", "cold", 1.465, 6000L, 18L),
+      full(10, "build:ivf", "cold", 5.825, 60000L, 162L),
+      full(1, "retrain:pq", "cold", 2.989, 28012L, 5912L),
+      full(10, "retrain:pq", "cold", 10.491, 280024L, 86558L),
+      full(1, "probe:ivf_knn20", "probe", 0.321, 2016L, 1160L),
+      full(10, "probe:ivf_knn20", "probe", 0.751, 10293L, 1660L),
+      full(1, "x02_jaccard_stats", "probe", 1.380, 1041552L, 1135544L),
+      full(10, "x02_jaccard_stats", "probe", 4.531, 7811640L, 15041902L),
+      full(1, "x03_minhash_neardup", "probe", 0.551, 165000L, 516L),
+      full(10, "x03_minhash_neardup", "probe", 1.087, 1650000L, 57728L),
+      full(1, "x06_dup_clusters", "probe", 1.428, 4978L, 5362L),
+      full(10, "x06_dup_clusters", "probe", 1.075, 49771L, 53593L),
+      full(1, "x07_containment", "probe", 3.332, 1083765L, 265900L),
+      full(10, "x07_containment", "probe", 22.506, 10837650L, 15876130L),
+      full(1, "x11_curation_funnel", "probe", 2.053, 41953L, 29125L),
+      full(10, "x11_curation_funnel", "probe", 11.772, 260653L, 121431L),
+      full(1, "x14_funnel_ivf_semantic", "probe", 3.897, 52536L, 29564L),
+      full(10, "x14_funnel_ivf_semantic", "probe", 6.907, 306893L, 127972L),
+      full(1, "x15_exact_substring_dedup", "probe", 0.565, 251237L, 59764L),
+      full(10, "x15_exact_substring_dedup", "probe", 1.153, 2512370L, 597640L),
+      full(1, "v18_semdedup", "probe", 1.629, 10354L, 256L),
+      full(10, "v18_semdedup", "probe", 4.733, 113608L, 7435L))
     val checks = DrillCheck.evaluate(measured)
     assert(checks.nonEmpty && checks.forall(_.ok),
       s"failed: ${checks.filterNot(_.ok)}")
-    // every budgeted pair present actually got checked (none skipped as noise)
-    assert(checks.length == 14)
+    // 14 time checks (every budgeted pair carries signal), 7 rows_in
+    // checks (1x base >= MinCounterBase), 5 shuffle checks (named budget
+    // AND base over the floor) — x03's 112x shuffle ratio on its 516-row
+    // base is SKIPPED by the floor, not budgeted around (root-caused as
+    // a broadcast->SMJ plan transition, SCALE.md round-11)
+    assert(checks.count(!_.name.contains("#")) == 14)
+    assert(checks.count(_.name.endsWith("#rows_in")) == 7)
+    assert(checks.count(_.name.endsWith("#shuffle")) == 5)
+    assert(!checks.exists(_.name == "x03_minhash_neardup#shuffle"))
+  }
+
+  test("counter check catches a superlinear regression the time clamp masks") {
+    // t1 = 0.1 s sits under the noise-floor clamp, so a real ~50x slope
+    // reads as time ratio 1.1/0.3 = 3.7, inside x02's 7x budget — the
+    // exact masking window the round-12 ADVICE named. The shuffle counter
+    // (noise-free, 50x on a 100k base) must catch it.
+    val rows = Seq(
+      full(1, "x02_jaccard_stats", "probe", 0.1, 1000000L, 100000L),
+      full(10, "x02_jaccard_stats", "probe", 1.1, 10000000L, 5000000L))
+    val checks = DrillCheck.evaluate(rows)
+    val time = checks.find(_.name == "x02_jaccard_stats").get
+    assert(time.ok, "premise: the clamped time ratio passes")
+    val shuffle = checks.find(_.name == "x02_jaccard_stats#shuffle").get
+    assert(!shuffle.ok && math.abs(shuffle.ratio - 50.0) < 1e-9)
+  }
+
+  test("a rescanned-corpus regression fails the rows_in budget") {
+    val rows = Seq(
+      full(1, "x15_exact_substring_dedup", "probe", 0.4, 250000L, 60000L),
+      full(10, "x15_exact_substring_dedup", "probe", 1.2, 25000000L, 600000L))
+    val checks = DrillCheck.evaluate(rows)
+    val rowsIn = checks.find(_.name == "x15_exact_substring_dedup#rows_in").get
+    assert(!rowsIn.ok && math.abs(rowsIn.ratio - 100.0) < 1e-9)
+  }
+
+  test("counter checks skip sub-floor bases (plan-transition regime)") {
+    // a 516-row 1x shuffle base is a broadcast-dominated plan; its 10x
+    // ratio measures a legitimate plan transition, so no shuffle check
+    val rows = Seq(
+      full(1, "x02_jaccard_stats", "probe", 1.0, 40000L, 516L),
+      full(10, "x02_jaccard_stats", "probe", 3.0, 400000L, 57728L))
+    val checks = DrillCheck.evaluate(rows)
+    assert(checks.exists(_.name == "x02_jaccard_stats")) // time still checked
+    assert(!checks.exists(_.name.contains("#")))
   }
 
   test("the round-10 flat-IVF quadratic build fails its budget") {

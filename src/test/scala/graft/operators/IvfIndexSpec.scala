@@ -228,4 +228,72 @@ class IvfIndexSpec extends SparkTestBase {
       assert(cells.head == model.nearestCell(v))
     }
   }
+
+  test("distributed trainer: deterministic across runs and partitionings") {
+    val m1 = IvfIndex.trainDistributed(spark, emb, k = 8, iters = 3)
+    val m2 = IvfIndex.trainDistributed(spark, emb.repartition(7), k = 8, iters = 3)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b),
+        "distributed training must be bit-identical across partitionings")
+    }
+  }
+
+  test("distributed trainer: recall parity with the sampled trainer at equal k") {
+    import org.apache.spark.sql.functions.col
+    val k = 16
+    val sampled = IvfIndex.train(spark, emb, k)
+    val dist = IvfIndex.trainDistributed(spark, emb, k)
+    val panel = AnnEval.queryPanel(spark, emb)
+    val exact = AnnEval.exactTopK(spark, emb, panel, 10)
+    def recallOf(m: IvfIndex.Model): Double = AnnEval.meanRecall(
+      AnnEval.ivfTopKFrames(spark,
+        IvfIndex.assign(spark, emb, m).filter(col("vec_id") =!= 0),
+        m, panel, 10, nProbe = 4),
+      exact)
+    val (rs, rd) = (recallOf(sampled), recallOf(dist))
+    // full-corpus Lloyd sees every vector the sample summarizes — parity
+    // or better, minus panel quantization noise
+    assert(rd >= rs - 0.05, f"distributed recall $rd%.3f vs sampled $rs%.3f")
+  }
+
+  test("train() routes past maxTrainCells to the distributed path instead of refusing") {
+    // maxTrainCells = 4 forces the routing at a spec-sized corpus; the
+    // result must be the distributed trainer's model, verbatim
+    val routed = IvfIndex.train(spark, emb, k = 8, maxTrainCells = 4)
+    val direct = IvfIndex.trainDistributed(spark, emb, k = 8)
+    routed.centroids.zip(direct.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("nearestCells/assignCells with n <= 0 return empty on BOTH paths") {
+    // flat path (k below HierThreshold)
+    val flat = IvfIndex.trainFromSample(syntheticSample(64), 8, iters = 2)
+    // grouped path (k above HierThreshold)
+    val grouped = IvfIndex.trainFromSample(
+      syntheticSample(1024), IvfIndex.HierThreshold * 2, iters = 2)
+    val v = syntheticSample(1).head.map(_.toFloat).toSeq
+    for (n <- Seq(0, -1); m <- Seq(flat, grouped)) {
+      assert(m.nearestCells(v, n).isEmpty)
+      assert(m.assignCells(v, n).isEmpty)
+    }
+  }
+
+  test("auto-nProbe: fixture floor pins 4; large geometries hold the measured cell fraction") {
+    // every pinned fixture geometry (16 cells) resolves to the historical
+    // nProbe 4 — declared oracles are bit-identical under auto resolution
+    assert(IvfIndex.autoNProbe(16) == 4)
+    assert(IvfIndex.autoNProbe(43) == 4)    // 1x drill geometry: floor
+    // the measured SCALE.md §8 point: 1563 cells -> ~2.6% = 41 probes
+    assert(IvfIndex.autoNProbe(1563) == 41)
+    // constant fraction: the probed share stays ~NProbeFraction as k grows
+    for (k <- Seq(500, 5000, 50000)) {
+      val frac = IvfIndex.autoNProbe(k).toDouble / k
+      assert(frac >= IvfIndex.NProbeFraction * 0.99 &&
+        frac <= IvfIndex.NProbeFraction * 1.1, s"k=$k fraction $frac")
+    }
+    // sentinel resolution: explicit values pass through untouched
+    assert(IvfIndex.resolveNProbe(IvfIndex.NProbeAuto, 16) == 4)
+    assert(IvfIndex.resolveNProbe(7, 16) == 7)
+  }
 }

@@ -797,6 +797,39 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(IvfIndex.loadVectors(spark, root).count() == 8 + 64)
   }
 
+  test("semantics-version bump rebaselines in place instead of firing a spurious retrain") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_semver").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, a, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root, shifted(emb, 100000))
+    // make the baseline read as a pre-upgrade (v1) artifact: strip the
+    // version field the current writer stamps
+    val bl = s"$root/qerr.BASELINE"
+    val Array(m, s0, _) = Versioned.metaBackend.readString(bl).get.trim.split(" ")
+    Versioned.metaBackend.writeAtomic(bl, s"$m $s0")
+    // premise: under a naive cross-semantics comparison this drift fires
+    assert(VectorIndexStore.driftFactor(spark, root).exists(_ > 2.0))
+    // the retrain entry rebaselines (one corpus scan) and does NOT retrain
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root))
+    assert(Versioned.readPointer(root, "model").isEmpty,
+      "a semantics bump must not publish a retrained geometry")
+    val rewritten = Versioned.metaBackend.readString(bl).get.trim.split(" ")
+    assert(rewritten.length == 3 &&
+      rewritten(2).toInt == VectorIndexStore.DistortionSemanticsVersion)
+    // every pre-existing qerr row is now pre-baseline: drift unmeasurable
+    assert(VectorIndexStore.driftFactor(spark, root).isEmpty)
+    // and the loop still lives: a genuinely drifted append PAST the new
+    // baseline (far beyond the mixed-corpus mean it absorbed) retrains
+    VectorIndexStore.appendIvf(spark, root,
+      emb.select((col("vec_id") + 200000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x + lit(64.0f))
+          .cast("array<float>").as("embedding")))
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, root, recallFloor = 0.0))
+    assert(Versioned.readPointer(root, "model").isDefined)
+  }
+
   test("index-exists resolution survives repeated retrains deleting legacy dirs") {
     import graft.operators.IvfIndex
     val emb = Tables.load(spark, sf, "embeddings")
