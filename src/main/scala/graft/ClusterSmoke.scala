@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-JVM execution smoke: run a representative query slice twice —
+  * once on `local[8]` (the single-JVM mode every bench/correctness number
+  * so far was measured in) and once on `local-cluster[2,4,4096]` (2
+  * separate executor JVMs × 4 cores — Spark's real cluster scheduler,
+  * RPC, and serialization stack on one machine) — and assert BOTH runs
+  * produce identical results AND identical work counters.
+  *
+  * What this converts from "designed for" into "ran on": closure
+  * serialization of every operator in the slice, executor-side broadcast
+  * + lazy rebuild of `IvfIndex.Model`/`Hier` (@transient lazy — each
+  * executor JVM rebuilds the accelerator from the deserialized centroid
+  * array), the custom AsOfJoin SparkPlan (r37) crossing codegen +
+  * exchange on a real cluster scheduler, executor-side artifact READS
+  * and WRITES (the store build runs its shuffles and parquet writes in
+  * executor JVMs against the shared filesystem), and Structured
+  * Streaming state-store providers hosted in executor processes (s04).
+  *
+  * Slice (the VERDICT-r12 prescription): x07 (PPJoin verify), x14
+  * (funnel + IVF + panel grading), v18 (SemDeDup), x02 (posting-group
+  * pair counts), k01 (BM25 top-k), r37 (native as-of join SparkPlan),
+  * s04 (streaming dedup lifecycle), plus a cold IVF store build + kNN
+  * probe in EACH mode (per-mode artifact roots, so the cluster run pays
+  * its own executor-side build rather than probing the local run's).
+  *
+  * Counters (rows_in / shuffle_rows, the Bench/Drill listener) are
+  * plan-deterministic at equal parallelism (8 slots both modes, same
+  * shuffle.partitions/AQE/broadcast configs), so COUNTER EQUALITY is the
+  * falsifiable form of "the cluster ran the same plans" — a divergence
+  * means cluster mode changed a plan (or lost/retried tasks), exactly
+  * what the smoke exists to surface.
+  *
+  * Output: one `CLUSTERSMOKE {json}` line per query + a summary line
+  * (the Bench artifact pattern), mirrored to
+  * `<outRoot>/cluster_smoke.jsonl`; nonzero exit on any mismatch.
+  *
+  * Needs `SPARK_HOME` (=/opt/spark) exported: local-cluster worker JVMs
+  * resolve the executor launch command from it.
+  */
+object ClusterSmoke {
+
+  private val SliceNames = Seq(
+    "x07_containment", "x14_funnel_ivf_semantic", "v18_semdedup",
+    "x02_jaccard_stats", "k01_bm25_topk", "r37_asof_native",
+    "s04_streaming_dedup")
+
+  final case class Run(name: String, secs: Double, digest: String,
+                       rows: Long, rowsIn: Long, shuffleRows: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_clustersmoke")
+    require(sys.env.contains("SPARK_HOME"),
+      "ClusterSmoke needs SPARK_HOME (=/opt/spark): local-cluster " +
+        "executor JVMs are launched from it")
+    new java.io.File(outRoot).mkdirs()
+
+    // focus filters for iterating on one failure (Bench's ONLY contract)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val slice = only.map(f => SliceNames.filter(f)).getOrElse(SliceNames)
+    val clusterOnly = sys.env.contains("SPARK_GRAFT_SMOKE_CLUSTER_ONLY")
+
+    val sharedIndex = s"$outRoot/shared_index"
+    val localRuns =
+      if (clusterOnly) Map.empty[String, Run]
+      else runMode("local", "local[8]", sfDir, s"$outRoot/local", sharedIndex, slice)
+    val clusterRuns = runMode("cluster", "local-cluster[2,4,4096]", sfDir,
+      s"$outRoot/cluster", sharedIndex, slice)
+    if (clusterOnly) return
+
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failed = 0
+    for ((name, l) <- localRuns) {
+      val c = clusterRuns(name)
+      val resultOk = l.digest == c.digest && l.rows == c.rows
+      val countersOk = l.rowsIn == c.rowsIn && l.shuffleRows == c.shuffleRows
+      if (!(resultOk && countersOk)) failed += 1
+      lines += f"""{"name":"$name","result_match":$resultOk,"counters_match":$countersOk,"rows":${l.rows},"local_secs":${l.secs}%.3f,"cluster_secs":${c.secs}%.3f,"rows_in":[${l.rowsIn},${c.rowsIn}],"shuffle_rows":[${l.shuffleRows},${c.shuffleRows}]}"""
+    }
+    lines.foreach(l => println(s"CLUSTERSMOKE $l"))
+    println(s"""CLUSTERSMOKE# {"pass":${failed == 0},"queries":${localRuns.size},"mismatches":$failed}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outRoot/cluster_smoke.jsonl"),
+      (lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (failed > 0) sys.exit(1)
+  }
+
+  /** Run the slice in one mode; returns name -> Run. Each mode gets its
+    * own artifact roots (cold builds on ITS executors) and is fully
+    * stopped before the next starts.
+    */
+  private def runMode(mode: String, master: String, sfDir: String,
+                      artifactRoot: String, sharedIndexRoot: String,
+                      slice: Seq[String] = SliceNames): Map[String, Run] = {
+    graft.sources.PosixMetaBackend.deleteRecursively(artifactRoot)
+    val builder = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-clustersmoke-$mode")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.index.dir", s"$artifactRoot/index")
+      .config("spark.graft.shingles.dir", s"$artifactRoot/shingles")
+      .config("spark.graft.minhash.dir", s"$artifactRoot/minhash")
+      .config("spark.graft.postings.dir", s"$artifactRoot/postings")
+      .config("spark.graft.substr.dir", s"$artifactRoot/substr")
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs need the app classes and the same JDK-17 module
+      // opens the driver gets. ABSOLUTIZED defensively: executors run
+      // with cwd = $SPARK_HOME/work/<app>/<n>, so a relative classpath
+      // entry that works on the driver silently fails to resolve there —
+      // the first run of this smoke hit exactly that, surfacing as the
+      // (misleading) SerializedLambda→Function ClassCastException on
+      // EVERY typed-lambda stage while pure-Catalyst queries passed.
+      // The deployment lesson is recorded in SCALE.md round-13.
+      val absCp = System.getProperty("java.class.path").split(":")
+        .filter(_.nonEmpty)
+        .map(p => new java.io.File(p).getAbsolutePath).mkString(":")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", absCp)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory", "3g")
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+
+    val rowsInAcc = new java.util.concurrent.atomic.AtomicLong
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            rowsInAcc.addAndGet(m.inputMetrics.recordsRead)
+            shuffleAcc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      })
+
+    def timedRun(name: String, df: => DataFrame): Run = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val in0 = rowsInAcc.get(); val sh0 = shuffleAcc.get()
+      val t0 = System.nanoTime()
+      val collected = df.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      // canonical digest: sorted row renderings, md5-folded — both modes
+      // run in THIS JVM, so formatting is identical and the digest
+      // compares values, not plan or partition order
+      val md = java.security.MessageDigest.getInstance("MD5")
+      collected.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+      Run(name, secs, md.digest().map("%02x".format(_)).mkString,
+        collected.length.toLong, rowsInAcc.get() - in0, shuffleAcc.get() - sh0)
+    }
+
+    try {
+      val qs = SparkEntry.queries
+      val runs = slice.map { n =>
+        val r = timedRun(n, qs(n)(spark, sfDir))
+        println(f"CLUSTERSMOKE# $mode $n ${r.secs}%.2fs rows=${r.rows}")
+        n -> r
+      }
+      // Cold IVF store BUILD, entirely in this mode (its own root,
+      // deleted first — slice queries may have warmed the mode's main
+      // index root; the cluster run must pay its own executor-side
+      // train/assign/write here). Build counters are plan-deterministic;
+      // measured byte-equal across modes.
+      val coldRoot = s"$artifactRoot/index_cold"
+      graft.sources.PosixMetaBackend.deleteRecursively(coldRoot)
+      val prevBuildRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, coldRoot)
+      val buildRun = try timedRun("store:ivf_build", {
+        graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
+        spark.range(0).toDF("done") // counters carry the build work
+      }) finally prevBuildRoot.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:ivf_build ${buildRun.secs}%.2fs")
+      // Batched kNN PROBE against a SHARED artifact (first mode builds
+      // it, the other short-circuits on the completeness marker): the
+      // window top-k's PARTIAL WindowGroupLimit emits top-k per qid per
+      // scan task, so its output cardinality depends on file->task
+      // packing — i.e. on the artifact's physical file layout, not on
+      // the execution mode (measured: per-mode artifacts gave 310 vs
+      // 320 partial rows on byte-identical 90-row results). Probing one
+      // shared artifact makes the counter comparison exact again.
+      val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
+      val probeRun = try {
+        // ensure OUTSIDE the timed window: the first mode pays the shared
+        // build here; both modes' probe counters then cover probing only
+        val path = graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
+        val panel = graft.operators.AnnEval.queryPanel(spark,
+          graft.sources.Tables.load(spark, sfDir, "embeddings"))
+        timedRun("store:ivf_probe",
+          graft.operators.AnnEval.ivfTopK(spark, path, panel, k = 10, nProbe = 4))
+      } finally prevRoot.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:ivf_probe ${probeRun.secs}%.2fs rows=${probeRun.rows}")
+      (runs ++ Seq("store:ivf_build" -> buildRun,
+        "store:ivf_probe" -> probeRun)).toMap
+    } finally {
+      spark.stop()
+      // the state-store maintenance threads are JVM-global and would keep
+      // polling THIS (now dead) session's coordinator while the next
+      // session runs (s04 loads executor/driver state stores)
+      org.apache.spark.sql.GraftShim.stopStateStores()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -300,17 +300,37 @@ object DedupQueries extends QuerySet {
     // so cost scales with actual shingle collisions, not corpus².
     Q("x02_jaccard_stats",
       (s, d) => {
-        // sh has THREE consumers (sizes + both join sides) — checkpoint so
-        // the posting scan + cap anti-join runs once (x07 discipline)
-        val sh = cappedShingleRows(s, d).graftCheckpoint()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        // ONE LINEAR PIPELINE (round-13 rework, measured at 100x): the
+        // candidate-pair multiset Σ C(df, 2) is the query's inherent
+        // work (~132M rows at the 100x drill point, 1.7x input) and
+        // must cross the wire once to be globally counted per pair —
+        // but the OLD shape (posting self-join + pair agg + TWO
+        // inter⋈sizes joins) re-shuffled the ~100M-row pair table twice
+        // more to attach set sizes, measured at 394M total shuffle
+        // (5.05x input). Here each posting carries its doc's capped set
+        // size BEFORE enumeration (one window count over doc_id), each
+        // shingle's posting list is clustered once (groupBy sh), ordered
+        // in-group combinations emit (da, db, sa, sb) directly, and the
+        // pair count-aggregate is the LAST shuffle — no post-enumeration
+        // joins, no multi-consumer checkpoint. Group width is bounded by
+        // the df cap (<= ShingleDfCap docs) so no combination fan-out
+        // can run away; sort_array fixes the (nondeterministic) collect
+        // order and yields da < db by construction (doc_id leads the
+        // struct).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val sized = cappedShingleRows(s, d)
+          .withColumn("sz", count(lit(1)).over(w))
+        val jac = sized.groupBy("sh")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("docs"))
+          .filter(size(col("docs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(docs, (a, i) ->
+              |  transform(slice(docs, i + 2, size(docs) - i - 1),
+              |            b -> struct(a.doc_id AS da, b.doc_id AS db,
+              |                        a.sz AS sa, b.sz AS sb))))""".stripMargin)).as("p"))
+          .groupBy(col("p.da").as("da"), col("p.db").as("db"),
+            col("p.sa").as("sa"), col("p.sb").as("sb"))
           .agg(count(lit(1)).as("i"))
-        val jac = inter
-          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), Seq("da"))
-          .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), Seq("db"))
           .withColumn("jac", col("i") / (col("sa") + col("sb") - col("i")).cast("double"))
         jac.agg(
           count(lit(1)).as("n_pairs"),

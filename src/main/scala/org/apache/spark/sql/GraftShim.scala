@@ -31,6 +31,15 @@ object GraftShim {
     try spark.sparkContext.listenerBus.waitUntilEmpty(10000L)
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** Stop the JVM-global streaming state-store maintenance threads.
+    * They outlive SparkSession.stop() and keep polling the DEAD session's
+    * StateStoreCoordinator RPC endpoint — a same-JVM sequential-sessions
+    * harness (ClusterSmoke) otherwise logs a storm of
+    * RpcEndpointNotFoundException while the next session runs.
+    */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Idempotently add a planner strategy to the session. */
   def registerStrategy(spark: SparkSession,
                        s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
