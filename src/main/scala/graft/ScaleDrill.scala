@@ -290,6 +290,37 @@ object ScaleDrill {
             val rD = graft.operators.AnnEval.meanRecall(gotD, exactD)
             println(f"""DRILLRECALL {"scale":$scale,"name":"build:ivf_dist","recall_at_10":$rD%.3f}""")
           }
+          // PAST-MAXTRAINCELLS build (opt-in knob): the exact geometry
+          // the pre-round-13 engine REFUSED (k > MaxTrainCells threw,
+          // naming a design path). train() now routes it to the
+          // distributed trainer — build it once at the largest drilled
+          // scale with enough vectors, so the routed regime has a
+          // measured row, not just a spec at a toy maxTrainCells. The
+          // probe grades with the AUTO nProbe policy (a fixed 4 of 131k
+          // cells would measure the floor, not the policy).
+          if (sys.env.contains("SPARK_GRAFT_DRILL_PASTMAX") && scale == scales.max) {
+            val kPast = graft.operators.IvfIndex.MaxTrainCells + 1
+            val n = emb.count()
+            if (n >= kPast) {
+              var pm: graft.operators.IvfIndex.Model = null
+              report(scale, "build:ivf_pastmax", "cold", timed {
+                pm = graft.operators.IvfIndex.train(spark, vecsDf, kPast)
+                graft.operators.IvfIndex.assign(spark, vecsDf, pm)
+                  .write.mode("overwrite").format("noop").save()
+              })
+              if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+                val exactP = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+                val gotP = graft.operators.AnnEval.ivfTopKFrames(spark,
+                  graft.operators.IvfIndex.assign(spark, vecsDf, pm)
+                    .filter(col("vec_id") =!= 0),
+                  pm, probeQs, k = 10,
+                  nProbe = graft.operators.IvfIndex.NProbeAuto)
+                val rP = graft.operators.AnnEval.meanRecall(gotP, exactP)
+                println(f"""DRILLRECALL {"scale":$scale,"name":"build:ivf_pastmax","recall_at_10":$rP%.3f,"k":$kPast,"nprobe":${graft.operators.IvfIndex.autoNProbe(kPast)}}""")
+              }
+            } else
+              println(s"DRILL# pastmax skipped: corpus n=$n < k=$kPast")
+          }
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build

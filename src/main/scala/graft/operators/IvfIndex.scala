@@ -389,6 +389,9 @@ object IvfIndex {
     *
     * Only model-sized data crosses the driver: the k-row init sample
     * and one (cell, sum, count) row per non-empty cell per round.
+    * (Bit-determinism assumes unique vec_ids — the engine-wide vectors
+    * contract; duplicate ids would make the sort's tie order, and so
+    * the fold order, layout-dependent.)
     * Ragged vectors follow the engine-wide convention (missing tail =
     * zero, dims beyond the centroid's ignored — see [[Hier.sqDist]]).
     * Not bit-identical to [[trainFromSample]] at equal k (full corpus
