@@ -199,6 +199,20 @@ object ClusterSmoke {
       // the execution mode (measured: per-mode artifacts gave 310 vs
       // 320 partial rows on byte-identical 90-row results). Probing one
       // shared artifact makes the counter comparison exact again.
+      // DISTRIBUTED trainer under this mode: the round-13 off-driver
+      // Lloyd is broadcast + typed map + repartition/sort/mapPartitions —
+      // exactly the closure-serialization surface a cluster can break.
+      // The model is bit-deterministic across partitionings BY CONTRACT
+      // (IvfIndexSpec), so here the centroid array itself is the digest:
+      // local and cluster runs must train the IDENTICAL model.
+      val distRun = timedRun("store:ivf_dist_train", {
+        import spark.implicits._
+        val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val m = graft.operators.IvfIndex.trainDistributed(spark, emb, k = 8, iters = 3)
+        m.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+      })
+      println(f"CLUSTERSMOKE# $mode store:ivf_dist_train ${distRun.secs}%.2fs")
       val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
       val probeRun = try {
@@ -213,6 +227,7 @@ object ClusterSmoke {
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       println(f"CLUSTERSMOKE# $mode store:ivf_probe ${probeRun.secs}%.2fs rows=${probeRun.rows}")
       (runs ++ Seq("store:ivf_build" -> buildRun,
+        "store:ivf_dist_train" -> distRun,
         "store:ivf_probe" -> probeRun)).toMap
     } finally {
       spark.stop()

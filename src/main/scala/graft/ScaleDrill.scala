@@ -440,7 +440,9 @@ object DrillCheck {
     */
   def shuffleBudget(name: String): Option[Double] = name match {
     case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
-    case "x02_jaccard_stats" => Some(30.0)         // 13.2 measured (pre-r13 layout)
+    case "x02_jaccard_stats" => Some(25.0)         // 10.4 measured (r13 linear
+      // pipeline; the pre-r13 join layout measured 13.2 — a reintroduced
+      // inter-sizes join would land ~2.3x over this line at 100x)
     case "x06_dup_clusters" => Some(25.0)          // 10.0 measured
     case "x07_containment" => Some(120.0)          // 59.7 measured: plan transitions
     case "x15_exact_substring_dedup" => Some(25.0) // 10.0 measured

@@ -167,11 +167,24 @@ object PqIndex {
     */
   def train(spark: SparkSession, embeddings: DataFrame,
             nCells: Int = 16, m: Int = 8, codes: Int = 16,
-            iters: Int = 5, sampleSize: Int = 2048): Model = {
+            iters: Int = 5, sampleSize: Int = 2048,
+            maxTrainCells: Int = IvfIndex.MaxTrainCells): Model = {
     require(codes <= 256, s"codes=$codes does not fit one byte; encode would wrap")
-    // ONE driver-side sample collect, shared by coarse + codebook training
-    val sample = IvfIndex.collectSample(spark, embeddings, sampleSize)
-    val coarse = IvfIndex.trainFromSample(sample, nCells, iters)
+    // ONE driver-side sample collect, shared by coarse + codebook
+    // training. Same guards as IvfIndex.train (the round-11 bug class):
+    // the sample grows with nCells (>= 8 points/cell — a fixed sample
+    // first degenerates then throws as autoCells-style geometries grow
+    // k), and past MaxTrainCells the COARSE quantizer trains off-driver
+    // via trainDistributed; codebook k stays <= 256, for which the
+    // bounded sample is statistically right at any corpus size.
+    val distributedCoarse = nCells > maxTrainCells
+    val sample = IvfIndex.collectSample(spark, embeddings,
+      if (distributedCoarse) sampleSize // codebooks only: bounded is right
+      else math.max(sampleSize, 8 * nCells))
+    val coarse =
+      if (distributedCoarse)
+        IvfIndex.trainDistributed(spark, embeddings, nCells, iters)
+      else IvfIndex.trainFromSample(sample, nCells, iters)
     val dims = coarse.centroids(0).length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val subDim = dims / m

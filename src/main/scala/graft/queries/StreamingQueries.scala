@@ -439,7 +439,7 @@ object StreamingQueries extends QuerySet {
         val qvec = vecs.filter(col("vec_id") === 0)
           .select("embedding").as[Seq[Float]].head()
         val probe = graft.operators.IvfIndex.search(s,
-          vecs.filter(col("vec_id") =!= 0), model, qvec, k = 10, nProbe = 4)
+          vecs.filter(col("vec_id") =!= 0), model, qvec, k = 10)
         val hits = probe.select("vec_id")
           .join(exact.select(col("doc_id").as("vec_id")), "vec_id").count()
         exact.withColumn("recall_ok", (lit(hits) >= 3).cast("int"))

@@ -189,7 +189,7 @@ object VectorQueries extends QuerySet {
         // materialized once — read by the hits count AND the returned agg
         val ivf = graft.operators.ScaleOps.checkpointed(
           graft.operators.IvfIndex.search(s,
-            assigned.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4))
+            assigned.filter(col("vec_id") =!= 0), model, query, k = 10))
         // Graded via a tolerance flag (the t14 pattern): the IVF top-k is
         // approximate, but its recall against the exact cosine top-k is a
         // DETERMINISTIC number (seeded k-means, fixed data), so the engine
@@ -390,7 +390,7 @@ object VectorQueries extends QuerySet {
         val pq = graft.operators.ScaleOps.checkpointed(
           graft.operators.PqIndex.search(s,
             encoded.filter(col("vec_id") =!= 0), emb, model, query,
-            k = 10, nProbe = 4, shortlist = 50))
+            k = 10, shortlist = 50))
         val qCol = lit(query.toArray).cast("array<float>")
         val exact = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
@@ -426,7 +426,7 @@ object VectorQueries extends QuerySet {
           .as[Seq[Float]].head()
         val ivf = graft.operators.ScaleOps.checkpointed(
           graft.operators.IvfIndex.search(s,
-            vectors.filter(col("vec_id") =!= 0), model, query, k = 10, nProbe = 4))
+            vectors.filter(col("vec_id") =!= 0), model, query, k = 10))
         // graded exactly like v08: deterministic recall@10 vs the exact
         // cosine top-k, emitted as a tolerance flag
         val qCol = lit(query.toArray).cast("array<float>")
@@ -478,12 +478,12 @@ object VectorQueries extends QuerySet {
         val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
         val (ivfN, ivfHits) = grade(graft.operators.IvfIndex.search(s,
           graft.operators.IvfIndex.loadVectors(s, ivfPath).filter(col("vec_id") =!= 0),
-          graft.operators.IvfIndex.loadModel(s, ivfPath), query, k = 10, nProbe = 4))
+          graft.operators.IvfIndex.loadModel(s, ivfPath), query, k = 10))
         val pqPath = graft.sources.VectorIndexStore.ensurePq(s, d)
         val (pqN, pqHits) = grade(graft.operators.PqIndex.search(s,
           graft.operators.PqIndex.loadEncoded(s, pqPath).filter(col("vec_id") =!= 0),
           emb, graft.operators.PqIndex.loadModel(s, pqPath), query,
-          k = 10, nProbe = 4, shortlist = 50))
+          k = 10, shortlist = 50))
         val (lshN, lshHits) = grade(lshKnn(s, d, query, k = 10, radius = 3))
         Seq(("ivf", ivfN, ivfHits >= 3), ("ivfpq", pqN, pqHits >= 3),
             ("lsh", lshN, lshHits >= 3))
@@ -518,10 +518,10 @@ object VectorQueries extends QuerySet {
         def recall(topk: org.apache.spark.sql.DataFrame): Double =
           graft.operators.AnnEval.meanRecall(topk, exact)
         val ivfR = recall(graft.operators.AnnEval.ivfTopK(s,
-          graft.sources.VectorIndexStore.ensureIvf(s, d), queries, k = 10, nProbe = 4))
+          graft.sources.VectorIndexStore.ensureIvf(s, d), queries, k = 10))
         val pqR = recall(graft.operators.AnnEval.pqTopK(s,
           graft.sources.VectorIndexStore.ensurePq(s, d), corpus, queries,
-          k = 10, nProbe = 4, shortlist = 50))
+          k = 10, shortlist = 50))
         val lshR = recall(lshTopKBatch(s, d, queries, k = 10, radius = 3))
         Seq(("ivf", ivfR, IvfRecallFloor), ("ivfpq", pqR, PqRecallFloor),
             ("lsh", lshR, LshRecallFloor))
@@ -662,7 +662,7 @@ object VectorQueries extends QuerySet {
               graft.operators.AnnEval.pqTopKFrames(s,
                 graft.operators.PqIndex.loadEncoded(s, root),
                 graft.operators.PqIndex.loadModel(s, root),
-                corpus, panel, k = 10, nProbe = 4, shortlist = 50),
+                corpus, panel, k = 10, shortlist = 50),
               exact)
             val pre = recall()
             val retrained = graft.sources.VectorIndexStore.retrainPqIfNeeded(s, root, corpus)

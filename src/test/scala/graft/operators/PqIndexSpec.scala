@@ -20,6 +20,21 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("coarse training routes past maxTrainCells to the distributed trainer") {
+    // maxTrainCells = 4 forces the routing at spec size; the coarse
+    // geometry must be the distributed trainer's, verbatim, and the
+    // model must still encode/search (codebooks train on the bounded
+    // sample regardless of the coarse path)
+    val routed = PqIndex.train(spark, emb, nCells = 8, maxTrainCells = 4)
+    val direct = IvfIndex.trainDistributed(spark, emb, k = 8)
+    routed.coarse.centroids.zip(direct.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    assert(routed.codebooks.nonEmpty)
+    val encoded = PqIndex.encode(spark, emb, routed)
+    assert(encoded.count() == emb.count())
+  }
+
   test("codes are m bytes per vector — the 32x memory claim") {
     import spark.implicits._
     val model = PqIndex.train(spark, emb, nCells = 8, m = 8, codes = 16)
