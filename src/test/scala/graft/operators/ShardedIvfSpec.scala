@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The sharded-IVF composition contracts (SCALE.md round-13 §1: the
+  * design path past the single-index broadcast boundary, as code):
+  * disjoint-total membership, exactness under full probing, recall
+  * under the default pruned probe, and per-shard model independence.
+  */
+class ShardedIvfSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def exactTop(k: Int, qid: Long, qv: Seq[Float]): Seq[Long] = {
+    import spark.implicits._
+    emb.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"),
+          lit(qv.toArray).cast("array<float>")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(k)
+      .select("vec_id").as[Long].collect().toSeq
+  }
+
+  test("shard membership is disjoint and total; full probe equals brute force") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf").toString + "/ix"
+    val shards = 3
+    ShardedIvf.build(spark, emb, root, shards, nCellsPerShard = 8)
+    // disjoint + total: every vec_id in exactly one shard artifact
+    val ids = (0 until shards).map { r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r")
+        .select("vec_id").as[Long].collect().toSet
+    }
+    assert(ids.map(_.size).sum == emb.count(),
+      "shards must partition the corpus without loss or duplication")
+    for (a <- 0 until shards; b <- (a + 1) until shards)
+      assert(ids(a).intersect(ids(b)).isEmpty, s"shards $a/$b overlap")
+    // probing EVERY cell of EVERY shard is the exact brute-force top-k:
+    // sharding is total, so unlike cell pruning it cannot lose a result
+    val (qid, qv) = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    val all = (0 until shards).map { r =>
+      val m = IvfIndex.loadModel(spark, s"$root/shard=$r")
+      IvfIndex.search(spark,
+        IvfIndex.loadVectors(spark, s"$root/shard=$r").filter(col("vec_id") =!= qid),
+        m, qv, k = 10, nProbe = m.centroids.length)
+    }.reduce(_ unionAll _)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exactTop(10, qid, qv))
+  }
+
+  test("default pruned probe keeps useful recall and peaks at one shard's model") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf2").toString + "/ix"
+    val shards = 3
+    ShardedIvf.build(spark, emb, root, shards, nCellsPerShard = 8)
+    assert(ShardedIvf.totalCells(spark, root, shards) == 24)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    var hit = 0
+    var total = 0
+    queries.foreach { case (qid, qv) =>
+      val exact = exactTop(10, qid, qv).toSet
+      val approx = ShardedIvf.search(spark, root, shards, qv, k = 11)
+        .filter(col("vec_id") =!= qid).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      hit += (exact & approx).size
+      total += exact.size
+    }
+    val recall = hit.toDouble / total
+    // auto-nProbe floor (4 of 8 cells per shard) probes half of each
+    // shard: the union composition must not score below the
+    // single-index nProbe=4/16 bound (IvfIndexSpec's 0.3)
+    assert(recall >= 0.3, s"sharded recall@10 over 5 queries = $recall")
+  }
+
+  test("shards train independently: models differ and rebuild deterministically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf3").toString + "/ix"
+    ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)
+    val m0 = IvfIndex.loadModel(spark, s"$root/shard=0")
+    val m1 = IvfIndex.loadModel(spark, s"$root/shard=1")
+    assert(m0.centroids.map(_.toSeq).toSeq != m1.centroids.map(_.toSeq).toSeq,
+      "independent shards over different data must not share a model")
+    val root2 = java.nio.file.Files.createTempDirectory("graft_shivf4").toString + "/ix"
+    ShardedIvf.build(spark, emb, root2, shards = 2, nCellsPerShard = 8)
+    IvfIndex.loadModel(spark, s"$root2/shard=0").centroids
+      .zip(m0.centroids).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+}
