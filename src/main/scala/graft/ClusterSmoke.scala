@@ -45,7 +45,15 @@ object ClusterSmoke {
   private val SliceNames = Seq(
     "x07_containment", "x14_funnel_ivf_semantic", "v18_semdedup",
     "x02_jaccard_stats", "k01_bm25_topk", "r37_asof_native",
-    "s04_streaming_dedup")
+    "s04_streaming_dedup",
+    // round-14 additions — the surfaces the r13 slice never took across a
+    // JVM boundary: transformWithState on the RocksDB state-store provider
+    // (executor-hosted store instances), the PQ encode/ADC path plus a
+    // recall-gated retrain under a writer lease (the full v19 lifecycle —
+    // DrillOnce is reset per mode so each mode pays its own), and the
+    // SubstrStore build+probe (dup-only broadcast join).
+    "s08_transform_with_state", "v19_pq_drift_retrain",
+    "x15_exact_substring_dedup")
 
   final case class Run(name: String, secs: Double, digest: String,
                        rows: Long, rowsIn: Long, shuffleRows: Long)
@@ -64,7 +72,12 @@ object ClusterSmoke {
     val slice = only.map(f => SliceNames.filter(f)).getOrElse(SliceNames)
     val clusterOnly = sys.env.contains("SPARK_GRAFT_SMOKE_CLUSTER_ONLY")
 
+    // the shared probe artifact must be rebuilt per INVOCATION (a prior
+    // run against a different sfDir would otherwise short-circuit on the
+    // completeness marker and both modes would probe a stale corpus);
+    // per-mode roots are deleted inside runMode
     val sharedIndex = s"$outRoot/shared_index"
+    graft.sources.PosixMetaBackend.deleteRecursively(sharedIndex)
     val localRuns =
       if (clusterOnly) Map.empty[String, Run]
       else runMode("local", "local[8]", sfDir, s"$outRoot/local", sharedIndex, slice)
@@ -97,6 +110,9 @@ object ClusterSmoke {
                       artifactRoot: String, sharedIndexRoot: String,
                       slice: Seq[String] = SliceNames): Map[String, Run] = {
     graft.sources.PosixMetaBackend.deleteRecursively(artifactRoot)
+    // memoized lifecycle drills (v19) must run IN THIS MODE, on this
+    // mode's executors — not reuse the previous session's scalars
+    graft.queries.DrillOnce.reset()
     val builder = SparkSession.builder()
       .master(master)
       .appName(s"graft-clustersmoke-$mode")

@@ -322,6 +322,39 @@ object ScaleDrill {
               println(s"DRILL# pastmax skipped: corpus n=$n < k=$kPast")
           }
         }
+        // SHARDED-IVF lifecycle at drill scale (round 14 — the
+        // store-grade composition past the single-quantizer broadcast
+        // ceiling): cold ensureShardedIvf is ONE tagging pass writing
+        // shard-partitioned vectors plus S pruned, concurrent per-shard
+        // builds; the probe is AnnEval.shardedTopK — same panel, same
+        // exact oracle, same DRILLRECALL machinery as every other index
+        // path, so the composition's overhead and recall are graded
+        // identically to the single index it generalizes.
+        if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_SHARDED")) {
+          val shards = 4
+          graft.sources.PosixMetaBackend.deleteRecursively(
+            graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, shards))
+          report(scale, "build:ivf_sharded", "cold", timed {
+            graft.sources.VectorIndexStore.ensureShardedIvf(spark, dir, shards)
+            ()
+          })
+          val shPath = graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, shards)
+          val repsS = (1 to 3).map { _ =>
+            timed {
+              graft.operators.AnnEval
+                .shardedTopK(spark, shPath, shards, probeQs, k = 10, nProbe = nProbe)
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
+          report(scale, "probe:ivf_sharded", "probe", repsS.minBy(_._1))
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            val exactS = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+            val gotS = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
+              probeQs, k = 10, nProbe = nProbe)
+            val rS = graft.operators.AnnEval.meanRecall(gotS, exactS)
+            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded","recall_at_10":$rS%.3f}""")
+          }
+        }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
       // a PQ artifact on tranche A, append a SHIFTED tranche B (drift
@@ -455,6 +488,9 @@ object DrillCheck {
     case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
     case ("retrain:pq", "cold") => Some(25.0)    // build-class path
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
+    case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
+      // union of S cell-pruned scans reads nProbe·S cells of constant
+      // occupancy regardless of scale
     case ("x03_minhash_neardup", "probe") |
          ("x15_exact_substring_dedup", "probe")
       => Some(4.0)                               // store-served: 1.1-2.1 measured

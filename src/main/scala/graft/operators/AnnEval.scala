@@ -145,7 +145,17 @@ object AnnEval {
     */
   def ivfTopKFrames(spark: SparkSession, vectors: DataFrame, model: IvfIndex.Model,
                     queries: Seq[(Long, Seq[Float])], k: Int,
-                    nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+                    nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
+    topKPerQuery(ivfScored(spark, vectors, model, queries, nProbe), k)
+
+  /** The cell-pruned scored frame (qid, vec_id, sim) behind
+    * [[ivfTopKFrames]]: probe frame broadcast against the pruned
+    * vectors, one cosine pass — shared with [[shardedTopK]], which
+    * unions one of these per shard before its single global window.
+    */
+  private def ivfScored(spark: SparkSession, vectors: DataFrame,
+                        model: IvfIndex.Model, queries: Seq[(Long, Seq[Float])],
+                        nProbe: Int): DataFrame = {
     import spark.implicits._
     val np = IvfIndex.resolveNProbe(nProbe, model.centroids.length)
     val probes = queries.flatMap { case (qid, qv) =>
@@ -153,15 +163,35 @@ object AnnEval {
     }
     val cells = probes.map(_._2).distinct
     val probeDf = broadcast(probes.toDF("qid", "cell", "qemb"))
-    topKPerQuery(
-      vectors
-        .filter(col("cell").isin(cells: _*))
-        .join(probeDf, "cell")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(graft.expressions.GraftFunctions.cosine_sim(
-            col("embedding"), col("qemb")), 6).as("sim")),
-      k)
+    vectors
+      .filter(col("cell").isin(cells: _*))
+      .join(probeDf, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosine_sim(
+          col("embedding"), col("qemb")), 6).as("sim"))
+  }
+
+  /** Batched panel probe against a PERSISTED sharded-IVF artifact
+    * ([[ShardedIvf]]): each shard contributes its own cell-pruned scored
+    * frame (its model's resolved per-shard `nProbe`), the S frames union
+    * into ONE plan, and a single per-qid window takes the global top-k —
+    * the batch-panel mirror of `ShardedIvf.search`, so sharded recall is
+    * graded by exactly the machinery ([[meanRecall]] vs [[exactTopK]])
+    * that grades every other index path. Models load sequentially; the
+    * driver never holds more than one shard's centroid array plus the
+    * KB-sized probe frames.
+    */
+  def shardedTopK(spark: SparkSession, path: String, shards: Int,
+                  queries: Seq[(Long, Seq[Float])], k: Int,
+                  nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    val scored = (0 until shards).map { r =>
+      val shardPath = s"$path/shard=$r"
+      ivfScored(spark,
+        IvfIndex.loadVectors(spark, shardPath).filter(col("vec_id") =!= 0),
+        IvfIndex.loadModel(spark, shardPath), queries, nProbe)
+    }.reduce(_ unionAll _)
+    topKPerQuery(scored, k)
   }
 
   /** Batched IVF-PQ probe against a PERSISTED index: per-(qid, cell) ADC

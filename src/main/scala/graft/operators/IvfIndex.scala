@@ -405,8 +405,7 @@ object IvfIndex {
   def trainDistributed(spark: SparkSession, embeddings: DataFrame, k: Int,
                        iters: Int = 5): Model = {
     import spark.implicits._
-    var centroids = collectSample(spark, embeddings, k)
-    require(centroids.length >= k, s"need >= $k corpus vectors")
+    var centroids = distinctInit(spark, embeddings, k)
     val dims = centroids(0).length
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -445,6 +444,35 @@ object IvfIndex {
       bc.unpersist()
     }
     Model(centroids)
+  }
+
+  /** DISTINCT k-means init for [[trainDistributed]]: the first `k`
+    * DISTINCT vectors in vec_id order. A duplicate embedding in the plain
+    * head sample would seed two identical centroids, and since empty
+    * cells keep their centroid every Lloyd round, the shadowed cell stays
+    * degenerate for ALL iterations — wasted cells, reduced recall on
+    * corpora with repeated head vectors. The sample enlarges
+    * bounded-exponentially (k → 2k → 4k → 8k) only when the head carries
+    * duplicates; a corpus with fewer than k distinct vectors in that
+    * window pads with duplicates (degenerate cells are then inherent to
+    * the corpus, not the init). Deterministic: vec_id order, first
+    * occurrence wins — a duplicate-free head reproduces the historical
+    * init exactly.
+    */
+  private def distinctInit(spark: SparkSession, embeddings: DataFrame,
+                           k: Int): Array[Array[Double]] = {
+    var size = k
+    while (true) {
+      val sample = collectSample(spark, embeddings, size)
+      require(sample.length >= k, s"need >= $k corpus vectors")
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      val distinct = sample.filter(v => seen.add(v.toSeq))
+      if (distinct.length >= k) return distinct.take(k)
+      if (sample.length < size || size >= 8 * k)
+        return (distinct ++ sample).take(k) // exhausted/capped: pad with dups
+      size *= 2
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** [[train]] body over a pre-collected sample. Above [[HierThreshold]]

@@ -12,64 +12,159 @@ import org.apache.spark.sql.functions._
   * sharded indexes, every distributed ANN store) is S INDEPENDENT
   * sub-indexes over a disjoint hash partition of the corpus:
   *
-  *   - BUILD: shard r = rows with `pmod(xxhash64(vec_id), S) = r`; each
-  *     shard trains its own coarse quantizer (through the same
-  *     [[IvfIndex.train]] routing — driver sample or distributed Lloyd)
-  *     and persists a normal [[IvfIndex.save]] artifact under
-  *     `path/shard=r`. No object anywhere is ever larger than ONE
-  *     shard's k_s×dim centroids; shards build independently (a real
-  *     deployment builds them as S parallel jobs).
+  *   - BUILD ([[build]]): ONE corpus pass tags every row with
+  *     `shard = pmod(xxhash64(vec_id), S)` and writes the tagged frame
+  *     parquet-partitioned by shard (shard-clustered — one file per
+  *     shard directory, the IvfIndex.save rationale). Each shard then
+  *     builds from ITS pruned partition only (a `shard = r` filter is
+  *     source-level partition pruning — no shard rescans the corpus),
+  *     through [[graft.sources.VectorIndexStore.buildIvfAt]], so every
+  *     shard artifact carries the SAME lifecycle plane as a single
+  *     index: `model` + cell-partitioned `vectors` + `qerr` watermark
+  *     log + `qerr.BASELINE`. Shard builds run CONCURRENTLY (bounded
+  *     pool of Spark job-submitting threads — the scheduler interleaves
+  *     their stages across the executors, which is exactly "S parallel
+  *     jobs" on one cluster); no object anywhere is ever larger than one
+  *     shard's k_s×dim centroids. The tagged scratch table is deleted
+  *     after the last shard publishes (each shard's vectors are
+  *     persisted inside its own artifact).
+  *   - MAINTENANCE: appends hash-route new vectors to their shard and
+  *     delegate to the per-shard `appendIvf` (anti-join idempotence,
+  *     distortion watermark — each under the shard's own writer lease);
+  *     drift and retrain are judged PER SHARD ([[retrainIfNeeded]] →
+  *     `retrainIvfIfNeeded` on each shard artifact), which is the point
+  *     of sharding: one drifted shard retrains k_s cells, not k.
   *   - PROBE: each shard answers its own pruned top-k (nProbe of ITS
   *     cells — the per-shard auto policy by default), and the global
   *     answer is the k best of the S×k candidates. Driver memory peaks
   *     at one shard's model at a time; the plan is a union of S
-  *     partition-pruned scans + one TakeOrdered.
+  *     partition-pruned scans + one TakeOrdered (single-query
+  *     [[search]]) or one per-qid window over the union
+  *     ([[AnnEval.shardedTopK]], the batch-panel form the drill grades).
   *
   * Correctness shape (spec-gated): hash sharding makes every vector
   * belong to exactly one shard, so probing ALL cells of ALL shards is
   * EXACTLY the brute-force top-k (no result can be lost to sharding —
-  * unlike cell-pruning, shard membership is total). Recall under
-  * partial probing degrades only through the same per-shard cell
-  * pruning the single index has; a query's true neighbors are spread
-  * across shards by an independent hash, so per-shard top-k union is
-  * the textbook recall-preserving composition.
+  * unlike cell-pruning, shard membership is total; preserved under
+  * appends, which route by the same hash). Recall under partial probing
+  * degrades only through the same per-shard cell pruning the single
+  * index has; a query's true neighbors are spread across shards by an
+  * independent hash, so per-shard top-k union is the textbook
+  * recall-preserving composition.
   *
-  * This stays an API + spec (no declared query): every fixture corpus
-  * fits a single index by orders of magnitude, so a sharded declared
-  * query would drill the composition at a scale where it is pure
-  * overhead. The capability exists for the geometry that needs it.
+  * Lifecycle entry point:
+  * [[graft.sources.VectorIndexStore.ensureShardedIvf]] (idempotent
+  * atomic publication, like `ensureIvf`). This stays an API + spec +
+  * drill row (no declared query): every fixture corpus fits a single
+  * index by orders of magnitude, so a sharded declared query would
+  * drill the composition at a scale where it is pure overhead. The
+  * capability exists for the geometry that needs it — the scale-out
+  * form of the reference's one index (db_utils.py:93-110).
   */
 object ShardedIvf {
+
+  /** Concurrent shard builds per [[build]] call: enough to overlap the
+    * driver-side phases (sample collect, model fold) of one shard with
+    * the executor-side phases (assign scan, parquet write) of another,
+    * without S driver threads each broadcasting a model at once. The
+    * Spark scheduler shares the executors across the concurrent jobs.
+    */
+  val BuildParallelism = 4
 
   /** Disjoint-total shard id of a vector id. */
   private def shardCol(shards: Int) =
     pmod(xxhash64(col("vec_id")), lit(shards.toLong)).cast("int")
 
-  /** Build S independent IVF artifacts under `path/shard=r`. Each shard
-    * sizes its own geometry (`nCellsPerShard`, or autoCells of the
-    * shard's row count when <= 0) and trains through the same routed
-    * trainer as any single index.
+  /** Build S independent IVF artifacts under `path/shard=r` — one
+    * tagging pass over the corpus, then per-shard builds from pruned
+    * partitions, [[BuildParallelism]] at a time. Each shard sizes its
+    * own geometry (`nCellsPerShard`, or `autoCells` of the shard's row
+    * count when <= 0 — counted once from the tagged table, not with a
+    * per-shard corpus scan) and trains through the same routed trainer
+    * as any single index (driver sample, or distributed Lloyd past
+    * `MaxTrainCells`). Callers wanting the idempotent published
+    * lifecycle go through `VectorIndexStore.ensureShardedIvf`.
     */
   def build(spark: SparkSession, vectors: DataFrame, path: String,
             shards: Int, nCellsPerShard: Int = -1): Unit = {
     require(shards >= 1, s"shards=$shards")
-    val tagged = vectors.select(col("vec_id"), col("label"), col("embedding"))
+    val taggedDir = s"$path/tagged"
+    vectors.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("shard", shardCol(shards))
-    for (r <- 0 until shards) {
-      val part = tagged.filter(col("shard") === r).drop("shard")
-      val cells =
-        if (nCellsPerShard > 0) nCellsPerShard
-        else graft.sources.VectorIndexStore.autoCells(part.count())
-      val model = IvfIndex.train(spark, part, k = cells)
-      IvfIndex.save(spark, model, IvfIndex.assign(spark, part, model),
-        s"$path/shard=$r")
-    }
+      .repartition(col("shard")) // shard-clustered: one file per shard dir
+      .write.partitionBy("shard").parquet(taggedDir)
+    val tagged = spark.read.parquet(taggedDir)
+    // one column-pruned pass gives every shard's cardinality
+    val counts: Map[Int, Long] = tagged.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(shards, BuildParallelism),
+      (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val builds = (0 until shards).map { r =>
+        Future {
+          val part = tagged.filter(col("shard") === r).drop("shard")
+          val cells =
+            if (nCellsPerShard > 0) nCellsPerShard
+            else graft.sources.VectorIndexStore.autoCells(counts.getOrElse(r, 0L))
+          graft.sources.VectorIndexStore.buildIvfAt(
+            spark, s"$path/shard=$r", part, cells)
+        }
+      }
+      Await.result(Future.sequence(builds), Duration.Inf)
+      ()
+    } finally pool.shutdown()
+    // scratch: every shard's vectors now live inside its own artifact
+    graft.sources.Versioned.metaBackend.deleteRecursively(taggedDir)
   }
+
+  /** Hash-route `newVectors` to their shards and append each slice
+    * through the per-shard `appendIvf` (existing-model assignment,
+    * vec_id anti-join idempotence, distortion watermark — under the
+    * shard's own writer lease). The sharded-root lease serializes
+    * concurrent SHARDED appenders so two batches cannot interleave
+    * their per-shard passes. S filtered passes over the BATCH (not the
+    * corpus) — append batches are ingest-sized by contract.
+    */
+  def append(spark: SparkSession, path: String, shards: Int,
+             newVectors: DataFrame): Unit =
+    graft.sources.Versioned.withWriterLease(path) {
+      val tagged = newVectors
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("shard", shardCol(shards))
+      for (r <- 0 until shards) {
+        val slice = tagged.filter(col("shard") === r).drop("shard")
+        if (!slice.isEmpty)
+          graft.sources.VectorIndexStore.appendIvf(spark, s"$path/shard=$r", slice)
+      }
+    }
+
+  /** Per-shard drift check + recall-gated retrain
+    * (`retrainIvfIfNeeded` on each shard artifact): each shard's qerr
+    * series is judged against ITS baseline, so a drifted shard retrains
+    * its own k_s cells while quiet shards are a one-file qerr read.
+    * Sequential by design: retrain is rare scheduled maintenance driven
+    * by a drift signal (usually one shard at a time), and each retrain
+    * is internally a distributed train+assign+recall-gate job — the
+    * cluster is already saturated by one. Returns the number of shards
+    * retrained.
+    */
+  def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
+                      factor: Double = 2.0, recallFloor: Double = 0.2,
+                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int =
+    (0 until shards).count { r =>
+      graft.sources.VectorIndexStore.retrainIvfIfNeeded(
+        spark, s"$path/shard=$r", factor, recallFloor, nProbe, k)
+    }
 
   /** Global approximate top-k over all shards: per-shard pruned top-k
     * (each with ITS model's resolved `nProbe`), one union plan, one
     * global TakeOrdered. Models load sequentially — peak driver memory
-    * is a single shard's centroid array.
+    * is a single shard's centroid array. Batch-panel form:
+    * [[AnnEval.shardedTopK]].
     */
   def search(spark: SparkSession, path: String, shards: Int,
              query: Seq[Float], k: Int,

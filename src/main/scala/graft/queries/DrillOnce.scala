@@ -43,6 +43,14 @@ object DrillOnce {
       }
     }
 
+  /** Forget every memoized lifecycle and value — the multi-session harness
+    * hook: ClusterSmoke runs two SparkSessions (local, then local-cluster)
+    * in ONE JVM, and each mode must pay its own lifecycle on its own
+    * executors rather than reuse the previous mode's memoized scalars.
+    * Never called by declared queries.
+    */
+  def reset(): Unit = this.synchronized { done.clear(); values.clear() }
+
   /** Memoized drill VALUE, for drills whose output is a driver-side scalar
     * or small row set computed mid-lifecycle.
     */

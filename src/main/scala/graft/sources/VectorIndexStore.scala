@@ -53,6 +53,10 @@ object VectorIndexStore {
   def pqPath(spark: SparkSession, sfDir: String): String =
     s"${root(spark)}/pq_${tag(sfDir)}"
 
+  // shard count is part of the artifact identity, like nCells for ivfPath
+  def shardedIvfPath(spark: SparkSession, sfDir: String, shards: Int): String =
+    s"${root(spark)}/ivfsh${shards}_${tag(sfDir)}"
+
   /** Cell count for an n-vector corpus at constant target occupancy.
     * SemDeDup consumers size their IVF geometry with this: the within-cell
     * pair work is Σ n_c², so FIXED cells make it grow quadratically with
@@ -94,6 +98,26 @@ object VectorIndexStore {
     IvfIndex.save(spark, model, IvfIndex.assign(spark, vectors, model), dir)
     val (seq, mean) = logWatermark(spark, dir, IvfIndex.distortionStats(spark, vectors, model))
     writeBaseline(dir, mean, seq + 1)
+  }
+
+  /** Idempotent SHARDED IVF build over the `embeddings` fixture
+    * ([[graft.operators.ShardedIvf]] — S independent sub-indexes over a
+    * disjoint hash partition; the geometry past a single flat coarse
+    * quantizer's broadcast ceiling). Same atomic publish-or-short-circuit
+    * protocol as [[ensureIvf]]; each shard artifact under `path/shard=r`
+    * carries the full per-index lifecycle plane (model, cell-partitioned
+    * vectors, qerr watermarks, baseline), maintained through
+    * `ShardedIvf.append`/`retrainIfNeeded`.
+    */
+  def ensureShardedIvf(spark: SparkSession, sfDir: String, shards: Int,
+                       nCellsPerShard: Int = -1): String = {
+    val path = shardedIvfPath(spark, sfDir, shards)
+    PhysicalLayout.ensureDir(path) { tmp =>
+      graft.operators.ShardedIvf.build(spark,
+        Tables.load(spark, sfDir, "embeddings"), tmp, shards, nCellsPerShard)
+      markComplete(tmp)
+    }
+    path
   }
 
   /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
@@ -267,34 +291,53 @@ object VectorIndexStore {
     Versioned.metaBackend.writeAtomic(baselineFile(path),
       s"$mean $firstDriftSeq $DistortionSemanticsVersion")
 
-  /** (mean, firstDriftSeq, semanticsVersion); 2-field legacy → version 1. */
+  /** (mean, firstDriftSeq, semanticsVersion); 2-field legacy → version 1.
+    * Unparseable content (corrupt file, or a future layout this build does
+    * not know) reads as NO baseline — the retrain entry points then
+    * rebaseline under current semantics instead of this throwing an
+    * uncontextualized MatchError/NumberFormatException mid-maintenance.
+    */
   private def readBaseline(path: String): Option[(Double, Long, Int)] =
-    Versioned.metaBackend.readString(baselineFile(path)).map { content =>
-      content.trim.split(" ") match {
-        case Array(m, s) => (m.toDouble, s.toLong, 1)
-        case Array(m, s, v) => (m.toDouble, s.toLong, v.toInt)
+    Versioned.metaBackend.readString(baselineFile(path)).flatMap { content =>
+      try {
+        content.trim.split(" ") match {
+          case Array(m, s) => Some((m.toDouble, s.toLong, 1))
+          case Array(m, s, v) => Some((m.toDouble, s.toLong, v.toInt))
+          case _ => throw new NumberFormatException("field count")
+        }
+      } catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[graft] unparseable qerr.BASELINE at " +
+            s"${baselineFile(path)} (content: '${content.trim.take(80)}'): " +
+            "treating as absent — the next retrain check rebaselines")
+          None
       }
     }
 
   /** Rebaseline an artifact whose `qerr.BASELINE` predates the current
-    * [[DistortionSemanticsVersion]]: recompute the baseline mean under the
-    * CURRENT semantics (one corpus scan via `stats`) and mark every
-    * existing qerr row pre-baseline, so drift measured from here on is
-    * corpus drift, not a semantics change. Returns true when a rewrite
-    * happened. Called by the retrain entry points before their drift
-    * check — the scan runs at most once per upgraded artifact.
+    * [[DistortionSemanticsVersion]] — or has NO baseline at all (a
+    * pre-round-8 artifact, or a corrupt sidecar read as absent): recompute
+    * the baseline mean under the CURRENT semantics (one corpus scan via
+    * `stats`) and mark every existing qerr row pre-baseline, so drift
+    * measured from here on is corpus drift, not a semantics change. The
+    * no-sidecar case matters because [[driftFactor]]'s legacy fallback
+    * compares the FIRST qerr row (v1-computed) against v2 watermarks —
+    * exactly the cross-semantics comparison the version stamp exists to
+    * prevent; the retrain entry points must never act on it. Returns true
+    * when a rewrite happened; the scan runs at most once per upgraded
+    * artifact.
     */
   private def rebaselineIfStale(spark: SparkSession, path: String)
                                (stats: => org.apache.spark.sql.DataFrame): Boolean =
     readBaseline(path) match {
-      case Some((_, _, ver)) if ver < DistortionSemanticsVersion =>
+      case Some((_, _, ver)) if ver >= DistortionSemanticsVersion => false
+      case _ => // version-stale, corrupt, or missing sidecar: rebaseline
         val seq =
           if (!Fs.exists(spark, s"$path/qerr")) 0L
           else spark.read.parquet(s"$path/qerr").count()
         val (_, mean) = statsMeanOf(spark, stats)
         writeBaseline(path, mean, seq)
         true
-      case _ => false
     }
 
   /** Measured drift of the appended corpus against the build-time baseline:

@@ -830,6 +830,43 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(Versioned.readPointer(root, "model").isDefined)
   }
 
+  test("missing or corrupt baseline sidecar rebaselines instead of cross-semantics retrain") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+
+    // (a) NO sidecar at all (a legacy pre-baseline artifact): driftFactor's
+    // fallback compares v1-era first-row means against current watermarks —
+    // the retrain entry must treat "no baseline" as semantics-stale and
+    // write a fresh v2 baseline instead of acting on that comparison
+    val root1 = java.nio.file.Files.createTempDirectory("graft_nobl").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root1, a, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root1, shifted(emb, 100000))
+    Versioned.metaBackend.deleteRecursively(s"$root1/qerr.BASELINE")
+    assert(VectorIndexStore.driftFactor(spark, root1).exists(_ > 2.0),
+      "premise: the legacy fallback reads as drifted")
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root1),
+      "a baseline-less artifact must rebaseline, not retrain")
+    val written = Versioned.metaBackend.readString(s"$root1/qerr.BASELINE")
+      .get.trim.split(" ")
+    assert(written.length == 3 &&
+      written(2).toInt == VectorIndexStore.DistortionSemanticsVersion)
+    assert(Versioned.readPointer(root1, "model").isEmpty)
+
+    // (b) corrupt / future-layout sidecar (4+ fields): reads as absent
+    // with a diagnostic, then the same rebaseline path — never a bare
+    // MatchError mid-maintenance
+    val root2 = java.nio.file.Files.createTempDirectory("graft_badbl").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root2, a, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root2, shifted(emb, 100000))
+    Versioned.metaBackend.writeAtomic(s"$root2/qerr.BASELINE", "0.5 1 2 surprise")
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root2),
+      "a corrupt baseline must rebaseline, not throw or retrain")
+    val rewritten2 = Versioned.metaBackend.readString(s"$root2/qerr.BASELINE")
+      .get.trim.split(" ")
+    assert(rewritten2.length == 3 &&
+      rewritten2(2).toInt == VectorIndexStore.DistortionSemanticsVersion)
+  }
+
   test("index-exists resolution survives repeated retrains deleting legacy dirs") {
     import graft.operators.IvfIndex
     val emb = Tables.load(spark, sf, "embeddings")
