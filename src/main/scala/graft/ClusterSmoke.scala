@@ -125,32 +125,10 @@ object ClusterSmoke {
       .config("spark.graft.minhash.dir", s"$artifactRoot/minhash")
       .config("spark.graft.postings.dir", s"$artifactRoot/postings")
       .config("spark.graft.substr.dir", s"$artifactRoot/substr")
-    if (master.startsWith("local-cluster")) {
-      // Executor JVMs need the app classes and the same JDK-17 module
-      // opens the driver gets. ABSOLUTIZED defensively: executors run
-      // with cwd = $SPARK_HOME/work/<app>/<n>, so a relative classpath
-      // entry that works on the driver silently fails to resolve there —
-      // the first run of this smoke hit exactly that, surfacing as the
-      // (misleading) SerializedLambda→Function ClassCastException on
-      // EVERY typed-lambda stage while pure-Catalyst queries passed.
-      // The deployment lesson is recorded in SCALE.md round-13.
-      val absCp = System.getProperty("java.class.path").split(":")
-        .filter(_.nonEmpty)
-        .map(p => new java.io.File(p).getAbsolutePath).mkString(":")
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-      builder
-        .config("spark.executor.extraClassPath", absCp)
-        .config("spark.executor.extraJavaOptions", addOpens)
-        .config("spark.executor.memory", "3g")
-    }
+    if (master.startsWith("local-cluster"))
+      // executor classpath + JDK-17 opens (the round-13 relative-classpath
+      // lesson lives in ClusterLaunch's doc)
+      ClusterLaunch.configure(builder, executorMemory = "3g")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)

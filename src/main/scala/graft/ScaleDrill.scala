@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * deterministic tranches (the v19 translated-tranche pattern — never
   * touches /root/testdata):
   *   - documents: tranche i shifts doc_id by i·10⁷, suffixes the source,
-  *     and rewrites the text through a per-tranche `translate` rotation —
-  *     word boundaries, lengths and the WITHIN-tranche duplicate
-  *     structure are preserved exactly, while hashes differ ACROSS
-  *     tranches, so ground truth scales linearly (pairs/clusters/spans
-  *     are exactly N copies of the base corpus's);
+  *     and rewrites the text through a per-tranche seeded PERMUTATION of
+  *     the letter and digit alphabets (one `translate`) — word
+  *     boundaries, lengths, char classes and the WITHIN-tranche
+  *     duplicate structure are preserved exactly, while hashes differ
+  *     ACROSS tranches, so ground truth scales linearly (pairs/clusters/
+  *     spans are exactly N copies of the base corpus's; see the
+  *     in-method comment for why permutations, not rotations);
   *   - embeddings: vec_id shifted identically; the vector is rotated by
   *     i % dim positions and globally negated for i >= dim (128 distinct
   *     bijections — norms and within-tranche cosine structure preserved
@@ -54,8 +56,15 @@ object ScaleDrill {
     val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val parts = sys.env.getOrElse("SPARK_GRAFT_DRILL_PARTS", "256")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_DRILL_MASTER runs the SAME drill on a different master —
+    // `local-cluster[2,4,6144]` puts every measured plan behind real
+    // executor JVMs (run via plain `java -cp`, outside sbt, like
+    // ClusterSmoke); counter rows are then directly comparable against a
+    // single-JVM run at equal slot count, which is the multi-process
+    // form of the determinism claim at DRILL scale (SCALE.md round-14).
+    val master = sys.env.getOrElse("SPARK_GRAFT_DRILL_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       // deployment-shaped parallelism: start high, let AQE coalesce to
       // the data volume (parallelismFirst + 1 MB min partition are the
       // Spark defaults a real cluster runs with)
@@ -64,7 +73,10 @@ object ScaleDrill {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      ClusterLaunch.configure(builder,
+        executorMemory = sys.env.getOrElse("SPARK_GRAFT_DRILL_EXEC_MEM", "6g"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
 
@@ -96,7 +108,7 @@ object ScaleDrill {
     def report(scale: Int, name: String, phase: String,
                m: (Double, Long, Long)): Unit = {
       rows += ((scale, name, phase, m._1, m._2, m._3))
-      println(f"""DRILL {"scale":$scale,"name":"$name","phase":"$phase","secs":${m._1}%.3f,"rows_in":${m._2},"shuffle_rows":${m._3}}""")
+      println(f"""DRILL {"scale":$scale,"name":"$name","phase":"$phase","secs":${m._1}%.3f,"rows_in":${m._2},"shuffle_rows":${m._3},"master":"$master"}""")
     }
 
     /** AQE-final plan census for a query: executes the plan once (noop
@@ -119,30 +131,62 @@ object ScaleDrill {
       val dir = s"$outRoot/x$scale"
       graft.sources.PhysicalLayout.ensureDir(dir) { tmp =>
         new java.io.File(tmp).mkdirs()
-        // two disjoint rotation alphabets give 10×10 = 100 distinct,
-        // length-preserving text bijections (i = 0 is the identity) — no
-        // two tranches share a transform up to scale 100, so no
-        // cross-tranche hash collides and ground truth stays exactly N×
-        val alphaA = "aeiousrlnt"
-        val alphaB = "bcdfghmpwy"
-        def rot(a: String, k: Int) =
-          a.drop(k % a.length) + a.take(k % a.length)
+        // Per-tranche LETTER+DIGIT PERMUTATIONS (round 14; replaces the
+        // two-rotation-alphabet scheme): tranche i rewrites text through
+        // one `translate` over a seeded Fisher-Yates permutation of the
+        // 26 lowercase letters (mirrored on uppercase) plus the 10
+        // digits. Lengths, word boundaries, char classes (letter vs
+        // digit vs punctuation, case) and the WITHIN-tranche duplicate
+        // structure are preserved exactly — bijections — while
+        // cross-tranche collisions lose the old scheme's STRUCTURE:
+        // under two 10-letter rotation alphabets, every shingle avoiding
+        // one alphabet collided across ALL tranches sharing the other
+        // rotation (its df grew ∝ scale/10, Σ C(df,2) quadratically —
+        // SCALE.md r13 §3 measured that class producing most of x02's
+        // 100× candidate mass). Full-alphabet seeded permutations leave
+        // only tokens whose few distinct symbols happen to map
+        // identically under two independent perms — unstructured, and
+        // bounded by the birthday arithmetic of 26!-space (measured
+        // negligible, SCALE.md round-14). Tranche 0 is the identity (the
+        // base corpus verbatim); transforms are asserted pairwise
+        // distinct, so the exactly-N× ground-truth premise holds by
+        // construction for every token with enough symbol support.
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val digitsA = "0123456789"
+        def perm(s: String, seed: Long): String = {
+          val a = s.toCharArray
+          val rnd = new java.util.Random(seed)
+          var j = a.length - 1
+          while (j > 0) {
+            val k = rnd.nextInt(j + 1)
+            val t = a(j); a(j) = a(k); a(k) = t
+            j -= 1
+          }
+          new String(a)
+        }
+        val from = lower + lower.toUpperCase + digitsA
+        val tos = (0 until scale).map { i =>
+          if (i == 0) from
+          else {
+            val pl = perm(lower, 7919L * i)
+            pl + pl.toUpperCase + perm(digitsA, 104729L * i + 1)
+          }
+        }
+        require(tos.distinct.length == scale,
+          "tranche text transforms must be pairwise distinct")
         val docs = spark.read.parquet(s"$baseDir/documents.parquet")
         val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
         val dim = embs.select(size(col("embedding"))).head().getInt(0)
-        // past these bounds tranches would repeat transforms and silently
-        // break the exactly-N× ground-truth premise every ratio rests on
-        require(scale <= math.min(100, 2 * dim),
+        // past this bound vector tranches would repeat bijections and
+        // silently break the exactly-N× ground-truth premise
+        require(scale <= 2 * dim,
           s"scale $scale exceeds the distinct-transform budget " +
-            s"(100 text bijections, ${2 * dim} vector bijections)")
+            s"(${2 * dim} vector bijections)")
         val scaledDocs = (0 until scale).map { i =>
-          val t0 = if (i % 10 == 0) col("text")
-                   else translate(col("text"), alphaA, rot(alphaA, i % 10))
-          val t1 = if (i / 10 == 0) t0
-                   else translate(t0, alphaB, rot(alphaB, i / 10))
           docs.select(
             (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            t1.as("text"),
+            (if (i == 0) col("text")
+             else translate(col("text"), from, tos(i))).as("text"),
             col("lang"),
             concat(col("source"), lit(s"_t$i")).as("source"),
             col("n_chars"))
@@ -392,7 +436,7 @@ object ScaleDrill {
 
     // ---- drill artifact (the Bench pattern): one JSONL row per line ----
     val jsonl = rows.map { case (sc, n, ph, secs, in, sh) =>
-      f"""{"scale":$sc,"name":"$n","phase":"$ph","secs":$secs%.3f,"rows_in":$in,"shuffle_rows":$sh}"""
+      f"""{"scale":$sc,"name":"$n","phase":"$ph","secs":$secs%.3f,"rows_in":$in,"shuffle_rows":$sh,"master":"$master"}"""
     }.mkString("", "\n", "\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outRoot/drill_results.jsonl"),
@@ -473,9 +517,10 @@ object DrillCheck {
     */
   def shuffleBudget(name: String): Option[Double] = name match {
     case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
-    case "x02_jaccard_stats" => Some(25.0)         // 10.4 measured (r13 linear
-      // pipeline; the pre-r13 join layout measured 13.2 — a reintroduced
-      // inter-sizes join would land ~2.3x over this line at 100x)
+    case "x02_jaccard_stats" => Some(21.0)         // 10.4 measured at 1→10 under
+      // the r14 permutation generator (exactly linear; budget = ~2x
+      // measured per the stated policy). The pre-r13 join layout measured
+      // 13.2 — a reintroduced inter-sizes join still breaches this line.
     case "x06_dup_clusters" => Some(25.0)          // 10.0 measured
     case "x07_containment" => Some(120.0)          // 59.7 measured: plan transitions
     case "x15_exact_substring_dedup" => Some(25.0) // 10.0 measured

@@ -176,7 +176,11 @@ object PqIndex {
     // first degenerates then throws as autoCells-style geometries grow
     // k), and past MaxTrainCells the COARSE quantizer trains off-driver
     // via trainDistributed; codebook k stays <= 256, for which the
-    // bounded sample is statistically right at any corpus size.
+    // bounded sample is statistically right at any corpus size —
+    // MEASURED, not argued: PqIndexSpec's bounded-sample parity test
+    // trains codebooks from the bounded sample vs 8x that sample over a
+    // 10x tranche corpus (same coarse geometry) and the bounded sample
+    // holds recall parity (0.313 vs 0.275 measured; SCALE.md round-14).
     val distributedCoarse = nCells > maxTrainCells
     val sample = IvfIndex.collectSample(spark, embeddings,
       if (distributedCoarse) sampleSize // codebooks only: bounded is right

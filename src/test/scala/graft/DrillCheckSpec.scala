@@ -68,6 +68,28 @@ class DrillCheckSpec extends AnyFunSuite {
     assert(!checks.exists(_.name == "x03_minhash_neardup#shuffle"))
   }
 
+  test("round-14 measured rows (permutation generator + sharded IVF) pass every budget") {
+    // transcribed from the round-14 drill under the PERMUTATION corpus
+    // generator (SCALE_DRILL_r14.jsonl): the new sharded-IVF lifecycle
+    // rows, and x02 whose shuffle slope is now exactly linear
+    val measured = Seq(
+      full(1, "build:ivf_sharded", "cold", 1.583, 10000L, 4072L),
+      full(10, "build:ivf_sharded", "cold", 3.209, 100000L, 40167L),
+      full(1, "probe:ivf_sharded", "probe", 0.802, 2064L, 2950L),
+      full(10, "probe:ivf_sharded", "probe", 1.163, 17819L, 2630L),
+      full(1, "x02_jaccard_stats", "probe", 1.356, 260388L, 1585089L),
+      full(10, "x02_jaccard_stats", "probe", 6.323, 2603880L, 16495017L))
+    val checks = DrillCheck.evaluate(measured)
+    assert(checks.nonEmpty && checks.forall(_.ok), s"failed: ${checks.filterNot(_.ok)}")
+    // x02's shuffle ratio under the permutation generator is exactly
+    // linear (10.41 measured) — the tightened 21x budget (~2x measured,
+    // the stated policy) keeps headroom for plan transitions while the
+    // old rotation generator's quadratic collision class (df ∝ scale/10)
+    // or a reintroduced inter-sizes join would still breach it at 100x
+    val x02sh = checks.find(_.name == "x02_jaccard_stats#shuffle").get
+    assert(math.abs(x02sh.ratio - 10.41) < 0.1 && x02sh.budget == 21.0)
+  }
+
   test("counter check catches a superlinear regression the time clamp masks") {
     // t1 = 0.1 s sits under the noise-floor clamp, so a real ~50x slope
     // reads as time ratio 1.1/0.3 = 3.7, inside x02's 7x budget — the

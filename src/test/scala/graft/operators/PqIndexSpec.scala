@@ -20,6 +20,54 @@ class PqIndexSpec extends SparkTestBase {
     }
   }
 
+  test("bounded-sample codebooks hold recall parity with an 8x sample on a 10x corpus") {
+    import spark.implicits._
+    // The measured form of PqIndex.train's bounded-sample claim: with
+    // sub-quantizer k <= `codes` (256 max), a bounded driver-side sample
+    // trains codebooks statistically equivalent to a much larger one at
+    // ANY corpus size — so the codebook path never needs the distributed
+    // trainer the coarse quantizer routes to. Drill shape: a 10-tranche
+    // corpus (the ScaleDrill rotation+negation vector bijections — norms
+    // and within-tranche cosine structure preserved), codebooks trained
+    // from a bounded sample vs 8x that sample, SAME coarse geometry,
+    // panel recall@10 compared. SCALE.md round-14 records the measured
+    // pair; the floor here is parity-with-margin, not a tuned constant.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val corpus = (0 until 10).map { i =>
+      val r = i % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        rotated.cast("array<float>").as("embedding"), col("label"))
+    }.reduce(_ unionAll _).persist()
+    try {
+      val small = PqIndex.train(spark, corpus, nCells = 16, m = 8, sampleSize = 512)
+      val big = PqIndex.train(spark, corpus, nCells = 16, m = 8, sampleSize = 4096)
+      // isolate the CODEBOOK variable: the bounded-vs-8x comparison must
+      // not be confounded by the coarse geometry also moving with the
+      // sample, so the big-sample codebooks are re-ranked over the
+      // small model's coarse cells
+      val bigOnSmallCoarse = PqIndex.Model(small.coarse, big.codebooks, big.subDim)
+      val panel = AnnEval.rowPanel(corpus, maxPanel = 16)
+      val exact = AnnEval.exactTopK(spark, corpus, panel, 10)
+      def recallOf(model: PqIndex.Model): Double = {
+        val enc = PqIndex.encode(spark, corpus, model)
+        AnnEval.meanRecall(
+          AnnEval.pqTopKFrames(spark, enc, model, corpus, panel, k = 10,
+            nProbe = 8, shortlist = 50),
+          exact)
+      }
+      val rSmall = recallOf(small)
+      val rBig = recallOf(bigOnSmallCoarse)
+      info(f"recall@10: bounded sample $rSmall%.3f vs 8x sample $rBig%.3f")
+      assert(rSmall >= rBig - 0.1,
+        f"bounded-sample codebooks lost recall vs the 8x sample: " +
+          f"$rSmall%.3f vs $rBig%.3f — the bounded-sample claim no longer holds")
+    } finally corpus.unpersist()
+  }
+
   test("coarse training routes past maxTrainCells to the distributed trainer") {
     // maxTrainCells = 4 forces the routing at spec size; the coarse
     // geometry must be the distributed trainer's, verbatim, and the
