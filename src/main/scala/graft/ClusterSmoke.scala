@@ -207,7 +207,38 @@ object ClusterSmoke {
           .toDF("cell", "centroid")
       })
       println(f"CLUSTERSMOKE# $mode store:ivf_dist_train ${distRun.secs}%.2fs")
+      // SHARDED store build IN THIS MODE (round 14): ShardedIvf.build
+      // submits S concurrent Spark jobs from a bounded thread pool — the
+      // one surface of the sharded lifecycle a single-JVM run cannot
+      // vouch for on a real cluster scheduler (concurrent stages
+      // interleaving across executor JVMs, parallel executor-side
+      // clustered writes). Work counters are per-shard-deterministic and
+      // sum over shards; the CONCURRENCY must not change them.
+      val shRoot = s"$artifactRoot/index_sharded"
+      graft.sources.PosixMetaBackend.deleteRecursively(shRoot)
+      val prevShRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, shRoot)
+      val shBuildRun = try timedRun("store:sharded_build", {
+        graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
+        spark.range(0).toDF("done") // counters carry the build work
+      }) finally prevShRoot.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:sharded_build ${shBuildRun.secs}%.2fs")
+      // batched sharded probe against a SHARED artifact (first mode
+      // builds, the other short-circuits) — the same layout-equal-inputs
+      // rule the single-index probe needs for exact counter equality
       val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
+      val shProbeRun = try {
+        val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
+        val panel = graft.operators.AnnEval.queryPanel(spark,
+          graft.sources.Tables.load(spark, sfDir, "embeddings"))
+        timedRun("store:sharded_probe",
+          graft.operators.AnnEval.shardedTopK(spark, shPath, 3, panel, k = 10))
+      } finally prevRoot.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:sharded_probe ${shProbeRun.secs}%.2fs rows=${shProbeRun.rows}")
+      val prevRoot2 = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
       val probeRun = try {
         // ensure OUTSIDE the timed window: the first mode pays the shared
@@ -217,11 +248,13 @@ object ClusterSmoke {
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
         timedRun("store:ivf_probe",
           graft.operators.AnnEval.ivfTopK(spark, path, panel, k = 10, nProbe = 4))
-      } finally prevRoot.foreach(
+      } finally prevRoot2.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       println(f"CLUSTERSMOKE# $mode store:ivf_probe ${probeRun.secs}%.2fs rows=${probeRun.rows}")
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
+        "store:sharded_build" -> shBuildRun,
+        "store:sharded_probe" -> shProbeRun,
         "store:ivf_probe" -> probeRun)).toMap
     } finally {
       spark.stop()

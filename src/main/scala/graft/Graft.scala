@@ -181,6 +181,50 @@ object Graft {
       queryVec.toSeq, k, nProbe)
   }
 
+  // ---- sharded IVF (the geometry past one flat coarse quantizer) ----
+
+  /** Build S independent hash-sharded IVF artifacts under `path/shard=r`:
+    * one shard-partitioned tagging pass over the corpus, concurrent
+    * pruned per-shard builds, each shard carrying the full per-index
+    * lifecycle plane (model, cell-partitioned vectors, qerr baseline) —
+    * [[graft.operators.ShardedIvf]]. Use when the single index's k×dim
+    * centroid array outgrows what every executor can broadcast.
+    */
+  def buildShardedIvf(spark: SparkSession, corpus: DataFrame, path: String,
+                      shards: Int, nCellsPerShard: Int = -1): Unit =
+    graft.operators.ShardedIvf.build(spark, corpus, path, shards, nCellsPerShard)
+
+  /** Hash-route a batch to its shards and append each slice idempotently
+    * (per-shard anti-join + drift watermark, under writer leases).
+    */
+  def appendShardedIvf(spark: SparkSession, path: String, shards: Int,
+                       vectors: DataFrame): Unit =
+    graft.operators.ShardedIvf.append(spark, path, shards, vectors)
+
+  /** Per-shard drift check + recall-gated retrain; returns the number of
+    * shards retrained (a drifted shard retrains its own cells only).
+    */
+  def retrainShardedIvfIfNeeded(spark: SparkSession, path: String, shards: Int,
+                                factor: Double = 2.0,
+                                recallFloor: Double = 0.2): Int =
+    graft.operators.ShardedIvf.retrainIfNeeded(spark, path, shards, factor, recallFloor)
+
+  /** Single-query top-k over a sharded artifact: per-shard pruned top-k
+    * (each shard's auto `nProbe`), one union plan, one global TakeOrdered.
+    */
+  def shardedKnn(spark: SparkSession, path: String, shards: Int,
+                 queryVec: Array[Float], k: Int,
+                 nProbe: Int = graft.operators.IvfIndex.NProbeAuto): DataFrame =
+    graft.operators.ShardedIvf.search(spark, path, shards, queryVec.toSeq, k, nProbe)
+
+  /** Batched panel top-k over a sharded artifact (one union plan + one
+    * global per-qid window) — the form recall grading uses.
+    */
+  def shardedProbe(spark: SparkSession, path: String, shards: Int,
+                   queries: Seq[(Long, Seq[Float])], k: Int,
+                   nProbe: Int = graft.operators.IvfIndex.NProbeAuto): DataFrame =
+    graft.operators.AnnEval.shardedTopK(spark, path, shards, queries, k, nProbe)
+
   // ---- artifact SQL surface ----
 
   /** The persisted inverted-index postings (tok, doc_id, tf, dl) for the

@@ -50,7 +50,14 @@ import org.apache.spark.sql.functions._
   * degrades only through the same per-shard cell pruning the single
   * index has; a query's true neighbors are spread across shards by an
   * independent hash, so per-shard top-k union is the textbook
-  * recall-preserving composition.
+  * recall-preserving composition. One measured caveat (SCALE.md
+  * round-14 §1, root-caused against three eliminated hypotheses): at a
+  * FIXED per-shard cell fraction, recall is lower than a same-fraction
+  * single index's, because each shard answers from an S×-sparser subset
+  * whose exact top-k sits at larger radii — a sharded deployment
+  * holding a recall target sizes `nProbe` wider from the measured
+  * curve (0.435/0.675/0.900/1.000 at 2.8%/10.5%/30.7%/100% of
+  * per-shard cells on the 100× drill corpus).
   *
   * Lifecycle entry point:
   * [[graft.sources.VectorIndexStore.ensureShardedIvf]] (idempotent
@@ -158,6 +165,21 @@ object ShardedIvf {
     (0 until shards).count { r =>
       graft.sources.VectorIndexStore.retrainIvfIfNeeded(
         spark, s"$path/shard=$r", factor, recallFloor, nProbe, k)
+    }
+
+  /** Per-shard small-file COMPACTION (`compactIvf` on each shard
+    * artifact): appends fragment each shard's cell directories exactly
+    * like a single index's, so the same pointer-published rewrite
+    * applies — per shard, under the shard's writer lease, readers
+    * mid-probe keep their resolved version. Completes the lifecycle
+    * symmetry: every maintenance verb a single index has (append,
+    * drift, retrain, compact) exists shard-wise here.
+    */
+  def compactShards(spark: SparkSession, path: String, shards: Int): Unit =
+    (0 until shards).foreach { r =>
+      val shardPath = s"$path/shard=$r"
+      val nCells = IvfIndex.loadModel(spark, shardPath).centroids.length
+      graft.sources.VectorIndexStore.compactIvf(spark, shardPath, nCells)
     }
 
   /** Global approximate top-k over all shards: per-shard pruned top-k
