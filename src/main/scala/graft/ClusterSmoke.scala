@@ -238,6 +238,26 @@ object ClusterSmoke {
       } finally prevRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       println(f"CLUSTERSMOKE# $mode store:sharded_probe ${shProbeRun.secs}%.2fs rows=${shProbeRun.rows}")
+      // CALIBRATION on the shared sharded artifact (round 14): the
+      // one-pass recall-curve verb (AnnCalibrate) is an exact panel
+      // grading plus a broadcast rank join — deterministic by contract,
+      // so both modes must size the IDENTICAL width and measure the
+      // identical recall (the digest IS the calibration), with byte-equal
+      // work counters (layout-equal shared artifact, like the probes).
+      val prevRootC = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
+      val calRun = try {
+        val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
+        timedRun("store:sharded_cal", {
+          import spark.implicits._
+          val cal = graft.sources.VectorIndexStore.calibrateShardedIvf(
+            spark, shPath, shards = 3, target = 0.9, k = 10)
+          Seq((cal.width, cal.measured, cal.target, cal.k))
+            .toDF("width", "measured", "target", "k")
+        })
+      } finally prevRootC.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:sharded_cal ${calRun.secs}%.2fs rows=${calRun.rows}")
       val prevRoot2 = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
       val probeRun = try {
@@ -255,6 +275,7 @@ object ClusterSmoke {
         "store:ivf_dist_train" -> distRun,
         "store:sharded_build" -> shBuildRun,
         "store:sharded_probe" -> shProbeRun,
+        "store:sharded_cal" -> calRun,
         "store:ivf_probe" -> probeRun)).toMap
     } finally {
       spark.stop()

@@ -225,6 +225,28 @@ object Graft {
                    nProbe: Int = graft.operators.IvfIndex.NProbeAuto): DataFrame =
     graft.operators.AnnEval.shardedTopK(spark, path, shards, queries, k, nProbe)
 
+  /** Measure the artifact's recall-vs-nProbe curve in one pass and
+    * publish the smallest probe width holding `target` recall@k as its
+    * `nprobe.CAL` sidecar — then pass
+    * [[graft.operators.IvfIndex.NProbeCalibrated]] as `nProbe` anywhere
+    * to probe at the calibrated width. The sized-from-measurement answer
+    * to "what nProbe holds recall r on THIS artifact" (single index).
+    */
+  def calibrateIvf(spark: SparkSession, path: String, target: Double = 0.9,
+                   k: Int = 10): graft.sources.VectorIndexStore.ProbeCal =
+    graft.sources.VectorIndexStore.calibrateIvf(spark, path, target, k)
+
+  /** [[calibrateIvf]] for a sharded artifact: one sidecar at the sharded
+    * root holding the measured PER-SHARD width — the operational answer
+    * to the sharded recall trade (each shard answers from an S×-sparser
+    * subset, so holding a target needs a wider probe; this measures how
+    * much wider on the artifact's own corpus).
+    */
+  def calibrateShardedIvf(spark: SparkSession, path: String, shards: Int,
+                          target: Double = 0.9,
+                          k: Int = 10): graft.sources.VectorIndexStore.ProbeCal =
+    graft.sources.VectorIndexStore.calibrateShardedIvf(spark, path, shards, target, k)
+
   // ---- artifact SQL surface ----
 
   /** The persisted inverted-index postings (tok, doc_id, tf, dl) for the

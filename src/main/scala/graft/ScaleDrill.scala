@@ -397,6 +397,26 @@ object ScaleDrill {
               probeQs, k = 10, nProbe = nProbe)
             val rS = graft.operators.AnnEval.meanRecall(gotS, exactS)
             println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded","recall_at_10":$rS%.3f}""")
+            // CALIBRATION at drill scale: the engine sizes the per-shard
+            // width holding recall@10 >= 0.9 on ITS artifact in one exact
+            // pass (AnnCalibrate's capture-width curve) and publishes the
+            // nprobe.CAL sidecar; a sentinel probe is then graded against
+            // the SAME exact oracle (on the drill's own panel, which the
+            // calibration never saw — its internal panel is hash-picked
+            // from the artifact corpus). This is the measured sizing-table
+            // answer to the sharded recall trade, produced per scale by
+            // the engine itself instead of a hand-run sweep.
+            var calW = 0
+            report(scale, "calibrate:ivf_sharded", "cold", timed {
+              val cal = graft.sources.VectorIndexStore.calibrateShardedIvf(
+                spark, shPath, shards, target = 0.9, k = 10)
+              calW = cal.width
+              println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:ivf_sharded","target":0.9,"width":${cal.width},"measured":${cal.measured}%.3f}""")
+            })
+            val gotC = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
+              probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
+            val rC = graft.operators.AnnEval.meanRecall(gotC, exactS)
+            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal","recall_at_10":$rC%.3f,"width":$calW}""")
           }
         }
       }
@@ -532,6 +552,9 @@ object DrillCheck {
   def budget(name: String, phase: String): Option[Double] = (name, phase) match {
     case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
     case ("retrain:pq", "cold") => Some(25.0)    // build-class path
+    case ("calibrate:ivf_sharded", "cold") => Some(25.0) // one exact panel
+      // pass (Θ(panel·n), the retrain-recall-gate work class) + a
+      // KB-sized rank join — linear by construction
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probe-width CALIBRATION: measure an IVF artifact's full
+  * recall-vs-nProbe curve in ONE pass and size the smallest probe width
+  * that holds a recall target on that artifact's own corpus.
+  *
+  * Why this exists: the engine's default probe policy
+  * ([[IvfIndex.autoNProbe]], a constant cell FRACTION) was measured on
+  * single full-corpus indexes (SCALE.md round-11 §8). A SHARDED artifact
+  * ([[ShardedIvf]]) answers each query from S×-sparser subsets, where the
+  * exact top-k sits at larger radii and spreads over more cells — the
+  * measured, root-caused trade of SCALE.md round-14 §1 — so the same cell
+  * fraction captures less there. Rather than hard-coding a second policy
+  * constant, calibration turns the artifact's own geometry into its probe
+  * width: a deployment states the recall it needs and the artifact
+  * carries the measured width that delivers it (the `nprobe.CAL` sidecar,
+  * [[graft.sources.VectorIndexStore.calibrateIvf]] /
+  * `calibrateShardedIvf`), honored at probe time via
+  * [[IvfIndex.NProbeCalibrated]].
+  *
+  * The one-pass trick: an exact-top-k neighbor enters the IVF answer at
+  * probe width w iff the 1-based rank of ITS cell in the query's
+  * centroid-distance order is <= w — once its cell is scanned, nothing
+  * outside the exact top-k can outscore it (scores are the same rounded
+  * cosine with the same vec_id tie-break on both sides). So the WHOLE
+  * curve is one number per (query, true-neighbor) pair — the neighbor's
+  * capture width — and recall@k at ANY width w is the fraction of pairs
+  * with capture width <= w. One exact-ground-truth pass plus one
+  * broadcast-join against the driver-computed cell ranks replaces a probe
+  * re-run per candidate width; calibration cost is ~one panel grading,
+  * independent of how many widths the curve resolves. For a sharded
+  * artifact the rank is computed within the neighbor's OWN shard (each
+  * shard probes w of its cells), which grades exactly what
+  * [[AnnEval.shardedTopK]] executes.
+  *
+  * Scale shape: the exact pass is the panel-broadcast corpus scan every
+  * recall grade already pays (|panel|·n, linear); the rank frame is
+  * driver-built but bounded by |panel|·S·maxWidth rows (KB–MB class —
+  * cap `maxWidth` for 10⁵+-cell geometries); the join is
+  * broadcast-against-k·|panel| rows. No new shuffle classes.
+  */
+object AnnCalibrate {
+
+  /** Capture widths (qid, vec_id, shard, width) for every exact-top-k
+    * neighbor of every panel query: `width` = 1-based rank of the
+    * neighbor's cell in the probe order of its shard's model for that
+    * query, or Int.MaxValue when past `maxWidth` (rank not enumerated).
+    * `shardPaths` lists the per-shard artifact roots — length 1 grades a
+    * single index. Vector 0 (the designated query vector of the v-family
+    * fixtures) is excluded on both sides, matching [[AnnEval.ivfTopK]].
+    */
+  def neighborWidths(spark: SparkSession, shardPaths: Seq[String],
+                     queries: Seq[(Long, Seq[Float])], k: Int,
+                     maxWidth: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    require(shardPaths.nonEmpty, "no shard paths")
+    val perShard = shardPaths.zipWithIndex.map { case (p, i) =>
+      IvfIndex.loadVectors(spark, p).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("shard", lit(i))
+    }
+    val corpus = perShard.reduce(_ unionAll _)
+    val exact = AnnEval.exactTopK(spark, corpus, queries, k)
+    // driver-side rank enumeration: |panel| × Σ min(maxWidth, k_s) rows
+    val ranks = shardPaths.zipWithIndex.flatMap { case (p, i) =>
+      val model = IvfIndex.loadModel(spark, p)
+      val w = math.min(maxWidth, model.centroids.length)
+      queries.flatMap { case (qid, qv) =>
+        model.nearestCells(qv, w).zipWithIndex.map {
+          case (c, j) => (qid, i, c, j + 1)
+        }
+      }
+    }
+    val rankDf = broadcast(ranks.toDF("qid", "shard", "cell", "width"))
+    exact
+      .join(corpus.select(col("vec_id"), col("cell"), col("shard")), "vec_id")
+      .join(rankDf, Seq("qid", "shard", "cell"), "left")
+      .select(col("qid"), col("vec_id"), col("shard"),
+        coalesce(col("width"), lit(Int.MaxValue)).as("width"))
+  }
+
+  /** The capture-width HISTOGRAM of [[neighborWidths]], collected: sorted
+    * (width, pairs-captured-at-exactly-width). Everything downstream
+    * (curve points, target quantile) is driver arithmetic over this
+    * one-collect summary — at most one row per distinct width.
+    */
+  def widthHistogram(widths: DataFrame): Seq[(Int, Long)] =
+    widths.groupBy("width").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** recall@k at each requested width, from one histogram: the cumulative
+    * captured fraction. `total` defaults to the histogram mass (every
+    * exact pair, captured or not, is a histogram row).
+    */
+  def recallCurve(hist: Seq[(Int, Long)], ws: Seq[Int]): Seq[(Int, Double)] = {
+    val total = hist.map(_._2).sum.toDouble
+    require(total > 0, "empty ground truth — no panel queries?")
+    ws.sorted.map { w =>
+      w -> hist.iterator.takeWhile(_._1 <= w).map(_._2).sum / total
+    }
+  }
+
+  /** Smallest width w with recall(w) >= target, plus the recall measured
+    * AT that width — the calibration answer. Returns None when the target
+    * is not reachable within the enumerated widths (raise `maxWidth`, or
+    * the target exceeds what full probing of this artifact delivers —
+    * impossible on the index's own corpus, where full probe is exact).
+    */
+  def calibrateWidth(hist: Seq[(Int, Long)], target: Double): Option[(Int, Double)] = {
+    val total = hist.map(_._2).sum.toDouble
+    require(total > 0, "empty ground truth — no panel queries?")
+    var cum = 0L
+    val it = hist.iterator
+    while (it.hasNext) {
+      val (w, n) = it.next()
+      if (w != Int.MaxValue) {
+        cum += n
+        if (cum / total >= target) return Some((w, cum / total))
+      }
+    }
+    None
+  }
+}

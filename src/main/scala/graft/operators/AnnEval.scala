@@ -134,10 +134,13 @@ object AnnEval {
     */
   def ivfTopK(spark: SparkSession, indexPath: String,
               queries: Seq[(Long, Seq[Float])], k: Int,
-              nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
+              nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    val model = IvfIndex.loadModel(spark, indexPath)
     ivfTopKFrames(spark,
       IvfIndex.loadVectors(spark, indexPath).filter(col("vec_id") =!= 0),
-      IvfIndex.loadModel(spark, indexPath), queries, k, nProbe)
+      model, queries, k,
+      IvfIndex.resolveNProbeAt(indexPath, nProbe, model.centroids.length))
+  }
 
   /** [[ivfTopK]] over explicit (vectors, model) frames — the form the
     * retrain path uses to recall-gate a CANDIDATE geometry before its
@@ -185,11 +188,18 @@ object AnnEval {
   def shardedTopK(spark: SparkSession, path: String, shards: Int,
                   queries: Seq[(Long, Seq[Float])], k: Int,
                   nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    // NProbeCalibrated: the sharded ROOT's sidecar is the per-shard width
+    // (that is what calibrateShardedIvf measured); absent → the sentinel
+    // falls through to each shard's auto policy inside ivfScored.
+    val np =
+      if (nProbe == IvfIndex.NProbeCalibrated)
+        graft.sources.VectorIndexStore.calibratedWidth(path).getOrElse(nProbe)
+      else nProbe
     val scored = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
       ivfScored(spark,
         IvfIndex.loadVectors(spark, shardPath).filter(col("vec_id") =!= 0),
-        IvfIndex.loadModel(spark, shardPath), queries, nProbe)
+        IvfIndex.loadModel(spark, shardPath), queries, np)
     }.reduce(_ unionAll _)
     topKPerQuery(scored, k)
   }

@@ -618,6 +618,17 @@ object IvfIndex {
     */
   val NProbeAuto: Int = -1
 
+  /** Sentinel `nProbe` value: resolve the probe width from the artifact's
+    * published `nprobe.CAL` calibration sidecar
+    * ([[graft.sources.VectorIndexStore.calibrateIvf]] /
+    * `calibrateShardedIvf` — the measured smallest width holding a recall
+    * target on the artifact's own corpus). Honored by probe entry points
+    * that know their artifact path ([[AnnEval.ivfTopK]],
+    * [[AnnEval.shardedTopK]], [[ShardedIvf.search]]); an uncalibrated
+    * artifact — or a path-less entry point — falls back to [[autoNProbe]].
+    */
+  val NProbeCalibrated: Int = -2
+
   /** Default probe-width fraction of the cell count. Measured (SCALE.md §8,
     * round-11 drill): holding the PROBED CELL FRACTION constant as
     * `autoCells` grows k with the corpus held recall@10 at 0.86 across two
@@ -638,9 +649,24 @@ object IvfIndex {
 
   /** `nProbe` argument resolution: [[NProbeAuto]] → [[autoNProbe]] of the
     * model's cell count; any explicit positive value is taken verbatim.
+    * [[NProbeCalibrated]] resolves to the auto policy HERE (this is the
+    * path-less fallback) — path-aware entry points intercept it first via
+    * [[resolveNProbeAt]].
     */
   private[graft] def resolveNProbe(nProbe: Int, nCells: Int): Int =
-    if (nProbe == NProbeAuto) autoNProbe(nCells) else nProbe
+    if (nProbe == NProbeAuto || nProbe == NProbeCalibrated) autoNProbe(nCells)
+    else nProbe
+
+  /** Path-aware resolution: [[NProbeCalibrated]] reads the artifact's
+    * `nprobe.CAL` sidecar (auto policy when absent); everything else
+    * defers to [[resolveNProbe]].
+    */
+  private[graft] def resolveNProbeAt(artifactPath: String, nProbe: Int,
+                                     nCells: Int): Int =
+    if (nProbe == NProbeCalibrated)
+      graft.sources.VectorIndexStore.calibratedWidth(artifactPath)
+        .getOrElse(autoNProbe(nCells))
+    else resolveNProbe(nProbe, nCells)
 
   /** Approximate top-k: scan only the `nProbe` cells nearest to the query
     * vector, exact cosine within them. `nProbe` defaults to the

@@ -191,11 +191,17 @@ object ShardedIvf {
   def search(spark: SparkSession, path: String, shards: Int,
              query: Seq[Float], k: Int,
              nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    // NProbeCalibrated: the sharded root's nprobe.CAL is the measured
+    // per-shard width; absent → each shard's auto policy (resolveNProbe)
+    val np =
+      if (nProbe == IvfIndex.NProbeCalibrated)
+        graft.sources.VectorIndexStore.calibratedWidth(path).getOrElse(nProbe)
+      else nProbe
     val perShard = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
       val model = IvfIndex.loadModel(spark, shardPath)
       IvfIndex.search(spark, IvfIndex.loadVectors(spark, shardPath),
-        model, query, k, nProbe)
+        model, query, k, np)
     }
     perShard.reduce(_ unionAll _)
       .orderBy(desc("sim"), col("vec_id"))

@@ -529,6 +529,106 @@ object VectorIndexStore {
     } finally encoded.unpersist()
   }
 
+  /** Calibrated-probe sidecar `nprobe.CAL`:
+    * `<width> <measuredRecall> <target> <k> <panelSize> <semver>` — the
+    * smallest probe width (per shard, for a sharded artifact) whose
+    * measured recall@k over a hash-stratified panel of the artifact's own
+    * corpus meets `target`, plus the measurement parameters so a reader
+    * can tell WHAT the width was sized for. Written atomically (single
+    * PUT — no lease needed); honored at probe time by passing
+    * [[graft.operators.IvfIndex.NProbeCalibrated]] anywhere `nProbe` is
+    * accepted. Like `qerr.BASELINE`, unparseable or future-layout content
+    * reads as ABSENT (with a diagnostic naming the file), so a corrupt
+    * sidecar degrades to the auto policy instead of failing probes.
+    */
+  final case class ProbeCal(width: Int, measured: Double, target: Double,
+                            k: Int, panelSize: Int, version: Int)
+
+  val ProbeCalSemanticsVersion = 1
+
+  private def probeCalFile(path: String) = s"$path/nprobe.CAL"
+
+  private def writeProbeCal(path: String, cal: ProbeCal): Unit =
+    Versioned.metaBackend.writeAtomic(probeCalFile(path),
+      s"${cal.width} ${cal.measured} ${cal.target} ${cal.k} " +
+        s"${cal.panelSize} ${cal.version}")
+
+  def readProbeCal(path: String): Option[ProbeCal] =
+    Versioned.metaBackend.readString(probeCalFile(path)).flatMap { content =>
+      try {
+        content.trim.split(" ") match {
+          case Array(w, m, t, k, p, v) =>
+            Some(ProbeCal(w.toInt, m.toDouble, t.toDouble, k.toInt, p.toInt, v.toInt))
+          case _ => throw new NumberFormatException("field count")
+        }
+      } catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[graft] unparseable nprobe.CAL at " +
+            s"${probeCalFile(path)} (content: '${content.trim.take(80)}'): " +
+            "treating as absent — probes fall back to the auto policy")
+          None
+      }
+    }
+
+  /** The calibrated probe width of an artifact, if one was measured and
+    * published — what [[graft.operators.IvfIndex.NProbeCalibrated]]
+    * resolves to at probe entry points that know their artifact path.
+    */
+  def calibratedWidth(path: String): Option[Int] = readProbeCal(path).map(_.width)
+
+  /** Measure the artifact's recall-vs-width curve in one pass
+    * ([[graft.operators.AnnCalibrate]]) over a hash-stratified panel of
+    * its OWN corpus, size the smallest width holding `target` recall@k,
+    * and publish it as the `nprobe.CAL` sidecar. `shardPaths` length 1
+    * calibrates a single index; the sharded entry below calibrates the
+    * composition (each shard probing `width` of ITS cells — exactly what
+    * `AnnEval.shardedTopK` executes). Cost: one exact panel grading —
+    * the same work class as the retrain recall gate. Returns the
+    * published calibration.
+    */
+  private def calibrateAt(spark: SparkSession, sidecarPath: String,
+                          shardPaths: Seq[String], target: Double, k: Int,
+                          maxPanel: Int, maxWidth: Int): ProbeCal = {
+    val corpus = shardPaths
+      .map(p => IvfIndex.loadVectors(spark, p)
+        .select("vec_id", "label", "embedding"))
+      .reduce(_ unionAll _)
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val panel = graft.operators.AnnEval.rowPanel(corpus, maxPanel)
+    val hist = graft.operators.AnnCalibrate.widthHistogram(
+      graft.operators.AnnCalibrate.neighborWidths(spark, shardPaths, panel, k, maxWidth))
+    val (width, measured) = graft.operators.AnnCalibrate.calibrateWidth(hist, target)
+      .getOrElse(throw new IllegalStateException(
+        f"recall target $target%.3f unreachable within maxWidth=$maxWidth at " +
+          s"$sidecarPath — raise maxWidth (full probe is exact on the " +
+          "artifact's own corpus)"))
+    val cal = ProbeCal(width, measured, target, k, panel.size, ProbeCalSemanticsVersion)
+    writeProbeCal(sidecarPath, cal)
+    cal
+  }
+
+  /** Calibrate a single persisted IVF artifact to `target` recall@k and
+    * publish its `nprobe.CAL`.
+    */
+  def calibrateIvf(spark: SparkSession, path: String, target: Double = 0.9,
+                   k: Int = 10, maxPanel: Int = 32,
+                   maxWidth: Int = 4096): ProbeCal =
+    calibrateAt(spark, path, Seq(path), target, k, maxPanel, maxWidth)
+
+  /** Calibrate a sharded IVF artifact ([[graft.operators.ShardedIvf]]) to
+    * `target` recall@k: ONE sidecar at the sharded root holding the
+    * per-shard width — the deployment answer to the measured sharded
+    * recall trade (SCALE.md round-14 §1: a shard answers from an
+    * S×-sparser subset, so holding a target needs a wider probe than the
+    * single-index fraction; this measures exactly how much wider, on the
+    * artifact's own geometry and corpus).
+    */
+  def calibrateShardedIvf(spark: SparkSession, path: String, shards: Int,
+                          target: Double = 0.9, k: Int = 10,
+                          maxPanel: Int = 32, maxWidth: Int = 4096): ProbeCal =
+    calibrateAt(spark, path, (0 until shards).map(r => s"$path/shard=$r"),
+      target, k, maxPanel, maxWidth)
+
   private def deleteLegacy(path: String, name: String): Unit =
     Versioned.metaBackend.deleteRecursively(s"$path/$name")
 

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.{Tables, VectorIndexStore}
+import org.apache.spark.sql.functions._
+
+/** Probe-width calibration contracts: the one-pass recall curve must
+  * EQUAL what real probes measure at every width (the capture-width
+  * equivalence AnnCalibrate's Scaladoc argues), the sized width must be
+  * minimal for its target, the published sidecar must be honored by the
+  * probe sentinel and must degrade to the auto policy when corrupt.
+  */
+class AnnCalibrateSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def buildSingle(nCells: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, dir, emb, nCells)
+    dir
+  }
+
+  test("one-pass curve equals independently probed recall at every width") {
+    val path = buildSingle(nCells = 8)
+    val panel = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
+      .filter(col("vec_id") =!= 0), maxPanel = 12)
+    val k = 10
+    val exact = AnnEval.exactTopK(spark,
+      IvfIndex.loadVectors(spark, path).filter(col("vec_id") =!= 0), panel, k)
+    val hist = AnnCalibrate.widthHistogram(
+      AnnCalibrate.neighborWidths(spark, Seq(path), panel, k))
+    val curve = AnnCalibrate.recallCurve(hist, Seq(1, 2, 4, 8)).toMap
+    for (w <- Seq(1, 2, 4, 8)) {
+      val probed = AnnEval.meanRecall(
+        AnnEval.ivfTopK(spark, path, panel, k, nProbe = w), exact)
+      assert(math.abs(curve(w) - probed) < 1e-9,
+        s"curve($w)=${curve(w)} but a real probe at nProbe=$w measures $probed")
+    }
+    // monotone, exact at full width (the index's own corpus)
+    val vals = Seq(1, 2, 4, 8).map(curve)
+    assert(vals == vals.sorted, s"curve not monotone: $vals")
+    assert(curve(8) == 1.0, s"full-width recall ${curve(8)} != 1.0")
+  }
+
+  test("calibrateIvf publishes the minimal width holding the target") {
+    val path = buildSingle(nCells = 8)
+    val cal = VectorIndexStore.calibrateIvf(spark, path, target = 0.9, k = 10)
+    assert(cal.measured >= 0.9, s"calibrated recall ${cal.measured} < target")
+    assert(VectorIndexStore.calibratedWidth(path).contains(cal.width))
+    // minimality: one cell narrower misses the target (when narrowable)
+    if (cal.width > 1) {
+      val panel = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
+        .filter(col("vec_id") =!= 0), maxPanel = 32)
+      val hist = AnnCalibrate.widthHistogram(
+        AnnCalibrate.neighborWidths(spark, Seq(path), panel, 10))
+      val below = AnnCalibrate.recallCurve(hist, Seq(cal.width - 1)).head._2
+      assert(below < 0.9, s"width ${cal.width} not minimal: ${cal.width - 1} " +
+        s"already measures $below")
+    }
+    // the probe sentinel resolves to the calibrated width: identical rows
+    val panel2 = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
+      .filter(col("vec_id") =!= 0), maxPanel = 8)
+    val viaSentinel = AnnEval.ivfTopK(spark, path, panel2, 10,
+      nProbe = IvfIndex.NProbeCalibrated).collect().toSet
+    val viaExplicit = AnnEval.ivfTopK(spark, path, panel2, 10,
+      nProbe = cal.width).collect().toSet
+    assert(viaSentinel == viaExplicit)
+  }
+
+  test("sharded calibration sizes the composition and its sentinel probes meet the target") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cal_sh").toString + "/ix"
+    val shards = 3
+    ShardedIvf.build(spark, emb, root, shards, nCellsPerShard = 8)
+    val cal = VectorIndexStore.calibrateShardedIvf(spark, root, shards,
+      target = 0.9, k = 10)
+    assert(cal.measured >= 0.9)
+    assert(cal.width <= 8, "per-shard width cannot exceed a shard's cells")
+    // the sidecar lives at the sharded ROOT and shardedTopK honors it:
+    // measured recall at the sentinel meets the calibrated target
+    val shardPaths = (0 until shards).map(r => s"$root/shard=$r")
+    val corpus = shardPaths
+      .map(p => IvfIndex.loadVectors(spark, p).filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding"))
+      .reduce(_ unionAll _)
+    val panel = AnnEval.rowPanel(corpus, maxPanel = 32)
+    val exact = AnnEval.exactTopK(spark, corpus, panel, 10)
+    val recall = AnnEval.meanRecall(
+      AnnEval.shardedTopK(spark, root, shards, panel, 10,
+        nProbe = IvfIndex.NProbeCalibrated), exact)
+    assert(recall >= 0.9 - 1e-9,
+      f"sentinel probe recall $recall%.3f below the calibrated target")
+    // single-query search honors it too (vs the explicit width)
+    val (qid, qv) = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    val viaSentinel = ShardedIvf.search(spark, root, shards, qv, 10,
+      nProbe = IvfIndex.NProbeCalibrated)
+      .filter(col("vec_id") =!= qid).select("vec_id").as[Long].collect().toSeq
+    val viaExplicit = ShardedIvf.search(spark, root, shards, qv, 10,
+      nProbe = cal.width)
+      .filter(col("vec_id") =!= qid).select("vec_id").as[Long].collect().toSeq
+    assert(viaSentinel == viaExplicit)
+  }
+
+  test("corrupt or absent sidecar degrades the sentinel to the auto policy") {
+    val path = buildSingle(nCells = 8)
+    val panel = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
+      .filter(col("vec_id") =!= 0), maxPanel = 8)
+    val auto = AnnEval.ivfTopK(spark, path, panel, 10,
+      nProbe = IvfIndex.NProbeAuto).collect().toSet
+    // absent: never calibrated
+    assert(VectorIndexStore.calibratedWidth(path).isEmpty)
+    val absent = AnnEval.ivfTopK(spark, path, panel, 10,
+      nProbe = IvfIndex.NProbeCalibrated).collect().toSet
+    assert(absent == auto, "uncalibrated sentinel must equal the auto policy")
+    // corrupt: unparseable content reads as absent (diagnostic, no throw)
+    graft.sources.Versioned.metaBackend.writeAtomic(
+      s"$path/nprobe.CAL", "not a calibration")
+    assert(VectorIndexStore.calibratedWidth(path).isEmpty)
+    val corrupt = AnnEval.ivfTopK(spark, path, panel, 10,
+      nProbe = IvfIndex.NProbeCalibrated).collect().toSet
+    assert(corrupt == auto, "corrupt sidecar must degrade to the auto policy")
+  }
+}
