@@ -161,11 +161,16 @@ object ShardedIvf {
     */
   def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
                       factor: Double = 2.0, recallFloor: Double = 0.2,
-                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int =
-    (0 until shards).count { r =>
+                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int = {
+    val retrained = (0 until shards).count { r =>
       graft.sources.VectorIndexStore.retrainIvfIfNeeded(
         spark, s"$path/shard=$r", factor, recallFloor, nProbe, k)
     }
+    // the sharded calibration lives at the ROOT: any shard's new geometry
+    // stales the composition's measured width
+    if (retrained > 0) graft.sources.VectorIndexStore.invalidateProbeCal(path)
+    retrained
+  }
 
   /** Per-shard small-file COMPACTION (`compactIvf` on each shard
     * artifact): appends fragment each shard's cell directories exactly

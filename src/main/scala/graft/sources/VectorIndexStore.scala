@@ -468,6 +468,7 @@ object VectorIndexStore {
       val (seq, mean) = logWatermark(spark, path,
         IvfIndex.distortionStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)
+      invalidateProbeCal(path) // a width sized for the OLD cells is stale
       true
     } finally assigned.unpersist()
   }
@@ -575,6 +576,22 @@ object VectorIndexStore {
     * resolves to at probe entry points that know their artifact path.
     */
   def calibratedWidth(path: String): Option[Int] = readProbeCal(path).map(_.width)
+
+  /** Drop an artifact's `nprobe.CAL` — called by the RETRAIN paths after
+    * publishing a new geometry, because a width sized against the old
+    * cell layout says nothing about the new one (the calibration analogue
+    * of resetting `qerr.BASELINE`; probes degrade to the auto policy
+    * until the operator recalibrates). Appends do NOT invalidate: the
+    * calibration drifts with the corpus exactly like the quantizer does,
+    * and the same `qerr` watermarks that schedule the retrain bound that
+    * staleness — the retrain then lands here.
+    */
+  private[graft] def invalidateProbeCal(path: String): Unit =
+    if (Versioned.metaBackend.exists(probeCalFile(path))) {
+      Versioned.metaBackend.deleteRecursively(probeCalFile(path))
+      System.err.println(s"[graft] dropped stale nprobe.CAL at $path " +
+        "(geometry retrained) — probes use the auto policy until recalibrated")
+    }
 
   /** Measure the artifact's recall-vs-width curve in one pass
     * ([[graft.operators.AnnCalibrate]]) over a hash-stratified panel of

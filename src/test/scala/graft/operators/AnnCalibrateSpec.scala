@@ -102,6 +102,32 @@ class AnnCalibrateSpec extends SparkTestBase {
     assert(viaSentinel == viaExplicit)
   }
 
+  test("retrain invalidates the calibration (single and sharded)") {
+    import spark.implicits._
+    // a strongly shifted batch drifts every qerr series past the factor
+    def drifted = emb.select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(8.0f))
+        .cast("array<float>").as("embedding"))
+    // single index: calibrate, drift, retrain -> sidecar gone
+    val single = buildSingle(nCells = 8)
+    VectorIndexStore.calibrateIvf(spark, single, target = 0.9, k = 10)
+    assert(VectorIndexStore.calibratedWidth(single).isDefined)
+    VectorIndexStore.appendIvf(spark, single, drifted)
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, single), "must retrain")
+    assert(VectorIndexStore.calibratedWidth(single).isEmpty,
+      "a retrained geometry must drop the width sized for the old cells")
+    // sharded: per-shard retrains stale the ROOT sidecar
+    val root = java.nio.file.Files.createTempDirectory("graft_cal_rt").toString + "/ix"
+    val shards = 2
+    ShardedIvf.build(spark, emb, root, shards, nCellsPerShard = 8)
+    VectorIndexStore.calibrateShardedIvf(spark, root, shards, target = 0.9, k = 10)
+    assert(VectorIndexStore.calibratedWidth(root).isDefined)
+    ShardedIvf.append(spark, root, shards, drifted)
+    assert(ShardedIvf.retrainIfNeeded(spark, root, shards) > 0)
+    assert(VectorIndexStore.calibratedWidth(root).isEmpty,
+      "any shard's retrain stales the composition's calibrated width")
+  }
+
   test("corrupt or absent sidecar degrades the sentinel to the auto policy") {
     val path = buildSingle(nCells = 8)
     val panel = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
