@@ -247,6 +247,19 @@ object Graft {
                           k: Int = 10): graft.sources.VectorIndexStore.ProbeCal =
     graft.sources.VectorIndexStore.calibrateShardedIvf(spark, path, shards, target, k)
 
+  /** [[calibrateIvf]] for the IVF-PQ path, sizing the RE-RANK SHORTLIST
+    * instead of the probe width (one ADC pass gives the whole
+    * recall-vs-shortlist curve at the recorded probe width; the ceiling
+    * is the cell-pruning recall — widen `nProbe` first for targets above
+    * it). Publishes `shortlist.CAL`, honored via
+    * [[graft.operators.PqIndex.ShortlistCalibrated]].
+    */
+  def calibratePqShortlist(spark: SparkSession, path: String,
+                           fullPrecision: DataFrame, target: Double = 0.9,
+                           k: Int = 10): graft.sources.VectorIndexStore.PqShortCal =
+    graft.sources.VectorIndexStore.calibratePqShortlist(
+      spark, path, fullPrecision, target, k)
+
   // ---- artifact SQL surface ----
 
   /** The persisted inverted-index postings (tok, doc_id, tf, dl) for the

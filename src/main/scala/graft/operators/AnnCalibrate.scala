@@ -82,6 +82,37 @@ object AnnCalibrate {
         coalesce(col("width"), lit(Int.MaxValue)).as("width"))
   }
 
+  /** Capture SHORTLISTS for the IVF-PQ path: (qid, vec_id, width) where
+    * `width` is the exact-top-k neighbor's per-query ADC RANK among the
+    * candidates in its probed cells — the smallest re-rank shortlist at
+    * which [[AnnEval.pqTopKFrames]] (at the SAME `nProbe`) returns it.
+    * Once shortlisted, the exact re-rank keeps a true neighbor (only
+    * other exact members outscore it), so the recall-vs-shortlist curve
+    * is one ADC pass + one rank window, not a probe re-run per candidate
+    * shortlist. Neighbors whose cell is NOT probed get Int.MaxValue — no
+    * shortlist recovers them, which is why the PQ curve's ceiling is the
+    * cell-pruning recall, not 1.0 (size `nProbe` first, then the
+    * shortlist).
+    */
+  def pqShortlistWidths(spark: SparkSession, pqPath: String,
+                        fullPrecision: DataFrame,
+                        queries: Seq[(Long, Seq[Float])], k: Int,
+                        nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = PqIndex.loadModel(spark, pqPath)
+    val encoded = PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0)
+    val ranked = AnnEval.pqApproxScores(spark, encoded, model, queries, nProbe)
+      .withColumn("width", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_d"), col("vec_id"))))
+      .select(col("qid"), col("vec_id"), col("width"))
+    val exact = AnnEval.exactTopK(spark,
+      fullPrecision.filter(col("vec_id") =!= 0), queries, k)
+    exact
+      .join(ranked, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("vec_id"),
+        coalesce(col("width"), lit(Int.MaxValue)).as("width"))
+  }
+
   /** The capture-width HISTOGRAM of [[neighborWidths]], collected: sorted
     * (width, pairs-captured-at-exactly-width). Everything downstream
     * (curve points, target quantile) is driver arithmetic over this

@@ -211,10 +211,19 @@ object AnnEval {
     */
   def pqTopK(spark: SparkSession, pqPath: String, fullPrecision: DataFrame,
              queries: Seq[(Long, Seq[Float])], k: Int,
-             nProbe: Int = IvfIndex.NProbeAuto, shortlist: Int = 50): DataFrame =
+             nProbe: Int = IvfIndex.NProbeAuto,
+             shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+    // ShortlistCalibrated: the artifact's measured re-rank depth
+    // (shortlist.CAL); absent → the engine default
+    val sl =
+      if (shortlist == PqIndex.ShortlistCalibrated)
+        graft.sources.VectorIndexStore.calibratedShortlist(pqPath)
+          .getOrElse(PqIndex.DefaultShortlist)
+      else shortlist
     pqTopKFrames(spark,
       PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0),
-      PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe, shortlist)
+      PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe, sl)
+  }
 
   /** [[pqTopK]] over explicit (encoded, model) frames — the form the
     * retrain path uses to recall-gate a CANDIDATE geometry before its
@@ -225,30 +234,7 @@ object AnnEval {
                    k: Int, nProbe: Int = IvfIndex.NProbeAuto,
                    shortlist: Int = 50): DataFrame = {
     import spark.implicits._
-    val np = IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length)
-    val probes = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, np).map(c => (qid, c))
-    }
-    val tables = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, np).map(c => (qid, c) -> model.adcTable(qv, c))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(tables)
-    val cells = probes.map(_._2).distinct
-    val probeDf = broadcast(probes.toDF("qid", "cell"))
-    val approx = encoded
-      .filter(col("cell").isin(cells: _*))
-      .join(probeDf, "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("cell"), col("code"))
-      .as[(Long, Long, Int, Array[Byte])]
-      .map { case (qid, id, cell, code) =>
-        val t = bc.value((qid, cell))
-        var d = 0.0
-        var s = 0
-        while (s < code.length) { d += t(s)(code(s) & 0xff); s += 1 }
-        (qid, id, d)
-      }
-      .toDF("qid", "vec_id", "approx_d")
+    val approx = pqApproxScores(spark, encoded, model, queries, nProbe)
     val short = approx
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("approx_d"), col("vec_id"))))
@@ -262,6 +248,45 @@ object AnnEval {
           round(graft.expressions.GraftFunctions.cosine_sim(
             col("embedding"), col("qemb")), 6).as("sim")),
       k)
+  }
+
+  /** The ADC-scored candidate frame (qid, vec_id, approx_d) behind
+    * [[pqTopKFrames]]: per-(qid, cell) ADC tables broadcast as one map,
+    * approximate distance = m byte-code lookups per candidate in the
+    * probed cells. Shared with [[AnnCalibrate.pqShortlistWidths]] — the
+    * per-qid ADC RANK over this frame is a candidate's capture
+    * shortlist, which makes the recall-vs-shortlist curve a one-pass
+    * measurement.
+    */
+  private[graft] def pqApproxScores(spark: SparkSession, encoded: DataFrame,
+                                    model: PqIndex.Model,
+                                    queries: Seq[(Long, Seq[Float])],
+                                    nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val np = IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length)
+    val probes = queries.flatMap { case (qid, qv) =>
+      model.coarse.nearestCells(qv, np).map(c => (qid, c))
+    }
+    val tables = queries.flatMap { case (qid, qv) =>
+      model.coarse.nearestCells(qv, np).map(c => (qid, c) -> model.adcTable(qv, c))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    val cells = probes.map(_._2).distinct
+    val probeDf = broadcast(probes.toDF("qid", "cell"))
+    encoded
+      .filter(col("cell").isin(cells: _*))
+      .join(probeDf, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Long, Int, Array[Byte])]
+      .map { case (qid, id, cell, code) =>
+        val t = bc.value((qid, cell))
+        var d = 0.0
+        var s = 0
+        while (s < code.length) { d += t(s)(code(s) & 0xff); s += 1 }
+        (qid, id, d)
+      }
+      .toDF("qid", "vec_id", "approx_d")
   }
 
   /** Mean recall@k of `annTopK` against `exactTopK` over the panel: the

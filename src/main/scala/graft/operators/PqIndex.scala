@@ -317,6 +317,19 @@ object PqIndex {
   def loadEncoded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(encodedDir(path))
 
+  /** Default ADC re-rank shortlist when no measured calibration applies. */
+  val DefaultShortlist = 50
+
+  /** Sentinel `shortlist` value: resolve the re-rank depth from the
+    * artifact's `shortlist.CAL` sidecar
+    * ([[graft.sources.VectorIndexStore.calibratePqShortlist]] — the
+    * measured smallest shortlist holding a recall target at the recorded
+    * probe width). Honored by path-aware entry points
+    * ([[AnnEval.pqTopK]]); an uncalibrated artifact falls back to
+    * [[DefaultShortlist]].
+    */
+  val ShortlistCalibrated: Int = -2
+
   /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
     * row by m table lookups, keep the `shortlist` smallest approximate
     * distances (TakeOrderedAndProject). Returns (vec_id, label, approx_d).

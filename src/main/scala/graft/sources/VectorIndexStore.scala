@@ -526,6 +526,7 @@ object VectorIndexStore {
       val (seq, mean) = logWatermark(spark, path,
         PqIndex.quantizationStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)
+      invalidateShortCal(path) // a depth sized for the OLD geometry is stale
       true
     } finally encoded.unpersist()
   }
@@ -621,6 +622,89 @@ object VectorIndexStore {
           "artifact's own corpus)"))
     val cal = ProbeCal(width, measured, target, k, panel.size, ProbeCalSemanticsVersion)
     writeProbeCal(sidecarPath, cal)
+    cal
+  }
+
+  /** `shortlist.CAL` sidecar for the IVF-PQ artifact:
+    * `<shortlist> <measuredRecall> <target> <k> <panelSize> <nProbe> <semver>`
+    * — the smallest ADC re-rank shortlist whose measured recall@k meets
+    * `target` AT the recorded probe width (the curve is conditional on
+    * `nProbe`: shortlist only sizes what the probed cells contain).
+    * Same robustness contract as `nprobe.CAL`.
+    */
+  final case class PqShortCal(shortlist: Int, measured: Double, target: Double,
+                              k: Int, panelSize: Int, nProbe: Int, version: Int)
+
+  private def shortCalFile(path: String) = s"$path/shortlist.CAL"
+
+  private def writeShortCal(path: String, cal: PqShortCal): Unit =
+    Versioned.metaBackend.writeAtomic(shortCalFile(path),
+      s"${cal.shortlist} ${cal.measured} ${cal.target} ${cal.k} " +
+        s"${cal.panelSize} ${cal.nProbe} ${cal.version}")
+
+  def readShortCal(path: String): Option[PqShortCal] =
+    Versioned.metaBackend.readString(shortCalFile(path)).flatMap { content =>
+      try {
+        content.trim.split(" ") match {
+          case Array(s, m, t, k, p, np, v) =>
+            Some(PqShortCal(s.toInt, m.toDouble, t.toDouble, k.toInt,
+              p.toInt, np.toInt, v.toInt))
+          case _ => throw new NumberFormatException("field count")
+        }
+      } catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[graft] unparseable shortlist.CAL at " +
+            s"${shortCalFile(path)} (content: '${content.trim.take(80)}'): " +
+            "treating as absent — probes fall back to the default shortlist")
+          None
+      }
+    }
+
+  /** The calibrated re-rank shortlist of a PQ artifact, if published —
+    * what [[graft.operators.PqIndex.ShortlistCalibrated]] resolves to.
+    */
+  def calibratedShortlist(path: String): Option[Int] =
+    readShortCal(path).map(_.shortlist)
+
+  private[graft] def invalidateShortCal(path: String): Unit =
+    if (Versioned.metaBackend.exists(shortCalFile(path))) {
+      Versioned.metaBackend.deleteRecursively(shortCalFile(path))
+      System.err.println(s"[graft] dropped stale shortlist.CAL at $path " +
+        "(geometry retrained) — probes use the default shortlist until " +
+        "recalibrated")
+    }
+
+  /** Size the smallest ADC re-rank shortlist holding `target` recall@k on
+    * the PQ artifact's own corpus at the engine-default (or given) probe
+    * width, and publish it as `shortlist.CAL`. The reachable ceiling is
+    * the CELL-PRUNING recall at that `nProbe` (no shortlist recovers a
+    * neighbor in an unprobed cell) — an unreachable target throws with
+    * that diagnosis, pointing at `nProbe`, not the shortlist.
+    */
+  def calibratePqShortlist(spark: SparkSession, path: String,
+                           fullPrecision: org.apache.spark.sql.DataFrame,
+                           target: Double = 0.9, k: Int = 10,
+                           nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
+                           maxPanel: Int = 32): PqShortCal = {
+    val corpus = fullPrecision.select("vec_id", "label", "embedding")
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val panel = graft.operators.AnnEval.rowPanel(corpus, maxPanel)
+    val hist = graft.operators.AnnCalibrate.widthHistogram(
+      graft.operators.AnnCalibrate.pqShortlistWidths(
+        spark, path, corpus, panel, k, nProbe))
+    val total = hist.map(_._2).sum.toDouble
+    val ceiling = hist.filter(_._1 != Int.MaxValue).map(_._2).sum / total
+    val (shortlist, measured) =
+      graft.operators.AnnCalibrate.calibrateWidth(hist, target)
+        .getOrElse(throw new IllegalStateException(
+          f"recall target $target%.3f exceeds the cell-pruning ceiling " +
+            f"$ceiling%.3f at this nProbe on $path — widen the PROBE, the " +
+            "shortlist cannot recover neighbors in unprobed cells"))
+    val np = graft.operators.IvfIndex.resolveNProbe(nProbe,
+      graft.operators.PqIndex.loadModel(spark, path).coarse.centroids.length)
+    val cal = PqShortCal(shortlist, measured, target, k, panel.size, np,
+      ProbeCalSemanticsVersion)
+    writeShortCal(path, cal)
     cal
   }
 

@@ -128,6 +128,63 @@ class AnnCalibrateSpec extends SparkTestBase {
       "any shard's retrain stales the composition's calibrated width")
   }
 
+  private def buildPq(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_pq").toString + "/pq"
+    VectorIndexStore.buildPqAt(spark, dir, emb)
+    dir
+  }
+
+  test("PQ one-pass shortlist curve equals independently probed recall at every depth") {
+    val path = buildPq()
+    val panel = AnnEval.rowPanel(emb.filter(col("vec_id") =!= 0), maxPanel = 12)
+    val k = 10
+    val exact = AnnEval.exactTopK(spark, emb.filter(col("vec_id") =!= 0), panel, k)
+    val hist = AnnCalibrate.widthHistogram(
+      AnnCalibrate.pqShortlistWidths(spark, path, emb, panel, k))
+    val depths = Seq(5, 15, 50, 200)
+    val curve = AnnCalibrate.recallCurve(hist, depths).toMap
+    for (d <- depths) {
+      val probed = AnnEval.meanRecall(
+        AnnEval.pqTopK(spark, path, emb, panel, k, shortlist = d), exact)
+      assert(math.abs(curve(d) - probed) < 1e-9,
+        s"curve($d)=${curve(d)} but a real PQ probe at shortlist=$d measures $probed")
+    }
+  }
+
+  test("calibratePqShortlist publishes a working depth; unreachable targets name the probe ceiling") {
+    val path = buildPq()
+    val cal = VectorIndexStore.calibratePqShortlist(spark, path, emb,
+      target = 0.5, k = 10)
+    assert(cal.measured >= 0.5)
+    assert(VectorIndexStore.calibratedShortlist(path).contains(cal.shortlist))
+    // sentinel resolves to the calibrated depth: identical rows
+    val panel = AnnEval.rowPanel(emb.filter(col("vec_id") =!= 0), maxPanel = 8)
+    val viaSentinel = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      shortlist = PqIndex.ShortlistCalibrated).collect().toSet
+    val viaExplicit = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      shortlist = cal.shortlist).collect().toSet
+    assert(viaSentinel == viaExplicit)
+    // a target above the cell-pruning ceiling fails pointing at nProbe
+    // (nProbe=1 prunes hard enough that recall 0.999 is out of reach)
+    val e = intercept[IllegalStateException] {
+      VectorIndexStore.calibratePqShortlist(spark, path, emb,
+        target = 0.999, k = 10, nProbe = 1)
+    }
+    assert(e.getMessage.contains("widen the PROBE"),
+      s"ceiling diagnosis should point at nProbe: ${e.getMessage}")
+    // PQ retrain drops the calibration like the IVF one does
+    import spark.implicits._
+    val drifted = emb.select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(8.0f))
+        .cast("array<float>").as("embedding"))
+    VectorIndexStore.appendPq(spark, path, drifted)
+    assert(VectorIndexStore.retrainPqIfNeeded(spark, path,
+      emb.select("vec_id", "label", "embedding").unionAll(drifted)),
+      "must retrain")
+    assert(VectorIndexStore.calibratedShortlist(path).isEmpty,
+      "a retrained PQ geometry must drop the old calibrated shortlist")
+  }
+
   test("corrupt or absent sidecar degrades the sentinel to the auto policy") {
     val path = buildSingle(nCells = 8)
     val panel = AnnEval.rowPanel(IvfIndex.loadVectors(spark, path)
