@@ -224,53 +224,42 @@ object ClusterSmoke {
       }) finally prevShRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       println(f"CLUSTERSMOKE# $mode store:sharded_build ${shBuildRun.secs}%.2fs")
-      // batched sharded probe against a SHARED artifact (first mode
-      // builds, the other short-circuits) — the same layout-equal-inputs
-      // rule the single-index probe needs for exact counter equality
+      // SHARED-artifact rows (first mode builds, the other
+      // short-circuits — the layout-equal-inputs rule exact counter
+      // equality needs), all under one RootConf window:
+      //   store:sharded_probe — batched sharded top-k;
+      //   store:sharded_cal   — the one-pass recall-curve verb
+      //     (AnnCalibrate): an exact panel grading plus a broadcast rank
+      //     join, deterministic by contract, so both modes must size the
+      //     IDENTICAL width and measure the identical recall (the digest
+      //     IS the calibration);
+      //   store:ivf_probe     — single-index batched probe (its ensure
+      //     runs OUTSIDE the timed window: the first mode pays the shared
+      //     build there, both modes' counters cover probing only).
       val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val shProbeRun = try {
+      val (shProbeRun, calRun, probeRun) = try {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
-        timedRun("store:sharded_probe",
+        val p = timedRun("store:sharded_probe",
           graft.operators.AnnEval.shardedTopK(spark, shPath, 3, panel, k = 10))
-      } finally prevRoot.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
-      println(f"CLUSTERSMOKE# $mode store:sharded_probe ${shProbeRun.secs}%.2fs rows=${shProbeRun.rows}")
-      // CALIBRATION on the shared sharded artifact (round 14): the
-      // one-pass recall-curve verb (AnnCalibrate) is an exact panel
-      // grading plus a broadcast rank join — deterministic by contract,
-      // so both modes must size the IDENTICAL width and measure the
-      // identical recall (the digest IS the calibration), with byte-equal
-      // work counters (layout-equal shared artifact, like the probes).
-      val prevRootC = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val calRun = try {
-        val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
-        timedRun("store:sharded_cal", {
+        println(f"CLUSTERSMOKE# $mode store:sharded_probe ${p.secs}%.2fs rows=${p.rows}")
+        val c = timedRun("store:sharded_cal", {
           import spark.implicits._
           val cal = graft.sources.VectorIndexStore.calibrateShardedIvf(
             spark, shPath, shards = 3, target = 0.9, k = 10)
           Seq((cal.width, cal.measured, cal.target, cal.k))
             .toDF("width", "measured", "target", "k")
         })
-      } finally prevRootC.foreach(
+        println(f"CLUSTERSMOKE# $mode store:sharded_cal ${c.secs}%.2fs rows=${c.rows}")
+        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
+        val i = timedRun("store:ivf_probe",
+          graft.operators.AnnEval.ivfTopK(spark, ivfPath, panel, k = 10, nProbe = 4))
+        println(f"CLUSTERSMOKE# $mode store:ivf_probe ${i.secs}%.2fs rows=${i.rows}")
+        (p, c, i)
+      } finally prevRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
-      println(f"CLUSTERSMOKE# $mode store:sharded_cal ${calRun.secs}%.2fs rows=${calRun.rows}")
-      val prevRoot2 = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val probeRun = try {
-        // ensure OUTSIDE the timed window: the first mode pays the shared
-        // build here; both modes' probe counters then cover probing only
-        val path = graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
-        val panel = graft.operators.AnnEval.queryPanel(spark,
-          graft.sources.Tables.load(spark, sfDir, "embeddings"))
-        timedRun("store:ivf_probe",
-          graft.operators.AnnEval.ivfTopK(spark, path, panel, k = 10, nProbe = 4))
-      } finally prevRoot2.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
-      println(f"CLUSTERSMOKE# $mode store:ivf_probe ${probeRun.secs}%.2fs rows=${probeRun.rows}")
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
         "store:sharded_build" -> shBuildRun,

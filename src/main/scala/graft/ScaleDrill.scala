@@ -392,7 +392,10 @@ object ScaleDrill {
           }
           report(scale, "probe:ivf_sharded", "probe", repsS.minBy(_._1))
           if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            // persisted: the Θ(panel·n) exact pass grades BOTH the fixed
+            // and the calibrated probe below — don't pay it twice
             val exactS = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val gotS = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
               probeQs, k = 10, nProbe = nProbe)
             val rS = graft.operators.AnnEval.meanRecall(gotS, exactS)
@@ -417,6 +420,7 @@ object ScaleDrill {
               probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
             val rC = graft.operators.AnnEval.meanRecall(gotC, exactS)
             println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal","recall_at_10":$rC%.3f,"width":$calW}""")
+            exactS.unpersist()
           }
         }
       }
@@ -539,8 +543,11 @@ object DrillCheck {
     case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
     case "x02_jaccard_stats" => Some(21.0)         // 10.4 measured at 1→10 under
       // the r14 permutation generator (exactly linear; budget = ~2x
-      // measured per the stated policy). The pre-r13 join layout measured
-      // 13.2 — a reintroduced inter-sizes join still breaches this line.
+      // measured per the stated policy). Scope note: this 1→10 line
+      // catches a true quadratic (~100x); the pre-r13 inter-sizes JOIN
+      // layout measured 13.2 at 1→10 — UNDER this budget — and only
+      // breaches at the 100x stage (its 2.3x shuffle multiple), so that
+      // specific regression is guarded by the 100x drill, not this pair.
     case "x06_dup_clusters" => Some(25.0)          // 10.0 measured
     case "x07_containment" => Some(120.0)          // 59.7 measured: plan transitions
     case "x15_exact_substring_dedup" => Some(25.0) // 10.0 measured

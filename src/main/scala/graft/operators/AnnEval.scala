@@ -238,7 +238,7 @@ object AnnEval {
     val short = approx
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("approx_d"), col("vec_id"))))
-      .filter(col("rn") <= shortlist)
+      .filter(col("rn") <= PqIndex.resolveShortlist(shortlist))
       .select("qid", "vec_id")
     val panel = broadcast(queries.toDF("qid", "qemb"))
     topKPerQuery(

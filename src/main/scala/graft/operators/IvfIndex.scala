@@ -488,7 +488,19 @@ object IvfIndex {
   private[operators] def trainFromSample(sample: Array[Array[Double]], k: Int,
                                          iters: Int): Model = {
     require(sample.length >= k, s"need >= $k sample vectors")
-    var centroids = sample.take(k).map(_.clone())
+    // duplicate-free init (same contract as trainDistributed's
+    // distinctInit): a duplicate seed makes two identical centroids and
+    // the strict d < bestD tie-break starves the second cell for all
+    // Lloyd rounds. Take the first k DISTINCT sample vectors, falling
+    // back to later sample rows; < k distinct in the whole sample pads
+    // with duplicates (the corpus owns its degenerate cells). A
+    // duplicate-free head reproduces the historical take(k) bit-for-bit,
+    // so every pinned model is unchanged.
+    var centroids = {
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      val distinct = sample.filter(v => seen.add(v.toSeq))
+      (distinct ++ sample).take(k).map(_.clone())
+    }
     for (_ <- 0 until iters) {
       val dims = centroids(0).length
       val sums = Array.fill(k)(new Array[Double](dims))

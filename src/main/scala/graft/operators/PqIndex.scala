@@ -330,6 +330,18 @@ object PqIndex {
     */
   val ShortlistCalibrated: Int = -2
 
+  /** `shortlist` argument resolution for PATH-LESS entry points
+    * ([[adcShortlist]], [[search]], `AnnEval.pqTopKFrames`): the
+    * calibration sentinel falls back to [[DefaultShortlist]] here —
+    * without an artifact path there is no sidecar to read, and passing
+    * the raw -2 through would make `rn <= -2` silently return zero rows
+    * (the IVF twin maps `NProbeCalibrated` to the auto policy the same
+    * way in `resolveNProbe`). Path-aware entries (`AnnEval.pqTopK`)
+    * intercept the sentinel first.
+    */
+  private[graft] def resolveShortlist(shortlist: Int): Int =
+    if (shortlist == ShortlistCalibrated) DefaultShortlist else shortlist
+
   /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
     * row by m table lookups, keep the `shortlist` smallest approximate
     * distances (TakeOrderedAndProject). Returns (vec_id, label, approx_d).
@@ -355,7 +367,7 @@ object PqIndex {
       }
       .toDF("vec_id", "label", "approx_d")
       .orderBy(col("approx_d"), col("vec_id"))
-      .limit(shortlist)
+      .limit(resolveShortlist(shortlist))
   }
 
   /** Full IVF-PQ retrieval: ADC shortlist, then exact cosine re-rank of

@@ -96,36 +96,49 @@ object ShardedIvf {
             shards: Int, nCellsPerShard: Int = -1): Unit = {
     require(shards >= 1, s"shards=$shards")
     val taggedDir = s"$path/tagged"
+    // overwrite: a failed prior build's scratch must not fail the retry
     vectors.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("shard", shardCol(shards))
       .repartition(col("shard")) // shard-clustered: one file per shard dir
-      .write.partitionBy("shard").parquet(taggedDir)
-    val tagged = spark.read.parquet(taggedDir)
-    // one column-pruned pass gives every shard's cardinality
-    val counts: Map[Int, Long] = tagged.groupBy("shard").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(shards, BuildParallelism),
-      (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      .write.mode("overwrite").partitionBy("shard").parquet(taggedDir)
     try {
-      val builds = (0 until shards).map { r =>
-        Future {
-          val part = tagged.filter(col("shard") === r).drop("shard")
-          val cells =
-            if (nCellsPerShard > 0) nCellsPerShard
-            else graft.sources.VectorIndexStore.autoCells(counts.getOrElse(r, 0L))
-          graft.sources.VectorIndexStore.buildIvfAt(
-            spark, s"$path/shard=$r", part, cells)
+      val tagged = spark.read.parquet(taggedDir)
+      // one column-pruned pass gives every shard's cardinality
+      val counts: Map[Int, Long] = tagged.groupBy("shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(shards, BuildParallelism),
+        (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val builds = (0 until shards).map { r =>
+          Future {
+            val part = tagged.filter(col("shard") === r).drop("shard")
+            val cells =
+              if (nCellsPerShard > 0) nCellsPerShard
+              else graft.sources.VectorIndexStore.autoCells(counts.getOrElse(r, 0L))
+            graft.sources.VectorIndexStore.buildIvfAt(
+              spark, s"$path/shard=$r", part, cells)
+          }
         }
+        Await.result(Future.sequence(builds), Duration.Inf)
+        ()
+      } finally {
+        // on failure, Await rethrows the FIRST error while sibling shard
+        // builds may still be reading the scratch — quiesce them before
+        // the outer finally deletes it (bounded: a wedged sibling must
+        // not hang cleanup forever)
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        ()
       }
-      Await.result(Future.sequence(builds), Duration.Inf)
-      ()
-    } finally pool.shutdown()
-    // scratch: every shard's vectors now live inside its own artifact
-    graft.sources.Versioned.metaBackend.deleteRecursively(taggedDir)
+    } finally
+      // scratch: on success every shard's vectors live inside its own
+      // artifact; on a shard-build failure a corpus-sized copy must not
+      // leak (and must not mask the root cause on retry)
+      graft.sources.Versioned.metaBackend.deleteRecursively(taggedDir)
   }
 
   /** Hash-route `newVectors` to their shards and append each slice

@@ -570,6 +570,16 @@ object VectorIndexStore {
             "treating as absent — probes fall back to the auto policy")
           None
       }
+    }.filter { cal =>
+      // a FUTURE-semantics sidecar parses but its width may mean something
+      // else entirely (the documented reads-as-absent contract): honoring
+      // it silently is the cross-semantics class qerr.BASELINE's version
+      // stamp exists to prevent
+      val ok = cal.version <= ProbeCalSemanticsVersion
+      if (!ok) System.err.println(s"[graft] nprobe.CAL at $path has " +
+        s"semantics v${cal.version} > supported v$ProbeCalSemanticsVersion: " +
+        "treating as absent — probes fall back to the auto policy")
+      ok
     }
 
   /** The calibrated probe width of an artifact, if one was measured and
@@ -658,6 +668,12 @@ object VectorIndexStore {
             "treating as absent — probes fall back to the default shortlist")
           None
       }
+    }.filter { cal =>
+      val ok = cal.version <= ProbeCalSemanticsVersion
+      if (!ok) System.err.println(s"[graft] shortlist.CAL at $path has " +
+        s"semantics v${cal.version} > supported v$ProbeCalSemanticsVersion: " +
+        "treating as absent — probes fall back to the default shortlist")
+      ok
     }
 
   /** The calibrated re-rank shortlist of a PQ artifact, if published —

@@ -203,5 +203,26 @@ class AnnCalibrateSpec extends SparkTestBase {
     val corrupt = AnnEval.ivfTopK(spark, path, panel, 10,
       nProbe = IvfIndex.NProbeCalibrated).collect().toSet
     assert(corrupt == auto, "corrupt sidecar must degrade to the auto policy")
+    // FUTURE semantics version: parses, but the width may mean something
+    // else — must read as absent, not be silently honored
+    graft.sources.Versioned.metaBackend.writeAtomic(
+      s"$path/nprobe.CAL", "3 0.95 0.9 10 32 99")
+    assert(VectorIndexStore.calibratedWidth(path).isEmpty,
+      "a future-semantics sidecar must read as absent")
+  }
+
+  test("PQ calibration sentinel on path-less entries falls back to the default shortlist") {
+    val path = buildPq()
+    val panel = AnnEval.rowPanel(emb.filter(col("vec_id") =!= 0), maxPanel = 8)
+    val encoded = PqIndex.loadEncoded(spark, path).filter(col("vec_id") =!= 0)
+    val model = PqIndex.loadModel(spark, path)
+    // pqTopKFrames has no artifact path: the sentinel must behave as the
+    // default depth, never as a literal -2 (which silently returns zero rows)
+    val viaSentinel = AnnEval.pqTopKFrames(spark, encoded, model, emb, panel, 10,
+      shortlist = PqIndex.ShortlistCalibrated).collect().toSet
+    assert(viaSentinel.nonEmpty, "sentinel must not produce an empty answer")
+    val viaDefault = AnnEval.pqTopKFrames(spark, encoded, model, emb, panel, 10,
+      shortlist = PqIndex.DefaultShortlist).collect().toSet
+    assert(viaSentinel == viaDefault)
   }
 }

@@ -279,6 +279,22 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("sampled trainer init is duplicate-free: a duplicate head cannot permanently starve a cell") {
+    val base = syntheticSample(64)
+    // duplicate the first vector into position 1: the old take(k) init
+    // seeded two identical centroids, the strict d < bestD tie-break
+    // starved the second cell every round, and empty-cells-keep-their-
+    // centroid preserved the duplicate forever
+    val dup = base.map(_.clone()); dup(1) = base(0).clone()
+    val m = IvfIndex.trainFromSample(dup, k = 8, iters = 5)
+    assert(m.centroids.map(_.toSeq).distinct.length == 8,
+      "no two trained centroids may remain identical after a duplicate head")
+    // a duplicate-free head reproduces the historical init bit-for-bit
+    val m1 = IvfIndex.trainFromSample(base, 8, 5)
+    val m2 = IvfIndex.trainFromSample(base.map(_.clone()), 8, 5)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
   test("auto-nProbe: fixture floor pins 4; large geometries hold the measured cell fraction") {
     // every pinned fixture geometry (16 cells) resolves to the historical
     // nProbe 4 — declared oracles are bit-identical under auto resolution
