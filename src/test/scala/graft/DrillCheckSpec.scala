@@ -90,6 +90,21 @@ class DrillCheckSpec extends AnyFunSuite {
     assert(math.abs(x02sh.ratio - 10.41) < 0.1 && x02sh.budget == 21.0)
   }
 
+  test("round-14 calibration row is time-budgeted at the build class") {
+    // transcribed from SCALE_DRILL_r14.jsonl: one exact panel pass
+    // (Θ(panel·n)) + a broadcast rank join — linear; the counter checks
+    // auto-skip on the 1x base (6,064 and 10,256 both < MinCounterBase)
+    val measured = Seq(
+      full(1, "calibrate:ivf_sharded", "cold", 3.020, 6064L, 10256L),
+      full(10, "calibrate:ivf_sharded", "cold", 3.767, 60159L, 10274L))
+    val checks = DrillCheck.evaluate(measured)
+    assert(checks.nonEmpty && checks.forall(_.ok), s"failed: ${checks.filterNot(_.ok)}")
+    val t = checks.find(_.name == "calibrate:ivf_sharded").get
+    assert(t.budget == 25.0 && t.ratio < 2.0, s"measured 1.25x, got ${t.ratio}")
+    assert(!checks.exists(_.name.contains("#")),
+      "sub-floor 1x counters must auto-skip, not fabricate ratio checks")
+  }
+
   test("counter check catches a superlinear regression the time clamp masks") {
     // t1 = 0.1 s sits under the noise-floor clamp, so a real ~50x slope
     // reads as time ratio 1.1/0.3 = 3.7, inside x02's 7x budget — the
