@@ -125,7 +125,7 @@ object Graft {
     */
   def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queryVec: Array[Float],
                k: Int, nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
-               shortlist: Int = 50): DataFrame = {
+               shortlist: Int = graft.operators.PqIndex.DefaultShortlist): DataFrame = {
     val model = graft.operators.PqIndex.train(spark, corpus)
     val encoded = graft.operators.PqIndex.encode(spark, corpus, model)
     graft.operators.PqIndex.search(spark, encoded, corpus, model,
@@ -176,9 +176,12 @@ object Graft {
   def ivfProbe(spark: SparkSession, indexPath: String, queryVec: Array[Float],
                k: Int, nProbe: Int = graft.operators.IvfIndex.NProbeAuto): DataFrame = {
     val model = graft.operators.IvfIndex.loadModel(spark, indexPath)
+    // path-aware: NProbeCalibrated resolves from the artifact's nprobe.CAL
     graft.operators.IvfIndex.search(spark,
       graft.operators.IvfIndex.loadVectors(spark, indexPath), model,
-      queryVec.toSeq, k, nProbe)
+      queryVec.toSeq, k,
+      graft.operators.IvfIndex.resolveNProbeAt(indexPath, nProbe,
+        model.centroids.length))
   }
 
   // ---- sharded IVF (the geometry past one flat coarse quantizer) ----

@@ -97,10 +97,20 @@ object AnnCalibrate {
   def pqShortlistWidths(spark: SparkSession, pqPath: String,
                         fullPrecision: DataFrame,
                         queries: Seq[(Long, Seq[Float])], k: Int,
-                        nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+                        nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
+    pqShortlistWidthsFrames(spark,
+      PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0),
+      PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe)
+
+  /** [[pqShortlistWidths]] over explicit (encoded, model) frames — lets a
+    * caller that already holds the model (the calibration verb) avoid a
+    * second codebook load.
+    */
+  def pqShortlistWidthsFrames(spark: SparkSession, encoded: DataFrame,
+                              model: PqIndex.Model, fullPrecision: DataFrame,
+                              queries: Seq[(Long, Seq[Float])], k: Int,
+                              nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val model = PqIndex.loadModel(spark, pqPath)
-    val encoded = PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0)
     val ranked = AnnEval.pqApproxScores(spark, encoded, model, queries, nProbe)
       .withColumn("width", row_number().over(
         Window.partitionBy("qid").orderBy(col("approx_d"), col("vec_id"))))
@@ -123,14 +133,19 @@ object AnnCalibrate {
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
 
   /** recall@k at each requested width, from one histogram: the cumulative
-    * captured fraction. `total` defaults to the histogram mass (every
-    * exact pair, captured or not, is a histogram row).
+    * captured fraction. `total` is the histogram mass (every exact pair,
+    * captured or not, is a histogram row). The Int.MaxValue bucket —
+    * never-capturable pairs (beyond `maxWidth`, or in unprobed cells on
+    * the PQ path) — is excluded at EVERY requested width, including a
+    * requested Int.MaxValue: the curve's ceiling is the real capture
+    * ceiling, never 1.0 by sentinel accounting.
     */
   def recallCurve(hist: Seq[(Int, Long)], ws: Seq[Int]): Seq[(Int, Double)] = {
     val total = hist.map(_._2).sum.toDouble
     require(total > 0, "empty ground truth — no panel queries?")
     ws.sorted.map { w =>
-      w -> hist.iterator.takeWhile(_._1 <= w).map(_._2).sum / total
+      w -> hist.iterator.takeWhile(_._1 <= w)
+        .filter(_._1 != Int.MaxValue).map(_._2).sum / total
     }
   }
 

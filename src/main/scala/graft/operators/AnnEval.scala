@@ -188,13 +188,7 @@ object AnnEval {
   def shardedTopK(spark: SparkSession, path: String, shards: Int,
                   queries: Seq[(Long, Seq[Float])], k: Int,
                   nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
-    // NProbeCalibrated: the sharded ROOT's sidecar is the per-shard width
-    // (that is what calibrateShardedIvf measured); absent → the sentinel
-    // falls through to each shard's auto policy inside ivfScored.
-    val np =
-      if (nProbe == IvfIndex.NProbeCalibrated)
-        graft.sources.VectorIndexStore.calibratedWidth(path).getOrElse(nProbe)
-      else nProbe
+    val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val scored = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
       ivfScored(spark,
@@ -213,16 +207,30 @@ object AnnEval {
              queries: Seq[(Long, Seq[Float])], k: Int,
              nProbe: Int = IvfIndex.NProbeAuto,
              shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+    val model = PqIndex.loadModel(spark, pqPath)
+    val servedNp = IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length)
     // ShortlistCalibrated: the artifact's measured re-rank depth
-    // (shortlist.CAL); absent → the engine default
+    // (shortlist.CAL) — valid ONLY at the probe width it was sized for
+    // (the curve is conditional on nProbe: the sidecar records it).
+    // Serving a calibrated depth at a different width would void the
+    // recall promise silently, so that mismatch degrades to the default
+    // depth with a diagnostic; an uncalibrated artifact degrades too.
     val sl =
       if (shortlist == PqIndex.ShortlistCalibrated)
-        graft.sources.VectorIndexStore.calibratedShortlist(pqPath)
-          .getOrElse(PqIndex.DefaultShortlist)
+        graft.sources.VectorIndexStore.readShortCal(pqPath) match {
+          case Some(cal) if cal.nProbe == servedNp => cal.shortlist
+          case Some(cal) =>
+            System.err.println(s"[graft] shortlist.CAL at $pqPath was sized " +
+              s"at nProbe=${cal.nProbe} but this probe serves nProbe=$servedNp" +
+              " — its recall promise does not transfer; using the default " +
+              "shortlist (recalibrate at the serving width)")
+            PqIndex.DefaultShortlist
+          case None => PqIndex.DefaultShortlist
+        }
       else shortlist
     pqTopKFrames(spark,
       PqIndex.loadEncoded(spark, pqPath).filter(col("vec_id") =!= 0),
-      PqIndex.loadModel(spark, pqPath), fullPrecision, queries, k, nProbe, sl)
+      model, fullPrecision, queries, k, servedNp, sl)
   }
 
   /** [[pqTopK]] over explicit (encoded, model) frames — the form the
@@ -232,7 +240,7 @@ object AnnEval {
   def pqTopKFrames(spark: SparkSession, encoded: DataFrame, model: PqIndex.Model,
                    fullPrecision: DataFrame, queries: Seq[(Long, Seq[Float])],
                    k: Int, nProbe: Int = IvfIndex.NProbeAuto,
-                   shortlist: Int = 50): DataFrame = {
+                   shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
     import spark.implicits._
     val approx = pqApproxScores(spark, encoded, model, queries, nProbe)
     val short = approx
@@ -264,12 +272,13 @@ object AnnEval {
                                     nProbe: Int): DataFrame = {
     import spark.implicits._
     val np = IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length)
-    val probes = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, np).map(c => (qid, c))
+    // one O(k·dim) centroid scan per query yields BOTH the probe frame
+    // and the ADC tables
+    val probeTables = queries.flatMap { case (qid, qv) =>
+      model.coarse.nearestCells(qv, np).map(c => (qid, c, model.adcTable(qv, c)))
     }
-    val tables = queries.flatMap { case (qid, qv) =>
-      model.coarse.nearestCells(qv, np).map(c => (qid, c) -> model.adcTable(qv, c))
-    }.toMap
+    val probes = probeTables.map { case (qid, c, _) => (qid, c) }
+    val tables = probeTables.map { case (qid, c, t) => (qid, c) -> t }.toMap
     val bc = spark.sparkContext.broadcast(tables)
     val cells = probes.map(_._2).distinct
     val probeDf = broadcast(probes.toDF("qid", "cell"))

@@ -459,17 +459,29 @@ object IvfIndex {
     * occurrence wins — a duplicate-free head reproduces the historical
     * init exactly.
     */
+  /** The first k DISTINCT vectors of `sample` (order-preserving), padded
+    * with duplicates when the whole sample holds fewer than k distinct —
+    * the SHARED duplicate-free k-means init head of both trainers (a
+    * duplicate seed starves its twin cell for every Lloyd round; a
+    * duplicate-free head is bit-identical to the historical take(k)).
+    */
+  private[operators] def dedupHead(sample: Array[Array[Double]],
+                                   k: Int): Array[Array[Double]] = {
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    val distinct = sample.filter(v => seen.add(v.toSeq))
+    (distinct ++ sample).take(k)
+  }
+
   private def distinctInit(spark: SparkSession, embeddings: DataFrame,
                            k: Int): Array[Array[Double]] = {
     var size = k
     while (true) {
       val sample = collectSample(spark, embeddings, size)
       require(sample.length >= k, s"need >= $k corpus vectors")
-      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-      val distinct = sample.filter(v => seen.add(v.toSeq))
-      if (distinct.length >= k) return distinct.take(k)
-      if (sample.length < size || size >= 8 * k)
-        return (distinct ++ sample).take(k) // exhausted/capped: pad with dups
+      val head = dedupHead(sample, k)
+      val distinctCount = head.map(_.toSeq).distinct.length
+      if (distinctCount >= k || sample.length < size || size >= 8 * k)
+        return head // enough distinct, or exhausted/capped: pad with dups
       size *= 2
     }
     throw new IllegalStateException("unreachable")
@@ -488,19 +500,10 @@ object IvfIndex {
   private[operators] def trainFromSample(sample: Array[Array[Double]], k: Int,
                                          iters: Int): Model = {
     require(sample.length >= k, s"need >= $k sample vectors")
-    // duplicate-free init (same contract as trainDistributed's
-    // distinctInit): a duplicate seed makes two identical centroids and
-    // the strict d < bestD tie-break starves the second cell for all
-    // Lloyd rounds. Take the first k DISTINCT sample vectors, falling
-    // back to later sample rows; < k distinct in the whole sample pads
-    // with duplicates (the corpus owns its degenerate cells). A
-    // duplicate-free head reproduces the historical take(k) bit-for-bit,
-    // so every pinned model is unchanged.
-    var centroids = {
-      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-      val distinct = sample.filter(v => seen.add(v.toSeq))
-      (distinct ++ sample).take(k).map(_.clone())
-    }
+    // duplicate-free init ([[dedupHead]], shared with the distributed
+    // trainer's distinctInit): < k distinct in the whole sample pads
+    // with duplicates (the corpus owns its degenerate cells)
+    var centroids = dedupHead(sample, k).map(_.clone())
     for (_ <- 0 until iters) {
       val dims = centroids(0).length
       val sums = Array.fill(k)(new Array[Double](dims))
@@ -679,6 +682,18 @@ object IvfIndex {
       graft.sources.VectorIndexStore.calibratedWidth(artifactPath)
         .getOrElse(autoNProbe(nCells))
     else resolveNProbe(nProbe, nCells)
+
+  /** [[resolveNProbeAt]] for a SHARDED root: the root's `nprobe.CAL` is
+    * the per-shard width (that is what `calibrateShardedIvf` measured);
+    * an uncalibrated root keeps the sentinel flowing so each shard's
+    * model resolves its OWN auto policy downstream. The single shared
+    * home of this resolution for `AnnEval.shardedTopK` and
+    * `ShardedIvf.search`.
+    */
+  private[graft] def resolveShardedNProbeAt(rootPath: String, nProbe: Int): Int =
+    if (nProbe == NProbeCalibrated)
+      graft.sources.VectorIndexStore.calibratedWidth(rootPath).getOrElse(nProbe)
+    else nProbe
 
   /** Approximate top-k: scan only the `nProbe` cells nearest to the query
     * vector, exact cosine within them. `nProbe` defaults to the

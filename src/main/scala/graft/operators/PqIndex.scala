@@ -348,7 +348,7 @@ object PqIndex {
     */
   def adcShortlist(spark: SparkSession, encoded: DataFrame, model: Model,
                    query: Seq[Float], nProbe: Int = IvfIndex.NProbeAuto,
-                   shortlist: Int = 50): DataFrame = {
+                   shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
     import spark.implicits._
     val cells = model.coarse.nearestCells(query,
       IvfIndex.resolveNProbe(nProbe, model.coarse.centroids.length))
@@ -376,7 +376,7 @@ object PqIndex {
     */
   def search(spark: SparkSession, encoded: DataFrame, fullPrecision: DataFrame,
              model: Model, query: Seq[Float], k: Int,
-             nProbe: Int = IvfIndex.NProbeAuto, shortlist: Int = 50): DataFrame = {
+             nProbe: Int = IvfIndex.NProbeAuto, shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
     val short = adcShortlist(spark, encoded, model, query, nProbe, shortlist)
     val qCol = lit(query.toArray).cast("array<float>")
     short.select("vec_id")

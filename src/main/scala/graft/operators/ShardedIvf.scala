@@ -115,6 +115,11 @@ object ShardedIvf {
       try {
         val builds = (0 until shards).map { r =>
           Future {
+            // a failed prior build may have published SOME shards; their
+            // parquet writes are ErrorIfExists, so a direct-build retry
+            // must clear each shard before rebuilding (ensureShardedIvf
+            // is retry-safe anyway via its fresh tmp dir)
+            graft.sources.Versioned.metaBackend.deleteRecursively(s"$path/shard=$r")
             val part = tagged.filter(col("shard") === r).drop("shard")
             val cells =
               if (nCellsPerShard > 0) nCellsPerShard
@@ -175,14 +180,14 @@ object ShardedIvf {
   def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
                       factor: Double = 2.0, recallFloor: Double = 0.2,
                       nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int = {
-    val retrained = (0 until shards).count { r =>
+    // root-calibration staleness is keyed to the retrain itself: each
+    // per-shard retrain invalidates its parent's nprobe.CAL
+    // (VectorIndexStore.invalidateProbeCal), so direct per-shard
+    // maintenance is covered too — nothing extra to do here
+    (0 until shards).count { r =>
       graft.sources.VectorIndexStore.retrainIvfIfNeeded(
         spark, s"$path/shard=$r", factor, recallFloor, nProbe, k)
     }
-    // the sharded calibration lives at the ROOT: any shard's new geometry
-    // stales the composition's measured width
-    if (retrained > 0) graft.sources.VectorIndexStore.invalidateProbeCal(path)
-    retrained
   }
 
   /** Per-shard small-file COMPACTION (`compactIvf` on each shard
@@ -209,12 +214,7 @@ object ShardedIvf {
   def search(spark: SparkSession, path: String, shards: Int,
              query: Seq[Float], k: Int,
              nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
-    // NProbeCalibrated: the sharded root's nprobe.CAL is the measured
-    // per-shard width; absent → each shard's auto policy (resolveNProbe)
-    val np =
-      if (nProbe == IvfIndex.NProbeCalibrated)
-        graft.sources.VectorIndexStore.calibratedWidth(path).getOrElse(nProbe)
-      else nProbe
+    val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val perShard = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
       val model = IvfIndex.loadModel(spark, shardPath)

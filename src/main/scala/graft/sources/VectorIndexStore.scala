@@ -485,7 +485,7 @@ object VectorIndexStore {
                         fullPrecision: org.apache.spark.sql.DataFrame,
                         factor: Double = 2.0, recallFloor: Double = 0.2,
                         nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10,
-                        shortlist: Int = 50): Boolean = Versioned.withWriterLease(path) {
+                        shortlist: Int = PqIndex.DefaultShortlist): Boolean = Versioned.withWriterLease(path) {
     // a semantics-stale baseline is rebaselined (one scan), never retrained
     rebaselineIfStale(spark, path)(PqIndex.quantizationStats(spark,
       fullPrecision.select("vec_id", "label", "embedding"),
@@ -597,12 +597,23 @@ object VectorIndexStore {
     * and the same `qerr` watermarks that schedule the retrain bound that
     * staleness — the retrain then lands here.
     */
-  private[graft] def invalidateProbeCal(path: String): Unit =
+  private[graft] def invalidateProbeCal(path: String): Unit = {
     if (Versioned.metaBackend.exists(probeCalFile(path))) {
       Versioned.metaBackend.deleteRecursively(probeCalFile(path))
       System.err.println(s"[graft] dropped stale nprobe.CAL at $path " +
         "(geometry retrained) — probes use the auto policy until recalibrated")
     }
+    // a shard artifact's geometry change stales its sharded ROOT's
+    // calibration too — keyed here to the retrain itself, so a direct
+    // per-shard `retrainIvfIfNeeded(path/shard=r)` (the documented
+    // per-shard lifecycle) cannot leave the composition's width stale
+    path match {
+      case ShardChild(parent) => invalidateProbeCal(parent)
+      case _ => ()
+    }
+  }
+
+  private val ShardChild = "(.*)/shard=\\d+$".r
 
   /** Measure the artifact's recall-vs-width curve in one pass
     * ([[graft.operators.AnnCalibrate]]) over a hash-stratified panel of
@@ -705,9 +716,13 @@ object VectorIndexStore {
     val corpus = fullPrecision.select("vec_id", "label", "embedding")
       .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
     val panel = graft.operators.AnnEval.rowPanel(corpus, maxPanel)
+    // one model load serves the rank pass AND the recorded probe width
+    val model = PqIndex.loadModel(spark, path)
+    val encoded = PqIndex.loadEncoded(spark, path)
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
     val hist = graft.operators.AnnCalibrate.widthHistogram(
-      graft.operators.AnnCalibrate.pqShortlistWidths(
-        spark, path, corpus, panel, k, nProbe))
+      graft.operators.AnnCalibrate.pqShortlistWidthsFrames(
+        spark, encoded, model, corpus, panel, k, nProbe))
     val total = hist.map(_._2).sum.toDouble
     val ceiling = hist.filter(_._1 != Int.MaxValue).map(_._2).sum / total
     val (shortlist, measured) =
@@ -717,7 +732,7 @@ object VectorIndexStore {
             f"$ceiling%.3f at this nProbe on $path — widen the PROBE, the " +
             "shortlist cannot recover neighbors in unprobed cells"))
     val np = graft.operators.IvfIndex.resolveNProbe(nProbe,
-      graft.operators.PqIndex.loadModel(spark, path).coarse.centroids.length)
+      model.coarse.centroids.length)
     val cal = PqShortCal(shortlist, measured, target, k, panel.size, np,
       ProbeCalSemanticsVersion)
     writeShortCal(path, cal)

@@ -65,6 +65,16 @@ class AnnCalibrateSpec extends SparkTestBase {
     val viaExplicit = AnnEval.ivfTopK(spark, path, panel2, 10,
       nProbe = cal.width).collect().toSet
     assert(viaSentinel == viaExplicit)
+    // the single-query facade honors it too (it knows its path)
+    import spark.implicits._
+    val qv = panel2.head._2
+    val gSentinel = graft.Graft.ivfProbe(spark, path, qv.toArray, 10,
+      nProbe = IvfIndex.NProbeCalibrated)
+      .select("vec_id").as[Long].collect().toSeq
+    val gExplicit = graft.Graft.ivfProbe(spark, path, qv.toArray, 10,
+      nProbe = cal.width)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gSentinel == gExplicit)
   }
 
   test("sharded calibration sizes the composition and its sentinel probes meet the target") {
@@ -123,6 +133,14 @@ class AnnCalibrateSpec extends SparkTestBase {
     VectorIndexStore.calibrateShardedIvf(spark, root, shards, target = 0.9, k = 10)
     assert(VectorIndexStore.calibratedWidth(root).isDefined)
     ShardedIvf.append(spark, root, shards, drifted)
+    // a DIRECT per-shard retrain (the documented per-shard lifecycle, not
+    // the wrapper) must stale the root's calibration too
+    assert(VectorIndexStore.retrainIvfIfNeeded(spark, s"$root/shard=0"),
+      "shard 0 must retrain")
+    assert(VectorIndexStore.calibratedWidth(root).isEmpty,
+      "a direct per-shard retrain stales the composition's calibrated width")
+    // and the wrapper still works for the remaining drifted shard
+    VectorIndexStore.calibrateShardedIvf(spark, root, shards, target = 0.9, k = 10)
     assert(ShardedIvf.retrainIfNeeded(spark, root, shards) > 0)
     assert(VectorIndexStore.calibratedWidth(root).isEmpty,
       "any shard's retrain stales the composition's calibrated width")
@@ -209,6 +227,40 @@ class AnnCalibrateSpec extends SparkTestBase {
       s"$path/nprobe.CAL", "3 0.95 0.9 10 32 99")
     assert(VectorIndexStore.calibratedWidth(path).isEmpty,
       "a future-semantics sidecar must read as absent")
+  }
+
+  test("a calibrated shortlist does not transfer to a different probe width") {
+    val path = buildPq()
+    // calibrate at a WIDE probe (8 cells): the recorded nProbe is 8
+    val cal = VectorIndexStore.calibratePqShortlist(spark, path, emb,
+      target = 0.5, k = 10, nProbe = 8)
+    assert(cal.nProbe == 8)
+    val panel = AnnEval.rowPanel(emb.filter(col("vec_id") =!= 0), maxPanel = 8)
+    // serving at the calibrated width honors the sidecar
+    val atCalWidth = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      nProbe = 8, shortlist = PqIndex.ShortlistCalibrated).collect().toSet
+    val explicit = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      nProbe = 8, shortlist = cal.shortlist).collect().toSet
+    assert(atCalWidth == explicit)
+    // serving at a DIFFERENT width must not silently apply the calibrated
+    // depth (its recall promise is void there): degrade to the default
+    val atOtherWidth = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      nProbe = 2, shortlist = PqIndex.ShortlistCalibrated).collect().toSet
+    val defaultAtOther = AnnEval.pqTopK(spark, path, emb, panel, 10,
+      nProbe = 2, shortlist = PqIndex.DefaultShortlist).collect().toSet
+    assert(atOtherWidth == defaultAtOther,
+      "a width mismatch must degrade the sentinel to the default shortlist")
+  }
+
+  test("recallCurve never counts the never-capturable sentinel bucket") {
+    val hist = Seq((1, 4L), (2, 3L), (Int.MaxValue, 3L)) // ceiling = 0.7
+    val curve = AnnCalibrate.recallCurve(hist, Seq(1, 2, Int.MaxValue)).toMap
+    assert(curve(1) == 0.4 && curve(2) == 0.7)
+    assert(curve(Int.MaxValue) == 0.7,
+      "the unbounded-width point must report the true ceiling, not 1.0")
+    // and calibrateWidth agrees: targets above the ceiling are unreachable
+    assert(AnnCalibrate.calibrateWidth(hist, 0.7).contains((2, 0.7)))
+    assert(AnnCalibrate.calibrateWidth(hist, 0.71).isEmpty)
   }
 
   test("PQ calibration sentinel on path-less entries falls back to the default shortlist") {
