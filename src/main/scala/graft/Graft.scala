@@ -204,6 +204,22 @@ object Graft {
                        vectors: DataFrame): Unit =
     graft.operators.ShardedIvf.append(spark, path, shards, vectors)
 
+  /** Rebuild the sharded composition at a new shard count from the OLD
+    * artifact's own shard tables (appends survive; no external corpus) —
+    * the growth verb for S itself, since `append` hash-routes by the
+    * build-time S forever and every shard otherwise grows back toward
+    * the broadcast ceiling. Builds at `newPath` (shard count is part of
+    * the artifact identity); calibration does not transfer — recalibrate
+    * at S′. Store-managed artifacts use
+    * [[sources.VectorIndexStore.reshardShardedIvf]], which adds the
+    * atomic publish + old-artifact GC.
+    */
+  def reshardIvf(spark: SparkSession, oldPath: String, oldShards: Int,
+                 newPath: String, newShards: Int,
+                 nCellsPerShard: Int = -1): Unit =
+    graft.operators.ShardedIvf.reshard(
+      spark, oldPath, oldShards, newPath, newShards, nCellsPerShard)
+
   /** Per-shard drift check + recall-gated retrain; returns the number of
     * shards retrained (a drifted shard retrains its own cells only).
     */

@@ -446,19 +446,6 @@ object IvfIndex {
     Model(centroids)
   }
 
-  /** DISTINCT k-means init for [[trainDistributed]]: the first `k`
-    * DISTINCT vectors in vec_id order. A duplicate embedding in the plain
-    * head sample would seed two identical centroids, and since empty
-    * cells keep their centroid every Lloyd round, the shadowed cell stays
-    * degenerate for ALL iterations — wasted cells, reduced recall on
-    * corpora with repeated head vectors. The sample enlarges
-    * bounded-exponentially (k → 2k → 4k → 8k) only when the head carries
-    * duplicates; a corpus with fewer than k distinct vectors in that
-    * window pads with duplicates (degenerate cells are then inherent to
-    * the corpus, not the init). Deterministic: vec_id order, first
-    * occurrence wins — a duplicate-free head reproduces the historical
-    * init exactly.
-    */
   /** The first k DISTINCT vectors of `sample` (order-preserving), padded
     * with duplicates when the whole sample holds fewer than k distinct —
     * the SHARED duplicate-free k-means init head of both trainers (a
@@ -472,6 +459,19 @@ object IvfIndex {
     (distinct ++ sample).take(k)
   }
 
+  /** DISTINCT k-means init for [[trainDistributed]]: the first `k`
+    * DISTINCT vectors in vec_id order. A duplicate embedding in the plain
+    * head sample would seed two identical centroids, and since empty
+    * cells keep their centroid every Lloyd round, the shadowed cell stays
+    * degenerate for ALL iterations — wasted cells, reduced recall on
+    * corpora with repeated head vectors. The sample enlarges
+    * bounded-exponentially (k → 2k → 4k → 8k) only when the head carries
+    * duplicates; a corpus with fewer than k distinct vectors in that
+    * window pads with duplicates (degenerate cells are then inherent to
+    * the corpus, not the init). Deterministic: vec_id order, first
+    * occurrence wins — a duplicate-free head reproduces the historical
+    * init exactly.
+    */
   private def distinctInit(spark: SparkSession, embeddings: DataFrame,
                            k: Int): Array[Array[Double]] = {
     var size = k
@@ -670,7 +670,16 @@ object IvfIndex {
     */
   private[graft] def resolveNProbe(nProbe: Int, nCells: Int): Int =
     if (nProbe == NProbeAuto || nProbe == NProbeCalibrated) autoNProbe(nCells)
-    else nProbe
+    else {
+      // any other non-positive value — in particular PqIndex's distinct
+      // ShortlistCalibrated sentinel (-3) transposed into this parameter —
+      // must fail loudly, not probe zero cells and return empty results
+      require(nProbe >= 1,
+        s"nProbe=$nProbe is neither a positive width nor a known sentinel " +
+          s"(NProbeAuto=$NProbeAuto, NProbeCalibrated=$NProbeCalibrated) — " +
+          "a transposed shortlist sentinel must fail, not probe nothing")
+      nProbe
+    }
 
   /** Path-aware resolution: [[NProbeCalibrated]] reads the artifact's
     * `nprobe.CAL` sidecar (auto policy when absent); everything else

@@ -327,20 +327,36 @@ object PqIndex {
     * probe width). Honored by path-aware entry points
     * ([[AnnEval.pqTopK]]); an uncalibrated artifact falls back to
     * [[DefaultShortlist]].
+    *
+    * DISTINCT from [[IvfIndex.NProbeCalibrated]] (-2) on purpose: the two
+    * sentinels flow through ADJACENT Int parameters of the same
+    * signatures (`pqTopK`/`search` take nProbe then shortlist), so equal
+    * values would let a transposed call silently resolve to the default
+    * policy instead of erroring — [[resolveShortlist]] and
+    * `IvfIndex.resolveNProbe` reject each other's sentinel loudly.
     */
-  val ShortlistCalibrated: Int = -2
+  val ShortlistCalibrated: Int = -3
 
   /** `shortlist` argument resolution for PATH-LESS entry points
     * ([[adcShortlist]], [[search]], `AnnEval.pqTopKFrames`): the
     * calibration sentinel falls back to [[DefaultShortlist]] here —
     * without an artifact path there is no sidecar to read, and passing
-    * the raw -2 through would make `rn <= -2` silently return zero rows
-    * (the IVF twin maps `NProbeCalibrated` to the auto policy the same
-    * way in `resolveNProbe`). Path-aware entries (`AnnEval.pqTopK`)
-    * intercept the sentinel first.
+    * the raw sentinel through would make `rn <= -3` silently return zero
+    * rows (the IVF twin maps `NProbeCalibrated` to the auto policy the
+    * same way in `resolveNProbe`). Path-aware entries (`AnnEval.pqTopK`)
+    * intercept the sentinel first. Any OTHER non-positive value — in
+    * particular a transposed `NProbeCalibrated` — is rejected loudly:
+    * the silent-degradation class this resolution exists to prevent.
     */
   private[graft] def resolveShortlist(shortlist: Int): Int =
-    if (shortlist == ShortlistCalibrated) DefaultShortlist else shortlist
+    if (shortlist == ShortlistCalibrated) DefaultShortlist
+    else {
+      require(shortlist >= 1,
+        s"shortlist=$shortlist is neither a positive re-rank depth nor the " +
+          s"ShortlistCalibrated sentinel ($ShortlistCalibrated) — a " +
+          "transposed nProbe sentinel must fail, not serve a default depth")
+      shortlist
+    }
 
   /** ADC shortlist: probe the `nProbe` nearest cells, score every encoded
     * row by m table lookups, keep the `shortlist` smallest approximate

@@ -75,8 +75,20 @@ object ShardedIvf {
     * the executor-side phases (assign scan, parquet write) of another,
     * without S driver threads each broadcasting a model at once. The
     * Spark scheduler shares the executors across the concurrent jobs.
+    * Overridable per session via [[BuildParallelismConf]] (how the drill
+    * sweeps it); the default is the measured knee of that sweep on the
+    * 10× drill corpus (SCALE.md round-15: 1/2/4/8 curve — past the knee
+    * the concurrent jobs contend for the same executor slots and the
+    * curve goes flat).
     */
   val BuildParallelism = 4
+
+  /** Conf key overriding [[BuildParallelism]] for a session. */
+  val BuildParallelismConf = "spark.graft.shard.buildParallelism"
+
+  private def buildParallelism(spark: SparkSession): Int =
+    spark.conf.getOption(BuildParallelismConf).flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(BuildParallelism)
 
   /** Disjoint-total shard id of a vector id. */
   private def shardCol(shards: Int) =
@@ -109,27 +121,41 @@ object ShardedIvf {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(shards, BuildParallelism),
+        math.min(shards, buildParallelism(spark)),
         (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
+        // Shards build into a SCRATCH sibling (`shard=r.building`) and cut
+        // over by rename only after EVERY shard succeeded: a mid-build
+        // failure leaves a previously published artifact fully intact
+        // (the old behavior pre-deleted each shard before rebuilding it).
+        // The fixed scratch name is pre-cleared per shard, so a failed
+        // prior direct build neither blocks the retry (buildIvfAt's
+        // parquet writes are ErrorIfExists) nor leaks scratch copies.
+        // Crash atomicity of the CUTOVER itself is per-shard (a crash
+        // between renames leaves mixed generations — each a valid
+        // artifact, but membership may straddle corpora); callers needing
+        // all-or-nothing publication use `ensureShardedIvf`, whose tmp-dir
+        // protocol wraps this whole build.
         val builds = (0 until shards).map { r =>
           Future {
-            // a failed prior build may have published SOME shards; their
-            // parquet writes are ErrorIfExists, so a direct-build retry
-            // must clear each shard before rebuilding (ensureShardedIvf
-            // is retry-safe anyway via its fresh tmp dir)
-            graft.sources.Versioned.metaBackend.deleteRecursively(s"$path/shard=$r")
+            val scratch = s"$path/shard=$r.building"
+            graft.sources.Versioned.metaBackend.deleteRecursively(scratch)
             val part = tagged.filter(col("shard") === r).drop("shard")
             val cells =
               if (nCellsPerShard > 0) nCellsPerShard
               else graft.sources.VectorIndexStore.autoCells(counts.getOrElse(r, 0L))
-            graft.sources.VectorIndexStore.buildIvfAt(
-              spark, s"$path/shard=$r", part, cells)
+            graft.sources.VectorIndexStore.buildIvfAt(spark, scratch, part, cells)
           }
         }
         Await.result(Future.sequence(builds), Duration.Inf)
-        ()
+        for (r <- 0 until shards) {
+          graft.sources.Versioned.metaBackend.deleteRecursively(s"$path/shard=$r")
+          val ok = new java.io.File(s"$path/shard=$r.building")
+            .renameTo(new java.io.File(s"$path/shard=$r"))
+          if (!ok) throw new IllegalStateException(
+            s"could not publish shard $r of $path (rename failed)")
+        }
       } finally {
         // on failure, Await rethrows the FIRST error while sibling shard
         // builds may still be reading the scratch — quiesce them before
@@ -137,13 +163,71 @@ object ShardedIvf {
         // not hang cleanup forever)
         pool.shutdown()
         pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        ()
+        // scratch shards from a failed build must not leak corpus-sized
+        // copies (no-op on success: every scratch was renamed away)
+        (0 until shards).foreach(r => graft.sources.Versioned.metaBackend
+          .deleteRecursively(s"$path/shard=$r.building"))
       }
     } finally
       // scratch: on success every shard's vectors live inside its own
       // artifact; on a shard-build failure a corpus-sized copy must not
       // leak (and must not mask the root cause on retry)
       graft.sources.Versioned.metaBackend.deleteRecursively(taggedDir)
+  }
+
+  /** RESHARD: rebuild the composition at a new shard count S′ from the
+    * old artifact's OWN shards — the growth verb for the shard count
+    * itself. `build`/`append` route by `pmod(xxhash64(vec_id), S)` with S
+    * fixed at build time, so a corpus that grows 10× grows every shard
+    * 10× and each shard's coarse quantizer marches back toward the
+    * broadcast ceiling sharding exists to avoid; this verb is how a
+    * deployment moves to S′ before that happens (or shrinks an
+    * over-sharded index — S′ < S is equally valid).
+    *
+    * No external corpus is needed: each shard's full-precision vectors
+    * live inside its artifact, so the source of truth is the union of the
+    * S shard tables — INCLUDING every appended batch, which a rebuild
+    * from the original corpus would silently drop. One tagging pass
+    * re-tags that union under the S′ hash and the standard [[build]]
+    * machinery does the rest (pruned concurrent per-shard builds, fresh
+    * lifecycle plane per shard: model, cell-partitioned vectors, qerr
+    * watermarks, versioned baseline).
+    *
+    * The new artifact is built at a NEW root (`newPath`), not in place:
+    * the shard count is part of the artifact identity (readers address
+    * `shard=r` under a root they pair with an S they were configured
+    * with; the store path embeds S — `VectorIndexStore.shardedIvfPath`),
+    * so cutover = repointing readers at (newPath, S′), and the old root
+    * stays intact for in-flight probes until the operator GCs it —
+    * exactly the Versioned-pointer discipline, one level up. The
+    * store-level entry (`VectorIndexStore.reshardShardedIvf`) wraps this
+    * in the same atomic publish-or-short-circuit protocol as
+    * `ensureShardedIvf` and GCs the old artifact.
+    *
+    * Calibration does NOT transfer: a per-shard width sized for S shards
+    * says nothing about S′ (each S′-shard answers from a differently
+    * sparse subset — the measured trade AnnCalibrate exists for), so the
+    * new root carries no `nprobe.CAL` until recalibrated; probes fall
+    * back to the auto policy. Holds the OLD root's writer lease for the
+    * duration so a concurrent append cannot land between the read and
+    * the cutover and be lost (reshard is rare scheduled maintenance —
+    * blocking appends for one rebuild is the correct trade).
+    */
+  def reshard(spark: SparkSession, oldPath: String, oldShards: Int,
+              newPath: String, newShards: Int,
+              nCellsPerShard: Int = -1): Unit = {
+    require(newPath != oldPath,
+      "reshard builds at a NEW root (shard count is part of the artifact " +
+        "identity; in-place cutover would break readers holding the old S)")
+    graft.sources.Versioned.withWriterLease(oldPath) {
+      val corpus = (0 until oldShards).map { r =>
+        IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
+          .select(col("vec_id"), col("label"), col("embedding"))
+      }.reduce(_ unionAll _)
+      build(spark, corpus, newPath, newShards, nCellsPerShard)
+      // a reused target root must not serve a width sized for another S
+      graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/nprobe.CAL")
+    }
   }
 
   /** Hash-route `newVectors` to their shards and append each slice

@@ -120,6 +120,36 @@ object VectorIndexStore {
     path
   }
 
+  /** RESHARD the store's sharded artifact from `oldShards` to `newShards`
+    * ([[graft.operators.ShardedIvf.reshard]] — the growth verb for the
+    * shard count itself, sourced from the old artifact's own shard tables
+    * so appended batches survive). The new artifact publishes atomically
+    * at its own identity path (`shardedIvfPath(sfDir, newShards)`) via the
+    * same publish-or-short-circuit protocol as [[ensureShardedIvf]]; the
+    * old artifact is then GC'd (skippable via `gcOld = false` when
+    * in-flight readers still hold it — they keep working until the
+    * operator deletes it, the Versioned-pointer discipline one level up).
+    * Calibration does not transfer: the new root has no `nprobe.CAL`
+    * until recalibrated. Returns the new artifact path.
+    */
+  def reshardShardedIvf(spark: SparkSession, sfDir: String, oldShards: Int,
+                        newShards: Int, nCellsPerShard: Int = -1,
+                        gcOld: Boolean = true): String = {
+    require(newShards != oldShards && newShards >= 1,
+      s"reshard $oldShards -> $newShards is not a reshard")
+    val oldPath = shardedIvfPath(spark, sfDir, oldShards)
+    require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
+      s"no complete sharded artifact at $oldPath to reshard")
+    val newPath = shardedIvfPath(spark, sfDir, newShards)
+    PhysicalLayout.ensureDir(newPath) { tmp =>
+      graft.operators.ShardedIvf.reshard(
+        spark, oldPath, oldShards, tmp, newShards, nCellsPerShard)
+      markComplete(tmp)
+    }
+    if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
+    newPath
+  }
+
   /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
     * cell-partitioned one-byte-per-subspace codes (no full-precision
     * vectors in the artifact — that is the 32x memory point).
@@ -330,8 +360,18 @@ object VectorIndexStore {
   private def rebaselineIfStale(spark: SparkSession, path: String)
                                (stats: => org.apache.spark.sql.DataFrame): Boolean =
     readBaseline(path) match {
-      case Some((_, _, ver)) if ver >= DistortionSemanticsVersion => false
-      case _ => // version-stale, corrupt, or missing sidecar: rebaseline
+      case Some((_, _, ver)) if ver == DistortionSemanticsVersion => false
+      case other => // version-stale, corrupt, or missing sidecar: rebaseline
+        // A FUTURE-semantics baseline (a newer binary wrote it) is as
+        // incomparable as a past one: honoring its mean would judge drift
+        // across a semantics boundary this binary cannot interpret — the
+        // same reads-as-absent contract the CAL sidecars enforce.
+        // Rebaseline under THIS binary's semantics with a diagnostic.
+        other.filter(_._3 > DistortionSemanticsVersion).foreach { case (_, _, ver) =>
+          System.err.println(s"[graft] qerr.BASELINE at $path has semantics " +
+            s"v$ver > supported v$DistortionSemanticsVersion: treating as " +
+            "stale — rebaselining under current semantics")
+        }
         val seq =
           if (!Fs.exists(spark, s"$path/qerr")) 0L
           else spark.read.parquet(s"$path/qerr").count()

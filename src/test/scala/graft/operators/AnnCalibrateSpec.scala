@@ -277,4 +277,22 @@ class AnnCalibrateSpec extends SparkTestBase {
       shortlist = PqIndex.DefaultShortlist).collect().toSet
     assert(viaSentinel == viaDefault)
   }
+
+  test("transposed calibration sentinels fail loudly instead of degrading silently") {
+    // the two sentinels flow through ADJACENT Int parameters of the same
+    // signatures (nProbe then shortlist): they must be distinct values,
+    // and each resolver must reject the other's — a transposed call that
+    // silently served the default policy would void a calibrated recall
+    // promise with no signal
+    assert(IvfIndex.NProbeCalibrated != PqIndex.ShortlistCalibrated)
+    intercept[IllegalArgumentException] {
+      IvfIndex.resolveNProbe(PqIndex.ShortlistCalibrated, nCells = 16)
+    }
+    intercept[IllegalArgumentException] {
+      PqIndex.resolveShortlist(IvfIndex.NProbeCalibrated)
+    }
+    // and any other junk negative is rejected too
+    intercept[IllegalArgumentException] { IvfIndex.resolveNProbe(0, 16) }
+    intercept[IllegalArgumentException] { PqIndex.resolveShortlist(-7) }
+  }
 }

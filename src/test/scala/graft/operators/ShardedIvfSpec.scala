@@ -205,6 +205,121 @@ class ShardedIvfSpec extends SparkTestBase {
       "retrain must reset each shard's baseline (second call is a no-op)")
   }
 
+  test("reshard S->S' from the artifact itself: disjoint-total, appends survive, full probe exact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_resh").toString
+    val root = s"$base/ix3"
+    val root2 = s"$base/ix5"
+    ShardedIvf.build(spark, emb.filter(col("vec_id") < 300), root, 3, nCellsPerShard = 8)
+    // appended batches live only in the shard tables — a reshard sourcing
+    // anything else would drop them
+    ShardedIvf.append(spark, root, 3, emb.filter(col("vec_id") >= 300))
+    ShardedIvf.reshard(spark, root, 3, root2, 5, nCellsPerShard = 8)
+    val ids = (0 until 5).map { r =>
+      IvfIndex.loadVectors(spark, s"$root2/shard=$r")
+        .select("vec_id").as[Long].collect().toSet
+    }
+    assert(ids.map(_.size).sum == emb.count(),
+      "resharded corpus (including appends) must partition without loss or duplication")
+    for (a <- 0 until 5; b <- (a + 1) until 5)
+      assert(ids(a).intersect(ids(b)).isEmpty, s"new shards $a/$b overlap")
+    // full probe over the S' shards is still the brute-force top-k
+    val (qid, qv) = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    val all = (0 until 5).map { r =>
+      val m = IvfIndex.loadModel(spark, s"$root2/shard=$r")
+      IvfIndex.search(spark,
+        IvfIndex.loadVectors(spark, s"$root2/shard=$r").filter(col("vec_id") =!= qid),
+        m, qv, k = 10, nProbe = m.centroids.length)
+    }.reduce(_ unionAll _)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exactTop(10, qid, qv),
+      "full-probe exactness must survive the reshard")
+    // every new shard carries the full lifecycle plane, and the old
+    // artifact is untouched (the caller GCs it when readers are done)
+    for (r <- 0 until 5) {
+      assert(new java.io.File(s"$root2/shard=$r/qerr").exists(), s"new shard $r: no qerr")
+      assert(new java.io.File(s"$root2/shard=$r/qerr.BASELINE").exists(),
+        s"new shard $r: no baseline")
+    }
+    assert((0 until 3).map(r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r").count()).sum == emb.count(),
+      "reshard must not mutate the old artifact")
+  }
+
+  test("reshard drops calibration (a width for S says nothing about S') and can shrink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_resh2").toString
+    val root = s"$base/ix3"
+    val root2 = s"$base/ix2"
+    ShardedIvf.build(spark, emb, root, 3, nCellsPerShard = 8)
+    graft.sources.VectorIndexStore.calibrateShardedIvf(spark, root, 3,
+      target = 0.5, k = 5, maxPanel = 8)
+    assert(graft.sources.VectorIndexStore.readProbeCal(root).isDefined,
+      "premise: old root is calibrated")
+    ShardedIvf.reshard(spark, root, 3, root2, 2, nCellsPerShard = 8)
+    assert(graft.sources.VectorIndexStore.readProbeCal(root2).isEmpty,
+      "the S-shard width must not transfer to the S'-shard artifact")
+    // the calibrated sentinel degrades to the auto policy on the new root
+    import spark.implicits._
+    val got = ShardedIvf.search(spark, root2, 2,
+      emb.filter(col("vec_id") === 1).select("embedding")
+        .as[Seq[Float]].head(), k = 5, nProbe = IvfIndex.NProbeCalibrated)
+    assert(got.count() == 5, "uncalibrated new root must still serve probes")
+    val ids = (0 until 2).map { r =>
+      IvfIndex.loadVectors(spark, s"$root2/shard=$r")
+        .select("vec_id").as[Long].collect().toSet
+    }
+    assert(ids.map(_.size).sum == emb.count() && ids(0).intersect(ids(1)).isEmpty,
+      "shrink reshard must stay disjoint-total")
+  }
+
+  test("store-level reshard publishes atomically, GCs the old artifact, ensure short-circuits onto it") {
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_resh_st").toString
+    val prev = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+    spark.conf.set(graft.sources.VectorIndexStore.RootConf, idxRoot)
+    try {
+      val oldPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 2)
+      val newPath = graft.sources.VectorIndexStore.reshardShardedIvf(spark, sf, 2, 3)
+      assert(new java.io.File(s"$newPath/_SUCCESS").exists(), "no completeness marker")
+      assert(!new java.io.File(oldPath).exists(), "old artifact must be GC'd")
+      import spark.implicits._
+      assert((0 until 3).map(r =>
+        IvfIndex.loadVectors(spark, s"$newPath/shard=$r").count()).sum == emb.count())
+      // a later ensure at the new shard count serves the resharded artifact
+      val mtimes = new java.io.File(newPath).listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 3) == newPath)
+      val after = new java.io.File(newPath).listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(after == mtimes, "ensure must short-circuit onto the resharded artifact")
+    } finally prev match {
+      case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
+      case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
+    }
+  }
+
+  test("a failed direct rebuild leaves the published artifact serving (scratch-and-rename)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf_fail").toString + "/ix"
+    ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)
+    val before = (0 until 2).map(r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r").count()).sum
+    // an impossible geometry fails every shard build mid-flight: the
+    // pre-r15 path had already deleted the live shards by then
+    intercept[Exception] {
+      ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 1000000)
+    }
+    assert((0 until 2).map(r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r").count()).sum == before,
+      "failed rebuild must not destroy the published artifact")
+    val (qid, qv) = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    assert(ShardedIvf.search(spark, root, 2, qv, k = 5).count() == 5,
+      "artifact must keep serving after the failed rebuild")
+    assert(!new java.io.File(s"$root/shard=0.building").exists() &&
+      !new java.io.File(s"$root/shard=1.building").exists(),
+      "failed build must not leak corpus-sized scratch shards")
+  }
+
   test("shards train independently: models differ and rebuild deterministically") {
     val root = java.nio.file.Files.createTempDirectory("graft_shivf3").toString + "/ix"
     ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)

@@ -867,6 +867,32 @@ class ArtifactStoresSpec extends SparkTestBase {
       rewritten2(2).toInt == VectorIndexStore.DistortionSemanticsVersion)
   }
 
+  test("future-semantics baseline reads as stale: rebaselined under current semantics, never honored") {
+    // the CAL-sidecar contract, applied to qerr.BASELINE: a baseline
+    // stamped by a NEWER binary (ver > supported) parses but its mean was
+    // computed under semantics this binary cannot interpret — honoring it
+    // would judge drift across a semantics boundary (an absurd future
+    // mean here would silently suppress every retrain)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_futbl").toString + "/ix"
+    VectorIndexStore.buildIvfAt(spark, root, a, nCells = 8)
+    VectorIndexStore.appendIvf(spark, root, shifted(emb, 100000))
+    val bl = s"$root/qerr.BASELINE"
+    Versioned.metaBackend.writeAtomic(bl,
+      s"1000000000.0 0 ${VectorIndexStore.DistortionSemanticsVersion + 1}")
+    assert(!VectorIndexStore.retrainIvfIfNeeded(spark, root),
+      "a future-semantics baseline must rebaseline (one scan), not retrain")
+    val rewritten = Versioned.metaBackend.readString(bl).get.trim.split(" ")
+    assert(rewritten.length == 3 &&
+      rewritten(2).toInt == VectorIndexStore.DistortionSemanticsVersion,
+      "the sidecar must be rewritten under CURRENT semantics")
+    assert(rewritten(0).toDouble < 1000000000.0,
+      "the future mean must be recomputed, not copied")
+    // rebaselined: every prior qerr row is pre-baseline, drift unmeasurable
+    assert(VectorIndexStore.driftFactor(spark, root).isEmpty)
+  }
+
   test("index-exists resolution survives repeated retrains deleting legacy dirs") {
     import graft.operators.IvfIndex
     val emb = Tables.load(spark, sf, "embeddings")
