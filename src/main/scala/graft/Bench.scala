@@ -39,6 +39,25 @@ object Bench {
     // warmup: touch every table + exercise codegen once
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
 
+    // HOST-WARMTH SENTINEL: a fixed, registry-independent query (lineitem
+    // group-agg through the noop sink) timed min-of-3 after warmup. Its
+    // plan never changes across rounds, so cross-round family deltas are
+    // attributable from the artifacts alone: if round N's sentinel is
+    // 1.3x round N-1's, a matching family-wide drift is the host (page
+    // cache, CPU contention), not a plan regression — the r13->r14
+    // r-family's -22% "improvement" with zero r-family code change is the
+    // ambiguity this field removes.
+    val sentinelSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.avg("l_extendedprice"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // WORK COUNTERS: rows read from sources and rows written to shuffles,
     // accumulated per task. These make a timing claim falsifiable from the
     // artifact alone — identical work + different seconds = environment
@@ -125,8 +144,8 @@ object Bench {
     // SHORT trailing total line — a tail-truncated capture always keeps
     // the headline number (the round-8 driver artifact lost the
     // front-loaded total of one long line to tail truncation).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","families":$families,"queries":$qs,"work":$work,"errors":$errs,"sf":"$sfDir","total_sec":$total}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${failed.size},"families":$families,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sentinel_sec":$sentinelSec%.3f,"families":$families,"queries":$qs,"work":$work,"errors":$errs,"sf":"$sfDir","total_sec":$total}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${failed.size},"sentinel_sec":$sentinelSec%.3f,"families":$families,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,6 +236,24 @@ object ScaleDrill {
     for (scale <- scales) {
       val dir = ensureScaled(scale)
       println(s"DRILL# corpus x$scale ready at $dir")
+      // BuildParallelism SWEEP (opt-in, SPARK_GRAFT_DRILL_SWEEP_PAR =
+      // comma list of pool sizes): cold sharded builds at S=8 under each
+      // pool size, so ShardedIvf.BuildParallelism is a measured constant
+      // (the curve's knee), not a reasoned guess. Run alone — the sweep
+      // is its own drill mode.
+      sys.env.get("SPARK_GRAFT_DRILL_SWEEP_PAR").foreach { spec =>
+        val sweepShards = 8
+        for (p <- spec.split(",").map(_.trim.toInt)) {
+          spark.conf.set(graft.operators.ShardedIvf.BuildParallelismConf, p.toString)
+          graft.sources.PosixMetaBackend.deleteRecursively(
+            graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, sweepShards))
+          report(scale, s"build:ivf_sharded_par$p", "cold", timed {
+            graft.sources.VectorIndexStore.ensureShardedIvf(spark, dir, sweepShards)
+            ()
+          })
+        }
+        spark.conf.unset(graft.operators.ShardedIvf.BuildParallelismConf)
+      }
       // cold store builds, timed individually (delete any prior artifact)
       val builds = if (sys.env.contains("SPARK_GRAFT_DRILL_SKIP_BUILDS"))
         Seq.empty else Seq[(String, () => String)](
@@ -420,8 +438,155 @@ object ScaleDrill {
               probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
             val rC = graft.operators.AnnEval.meanRecall(gotC, exactS)
             println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal","recall_at_10":$rC%.3f,"width":$calW}""")
+            // RESHARD at drill scale (round 15): S=4 -> S'=8 from the
+            // artifact's own shard tables — the growth verb for the shard
+            // count. One re-tagging pass + 8 pruned concurrent rebuilds,
+            // so the cold time is the build:ivf_sharded work class and its
+            // 1->10 ratio must stay linear under the same budget. The
+            // resharded probe is graded against the SAME persisted exact
+            // oracle: composition recall must be geometry-equivalent
+            // (same corpus, same per-shard auto policy) regardless of S.
+            if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RESHARD")) {
+              val reshRoot = s"$outRoot/resharded_x$scale/ix${2 * shards}"
+              graft.sources.PosixMetaBackend.deleteRecursively(s"$outRoot/resharded_x$scale")
+              report(scale, "reshard:ivf_sharded", "cold", timed {
+                graft.operators.ShardedIvf.reshard(
+                  spark, shPath, shards, reshRoot, 2 * shards)
+              })
+              val gotR = graft.operators.AnnEval.shardedTopK(spark, reshRoot,
+                2 * shards, probeQs, k = 10, nProbe = nProbe)
+              val rR = graft.operators.AnnEval.meanRecall(gotR, exactS)
+              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_resharded","recall_at_10":$rR%.3f,"shards":${2 * shards}}""")
+            }
+            // CALIBRATION STALENESS under appends (round 15): the policy
+            // is that appends do NOT invalidate nprobe.CAL — the qerr
+            // watermarks that schedule the retrain bound the staleness,
+            // and the retrain is what drops the sidecar. This measures
+            // that bound at its WORST reachable point: append a drifted
+            // tranche sized just UNDER the retrain trigger (drift factor
+            // <~ 1.8 of 2.0, sized by one predicted-distortion probe and
+            // a halving loop), confirm no shard retrains, then grade the
+            // calibrated width's recall against a fresh exact oracle over
+            // the APPENDED corpus. If the recall target survives here, it
+            // survives everywhere the policy allows.
+            if (scale <= retrainScaleCap &&
+                !sys.env.contains("SPARK_GRAFT_DRILL_SKIP_CALSTALE")) {
+              def tranche(eps: Float) = emb
+                .filter(pmod(col("vec_id"), lit(4L)) === 0)
+                .select((col("vec_id") + lit(5000000000L)).as("vec_id"),
+                  col("label"),
+                  transform(col("embedding"), x => x + lit(eps))
+                    .cast("array<float>").as("embedding"))
+              def predictedMaxDrift(t: DataFrame): Double =
+                (0 until shards).map { r =>
+                  val m = graft.operators.IvfIndex.loadModel(spark, s"$shPath/shard=$r")
+                  val mean = graft.operators.IvfIndex.distortionStats(spark, t, m)
+                    .select(col("mean_sq_err").cast("double")).head().getDouble(0)
+                  val base = spark.read.parquet(s"$shPath/shard=$r/qerr")
+                    .orderBy("append_seq")
+                    .select(col("mean_sq_err").cast("double")).head().getDouble(0)
+                  mean / base
+                }.max
+              var eps = 1.0f
+              var tries = 0
+              while (predictedMaxDrift(tranche(eps)) > 1.8 && tries < 6) {
+                eps /= 2; tries += 1
+              }
+              graft.operators.ShardedIvf.append(spark, shPath, shards, tranche(eps))
+              val retrained = graft.operators.ShardedIvf.retrainIfNeeded(spark, shPath, shards)
+              require(retrained == 0, s"cal-staleness premise broken at x$scale: " +
+                s"eps=$eps drifted past the trigger ($retrained shards retrained)")
+              val worstDrift = (0 until shards).flatMap(r =>
+                graft.sources.VectorIndexStore.driftFactor(spark, s"$shPath/shard=$r")).max
+              val appended = (0 until shards).map { r =>
+                graft.operators.IvfIndex.loadVectors(spark, s"$shPath/shard=$r")
+                  .select(col("vec_id"), col("label"), col("embedding"))
+              }.reduce(_ unionAll _)
+              val exactA = graft.operators.AnnEval.exactTopK(spark, appended, probeQs, 10)
+              val gotA = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
+                probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
+              val rA = graft.operators.AnnEval.meanRecall(gotA, exactA)
+              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal_stale","recall_at_10":$rA%.3f,"width":$calW,"drift":$worstDrift%.3f,"eps":$eps}""")
+            }
             exactS.unpersist()
           }
+        }
+        // IVF-PQ SHORTLIST CALIBRATION at drill scale (round 15): build
+        // the PQ artifact cold, size the ADC re-rank depth holding
+        // recall@10 >= 0.9 at the auto probe width in one ADC pass
+        // (calibratePqShortlist -> shortlist.CAL), then grade a held-out
+        // sentinel probe (the drill's own panel — never seen by the
+        // calibration, whose internal panel is hash-picked from the
+        // corpus) at the calibrated depth. The ceiling-aware error path
+        // gets a drill-scale exercise too: a target above the
+        // cell-pruning ceiling at nProbe=1 must throw the diagnostic that
+        // names the PROBE, not the shortlist. Capped at retrainScaleCap
+        // like retrain:pq — the grading oracle, not the verb, dominates
+        // past 10x.
+        if (scale <= retrainScaleCap &&
+            !sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PQCAL")) {
+          import spark.implicits._
+          val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          graft.sources.PosixMetaBackend.deleteRecursively(
+            graft.sources.VectorIndexStore.pqPath(spark, dir))
+          report(scale, "build:pq", "cold", timed {
+            graft.sources.VectorIndexStore.ensurePq(spark, dir); ()
+          })
+          val pqPath = graft.sources.VectorIndexStore.pqPath(spark, dir)
+          // The shortlist's reachable ceiling is the cell-pruning recall
+          // at the probe width, and on the drill corpus the AUTO width's
+          // ceiling sits BELOW 0.9 (measured 0.491 at 1× — the auto
+          // fraction is sized for probe cost, not a 0.9 PQ target). The
+          // drill therefore models the documented operator loop the
+          // ceiling diagnostic prescribes: widen the probe and
+          // recalibrate, doubling from auto until the target is
+          // reachable. The DOUBLINGS count is itself a measurement — how
+          // far past the auto fraction the PQ path must probe to hold
+          // 0.9 at each scale.
+          var cal: graft.sources.VectorIndexStore.PqShortCal = null
+          var doublings = 0
+          report(scale, "calibrate:pq", "cold", timed {
+            val nCells = graft.operators.PqIndex.loadModel(spark, pqPath)
+              .coarse.centroids.length
+            var np = graft.operators.IvfIndex.autoNProbe(nCells)
+            while (cal == null) {
+              try cal = graft.sources.VectorIndexStore.calibratePqShortlist(
+                spark, pqPath, emb, target = 0.9, k = 10, nProbe = np)
+              catch {
+                case e: IllegalStateException if np < nCells =>
+                  np = math.min(2 * np, nCells); doublings += 1
+              }
+            }
+            println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
+          })
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            val probeQs = emb.orderBy("vec_id").limit(20)
+              .select(col("vec_id"), col("embedding"))
+              .as[(Long, Seq[Float])].collect().toSeq
+            val exactP = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+            // served at the width the calibration was sized for (the
+            // sidecar records it; a mismatched width degrades loudly)
+            val gotP = graft.operators.AnnEval.pqTopK(spark, pqPath, emb, probeQs,
+              k = 10, nProbe = cal.nProbe,
+              shortlist = graft.operators.PqIndex.ShortlistCalibrated)
+            val rP = graft.operators.AnnEval.meanRecall(gotP, exactP)
+            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_cal","recall_at_10":$rP%.3f,"shortlist":${cal.shortlist},"nprobe":${cal.nProbe}}""")
+          }
+          // ceiling exercise: nProbe=1 prunes most true neighbors' cells,
+          // so recall 0.999 is unreachable by ANY shortlist — the error
+          // must say so and point at the probe
+          val ceilingNamed = try {
+            graft.sources.VectorIndexStore.calibratePqShortlist(
+              spark, pqPath, emb, target = 0.999, k = 10, nProbe = 1)
+            false
+          } catch {
+            case e: IllegalStateException =>
+              e.getMessage.contains("widen the PROBE")
+          }
+          println(s"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_ceiling","target":0.999,"nprobe":1,"raised_probe_diagnostic":$ceilingNamed}""")
+          require(ceilingNamed,
+            s"pq ceiling exercise at x$scale: expected the ceiling-aware " +
+              "diagnostic naming the probe")
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
@@ -541,6 +706,8 @@ object DrillCheck {
     */
   def shuffleBudget(name: String): Option[Double] = name match {
     case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
+    case "reshard:ivf_sharded" => Some(25.0)       // build-class shuffle
+      // (one repartition-by-shard tagging pass + per-shard cell writes)
     case "x02_jaccard_stats" => Some(21.0)         // 10.4 measured at 1→10 under
       // the r14 permutation generator (exactly linear; budget = ~2x
       // measured per the stated policy). Scope note: this 1→10 line
@@ -559,9 +726,15 @@ object DrillCheck {
   def budget(name: String, phase: String): Option[Double] = (name, phase) match {
     case (n, "cold") if n.startsWith("build:") => Some(25.0) // linear ≈ 10
     case ("retrain:pq", "cold") => Some(25.0)    // build-class path
+    case ("reshard:ivf_sharded", "cold") => Some(25.0) // one re-tagging
+      // pass + S' pruned concurrent rebuilds: the build:ivf_sharded work
+      // class re-run at the new shard count — same linear budget
     case ("calibrate:ivf_sharded", "cold") => Some(25.0) // one exact panel
       // pass (Θ(panel·n), the retrain-recall-gate work class) + a
       // KB-sized rank join — linear by construction
+    case ("calibrate:pq", "cold") => Some(25.0)  // one ADC pass over the
+      // probed cells + the same exact panel pass — linear like the IVF
+      // calibration
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant

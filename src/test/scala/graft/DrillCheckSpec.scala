@@ -105,6 +105,28 @@ class DrillCheckSpec extends AnyFunSuite {
       "sub-floor 1x counters must auto-skip, not fabricate ratio checks")
   }
 
+  test("round-15 reshard and PQ-calibration rows are budgeted at the build class") {
+    // reshard = re-tag + S' pruned rebuilds (build:ivf_sharded work
+    // class); calibrate:pq = one ADC pass + one exact panel pass. Both
+    // linear, both guarded at the 25x build budget; a quadratic reshard
+    // (a per-shard corpus rescan) would breach it loudly.
+    val linear = Seq(
+      full(1, "reshard:ivf_sharded", "cold", 2.0, 60000L, 60000L),
+      full(10, "reshard:ivf_sharded", "cold", 8.0, 600000L, 620000L),
+      full(1, "calibrate:pq", "cold", 3.0, 30000L, 10000L),
+      full(10, "calibrate:pq", "cold", 9.0, 300000L, 10000L))
+    val checks = DrillCheck.evaluate(linear)
+    assert(checks.nonEmpty && checks.forall(_.ok), s"failed: ${checks.filterNot(_.ok)}")
+    assert(checks.find(_.name == "reshard:ivf_sharded").get.budget == 25.0)
+    assert(checks.find(_.name == "calibrate:pq").get.budget == 25.0)
+    assert(checks.find(_.name == "reshard:ivf_sharded#shuffle").get.budget == 25.0)
+    val quadratic = Seq(
+      row(1, "reshard:ivf_sharded", "cold", 2.0),
+      row(10, "reshard:ivf_sharded", "cold", 120.0))
+    assert(DrillCheck.evaluate(quadratic).exists(c =>
+      c.name == "reshard:ivf_sharded" && !c.ok))
+  }
+
   test("counter check catches a superlinear regression the time clamp masks") {
     // t1 = 0.1 s sits under the noise-floor clamp, so a real ~50x slope
     // reads as time ratio 1.1/0.3 = 3.7, inside x02's 7x budget — the
