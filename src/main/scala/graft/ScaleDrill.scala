@@ -527,12 +527,16 @@ object ScaleDrill {
             !sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PQCAL")) {
           import spark.implicits._
           val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          // constant-occupancy coarse geometry, like build:ivf — the
+          // store's fixture default (16 cells) would make the encoded
+          // probe scan grow ∝ n
+          val pqCells = graft.sources.VectorIndexStore.autoCells(emb.count())
           graft.sources.PosixMetaBackend.deleteRecursively(
-            graft.sources.VectorIndexStore.pqPath(spark, dir))
+            graft.sources.VectorIndexStore.pqPath(spark, dir, pqCells))
           report(scale, "build:pq", "cold", timed {
-            graft.sources.VectorIndexStore.ensurePq(spark, dir); ()
+            graft.sources.VectorIndexStore.ensurePq(spark, dir, pqCells); ()
           })
-          val pqPath = graft.sources.VectorIndexStore.pqPath(spark, dir)
+          val pqPath = graft.sources.VectorIndexStore.pqPath(spark, dir, pqCells)
           // The shortlist's reachable ceiling is the cell-pruning recall
           // at the probe width, and on the drill corpus the AUTO width's
           // ceiling sits BELOW 0.9 (measured 0.491 at 1× — the auto

@@ -188,6 +188,7 @@ object AnnEval {
   def shardedTopK(spark: SparkSession, path: String, shards: Int,
                   queries: Seq[(Long, Seq[Float])], k: Int,
                   nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    ShardedIvf.verifyShards(path, shards) // wrong S silently drops shards
     val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val scored = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"

@@ -76,10 +76,13 @@ object ShardedIvf {
     * without S driver threads each broadcasting a model at once. The
     * Spark scheduler shares the executors across the concurrent jobs.
     * Overridable per session via [[BuildParallelismConf]] (how the drill
-    * sweeps it); the default is the measured knee of that sweep on the
-    * 10× drill corpus (SCALE.md round-15: 1/2/4/8 curve — past the knee
-    * the concurrent jobs contend for the same executor slots and the
-    * curve goes flat).
+    * sweeps it); the default is the measured knee of that sweep
+    * (SCALE.md round-15: S=8 cold builds on the 10× corpus, 8-core host
+    * — 16.8 / 7.0 / 5.0 / 5.2 / 4.4 s at pool 1/2/4/6/8; past 4 the
+    * concurrent jobs contend for the same executor slots and the curve
+    * is flat to within noise, so 4 buys 3.3× of the available 3.8× and
+    * keeps driver-side model memory bounded at 4 in-flight centroid
+    * arrays).
     */
   val BuildParallelism = 4
 
@@ -93,6 +96,39 @@ object ShardedIvf {
   /** Disjoint-total shard id of a vector id. */
   private def shardCol(shards: Int) =
     pmod(xxhash64(col("vec_id")), lit(shards.toLong)).cast("int")
+
+  /** `shards.META` sidecar: the S an artifact was built (or resharded)
+    * with. Every verb takes `shards` explicitly (the caller's config),
+    * and before this sidecar a mismatched pairing was SILENT wrongness in
+    * both directions: probing a 4-shard artifact with shards=3 drops
+    * shard 3's candidates from every answer; appending with shards=5
+    * routes vectors to a `shard=4` directory no reader ever scans.
+    * [[verifyShards]] turns both into a loud error at every entry point.
+    * Absent on pre-round-15 artifacts — verbs then trust the caller, as
+    * before (writeAtomic on build/reshard backfills nothing).
+    */
+  private def shardsMetaFile(path: String) = s"$path/shards.META"
+
+  private def writeShardsMeta(path: String, shards: Int): Unit =
+    graft.sources.Versioned.metaBackend.writeAtomic(shardsMetaFile(path), shards.toString)
+
+  /** The shard count recorded at build/reshard time, when the artifact
+    * carries the sidecar.
+    */
+  def shardCount(path: String): Option[Int] =
+    graft.sources.Versioned.metaBackend.readString(shardsMetaFile(path))
+      .flatMap(_.trim.toIntOption)
+
+  /** Loud mismatch guard for every verb that pairs a root with a caller-
+    * supplied S. No-op on sidecar-less (legacy) artifacts.
+    */
+  private[graft] def verifyShards(path: String, shards: Int): Unit =
+    shardCount(path).foreach { s =>
+      require(s == shards,
+        s"sharded artifact at $path was built with S=$s but the caller " +
+          s"passed shards=$shards — a wrong S silently drops shards from " +
+          "probes or routes appends to unread directories")
+    }
 
   /** Build S independent IVF artifacts under `path/shard=r` — one
     * tagging pass over the corpus, then per-shard builds from pruned
@@ -156,6 +192,14 @@ object ShardedIvf {
           if (!ok) throw new IllegalStateException(
             s"could not publish shard $r of $path (rename failed)")
         }
+        // a rebuild at a smaller S must not leave a larger prior build's
+        // tail shards lying around as unread directories
+        graft.sources.Versioned.metaBackend.list(path)
+          .filter(e => e.isDir && e.name.matches("shard=\\d+"))
+          .map(_.name.stripPrefix("shard=").toInt).filter(_ >= shards)
+          .foreach(r => graft.sources.Versioned.metaBackend
+            .deleteRecursively(s"$path/shard=$r"))
+        writeShardsMeta(path, shards)
       } finally {
         // on failure, Await rethrows the FIRST error while sibling shard
         // builds may still be reading the scratch — quiesce them before
@@ -219,6 +263,7 @@ object ShardedIvf {
     require(newPath != oldPath,
       "reshard builds at a NEW root (shard count is part of the artifact " +
         "identity; in-place cutover would break readers holding the old S)")
+    verifyShards(oldPath, oldShards)
     graft.sources.Versioned.withWriterLease(oldPath) {
       val corpus = (0 until oldShards).map { r =>
         IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
@@ -241,6 +286,7 @@ object ShardedIvf {
   def append(spark: SparkSession, path: String, shards: Int,
              newVectors: DataFrame): Unit =
     graft.sources.Versioned.withWriterLease(path) {
+      verifyShards(path, shards)
       val tagged = newVectors
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("shard", shardCol(shards))
@@ -264,6 +310,7 @@ object ShardedIvf {
   def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
                       factor: Double = 2.0, recallFloor: Double = 0.2,
                       nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int = {
+    verifyShards(path, shards)
     // root-calibration staleness is keyed to the retrain itself: each
     // per-shard retrain invalidates its parent's nprobe.CAL
     // (VectorIndexStore.invalidateProbeCal), so direct per-shard
@@ -282,12 +329,14 @@ object ShardedIvf {
     * symmetry: every maintenance verb a single index has (append,
     * drift, retrain, compact) exists shard-wise here.
     */
-  def compactShards(spark: SparkSession, path: String, shards: Int): Unit =
+  def compactShards(spark: SparkSession, path: String, shards: Int): Unit = {
+    verifyShards(path, shards)
     (0 until shards).foreach { r =>
       val shardPath = s"$path/shard=$r"
       val nCells = IvfIndex.loadModel(spark, shardPath).centroids.length
       graft.sources.VectorIndexStore.compactIvf(spark, shardPath, nCells)
     }
+  }
 
   /** Global approximate top-k over all shards: per-shard pruned top-k
     * (each with ITS model's resolved `nProbe`), one union plan, one
@@ -298,6 +347,7 @@ object ShardedIvf {
   def search(spark: SparkSession, path: String, shards: Int,
              query: Seq[Float], k: Int,
              nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    verifyShards(path, shards)
     val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val perShard = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
@@ -313,8 +363,10 @@ object ShardedIvf {
   /** Total cell count across shards — the geometry a single flat index
     * would have needed one broadcastable array for.
     */
-  def totalCells(spark: SparkSession, path: String, shards: Int): Int =
+  def totalCells(spark: SparkSession, path: String, shards: Int): Int = {
+    verifyShards(path, shards)
     (0 until shards)
       .map(r => IvfIndex.loadModel(spark, s"$path/shard=$r").centroids.length)
       .sum
+  }
 }

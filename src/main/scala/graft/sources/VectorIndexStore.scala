@@ -50,8 +50,12 @@ object VectorIndexStore {
   def ivfPath(spark: SparkSession, sfDir: String, nCells: Int): String =
     s"${root(spark)}/ivf${nCells}_${tag(sfDir)}"
 
-  def pqPath(spark: SparkSession, sfDir: String): String =
-    s"${root(spark)}/pq_${tag(sfDir)}"
+  // nCells joins the identity like ivfPath's; the historical default 16
+  // keeps every existing artifact path (and pinned fixture behavior)
+  // byte-identical
+  def pqPath(spark: SparkSession, sfDir: String, nCells: Int = 16): String =
+    if (nCells == 16) s"${root(spark)}/pq_${tag(sfDir)}"
+    else s"${root(spark)}/pq${nCells}_${tag(sfDir)}"
 
   // shard count is part of the artifact identity, like nCells for ivfPath
   def shardedIvfPath(spark: SparkSession, sfDir: String, shards: Int): String =
@@ -154,10 +158,10 @@ object VectorIndexStore {
     * cell-partitioned one-byte-per-subspace codes (no full-precision
     * vectors in the artifact — that is the 32x memory point).
     */
-  def ensurePq(spark: SparkSession, sfDir: String): String = {
-    val path = pqPath(spark, sfDir)
+  def ensurePq(spark: SparkSession, sfDir: String, nCells: Int = 16): String = {
+    val path = pqPath(spark, sfDir, nCells)
     PhysicalLayout.ensureDir(path) { tmp =>
-      buildPqAt(spark, tmp, Tables.load(spark, sfDir, "embeddings"))
+      buildPqAt(spark, tmp, Tables.load(spark, sfDir, "embeddings"), nCells)
       markComplete(tmp)
     }
     path
@@ -165,10 +169,16 @@ object VectorIndexStore {
 
   /** [[buildIvfAt]] for the IVF-PQ artifact: the baseline is the
     * full-corpus mean QUANTIZATION error under the fresh codebooks.
+    * `nCells` sizes the coarse quantizer — the fixture-class default 16
+    * keeps every pinned oracle and golden unchanged; scale deployments
+    * (and the drill) pass [[autoCells]] of the corpus so the PQ artifact
+    * is constant-occupancy like the IVF one (fixed cells make probe cost
+    * grow ∝ n — the round-10 flat-IVF lesson, on the encoded table).
     */
   def buildPqAt(spark: SparkSession, dir: String,
-                vectors: org.apache.spark.sql.DataFrame): Unit = {
-    val model = PqIndex.train(spark, vectors)
+                vectors: org.apache.spark.sql.DataFrame,
+                nCells: Int = 16): Unit = {
+    val model = PqIndex.train(spark, vectors, nCells = nCells)
     PqIndex.save(spark, model, PqIndex.encode(spark, vectors, model), dir)
     val (seq, mean) = logWatermark(spark, dir, PqIndex.quantizationStats(spark, vectors, model))
     writeBaseline(dir, mean, seq + 1)
@@ -532,7 +542,10 @@ object VectorIndexStore {
       PqIndex.loadModel(spark, path)))
     if (!driftFactor(spark, path).exists(_ > factor)) return false
     val corpus = fullPrecision.select("vec_id", "label", "embedding")
-    val model = PqIndex.train(spark, corpus)
+    // preserve the LIVE coarse geometry: train's default (16) would
+    // silently revert an autoCells-built artifact to the fixture class
+    val nCells = PqIndex.loadModel(spark, path).coarse.centroids.length
+    val model = PqIndex.train(spark, corpus, nCells = nCells)
     val encoded = PqIndex.encode(spark, corpus, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -797,9 +810,12 @@ object VectorIndexStore {
     */
   def calibrateShardedIvf(spark: SparkSession, path: String, shards: Int,
                           target: Double = 0.9, k: Int = 10,
-                          maxPanel: Int = 32, maxWidth: Int = 4096): ProbeCal =
+                          maxPanel: Int = 32, maxWidth: Int = 4096): ProbeCal = {
+    graft.operators.ShardedIvf.verifyShards(path, shards) // a width sized
+    // over the wrong S would publish a wrong calibration at the root
     calibrateAt(spark, path, (0 until shards).map(r => s"$path/shard=$r"),
       target, k, maxPanel, maxWidth)
+  }
 
   private def deleteLegacy(path: String, name: String): Unit =
     Versioned.metaBackend.deleteRecursively(s"$path/$name")

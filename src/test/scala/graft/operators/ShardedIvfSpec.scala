@@ -320,6 +320,55 @@ class ShardedIvfSpec extends SparkTestBase {
       "failed build must not leak corpus-sized scratch shards")
   }
 
+  test("shards.META pins S: wrong-S verbs fail loudly, reshard re-stamps, legacy trusts caller") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_shmeta").toString
+    val root = s"$base/ix"
+    ShardedIvf.build(spark, emb, root, shards = 3, nCellsPerShard = 8)
+    assert(ShardedIvf.shardCount(root).contains(3))
+    val qv = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    // wrong S in EITHER direction is the silent-wrongness class: probing
+    // with fewer shards drops candidates, appending with more routes
+    // vectors to directories no reader scans — all verbs must throw
+    intercept[IllegalArgumentException] {
+      ShardedIvf.search(spark, root, 2, qv, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      ShardedIvf.append(spark, root, 5, emb.limit(10))
+    }
+    intercept[IllegalArgumentException] {
+      ShardedIvf.retrainIfNeeded(spark, root, 4)
+    }
+    intercept[IllegalArgumentException] {
+      AnnEval.shardedTopK(spark, root, 2,
+        Seq((1L, qv)), k = 5)
+    }
+    // the right S keeps working
+    assert(ShardedIvf.search(spark, root, 3, qv, k = 5).count() == 5)
+    // reshard stamps the new count on the new root
+    val root2 = s"$base/ix2"
+    ShardedIvf.reshard(spark, root, 3, root2, 2, nCellsPerShard = 8)
+    assert(ShardedIvf.shardCount(root2).contains(2))
+    // a legacy artifact (no sidecar) trusts the caller, as before
+    graft.sources.Versioned.metaBackend.deleteRecursively(s"$root/shards.META")
+    assert(ShardedIvf.shardCount(root).isEmpty)
+    assert(ShardedIvf.search(spark, root, 3, qv, k = 5).count() == 5)
+  }
+
+  test("a smaller-S rebuild leaves no unread tail shards behind") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shrink").toString + "/ix"
+    ShardedIvf.build(spark, emb, root, shards = 4, nCellsPerShard = 8)
+    ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)
+    assert(ShardedIvf.shardCount(root).contains(2))
+    assert(!new java.io.File(s"$root/shard=2").exists() &&
+      !new java.io.File(s"$root/shard=3").exists(),
+      "stale tail shards from the larger prior build must be removed")
+    import spark.implicits._
+    assert((0 until 2).map(r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r").count()).sum == emb.count())
+  }
+
   test("shards train independently: models differ and rebuild deterministically") {
     val root = java.nio.file.Files.createTempDirectory("graft_shivf3").toString + "/ix"
     ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)

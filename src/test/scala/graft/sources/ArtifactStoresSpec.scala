@@ -938,4 +938,21 @@ class ArtifactStoresSpec extends SparkTestBase {
     assert(VectorIndexStore.driftFactor(spark, root).isEmpty)
     assert(!VectorIndexStore.retrainPqIfNeeded(spark, root, corpus))
   }
+
+  test("PQ retrain preserves a non-default coarse geometry") {
+    // buildPqAt now sizes the coarse quantizer (scale deployments pass
+    // autoCells); the retrain must rebuild at the LIVE geometry, not
+    // silently revert to the fixture default 16
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_geo").toString + "/ix"
+    VectorIndexStore.buildPqAt(spark, root, a, nCells = 8)
+    assert(PqIndex.loadModel(spark, root).coarse.centroids.length == 8)
+    VectorIndexStore.appendPq(spark, root, shifted(emb, 100000))
+    val corpus = a.select("vec_id", "label", "embedding")
+      .unionAll(shifted(emb, 100000))
+    assert(VectorIndexStore.retrainPqIfNeeded(spark, root, corpus, recallFloor = 0.0))
+    assert(PqIndex.loadModel(spark, root).coarse.centroids.length == 8,
+      "retrain reverted the coarse geometry to the default")
+  }
 }
