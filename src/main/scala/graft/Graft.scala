@@ -220,6 +220,19 @@ object Graft {
     graft.operators.ShardedIvf.reshard(
       spark, oldPath, oldShards, newPath, newShards, nCellsPerShard)
 
+  /** The growth loop for the shard count: reshard the store-managed
+    * artifact when the mean per-shard corpus has outgrown
+    * `maxShardRows` (S parquet footer counts — no corpus scan), else
+    * no-op. Returns the serving (path, shards) either way — call it
+    * from scheduled maintenance like the retrain/compact loops and
+    * follow the pointer.
+    */
+  def reshardShardedIvfIfNeeded(spark: SparkSession, sfDir: String,
+                                shards: Int,
+                                maxShardRows: Long =
+                                  sources.VectorIndexStore.DefaultMaxShardRows): (String, Int) =
+    sources.VectorIndexStore.reshardShardedIvfIfNeeded(spark, sfDir, shards, maxShardRows)
+
   /** Per-shard drift check + recall-gated retrain; returns the number of
     * shards retrained (a drifted shard retrains its own cells only).
     */

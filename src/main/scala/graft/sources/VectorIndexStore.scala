@@ -154,6 +154,49 @@ object VectorIndexStore {
     newPath
   }
 
+  /** Default reshard trigger: the per-shard corpus size at which the
+    * shard's own constant-occupancy geometry ([[autoCells]], target
+    * occupancy 128) reaches 4096 cells. Well below any hard limit — a
+    * 4096×128-d centroid array is ~4 MB, broadcastable by orders of
+    * magnitude — because resharding EARLY is cheap (the artifact-sourced
+    * re-tag measured CHEAPER than the original build at 100×,
+    * SCALE.md round-15 §6) while resharding late means every probe and
+    * retrain in the interim paid the oversized-shard cost.
+    */
+  val DefaultMaxShardRows: Long = 4096L * 128
+
+  /** GROWTH LOOP for the shard count — the `-IfNeeded` form of
+    * [[reshardShardedIvf]], completing the maintenance symmetry
+    * (retrainIvfIfNeeded judges drift, compactIfNeeded judges segment
+    * counts, this judges per-shard corpus growth): appends hash-route
+    * into a FIXED S forever, so the mean per-shard corpus grows with
+    * the total and each shard marches back toward the single-index
+    * ceiling. When the mean per-shard rows exceed `maxShardRows`,
+    * reshard to S′ = ceil(total / maxShardRows) (> S whenever the
+    * trigger fires, and sized so the post-reshard mean sits AT the
+    * policy line, not just under it). The check costs S parquet
+    * footer-count jobs (metadata reads — no corpus scan). Returns the
+    * serving (path, shards) pair either way, so a maintenance scheduler
+    * can call it unconditionally and follow the pointer.
+    */
+  def reshardShardedIvfIfNeeded(spark: SparkSession, sfDir: String,
+                                shards: Int,
+                                maxShardRows: Long = DefaultMaxShardRows,
+                                gcOld: Boolean = true): (String, Int) = {
+    require(maxShardRows >= 1, s"maxShardRows=$maxShardRows")
+    val path = shardedIvfPath(spark, sfDir, shards)
+    graft.operators.ShardedIvf.verifyShards(path, shards)
+    val total = (0 until shards).map { r =>
+      IvfIndex.loadVectors(spark, s"$path/shard=$r").count()
+    }.sum
+    if (total <= maxShardRows * shards) (path, shards)
+    else {
+      val newShards = ((total + maxShardRows - 1) / maxShardRows).toInt
+      (reshardShardedIvf(spark, sfDir, shards, newShards, gcOld = gcOld),
+        newShards)
+    }
+  }
+
   /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
     * cell-partitioned one-byte-per-subspace codes (no full-precision
     * vectors in the artifact — that is the 32x memory point).

@@ -356,6 +356,39 @@ class ShardedIvfSpec extends SparkTestBase {
     assert(ShardedIvf.search(spark, root, 3, qv, k = 5).count() == 5)
   }
 
+  test("reshardIfNeeded: no-op under the row budget, grows S to the policy line past it") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_reshif").toString
+    val prev = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+    spark.conf.set(graft.sources.VectorIndexStore.RootConf, idxRoot)
+    try {
+      val n = emb.count()
+      val path = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 2)
+      // generous budget: the check is S footer counts, then a no-op that
+      // returns the SERVING pair unchanged
+      assert(graft.sources.VectorIndexStore.reshardShardedIvfIfNeeded(
+        spark, sf, 2, maxShardRows = n) == (path, 2))
+      assert(new java.io.File(path).exists(), "no-op must not touch the artifact")
+      // tight budget: mean per-shard rows (n/2) exceeds it -> reshard to
+      // ceil(n / maxShardRows) with full membership, old artifact GC'd
+      val budget = n / 4
+      val (newPath, newShards) = graft.sources.VectorIndexStore
+        .reshardShardedIvfIfNeeded(spark, sf, 2, maxShardRows = budget)
+      assert(newShards == ((n + budget - 1) / budget).toInt && newShards > 2)
+      assert(ShardedIvf.shardCount(newPath).contains(newShards))
+      assert(!new java.io.File(path).exists(), "old artifact must be GC'd")
+      assert((0 until newShards).map(r =>
+        IvfIndex.loadVectors(spark, s"$newPath/shard=$r").count()).sum == n)
+      // post-reshard the mean sits AT the policy line: a second call at
+      // the same budget is a no-op on the new artifact
+      assert(graft.sources.VectorIndexStore.reshardShardedIvfIfNeeded(
+        spark, sf, newShards, maxShardRows = budget) == (newPath, newShards))
+    } finally prev match {
+      case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
+      case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
+    }
+  }
+
   test("a smaller-S rebuild leaves no unread tail shards behind") {
     val root = java.nio.file.Files.createTempDirectory("graft_shrink").toString + "/ix"
     ShardedIvf.build(spark, emb, root, shards = 4, nCellsPerShard = 8)
