@@ -243,16 +243,19 @@ object ScaleDrill {
       // is its own drill mode.
       sys.env.get("SPARK_GRAFT_DRILL_SWEEP_PAR").foreach { spec =>
         val sweepShards = 8
-        for (p <- spec.split(",").map(_.trim.toInt)) {
-          spark.conf.set(graft.operators.ShardedIvf.BuildParallelismConf, p.toString)
-          graft.sources.PosixMetaBackend.deleteRecursively(
-            graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, sweepShards))
-          report(scale, s"build:ivf_sharded_par$p", "cold", timed {
-            graft.sources.VectorIndexStore.ensureShardedIvf(spark, dir, sweepShards)
-            ()
-          })
-        }
-        spark.conf.unset(graft.operators.ShardedIvf.BuildParallelismConf)
+        // a sweep build that throws must not leak its pool-size override
+        // into everything the session builds afterwards
+        try {
+          for (p <- spec.split(",").map(_.trim.toInt)) {
+            spark.conf.set(graft.operators.ShardedIvf.BuildParallelismConf, p.toString)
+            graft.sources.PosixMetaBackend.deleteRecursively(
+              graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, sweepShards))
+            report(scale, s"build:ivf_sharded_par$p", "cold", timed {
+              graft.sources.VectorIndexStore.ensureShardedIvf(spark, dir, sweepShards)
+              ()
+            })
+          }
+        } finally spark.conf.unset(graft.operators.ShardedIvf.BuildParallelismConf)
       }
       // cold store builds, timed individually (delete any prior artifact)
       val builds = if (sys.env.contains("SPARK_GRAFT_DRILL_SKIP_BUILDS"))
@@ -525,8 +528,9 @@ object ScaleDrill {
         // past 10x.
         if (scale <= retrainScaleCap &&
             !sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PQCAL")) {
-          import spark.implicits._
-          val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          // emb and probeQs reuse the enclosing probe block's values (one
+          // parquet read, one collected panel — a second identical
+          // definition here invited silent divergence between the two)
           // constant-occupancy coarse geometry, like build:ivf — the
           // store's fixture default (16 cells) would make the encoded
           // probe scan grow ∝ n
@@ -557,16 +561,17 @@ object ScaleDrill {
               try cal = graft.sources.VectorIndexStore.calibratePqShortlist(
                 spark, pqPath, emb, target = 0.9, k = 10, nProbe = np)
               catch {
-                case e: IllegalStateException if np < nCells =>
+                // ONLY the ceiling diagnostic warrants a wider probe; any
+                // other failure retried here would be mis-measured as
+                // probe-widening until the loop ran out of cells
+                case e: IllegalStateException
+                  if e.getMessage.contains("widen the PROBE") && np < nCells =>
                   np = math.min(2 * np, nCells); doublings += 1
               }
             }
             println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
           })
           if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
-            val probeQs = emb.orderBy("vec_id").limit(20)
-              .select(col("vec_id"), col("embedding"))
-              .as[(Long, Seq[Float])].collect().toSeq
             val exactP = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
             // served at the width the calibration was sized for (the
             // sidecar records it; a mismatched width degrades loudly)

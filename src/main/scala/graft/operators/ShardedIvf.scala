@@ -149,6 +149,20 @@ object ShardedIvf {
       .withColumn("shard", shardCol(shards))
       .repartition(col("shard")) // shard-clustered: one file per shard dir
       .write.mode("overwrite").partitionBy("shard").parquet(taggedDir)
+    // REBUILD of a path with published shards goes through a scratch
+    // sibling + directory-rename cutover so a mid-build failure leaves
+    // the old artifact fully serving. Directory rename is a POSIX
+    // primitive (the object-store meta plane deliberately has none), so
+    // an in-place rebuild on remote storage is refused loudly — remote
+    // deployments publish at a NEW root (reshard / a fresh build path),
+    // which needs no rename at all. A VIRGIN path builds directly into
+    // `shard=r` (no scratch, no rename — works on every storage class).
+    val rebuild = (0 until shards).exists(r =>
+      graft.sources.Versioned.metaBackend.exists(s"$path/shard=$r"))
+    if (rebuild) require(!path.contains("://"),
+      s"in-place rebuild of $path needs a POSIX directory rename for its " +
+        "crash-safe cutover; on remote storage build at a NEW root " +
+        "(reshard / ensureShardedIvf) or delete the artifact first")
     try {
       val tagged = spark.read.parquet(taggedDir)
       // one column-pruned pass gives every shard's cardinality
@@ -161,36 +175,40 @@ object ShardedIvf {
         (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
-        // Shards build into a SCRATCH sibling (`shard=r.building`) and cut
-        // over by rename only after EVERY shard succeeded: a mid-build
-        // failure leaves a previously published artifact fully intact
-        // (the old behavior pre-deleted each shard before rebuilding it).
-        // The fixed scratch name is pre-cleared per shard, so a failed
-        // prior direct build neither blocks the retry (buildIvfAt's
-        // parquet writes are ErrorIfExists) nor leaks scratch copies.
-        // Crash atomicity of the CUTOVER itself is per-shard (a crash
+        // Crash atomicity of the rebuild CUTOVER is per-shard (a crash
         // between renames leaves mixed generations — each a valid
-        // artifact, but membership may straddle corpora); callers needing
-        // all-or-nothing publication use `ensureShardedIvf`, whose tmp-dir
-        // protocol wraps this whole build.
+        // artifact, but membership may straddle corpora; the sidecar
+        // invalidation below keeps verifyShards from blessing that
+        // state); callers needing all-or-nothing publication use
+        // `ensureShardedIvf`, whose tmp-dir protocol wraps this build.
         val builds = (0 until shards).map { r =>
           Future {
-            val scratch = s"$path/shard=$r.building"
-            graft.sources.Versioned.metaBackend.deleteRecursively(scratch)
+            val target =
+              if (rebuild) s"$path/shard=$r.building" else s"$path/shard=$r"
+            // a failed prior attempt's leftovers must not fail the retry
+            // (buildIvfAt's parquet writes are ErrorIfExists)
+            graft.sources.Versioned.metaBackend.deleteRecursively(target)
             val part = tagged.filter(col("shard") === r).drop("shard")
             val cells =
               if (nCellsPerShard > 0) nCellsPerShard
               else graft.sources.VectorIndexStore.autoCells(counts.getOrElse(r, 0L))
-            graft.sources.VectorIndexStore.buildIvfAt(spark, scratch, part, cells)
+            graft.sources.VectorIndexStore.buildIvfAt(spark, target, part, cells)
           }
         }
         Await.result(Future.sequence(builds), Duration.Inf)
-        for (r <- 0 until shards) {
-          graft.sources.Versioned.metaBackend.deleteRecursively(s"$path/shard=$r")
-          val ok = new java.io.File(s"$path/shard=$r.building")
-            .renameTo(new java.io.File(s"$path/shard=$r"))
-          if (!ok) throw new IllegalStateException(
-            s"could not publish shard $r of $path (rename failed)")
+        if (rebuild) {
+          // the sidecar must not bless a mixed-generation layout if this
+          // cutover crashes midway: drop it FIRST (absent sidecar = the
+          // legacy trust-the-caller mode), restamp only after the new
+          // generation is fully in place
+          graft.sources.Versioned.metaBackend.deleteRecursively(shardsMetaFile(path))
+          for (r <- 0 until shards) {
+            graft.sources.Versioned.metaBackend.deleteRecursively(s"$path/shard=$r")
+            val ok = new java.io.File(s"$path/shard=$r.building")
+              .renameTo(new java.io.File(s"$path/shard=$r"))
+            if (!ok) throw new IllegalStateException(
+              s"could not publish shard $r of $path (rename failed)")
+          }
         }
         // a rebuild at a smaller S must not leave a larger prior build's
         // tail shards lying around as unread directories
@@ -207,10 +225,11 @@ object ShardedIvf {
         // not hang cleanup forever)
         pool.shutdown()
         pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        // scratch shards from a failed build must not leak corpus-sized
+        // scratch shards from a failed rebuild must not leak corpus-sized
         // copies (no-op on success: every scratch was renamed away)
-        (0 until shards).foreach(r => graft.sources.Versioned.metaBackend
-          .deleteRecursively(s"$path/shard=$r.building"))
+        if (rebuild)
+          (0 until shards).foreach(r => graft.sources.Versioned.metaBackend
+            .deleteRecursively(s"$path/shard=$r.building"))
       }
     } finally
       // scratch: on success every shard's vectors live inside its own

@@ -145,12 +145,30 @@ object VectorIndexStore {
     require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
       s"no complete sharded artifact at $oldPath to reshard")
     val newPath = shardedIvfPath(spark, sfDir, newShards)
-    PhysicalLayout.ensureDir(newPath) { tmp =>
-      graft.operators.ShardedIvf.reshard(
-        spark, oldPath, oldShards, tmp, newShards, nCellsPerShard)
-      markComplete(tmp)
+    // REFUSE a pre-existing artifact at the target identity: ensureDir
+    // would short-circuit onto it (built from a possibly DIFFERENT corpus
+    // state — e.g. an earlier direct ensure at S', or a prior
+    // gcOld=false reshard), and GCing the live old artifact would then
+    // destroy the only copy of every batch appended since — repointing
+    // the caller at a stale corpus with no error.
+    if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
+      throw new IllegalStateException(
+        s"an artifact already exists at the target shard count ($newPath); " +
+          "resharding onto it would repoint readers at ITS corpus and GC " +
+          s"the live one at $oldPath — delete the target first (or pick " +
+          "another S') if that artifact is disposable")
+    // The lease must span BUILD AND GC (withWriterLease is re-entrant, so
+    // ShardedIvf.reshard's own acquisition folds into this one): released
+    // between them, a blocked appender could land a batch in oldPath that
+    // the GC then destroys — present in neither artifact.
+    Versioned.withWriterLease(oldPath) {
+      PhysicalLayout.ensureDir(newPath) { tmp =>
+        graft.operators.ShardedIvf.reshard(
+          spark, oldPath, oldShards, tmp, newShards, nCellsPerShard)
+        markComplete(tmp)
+      }
+      if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
     }
-    if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
     newPath
   }
 
@@ -185,6 +203,23 @@ object VectorIndexStore {
                                 gcOld: Boolean = true): (String, Int) = {
     require(maxShardRows >= 1, s"maxShardRows=$maxShardRows")
     val path = shardedIvfPath(spark, sfDir, shards)
+    // "call it unconditionally" must survive its own reshard: a scheduler
+    // re-invoking with a now-stale configured S (the artifact was
+    // resharded and GC'd) gets a diagnostic naming the serving artifacts,
+    // not an opaque missing-path failure from the first shard read
+    if (!Versioned.metaBackend.exists(s"$path/_SUCCESS")) {
+      val siblings = Versioned.metaBackend.list(root(spark))
+        .filter(e => e.isDir && e.name.startsWith("ivfsh") &&
+          e.name.endsWith(tag(sfDir)))
+        .map(_.name)
+      throw new IllegalStateException(
+        s"no sharded artifact at S=$shards for $sfDir ($path) — it was " +
+          "likely resharded and GC'd; follow the (path, shards) pair a " +
+          "prior reshard returned" +
+          (if (siblings.nonEmpty)
+            s" (serving artifacts for this corpus: ${siblings.mkString(", ")})"
+          else ""))
+    }
     graft.operators.ShardedIvf.verifyShards(path, shards)
     val total = (0 until shards).map { r =>
       IvfIndex.loadVectors(spark, s"$path/shard=$r").count()

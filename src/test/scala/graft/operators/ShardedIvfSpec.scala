@@ -356,6 +356,35 @@ class ShardedIvfSpec extends SparkTestBase {
     assert(ShardedIvf.search(spark, root, 3, qv, k = 5).count() == 5)
   }
 
+  test("store reshard refuses a pre-existing target artifact; stale-S callers get a diagnostic") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_reshcol").toString
+    val prev = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+    spark.conf.set(graft.sources.VectorIndexStore.RootConf, idxRoot)
+    try {
+      val p2 = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 2)
+      graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 3)
+      // a complete artifact already sits at the target identity: ensureDir
+      // would short-circuit onto ITS corpus and the GC would destroy the
+      // live (possibly appended) one — must refuse, and touch nothing
+      val e = intercept[IllegalStateException] {
+        graft.sources.VectorIndexStore.reshardShardedIvf(spark, sf, 2, 3)
+      }
+      assert(e.getMessage.contains("already exists"))
+      assert(new java.io.File(p2).exists(), "refusal must not GC the old artifact")
+      // a scheduler whose configured S went stale after a reshard gets a
+      // diagnostic naming the situation, not a missing-path crash
+      graft.sources.VectorIndexStore.reshardShardedIvf(spark, sf, 2, 4)
+      val e2 = intercept[IllegalStateException] {
+        graft.sources.VectorIndexStore.reshardShardedIvfIfNeeded(spark, sf, 2)
+      }
+      assert(e2.getMessage.contains("resharded") && e2.getMessage.contains("ivfsh"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
+      case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
+    }
+  }
+
   test("reshardIfNeeded: no-op under the row budget, grows S to the policy line past it") {
     import spark.implicits._
     val idxRoot = java.nio.file.Files.createTempDirectory("graft_reshif").toString
