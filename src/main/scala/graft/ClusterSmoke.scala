@@ -87,10 +87,26 @@ object ClusterSmoke {
 
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var failed = 0
+    // Shuffle counters include per-task PARTIAL rows (window-group-limit /
+    // partial-agg emissions) whose count depends on file->task packing and
+    // attempt interleaving — the root-caused benign divergence classes of
+    // SCALE.md round-14 §3. Two slice rows sit squarely in them and are
+    // attempt-sensitive at the percent level EVEN WITHIN one mode (v19's
+    // persist+rank partials; store:reshard probes an artifact each mode
+    // wrote itself, so its window partials see per-mode file layouts).
+    // Those two get a 5% shuffle band — a real plan regression moves
+    // counters at the multiple level (x03's transition measured 112x) —
+    // everything else stays byte-exact, as do ALL rows_in and results.
+    val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard")
     for ((name, l) <- localRuns) {
       val c = clusterRuns(name)
       val resultOk = l.digest == c.digest && l.rows == c.rows
-      val countersOk = l.rowsIn == c.rowsIn && l.shuffleRows == c.shuffleRows
+      val shuffleOk =
+        if (shuffleBand(name))
+          math.abs(l.shuffleRows - c.shuffleRows) <=
+            0.05 * math.max(l.shuffleRows, c.shuffleRows)
+        else l.shuffleRows == c.shuffleRows
+      val countersOk = l.rowsIn == c.rowsIn && shuffleOk
       if (!(resultOk && countersOk)) failed += 1
       lines += f"""{"name":"$name","result_match":$resultOk,"counters_match":$countersOk,"rows":${l.rows},"local_secs":${l.secs}%.3f,"cluster_secs":${c.secs}%.3f,"rows_in":[${l.rowsIn},${c.rowsIn}],"shuffle_rows":[${l.shuffleRows},${c.shuffleRows}]}"""
     }
@@ -238,7 +254,7 @@ object ClusterSmoke {
       //     build there, both modes' counters cover probing only).
       val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val (shProbeRun, calRun, probeRun) = try {
+      val (shProbeRun, calRun, probeRun, reshardRun) = try {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -257,7 +273,20 @@ object ClusterSmoke {
         val i = timedRun("store:ivf_probe",
           graft.operators.AnnEval.ivfTopK(spark, ivfPath, panel, k = 10, nProbe = 4))
         println(f"CLUSTERSMOKE# $mode store:ivf_probe ${i.secs}%.2fs rows=${i.rows}")
-        (p, c, i)
+        //   store:reshard — the round-15 growth verb: re-tag the SHARED
+        //     3-shard artifact (identical input layout in both modes)
+        //     into a per-mode 2-shard artifact (concurrent per-shard
+        //     rebuilds on THIS mode's executors), then probe the result.
+        //     Digest = the resharded top-k; counters cover the re-tag
+        //     pass + both shard builds + the probe.
+        val reshRoot = s"$artifactRoot/index_resharded/ix2"
+        graft.sources.PosixMetaBackend.deleteRecursively(s"$artifactRoot/index_resharded")
+        val rr = timedRun("store:reshard", {
+          graft.operators.ShardedIvf.reshard(spark, shPath, 3, reshRoot, 2)
+          graft.operators.AnnEval.shardedTopK(spark, reshRoot, 2, panel, k = 10)
+        })
+        println(f"CLUSTERSMOKE# $mode store:reshard ${rr.secs}%.2fs rows=${rr.rows}")
+        (p, c, i, rr)
       } finally prevRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       (runs ++ Seq("store:ivf_build" -> buildRun,
@@ -265,7 +294,8 @@ object ClusterSmoke {
         "store:sharded_build" -> shBuildRun,
         "store:sharded_probe" -> shProbeRun,
         "store:sharded_cal" -> calRun,
-        "store:ivf_probe" -> probeRun)).toMap
+        "store:ivf_probe" -> probeRun,
+        "store:reshard" -> reshardRun)).toMap
     } finally {
       spark.stop()
       // the state-store maintenance threads are JVM-global and would keep
