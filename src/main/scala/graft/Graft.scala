@@ -279,6 +279,69 @@ object Graft {
                           k: Int = 10): graft.sources.VectorIndexStore.ProbeCal =
     graft.sources.VectorIndexStore.calibrateShardedIvf(spark, path, shards, target, k)
 
+  // ---- sharded IVF-PQ (the sharded geometry at the 32x memory point) ----
+
+  /** Build S independent hash-sharded IVF-PQ artifacts — the composition
+    * of [[buildShardedIvf]]'s scale-out coarse geometry with PQ's
+    * one-byte-per-subspace codes; the shape a 1536-d corpus needs at
+    * 100 TB ([[graft.operators.ShardedPq]]).
+    */
+  def buildShardedPq(spark: SparkSession, corpus: DataFrame, path: String,
+                     shards: Int, nCellsPerShard: Int = -1): Unit =
+    graft.operators.ShardedPq.build(spark, corpus, path, shards, nCellsPerShard)
+
+  /** Hash-route a batch to its shards and append each slice through the
+    * per-shard PQ encode (anti-join idempotent, quantization watermark).
+    */
+  def appendShardedPq(spark: SparkSession, path: String, shards: Int,
+                      vectors: DataFrame): Unit =
+    graft.operators.ShardedPq.append(spark, path, shards, vectors)
+
+  /** Per-shard drift check + recall-gated PQ retrain from the
+    * caller-supplied full-precision corpus (the encoded shards carry no
+    * vectors); returns shards retrained.
+    */
+  def retrainShardedPqIfNeeded(spark: SparkSession, path: String, shards: Int,
+                               fullPrecision: DataFrame, factor: Double = 2.0,
+                               recallFloor: Double = 0.2): Int =
+    graft.operators.ShardedPq.retrainIfNeeded(
+      spark, path, shards, fullPrecision, factor, recallFloor)
+
+  /** Single-query top-k over a sharded PQ artifact: per-shard ADC
+    * shortlists, one exact re-rank against the full-precision store,
+    * one global TakeOrdered.
+    */
+  def shardedPqKnn(spark: SparkSession, path: String, shards: Int,
+                   fullPrecision: DataFrame, queryVec: Array[Float], k: Int,
+                   nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
+                   shortlist: Int = graft.operators.PqIndex.DefaultShortlist): DataFrame =
+    graft.operators.ShardedPq.search(spark, path, shards, fullPrecision,
+      queryVec.toSeq, k, nProbe, shortlist)
+
+  /** Batched panel top-k over a sharded PQ artifact — the form recall
+    * grading uses ([[graft.operators.AnnEval.shardedPqTopK]]).
+    */
+  def shardedPqProbe(spark: SparkSession, path: String, shards: Int,
+                     fullPrecision: DataFrame,
+                     queries: Seq[(Long, Seq[Float])], k: Int,
+                     nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
+                     shortlist: Int = graft.operators.PqIndex.DefaultShortlist): DataFrame =
+    graft.operators.AnnEval.shardedPqTopK(spark, path, shards, fullPrecision,
+      queries, k, nProbe, shortlist)
+
+  /** [[calibratePqShortlist]] for a sharded PQ root: one pass sizes the
+    * per-shard re-rank depth holding `target` recall@k, published as one
+    * `shortlist.CAL` at the root (honored via
+    * [[graft.operators.PqIndex.ShortlistCalibrated]] at the same probe
+    * policy; any shard's retrain invalidates it).
+    */
+  def calibrateShardedPqShortlist(spark: SparkSession, path: String,
+                                  shards: Int, fullPrecision: DataFrame,
+                                  target: Double = 0.9,
+                                  k: Int = 10): graft.sources.VectorIndexStore.PqShortCal =
+    graft.sources.VectorIndexStore.calibrateShardedPqShortlist(
+      spark, path, shards, fullPrecision, target, k)
+
   /** [[calibrateIvf]] for the IVF-PQ path, sizing the RE-RANK SHORTLIST
     * instead of the probe width (one ADC pass gives the whole
     * recall-vs-shortlist curve at the recorded probe width; the ceiling

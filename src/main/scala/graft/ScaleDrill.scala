@@ -596,6 +596,55 @@ object ScaleDrill {
           require(ceilingNamed,
             s"pq ceiling exercise at x$scale: expected the ceiling-aware " +
               "diagnostic naming the probe")
+          // SHARDED IVF-PQ (round 15, late): the composed geometry — S
+          // encoded sub-indexes, per-shard ADC shortlists, one exact
+          // re-rank — built cold, probed, and shortlist-calibrated at
+          // the root with the same widening loop (explicit np: the
+          // sharded sidecar records the requested policy verbatim).
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_SHPQ")) {
+            val pqShards = 4
+            graft.sources.PosixMetaBackend.deleteRecursively(
+              graft.sources.VectorIndexStore.shardedPqPath(spark, dir, pqShards))
+            report(scale, "build:pq_sharded", "cold", timed {
+              graft.sources.VectorIndexStore.ensureShardedPq(spark, dir, pqShards)
+              ()
+            })
+            val shPqPath = graft.sources.VectorIndexStore.shardedPqPath(spark, dir, pqShards)
+            val repsQ = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, pqShards,
+                  emb, probeQs, k = 10)
+                  .write.mode("overwrite").format("noop").save()
+              }
+            }
+            report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
+            if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+              val maxShardCells = (0 until pqShards).map(r =>
+                graft.operators.PqIndex.loadModel(spark, s"$shPqPath/shard=$r")
+                  .coarse.centroids.length).max
+              var calS: graft.sources.VectorIndexStore.PqShortCal = null
+              var npS = 4
+              var dblS = 0
+              report(scale, "calibrate:pq_sharded", "cold", timed {
+                while (calS == null) {
+                  try calS = graft.sources.VectorIndexStore.calibrateShardedPqShortlist(
+                    spark, shPqPath, pqShards, emb, target = 0.9, k = 10, nProbe = npS)
+                  catch {
+                    case e: IllegalStateException
+                      if e.getMessage.contains("widen the PROBE") && npS < maxShardCells =>
+                      npS = math.min(2 * npS, maxShardCells); dblS += 1
+                  }
+                }
+                println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_sharded","target":0.9,"shortlist":${calS.shortlist},"measured":${calS.measured}%.3f,"nprobe":${calS.nProbe},"doublings":$dblS}""")
+              })
+              val exactQ = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+              val gotQ = graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
+                pqShards, emb, probeQs, k = 10, nProbe = calS.nProbe,
+                shortlist = graft.operators.PqIndex.ShortlistCalibrated)
+              val rQ = graft.operators.AnnEval.meanRecall(gotQ, exactQ)
+              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
+            }
+          }
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
@@ -744,6 +793,8 @@ object DrillCheck {
     case ("calibrate:pq", "cold") => Some(25.0)  // one ADC pass over the
       // probed cells + the same exact panel pass — linear like the IVF
       // calibration
+    case ("calibrate:pq_sharded", "cold") => Some(25.0) // same class,
+      // unioned per-shard ADC frames + one window
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant

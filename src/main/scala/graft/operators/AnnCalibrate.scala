@@ -123,6 +123,39 @@ object AnnCalibrate {
         coalesce(col("width"), lit(Int.MaxValue)).as("width"))
   }
 
+  /** [[pqShortlistWidthsFrames]] for a SHARDED PQ artifact
+    * ([[ShardedPq]]): a true neighbor enters the answer iff its cell is
+    * probed AND its per-(query, SHARD) ADC rank is <= the per-shard
+    * shortlist, so the capture width is the rank within the neighbor's
+    * OWN shard's candidate frame — one window over the unioned ADC
+    * scores, exactly what [[AnnEval.shardedPqTopK]] executes. Unprobed
+    * cells read Int.MaxValue (the ceiling is cell-pruning recall, as in
+    * the single-index curve).
+    */
+  def shardedPqShortlistWidths(spark: SparkSession, path: String, shards: Int,
+                               fullPrecision: DataFrame,
+                               queries: Seq[(Long, Seq[Float])], k: Int,
+                               nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = (0 until shards).map { r =>
+      val shardPath = s"$path/shard=$r"
+      AnnEval.pqApproxScores(spark,
+        PqIndex.loadEncoded(spark, shardPath).filter(col("vec_id") =!= 0),
+        PqIndex.loadModel(spark, shardPath), queries, nProbe)
+        .withColumn("shard", lit(r))
+    }.reduce(_ unionAll _)
+    val ranked = scored
+      .withColumn("width", row_number().over(
+        Window.partitionBy("qid", "shard").orderBy(col("approx_d"), col("vec_id"))))
+      .select(col("qid"), col("vec_id"), col("width"))
+    val exact = AnnEval.exactTopK(spark,
+      fullPrecision.filter(col("vec_id") =!= 0), queries, k)
+    exact
+      .join(ranked, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("vec_id"),
+        coalesce(col("width"), lit(Int.MaxValue)).as("width"))
+  }
+
   /** The capture-width HISTOGRAM of [[neighborWidths]], collected: sorted
     * (width, pairs-captured-at-exactly-width). Everything downstream
     * (curve points, target quantile) is driver arithmetic over this

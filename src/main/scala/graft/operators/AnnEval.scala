@@ -199,6 +199,48 @@ object AnnEval {
     topKPerQuery(scored, k)
   }
 
+  /** Batched panel probe against a PERSISTED sharded IVF-PQ artifact
+    * ([[ShardedPq]]): each shard contributes its ADC-scored candidates,
+    * a per-(qid, SHARD) rank keeps each shard's shortlist (membership
+    * is disjoint, so the shortlists union without loss), one exact
+    * cosine re-rank of the union against the full-precision store, one
+    * global per-qid window — the batch-panel mirror of
+    * `ShardedPq.search`, graded by the same [[meanRecall]]/[[exactTopK]]
+    * machinery as every other index path.
+    */
+  def shardedPqTopK(spark: SparkSession, path: String, shards: Int,
+                    fullPrecision: DataFrame,
+                    queries: Seq[(Long, Seq[Float])], k: Int,
+                    nProbe: Int = IvfIndex.NProbeAuto,
+                    shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Sharding.verifyShards(path, shards) // wrong S silently drops shards
+    val sl = ShardedPq.resolveShardedShortlist(path, nProbe, shortlist)
+    val scored = (0 until shards).map { r =>
+      val shardPath = s"$path/shard=$r"
+      pqApproxScores(spark,
+        PqIndex.loadEncoded(spark, shardPath).filter(col("vec_id") =!= 0),
+        PqIndex.loadModel(spark, shardPath), queries, nProbe)
+        .withColumn("shard", lit(r))
+    }.reduce(_ unionAll _)
+    val short = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid", "shard").orderBy(col("approx_d"), col("vec_id"))))
+      .filter(col("rn") <= sl)
+      .select("qid", "vec_id")
+    val panel = {
+      import spark.implicits._
+      broadcast(queries.toDF("qid", "qemb"))
+    }
+    topKPerQuery(
+      short.join(fullPrecision.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(panel, "qid")
+        .select(col("qid"), col("vec_id"),
+          round(graft.expressions.GraftFunctions.cosine_sim(
+            col("embedding"), col("qemb")), 6).as("sim")),
+      k)
+  }
+
   /** Batched IVF-PQ probe against a PERSISTED index: per-(qid, cell) ADC
     * tables broadcast as one map, approximate distances via m byte-code
     * lookups, per-qid shortlist, exact cosine re-rank of shortlists only —

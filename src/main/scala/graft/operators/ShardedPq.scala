@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded IVF-PQ — the composition of the engine's two scale answers,
+  * and the true 100 TB ANN design point: [[ShardedIvf]] takes the
+  * coarse geometry past one quantizer's broadcast ceiling, and PQ takes
+  * the per-vector memory down 32× (one byte per subspace instead of
+  * 4·dim bytes — at the reference's 1536-d (db_utils.py:33) a
+  * full-precision shard is ~6 KB/vector, untenable exactly where
+  * sharding is needed). S independent IVF-PQ sub-indexes over the same
+  * disjoint `pmod(xxhash64(vec_id), S)` partition ([[Sharding]] — same
+  * routing, same `shards.META` guard, same build machinery):
+  *
+  *   - BUILD: one tagging pass, concurrent pruned per-shard
+  *     [[graft.sources.VectorIndexStore.buildPqAt]] — each shard
+  *     carries the full PQ lifecycle plane (coarse model, codebooks,
+  *     cell-partitioned one-byte codes, qerr quantization watermarks,
+  *     versioned baseline). Per-shard coarse cells default to
+  *     `autoCells` of the shard's rows (constant occupancy).
+  *   - MAINTENANCE: appends hash-route to the per-shard `appendPq`
+  *     (anti-join idempotence, quantization watermark);
+  *     [[retrainIfNeeded]] judges drift PER SHARD and retrains from the
+  *     caller-supplied full-precision corpus slice (the PQ artifact
+  *     deliberately carries no full-precision vectors — at scale the
+  *     slice is a pruned read of the same cold store the re-rank
+  *     already consults); [[compactShards]] rewrites fragmented cell
+  *     directories per shard behind Versioned pointers.
+  *   - PROBE ([[AnnEval.shardedPqTopK]] / [[search]]): each shard ADC-
+  *     scores its probed cells and keeps ITS shortlist (per-shard rank
+  *     — membership is disjoint, so shortlists union without loss),
+  *     one exact cosine re-rank of the unioned shortlists against the
+  *     full-precision store, one global top-k. Driver memory peaks at
+  *     one shard's (coarse + codebooks) at a time.
+  *   - CALIBRATION
+  *     ([[graft.sources.VectorIndexStore.calibrateShardedPqShortlist]]):
+  *     the one-pass recall-vs-shortlist curve generalizes — a true
+  *     neighbor enters the answer iff its cell is probed AND its
+  *     per-(query, SHARD) ADC rank is <= the per-shard shortlist, so
+  *     the capture width is one window over the unioned ADC frames.
+  *     One `shortlist.CAL` at the sharded root (per-shard depth),
+  *     honored by the [[PqIndex.ShortlistCalibrated]] sentinel,
+  *     invalidated by any shard's retrain.
+  *
+  * RESHARD: an encoded composition reshards by RE-ENCODING from the
+  * full-precision store at S′ (the artifact-sourced reshard of
+  * [[ShardedIvf]] does not apply — PQ shards hold codes, not vectors,
+  * and decoding codes would bake quantization error into the new
+  * artifact). `VectorIndexStore.reshardShardedPq` wraps that build in
+  * the same collision-guarded atomic publish + GC as the IVF one.
+  */
+object ShardedPq {
+
+  /** The shard count recorded at build time (`shards.META`). */
+  def shardCount(path: String): Option[Int] = Sharding.shardCount(path)
+
+  /** Build S independent IVF-PQ artifacts under `path/shard=r` — one
+    * tagging pass, concurrent pruned per-shard PQ builds
+    * ([[ShardedIvf.BuildParallelism]]-bounded, same conf override).
+    */
+  def build(spark: SparkSession, vectors: DataFrame, path: String,
+            shards: Int, nCellsPerShard: Int = -1): Unit =
+    Sharding.buildSharded(spark, vectors, path, shards,
+      spark.conf.getOption(ShardedIvf.BuildParallelismConf)
+        .flatMap(_.toIntOption).filter(_ >= 1)
+        .getOrElse(ShardedIvf.BuildParallelism),
+      (dir, part, n) => {
+        val cells =
+          if (nCellsPerShard > 0) nCellsPerShard
+          else graft.sources.VectorIndexStore.autoCells(n)
+        graft.sources.VectorIndexStore.buildPqAt(spark, dir, part, cells)
+      })
+
+  /** Hash-route `newVectors` to their shards and append each slice
+    * through the per-shard `appendPq` (existing-codebook encode, vec_id
+    * anti-join idempotence, quantization watermark).
+    */
+  def append(spark: SparkSession, path: String, shards: Int,
+             newVectors: DataFrame): Unit =
+    Sharding.appendRouted(spark, path, shards, newVectors,
+      (shardPath, slice) =>
+        graft.sources.VectorIndexStore.appendPq(spark, shardPath, slice))
+
+  /** Per-shard drift check + recall-gated retrain (`retrainPqIfNeeded`
+    * on each shard artifact, fed the hash-routed slice of the
+    * caller-supplied full-precision corpus). Sequential by design, like
+    * [[ShardedIvf.retrainIfNeeded]]. Returns the number of shards
+    * retrained; each retrain invalidates the sharded root's
+    * `shortlist.CAL` (a depth sized for the old geometry is stale).
+    */
+  def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
+                      fullPrecision: DataFrame, factor: Double = 2.0,
+                      recallFloor: Double = 0.2,
+                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10,
+                      shortlist: Int = PqIndex.DefaultShortlist): Int = {
+    Sharding.verifyShards(path, shards)
+    val tagged = fullPrecision
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("shard", Sharding.shardCol(shards))
+    (0 until shards).count { r =>
+      graft.sources.VectorIndexStore.retrainPqIfNeeded(
+        spark, s"$path/shard=$r",
+        tagged.filter(col("shard") === r).drop("shard"),
+        factor, recallFloor, nProbe, k, shortlist)
+    }
+  }
+
+  /** Per-shard small-file compaction (`compactPq` on each shard). */
+  def compactShards(spark: SparkSession, path: String, shards: Int): Unit = {
+    Sharding.verifyShards(path, shards)
+    (0 until shards).foreach { r =>
+      val shardPath = s"$path/shard=$r"
+      val nCells = PqIndex.loadModel(spark, shardPath).coarse.centroids.length
+      graft.sources.VectorIndexStore.compactPq(spark, shardPath, nCells)
+    }
+  }
+
+  /** Single-query top-k over all shards: per-shard ADC shortlist (each
+    * with ITS model's resolved `nProbe` and the resolved per-shard
+    * `shortlist`), exact re-rank of the unioned shortlists against the
+    * full-precision store, one global TakeOrdered.
+    */
+  def search(spark: SparkSession, path: String, shards: Int,
+             fullPrecision: DataFrame, query: Seq[Float], k: Int,
+             nProbe: Int = IvfIndex.NProbeAuto,
+             shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+    Sharding.verifyShards(path, shards)
+    val sl = resolveShardedShortlist(path, nProbe, shortlist)
+    val shorts = (0 until shards).map { r =>
+      val shardPath = s"$path/shard=$r"
+      PqIndex.adcShortlist(spark,
+        PqIndex.loadEncoded(spark, shardPath),
+        PqIndex.loadModel(spark, shardPath), query, nProbe, sl)
+    }.reduce(_ unionAll _)
+    val qCol = lit(query.toArray).cast("array<float>")
+    shorts.select("vec_id")
+      .join(fullPrecision.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Resolve the per-shard shortlist for a sharded ROOT: the
+    * calibration sentinel reads the root's `shortlist.CAL`, which is
+    * honored only at the REQUESTED-nProbe policy it was measured under
+    * (per-shard resolved widths differ across shards, so the sidecar
+    * records the requested policy value verbatim — unlike the
+    * single-index sidecar, which records its one resolved width). A
+    * mismatch or an uncalibrated root degrades loudly to the default.
+    */
+  private[graft] def resolveShardedShortlist(path: String, nProbe: Int,
+                                             shortlist: Int): Int =
+    if (shortlist == PqIndex.ShortlistCalibrated)
+      graft.sources.VectorIndexStore.readShortCal(path) match {
+        case Some(cal) if cal.nProbe == nProbe => cal.shortlist
+        case Some(cal) =>
+          System.err.println(s"[graft] shortlist.CAL at $path was sized " +
+            s"under probe policy ${cal.nProbe} but this probe requests " +
+            s"$nProbe — its recall promise does not transfer; using the " +
+            "default shortlist (recalibrate at the serving policy)")
+          PqIndex.DefaultShortlist
+        case None => PqIndex.DefaultShortlist
+      }
+    else PqIndex.resolveShortlist(shortlist)
+}

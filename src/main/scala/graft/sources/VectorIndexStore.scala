@@ -232,6 +232,95 @@ object VectorIndexStore {
     }
   }
 
+  // shard count is part of the artifact identity, like shardedIvfPath
+  def shardedPqPath(spark: SparkSession, sfDir: String, shards: Int): String =
+    s"${root(spark)}/pqsh${shards}_${tag(sfDir)}"
+
+  /** Idempotent SHARDED IVF-PQ build over the `embeddings` fixture
+    * ([[graft.operators.ShardedPq]] — the composition of the sharded
+    * coarse geometry with the 32× PQ memory point; the true 100 TB ANN
+    * design shape). Same atomic publish-or-short-circuit protocol as
+    * [[ensureShardedIvf]].
+    */
+  def ensureShardedPq(spark: SparkSession, sfDir: String, shards: Int,
+                      nCellsPerShard: Int = -1): String = {
+    val path = shardedPqPath(spark, sfDir, shards)
+    PhysicalLayout.ensureDir(path) { tmp =>
+      graft.operators.ShardedPq.build(spark,
+        Tables.load(spark, sfDir, "embeddings"), tmp, shards, nCellsPerShard)
+      markComplete(tmp)
+    }
+    path
+  }
+
+  /** [[reshardShardedIvf]] for the ENCODED composition: a sharded PQ
+    * artifact reshards by RE-ENCODING the full-precision corpus at S′ —
+    * its shards hold one-byte codes, not vectors (that is their point),
+    * so the full-precision store (the same one every re-rank reads) is
+    * the source of truth, and "reshard" = a collision-guarded atomic
+    * build at the new identity + GC of the old artifact. Calibration
+    * does not transfer. NOTE the source-of-truth consequence: vectors
+    * appended to the ENCODED artifact survive the reshard only if they
+    * are in the full-precision store this rebuilds from (for the
+    * fixture-backed store that is the `embeddings` table) — unlike the
+    * IVF reshard, which is artifact-sourced. Returns the new path.
+    */
+  def reshardShardedPq(spark: SparkSession, sfDir: String, oldShards: Int,
+                       newShards: Int, nCellsPerShard: Int = -1,
+                       gcOld: Boolean = true): String = {
+    require(newShards != oldShards && newShards >= 1,
+      s"reshard $oldShards -> $newShards is not a reshard")
+    val oldPath = shardedPqPath(spark, sfDir, oldShards)
+    require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
+      s"no complete sharded PQ artifact at $oldPath to reshard")
+    val newPath = shardedPqPath(spark, sfDir, newShards)
+    if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
+      throw new IllegalStateException(
+        s"an artifact already exists at the target shard count ($newPath); " +
+          "resharding onto it would repoint readers at ITS corpus and GC " +
+          s"the live one at $oldPath — delete the target first (or pick " +
+          "another S') if that artifact is disposable")
+    Versioned.withWriterLease(oldPath) {
+      ensureShardedPq(spark, sfDir, newShards, nCellsPerShard)
+      if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
+    }
+    newPath
+  }
+
+  /** [[calibratePqShortlist]] for a sharded PQ root: one pass over the
+    * unioned per-shard ADC frames sizes the smallest PER-SHARD re-rank
+    * depth holding `target` recall@k, published as ONE `shortlist.CAL`
+    * at the root. The sidecar records the REQUESTED probe policy
+    * verbatim (per-shard resolved widths differ across shards), and the
+    * sentinel honors it only at that policy —
+    * [[graft.operators.ShardedPq.resolveShardedShortlist]].
+    */
+  def calibrateShardedPqShortlist(spark: SparkSession, path: String,
+                                  shards: Int, fullPrecision: org.apache.spark.sql.DataFrame,
+                                  target: Double = 0.9, k: Int = 10,
+                                  nProbe: Int = graft.operators.IvfIndex.NProbeAuto,
+                                  maxPanel: Int = 32): PqShortCal = {
+    graft.operators.Sharding.verifyShards(path, shards)
+    val corpus = fullPrecision.select("vec_id", "label", "embedding")
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val panel = graft.operators.AnnEval.rowPanel(corpus, maxPanel)
+    val hist = graft.operators.AnnCalibrate.widthHistogram(
+      graft.operators.AnnCalibrate.shardedPqShortlistWidths(
+        spark, path, shards, corpus, panel, k, nProbe))
+    val total = hist.map(_._2).sum.toDouble
+    val ceiling = hist.filter(_._1 != Int.MaxValue).map(_._2).sum / total
+    val (shortlist, measured) =
+      graft.operators.AnnCalibrate.calibrateWidth(hist, target)
+        .getOrElse(throw new IllegalStateException(
+          f"recall target $target%.3f exceeds the cell-pruning ceiling " +
+            f"$ceiling%.3f at this nProbe on $path — widen the PROBE, the " +
+            "shortlist cannot recover neighbors in unprobed cells"))
+    val cal = PqShortCal(shortlist, measured, target, k, panel.size, nProbe,
+      ProbeCalSemanticsVersion)
+    writeShortCal(path, cal)
+    cal
+  }
+
   /** Idempotent IVF-PQ index build: coarse cells + residual codebooks +
     * cell-partitioned one-byte-per-subspace codes (no full-precision
     * vectors in the artifact — that is the 32x memory point).
@@ -824,13 +913,21 @@ object VectorIndexStore {
   def calibratedShortlist(path: String): Option[Int] =
     readShortCal(path).map(_.shortlist)
 
-  private[graft] def invalidateShortCal(path: String): Unit =
+  private[graft] def invalidateShortCal(path: String): Unit = {
     if (Versioned.metaBackend.exists(shortCalFile(path))) {
       Versioned.metaBackend.deleteRecursively(shortCalFile(path))
       System.err.println(s"[graft] dropped stale shortlist.CAL at $path " +
         "(geometry retrained) — probes use the default shortlist until " +
         "recalibrated")
     }
+    // a shard's geometry change stales its sharded ROOT's shortlist
+    // calibration too — keyed to the retrain itself, like
+    // invalidateProbeCal's propagation
+    path match {
+      case ShardChild(parent) => invalidateShortCal(parent)
+      case _ => ()
+    }
+  }
 
   /** Size the smallest ADC re-rank shortlist holding `target` recall@k on
     * the PQ artifact's own corpus at the engine-default (or given) probe
