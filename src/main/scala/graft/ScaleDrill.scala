@@ -571,8 +571,14 @@ object ScaleDrill {
             }
             println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
           })
-          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
-            val exactP = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+          // ONE persisted exact oracle serves BOTH PQ gradings below
+          // (single-index cal probe + sharded-pq cal probe) — the
+          // Θ(panel·n) pass is the block's most expensive job
+          val exactPq =
+            if (sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) None
+            else Some(graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          exactPq.foreach { exactP =>
             // served at the width the calibration was sized for (the
             // sidecar records it; a mismatched width degrades loudly)
             val gotP = graft.operators.AnnEval.pqTopK(spark, pqPath, emb, probeQs,
@@ -618,7 +624,7 @@ object ScaleDrill {
               }
             }
             report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
-            if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            exactPq.foreach { exactQ =>
               val maxShardCells = (0 until pqShards).map(r =>
                 graft.operators.PqIndex.loadModel(spark, s"$shPqPath/shard=$r")
                   .coarse.centroids.length).max
@@ -637,7 +643,6 @@ object ScaleDrill {
                 }
                 println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_sharded","target":0.9,"shortlist":${calS.shortlist},"measured":${calS.measured}%.3f,"nprobe":${calS.nProbe},"doublings":$dblS}""")
               })
-              val exactQ = graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
               val gotQ = graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
                 pqShards, emb, probeQs, k = 10, nProbe = calS.nProbe,
                 shortlist = graft.operators.PqIndex.ShortlistCalibrated)
@@ -645,6 +650,7 @@ object ScaleDrill {
               println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
             }
           }
+          exactPq.foreach(_.unpersist())
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build

@@ -89,10 +89,6 @@ object ShardedIvf {
   /** Conf key overriding [[BuildParallelism]] for a session. */
   val BuildParallelismConf = "spark.graft.shard.buildParallelism"
 
-  private def buildParallelism(spark: SparkSession): Int =
-    spark.conf.getOption(BuildParallelismConf).flatMap(_.toIntOption)
-      .filter(_ >= 1).getOrElse(BuildParallelism)
-
 
   /** The shard count recorded at build/reshard time ([[Sharding]]'s
     * `shards.META` sidecar), when the artifact carries it.
@@ -115,7 +111,7 @@ object ShardedIvf {
     */
   def build(spark: SparkSession, vectors: DataFrame, path: String,
             shards: Int, nCellsPerShard: Int = -1): Unit =
-    Sharding.buildSharded(spark, vectors, path, shards, buildParallelism(spark),
+    Sharding.buildSharded(spark, vectors, path, shards,
       (dir, part, n) => {
         val cells =
           if (nCellsPerShard > 0) nCellsPerShard

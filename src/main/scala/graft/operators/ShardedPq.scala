@@ -62,9 +62,6 @@ object ShardedPq {
   def build(spark: SparkSession, vectors: DataFrame, path: String,
             shards: Int, nCellsPerShard: Int = -1): Unit =
     Sharding.buildSharded(spark, vectors, path, shards,
-      spark.conf.getOption(ShardedIvf.BuildParallelismConf)
-        .flatMap(_.toIntOption).filter(_ >= 1)
-        .getOrElse(ShardedIvf.BuildParallelism),
       (dir, part, n) => {
         val cells =
           if (nCellsPerShard > 0) nCellsPerShard

@@ -59,34 +59,46 @@ private[graft] object Sharding {
           "probes or routes appends to unread directories")
     }
 
+  /** The ONE resolution of the concurrent-build pool size both sharded
+    * compositions share: the session override
+    * ([[ShardedIvf.BuildParallelismConf]]) or the measured default
+    * ([[ShardedIvf.BuildParallelism]]).
+    */
+  private[graft] def buildParallelism(spark: SparkSession): Int =
+    spark.conf.getOption(ShardedIvf.BuildParallelismConf)
+      .flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(ShardedIvf.BuildParallelism)
+
   /** One tagging pass over `vectors` + S concurrent pruned per-shard
     * builds via `buildAt(dir, partition, rowCount)`. See the object doc
-    * for the virgin-vs-rebuild cutover semantics; `parallelism` bounds
-    * the concurrent Spark-job-submitting threads.
+    * for the virgin-vs-rebuild cutover semantics; [[buildParallelism]]
+    * bounds the concurrent Spark-job-submitting threads.
     */
   private[graft] def buildSharded(spark: SparkSession, vectors: DataFrame,
-                                  path: String, shards: Int, parallelism: Int,
+                                  path: String, shards: Int,
                                   buildAt: (String, DataFrame, Long) => Unit): Unit = {
     require(shards >= 1, s"shards=$shards")
-    val taggedDir = s"$path/tagged"
-    // overwrite: a failed prior build's scratch must not fail the retry
-    vectors.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("shard", shardCol(shards))
-      .repartition(col("shard")) // shard-clustered: one file per shard dir
-      .write.mode("overwrite").partitionBy("shard").parquet(taggedDir)
     // REBUILD of a path with published shards goes through a scratch
     // sibling + directory-rename cutover so a mid-build failure leaves
     // the old artifact fully serving. Directory rename is a POSIX
     // primitive (the object-store meta plane deliberately has none), so
     // an in-place rebuild on remote storage is refused loudly — remote
     // deployments publish at a NEW root, which needs no rename at all.
-    // A VIRGIN path builds directly into `shard=r`.
+    // A VIRGIN path builds directly into `shard=r`. Decided BEFORE the
+    // corpus-sized tagging write: a refusal must cost S existence
+    // checks, not a corpus round trip.
     val rebuild = (0 until shards).exists(r =>
       graft.sources.Versioned.metaBackend.exists(s"$path/shard=$r"))
     if (rebuild) require(!path.contains("://"),
       s"in-place rebuild of $path needs a POSIX directory rename for its " +
         "crash-safe cutover; on remote storage build at a NEW root " +
         "(reshard / ensure*) or delete the artifact first")
+    val taggedDir = s"$path/tagged"
+    // overwrite: a failed prior build's scratch must not fail the retry
+    vectors.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("shard", shardCol(shards))
+      .repartition(col("shard")) // shard-clustered: one file per shard dir
+      .write.mode("overwrite").partitionBy("shard").parquet(taggedDir)
     try {
       val tagged = spark.read.parquet(taggedDir)
       // one column-pruned pass gives every shard's cardinality
@@ -95,9 +107,10 @@ private[graft] object Sharding {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(shards, parallelism),
+        math.min(shards, buildParallelism(spark)),
         (r: Runnable) => { val t = new Thread(r, "graft-shard-build"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      var succeeded = false
       try {
         // Crash atomicity of the rebuild CUTOVER is per-shard (a crash
         // between renames leaves mixed generations — each a valid
@@ -139,6 +152,7 @@ private[graft] object Sharding {
           .foreach(r => graft.sources.Versioned.metaBackend
             .deleteRecursively(s"$path/shard=$r"))
         writeShardsMeta(path, shards)
+        succeeded = true
       } finally {
         // on failure, Await rethrows the FIRST error while sibling shard
         // builds may still be reading the scratch — quiesce them before
@@ -146,11 +160,18 @@ private[graft] object Sharding {
         // not hang cleanup forever)
         pool.shutdown()
         pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        // scratch shards from a failed rebuild must not leak corpus-sized
-        // copies (no-op on success: every scratch was renamed away)
+        // a failed build must neither leak corpus-sized copies nor block
+        // the retry: a failed REBUILD leaves scratch siblings (the
+        // published shards are untouched), and a failed VIRGIN build
+        // leaves partial shard=r dirs — on a remote path those would
+        // read as "published shards" next time and brick the retry on
+        // the rename refusal. Both cleaned here; no-ops on success.
         if (rebuild)
           (0 until shards).foreach(r => graft.sources.Versioned.metaBackend
             .deleteRecursively(s"$path/shard=$r.building"))
+        else if (!succeeded)
+          (0 until shards).foreach(r => graft.sources.Versioned.metaBackend
+            .deleteRecursively(s"$path/shard=$r"))
       }
     } finally
       // scratch: on success every shard's vectors live inside its own

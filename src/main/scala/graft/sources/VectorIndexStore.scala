@@ -124,6 +124,37 @@ object VectorIndexStore {
     path
   }
 
+  /** The shared reshard PUBLICATION protocol of both sharded
+    * compositions: refuse a pre-existing artifact at the target identity
+    * (ensureDir would short-circuit onto a DIFFERENT corpus and the GC
+    * would destroy the live one), run `build` under BOTH writer leases —
+    * the old root's (so no append can land between the corpus read and
+    * the GC and be lost) and the NEW root's (two reshards from
+    * DIFFERENT old artifacts converging on the same S' hold disjoint
+    * old-path leases; without the target lease both would pass the
+    * collision check while the target is still absent and the loser
+    * would GC its live artifact after short-circuiting onto the
+    * winner's — the second acquirer now fails loudly on the lease, and
+    * its re-check inside sees the winner's marker) — then GC the old
+    * artifact. The collision check runs INSIDE the target lease for
+    * exactly that reason.
+    */
+  private def reshardPublish(oldPath: String, newPath: String,
+                             gcOld: Boolean)(build: => Unit): Unit =
+    Versioned.withWriterLease(oldPath) {
+      Versioned.withWriterLease(newPath) {
+        if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
+          throw new IllegalStateException(
+            s"an artifact already exists at the target shard count " +
+              s"($newPath); resharding onto it would repoint readers at " +
+              s"ITS corpus and GC the live one at $oldPath — delete the " +
+              "target first (or pick another S') if that artifact is " +
+              "disposable")
+        build
+      }
+      if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
+    }
+
   /** RESHARD the store's sharded artifact from `oldShards` to `newShards`
     * ([[graft.operators.ShardedIvf.reshard]] — the growth verb for the
     * shard count itself, sourced from the old artifact's own shard tables
@@ -145,29 +176,15 @@ object VectorIndexStore {
     require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
       s"no complete sharded artifact at $oldPath to reshard")
     val newPath = shardedIvfPath(spark, sfDir, newShards)
-    // REFUSE a pre-existing artifact at the target identity: ensureDir
-    // would short-circuit onto it (built from a possibly DIFFERENT corpus
-    // state — e.g. an earlier direct ensure at S', or a prior
-    // gcOld=false reshard), and GCing the live old artifact would then
-    // destroy the only copy of every batch appended since — repointing
-    // the caller at a stale corpus with no error.
-    if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
-      throw new IllegalStateException(
-        s"an artifact already exists at the target shard count ($newPath); " +
-          "resharding onto it would repoint readers at ITS corpus and GC " +
-          s"the live one at $oldPath — delete the target first (or pick " +
-          "another S') if that artifact is disposable")
-    // The lease must span BUILD AND GC (withWriterLease is re-entrant, so
-    // ShardedIvf.reshard's own acquisition folds into this one): released
-    // between them, a blocked appender could land a batch in oldPath that
-    // the GC then destroys — present in neither artifact.
-    Versioned.withWriterLease(oldPath) {
+    // collision refusal + both-lease publication + GC: [[reshardPublish]]
+    // (withWriterLease is re-entrant, so ShardedIvf.reshard's own
+    // old-path acquisition folds into the helper's)
+    reshardPublish(oldPath, newPath, gcOld) {
       PhysicalLayout.ensureDir(newPath) { tmp =>
         graft.operators.ShardedIvf.reshard(
           spark, oldPath, oldShards, tmp, newShards, nCellsPerShard)
         markComplete(tmp)
       }
-      if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
     }
     newPath
   }
@@ -274,15 +291,9 @@ object VectorIndexStore {
     require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
       s"no complete sharded PQ artifact at $oldPath to reshard")
     val newPath = shardedPqPath(spark, sfDir, newShards)
-    if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
-      throw new IllegalStateException(
-        s"an artifact already exists at the target shard count ($newPath); " +
-          "resharding onto it would repoint readers at ITS corpus and GC " +
-          s"the live one at $oldPath — delete the target first (or pick " +
-          "another S') if that artifact is disposable")
-    Versioned.withWriterLease(oldPath) {
+    reshardPublish(oldPath, newPath, gcOld) {
       ensureShardedPq(spark, sfDir, newShards, nCellsPerShard)
-      if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
+      ()
     }
     newPath
   }
