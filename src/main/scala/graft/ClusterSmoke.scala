@@ -240,6 +240,20 @@ object ClusterSmoke {
       }) finally prevShRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       println(f"CLUSTERSMOKE# $mode store:sharded_build ${shBuildRun.secs}%.2fs")
+      // SHARDED-PQ build in this mode (round 15): the composed geometry's
+      // concurrent per-shard PQ builds (coarse train + codebooks + encode
+      // writes) on this mode's executors — same per-mode-root pattern as
+      // store:sharded_build; counters are per-shard-deterministic.
+      val shPqRoot = s"$artifactRoot/index_sharded_pq"
+      graft.sources.PosixMetaBackend.deleteRecursively(shPqRoot)
+      val prevPqRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+      spark.conf.set(graft.sources.VectorIndexStore.RootConf, shPqRoot)
+      val shPqBuildRun = try timedRun("store:sharded_pq_build", {
+        graft.sources.VectorIndexStore.ensureShardedPq(spark, sfDir, shards = 3)
+        spark.range(0).toDF("done") // counters carry the build work
+      }) finally prevPqRoot.foreach(
+        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      println(f"CLUSTERSMOKE# $mode store:sharded_pq_build ${shPqBuildRun.secs}%.2fs")
       // SHARED-artifact rows (first mode builds, the other
       // short-circuits — the layout-equal-inputs rule exact counter
       // equality needs), all under one RootConf window:
@@ -254,7 +268,7 @@ object ClusterSmoke {
       //     build there, both modes' counters cover probing only).
       val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
       spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val (shProbeRun, calRun, probeRun, reshardRun) = try {
+      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun) = try {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -286,7 +300,17 @@ object ClusterSmoke {
           graft.operators.AnnEval.shardedTopK(spark, reshRoot, 2, panel, k = 10)
         })
         println(f"CLUSTERSMOKE# $mode store:reshard ${rr.secs}%.2fs rows=${rr.rows}")
-        (p, c, i, rr)
+        //   store:sharded_pq_probe — the composed probe plan across the
+        //     JVM boundary: per-shard ADC frames (broadcast table maps in
+        //     executor JVMs), per-(qid, shard) rank window over their
+        //     union, exact re-rank join, global window. Probes the SHARED
+        //     artifact (first mode builds), so counters are exact.
+        val shPqPath = graft.sources.VectorIndexStore.ensureShardedPq(spark, sfDir, shards = 3)
+        val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val pq = timedRun("store:sharded_pq_probe",
+          graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, 3, emb, panel, k = 10))
+        println(f"CLUSTERSMOKE# $mode store:sharded_pq_probe ${pq.secs}%.2fs rows=${pq.rows}")
+        (p, c, i, rr, pq)
       } finally prevRoot.foreach(
         spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
       (runs ++ Seq("store:ivf_build" -> buildRun,
@@ -295,7 +319,9 @@ object ClusterSmoke {
         "store:sharded_probe" -> shProbeRun,
         "store:sharded_cal" -> calRun,
         "store:ivf_probe" -> probeRun,
-        "store:reshard" -> reshardRun)).toMap
+        "store:reshard" -> reshardRun,
+        "store:sharded_pq_build" -> shPqBuildRun,
+        "store:sharded_pq_probe" -> shPqProbeRun)).toMap
     } finally {
       spark.stop()
       // the state-store maintenance threads are JVM-global and would keep
