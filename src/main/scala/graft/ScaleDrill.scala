@@ -526,8 +526,13 @@ object ScaleDrill {
         // names the PROBE, not the shortlist. Capped at retrainScaleCap
         // like retrain:pq — the grading oracle, not the verb, dominates
         // past 10x.
-        if (scale <= retrainScaleCap &&
-            !sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PQCAL")) {
+        // BUILD rows run at every drilled scale (the composed geometry's
+        // three-decade build curve); the CALIBRATION/grading halves stay
+        // capped at retrainScaleCap — past 10x the exact panel oracle
+        // dominates the measurement, not the verb (the retrain:pq
+        // rationale).
+        val pqCalScale = scale <= retrainScaleCap
+        if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PQCAL")) {
           // emb and probeQs reuse the enclosing probe block's values (one
           // parquet read, one collected panel — a second identical
           // definition here invited silent divergence between the two)
@@ -551,8 +556,17 @@ object ScaleDrill {
           // reachable. The DOUBLINGS count is itself a measurement — how
           // far past the auto fraction the PQ path must probe to hold
           // 0.9 at each scale.
+          // ONE persisted exact oracle serves BOTH PQ gradings below
+          // (single-index cal probe + sharded-pq cal probe) — the
+          // Θ(panel·n) pass is the block's most expensive job; not
+          // materialized at all above the calibration scale cap
+          val exactPq =
+            if (!pqCalScale || sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) None
+            else Some(graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           var cal: graft.sources.VectorIndexStore.PqShortCal = null
           var doublings = 0
+          if (pqCalScale) {
           report(scale, "calibrate:pq", "cold", timed {
             val nCells = graft.operators.PqIndex.loadModel(spark, pqPath)
               .coarse.centroids.length
@@ -571,13 +585,6 @@ object ScaleDrill {
             }
             println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
           })
-          // ONE persisted exact oracle serves BOTH PQ gradings below
-          // (single-index cal probe + sharded-pq cal probe) — the
-          // Θ(panel·n) pass is the block's most expensive job
-          val exactPq =
-            if (sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) None
-            else Some(graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           exactPq.foreach { exactP =>
             // served at the width the calibration was sized for (the
             // sidecar records it; a mismatched width degrades loudly)
@@ -602,6 +609,7 @@ object ScaleDrill {
           require(ceilingNamed,
             s"pq ceiling exercise at x$scale: expected the ceiling-aware " +
               "diagnostic naming the probe")
+          } // pqCalScale (single-index calibration + ceiling)
           // SHARDED IVF-PQ (round 15, late): the composed geometry — S
           // encoded sub-indexes, per-shard ADC shortlists, one exact
           // re-rank — built cold, probed, and shortlist-calibrated at
@@ -624,7 +632,7 @@ object ScaleDrill {
               }
             }
             report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
-            exactPq.foreach { exactQ =>
+            if (pqCalScale) exactPq.foreach { exactQ =>
               val maxShardCells = (0 until pqShards).map(r =>
                 graft.operators.PqIndex.loadModel(spark, s"$shPqPath/shard=$r")
                   .coarse.centroids.length).max
