@@ -297,6 +297,26 @@ class ShardedIvfSpec extends SparkTestBase {
     }
   }
 
+  test("a failed VIRGIN build cleans its partial shards so the retry starts clean") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf_vfail").toString + "/ix"
+    // an impossible geometry fails the per-shard builds on a path that
+    // never had a published artifact; partial shard=r dirs must not
+    // survive (on remote paths they would read as published shards and
+    // brick the retry on the rename refusal)
+    intercept[Exception] {
+      ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 1000000)
+    }
+    assert(!new java.io.File(s"$root/shard=0").exists() &&
+      !new java.io.File(s"$root/shard=1").exists(),
+      "failed virgin build must not leak partial shard directories")
+    assert(ShardedIvf.shardCount(root).isEmpty, "no sidecar on a failed build")
+    // the retry is a clean virgin build and succeeds
+    ShardedIvf.build(spark, emb, root, shards = 2, nCellsPerShard = 8)
+    import spark.implicits._
+    assert((0 until 2).map(r =>
+      IvfIndex.loadVectors(spark, s"$root/shard=$r").count()).sum == emb.count())
+  }
+
   test("a failed direct rebuild leaves the published artifact serving (scratch-and-rename)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_shivf_fail").toString + "/ix"
