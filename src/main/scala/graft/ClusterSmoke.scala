@@ -179,6 +179,22 @@ object ClusterSmoke {
         collected.length.toLong, rowsInAcc.get() - in0, shuffleAcc.get() - sh0)
     }
 
+    /** Run `body` with the index-store root overridden, restoring OR
+      * UNSETTING afterwards — `prev.foreach(set)` alone leaks the
+      * override when the conf was unset at entry (benign only while the
+      * next block happens to set its own root; a reordering would build
+      * artifacts under the wrong root silently).
+      */
+    def withRootConf[T](root: String)(body: => T): T = {
+      val key = graft.sources.VectorIndexStore.RootConf
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, root)
+      try body finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     try {
       val qs = SparkEntry.queries
       val runs = slice.map { n =>
@@ -193,13 +209,12 @@ object ClusterSmoke {
       // measured byte-equal across modes.
       val coldRoot = s"$artifactRoot/index_cold"
       graft.sources.PosixMetaBackend.deleteRecursively(coldRoot)
-      val prevBuildRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, coldRoot)
-      val buildRun = try timedRun("store:ivf_build", {
-        graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
-        spark.range(0).toDF("done") // counters carry the build work
-      }) finally prevBuildRoot.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      val buildRun = withRootConf(coldRoot) {
+        timedRun("store:ivf_build", {
+          graft.sources.VectorIndexStore.ensureIvf(spark, sfDir)
+          spark.range(0).toDF("done") // counters carry the build work
+        })
+      }
       println(f"CLUSTERSMOKE# $mode store:ivf_build ${buildRun.secs}%.2fs")
       // Batched kNN PROBE against a SHARED artifact (first mode builds
       // it, the other short-circuits on the completeness marker): the
@@ -232,13 +247,12 @@ object ClusterSmoke {
       // sum over shards; the CONCURRENCY must not change them.
       val shRoot = s"$artifactRoot/index_sharded"
       graft.sources.PosixMetaBackend.deleteRecursively(shRoot)
-      val prevShRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, shRoot)
-      val shBuildRun = try timedRun("store:sharded_build", {
-        graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
-        spark.range(0).toDF("done") // counters carry the build work
-      }) finally prevShRoot.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      val shBuildRun = withRootConf(shRoot) {
+        timedRun("store:sharded_build", {
+          graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
+          spark.range(0).toDF("done") // counters carry the build work
+        })
+      }
       println(f"CLUSTERSMOKE# $mode store:sharded_build ${shBuildRun.secs}%.2fs")
       // SHARDED-PQ build in this mode (round 15): the composed geometry's
       // concurrent per-shard PQ builds (coarse train + codebooks + encode
@@ -246,13 +260,12 @@ object ClusterSmoke {
       // store:sharded_build; counters are per-shard-deterministic.
       val shPqRoot = s"$artifactRoot/index_sharded_pq"
       graft.sources.PosixMetaBackend.deleteRecursively(shPqRoot)
-      val prevPqRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, shPqRoot)
-      val shPqBuildRun = try timedRun("store:sharded_pq_build", {
-        graft.sources.VectorIndexStore.ensureShardedPq(spark, sfDir, shards = 3)
-        spark.range(0).toDF("done") // counters carry the build work
-      }) finally prevPqRoot.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      val shPqBuildRun = withRootConf(shPqRoot) {
+        timedRun("store:sharded_pq_build", {
+          graft.sources.VectorIndexStore.ensureShardedPq(spark, sfDir, shards = 3)
+          spark.range(0).toDF("done") // counters carry the build work
+        })
+      }
       println(f"CLUSTERSMOKE# $mode store:sharded_pq_build ${shPqBuildRun.secs}%.2fs")
       // SHARED-artifact rows (first mode builds, the other
       // short-circuits — the layout-equal-inputs rule exact counter
@@ -266,9 +279,7 @@ object ClusterSmoke {
       //   store:ivf_probe     — single-index batched probe (its ensure
       //     runs OUTSIDE the timed window: the first mode pays the shared
       //     build there, both modes' counters cover probing only).
-      val prevRoot = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
-      spark.conf.set(graft.sources.VectorIndexStore.RootConf, sharedIndexRoot)
-      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun) = try {
+      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun) = withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -311,8 +322,7 @@ object ClusterSmoke {
           graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, 3, emb, panel, k = 10))
         println(f"CLUSTERSMOKE# $mode store:sharded_pq_probe ${pq.secs}%.2fs rows=${pq.rows}")
         (p, c, i, rr, pq)
-      } finally prevRoot.foreach(
-        spark.conf.set(graft.sources.VectorIndexStore.RootConf, _))
+      }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
         "store:sharded_build" -> shBuildRun,

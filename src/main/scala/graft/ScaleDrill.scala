@@ -523,9 +523,7 @@ object ScaleDrill {
         // corpus) at the calibrated depth. The ceiling-aware error path
         // gets a drill-scale exercise too: a target above the
         // cell-pruning ceiling at nProbe=1 must throw the diagnostic that
-        // names the PROBE, not the shortlist. Capped at retrainScaleCap
-        // like retrain:pq — the grading oracle, not the verb, dominates
-        // past 10x.
+        // names the PROBE, not the shortlist.
         // BUILD rows run at every drilled scale (the composed geometry's
         // three-decade build curve); the CALIBRATION/grading halves stay
         // capped at retrainScaleCap — past 10x the exact panel oracle
@@ -632,7 +630,11 @@ object ScaleDrill {
               }
             }
             report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
-            if (pqCalScale) exactPq.foreach { exactQ =>
+            // the CALIBRATION row is budget-guarded and must run
+            // whenever the scale allows — only the held-out GRADING
+            // needs the exact oracle (SKIP_RECALL drops the grading,
+            // never the budgeted verb)
+            if (pqCalScale) {
               val maxShardCells = (0 until pqShards).map(r =>
                 graft.operators.PqIndex.loadModel(spark, s"$shPqPath/shard=$r")
                   .coarse.centroids.length).max
@@ -651,11 +653,13 @@ object ScaleDrill {
                 }
                 println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_sharded","target":0.9,"shortlist":${calS.shortlist},"measured":${calS.measured}%.3f,"nprobe":${calS.nProbe},"doublings":$dblS}""")
               })
+              exactPq.foreach { exactQ =>
               val gotQ = graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
                 pqShards, emb, probeQs, k = 10, nProbe = calS.nProbe,
                 shortlist = graft.operators.PqIndex.ShortlistCalibrated)
               val rQ = graft.operators.AnnEval.meanRecall(gotQ, exactQ)
               println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
+              }
             }
           }
           exactPq.foreach(_.unpersist())
