@@ -683,7 +683,180 @@ object VectorQueries extends QuerySet {
       },
       Some("""SELECT 2 * (SELECT count(*) FROM embeddings) AS n_docs,
         |1 AS qerr_rising, 1 AS retrain_triggered,
-        |1 AS recall_degraded_pre, 1 AS recall_restored_post""".stripMargin))
+        |1 AS recall_degraded_pre, 1 AS recall_restored_post""".stripMargin)),
+
+    // SHARDED-INDEX GROWTH LIFECYCLE (the reshard verb as a driver-verified
+    // query): build a 3-shard IVF composition (ShardedIvf — disjoint
+    // xxhash64 shards, each with its own coarse quantizer, the design that
+    // takes the index past a single quantizer's broadcast ceiling),
+    // hash-append a second tranche, then RESHARD 3 -> 5 from the
+    // artifact's OWN shard tables — the only source that preserves
+    // appended batches — asserting the invariants the growth story rests
+    // on:
+    //   1. membership_ok — shard membership stays disjoint and total
+    //      through append AND reshard (union of per-shard vec_ids ==
+    //      corpus; no dupes, no drops);
+    //   2. full_probe_exact — probing EVERY cell of EVERY shard IS the
+    //      brute-force cosine top-k (sharding partitions the index, it
+    //      never approximates it), over a 32-query hash-stratified panel;
+    //   3. reshard_exact — the same equivalence holds on the S'=5
+    //      artifact (exactness survives the artifact-sourced rebuild);
+    //   4. appends_survive — every appended vec_id is present after the
+    //      reshard (a rebuild from the ORIGINAL corpus would silently
+    //      drop them — the defining property of the artifact-sourced
+    //      verb).
+    // Deterministic flags (seeded k-means, fixed corpus); n_docs is
+    // hash-gated. Tmp-rooted lifecycle memoized per process (DrillOnce);
+    // the driver's fresh-JVM Verify always drills it end to end.
+    Q("v20_sharded_reshard",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2).as("vec_id"), col("label"), col("embedding")))
+        val tranche = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("label"),
+            transform(col("embedding"), x => x + lit(1.0f))
+              .cast("array<float>").as("embedding")))
+        val full = graft.operators.ScaleOps.checkpointed(corpus.unionAll(tranche))
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")
+        val (nDocs, membershipOk, fullExactPre, appendsSurvive, fullExactPost) =
+          DrillOnce.cached(s"v20_$tag") {
+            val root = s"${System.getProperty("java.io.tmpdir")}/graft_shgrow_" +
+              s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+            val newRoot = root + "_r5"
+            try {
+              val nFull = full.count()
+              val nTranche = tranche.count()
+              graft.operators.ShardedIvf.build(s, corpus, root, shards = 3)
+              graft.operators.ShardedIvf.append(s, root, 3, tranche)
+              def storedIds(path: String, shards: Int) =
+                (0 until shards).map(r => graft.operators.IvfIndex
+                  .loadVectors(s, s"$path/shard=$r").select("vec_id"))
+                  .reduce(_ unionAll _)
+              val pre = graft.operators.ScaleOps.checkpointed(storedIds(root, 3))
+              val panel = graft.operators.AnnEval.rowPanel(
+                full.filter(col("vec_id") =!= 0), maxPanel = 32)
+              val exact = graft.operators.ScaleOps.checkpointed(
+                graft.operators.AnnEval.exactTopK(s,
+                  full.filter(col("vec_id") =!= 0), panel, 10))
+              def fullProbeRecall(path: String, shards: Int): Double =
+                graft.operators.AnnEval.meanRecall(
+                  graft.operators.AnnEval.shardedTopK(s, path, shards, panel,
+                    k = 10, nProbe = Int.MaxValue), exact)
+              val preExact = fullProbeRecall(root, 3)
+              graft.operators.ShardedIvf.reshard(s, root, 3, newRoot, 5)
+              val post = graft.operators.ScaleOps.checkpointed(storedIds(newRoot, 5))
+              val membershipOk =
+                pre.count() == nFull && pre.distinct().count() == nFull &&
+                  post.count() == nFull && post.distinct().count() == nFull
+              val appendsSurvive =
+                post.filter(col("vec_id") % 2 === 1).count() == nTranche
+              val postExact = fullProbeRecall(newRoot, 5)
+              (nFull, membershipOk, preExact == 1.0, appendsSurvive, postExact == 1.0)
+            } finally {
+              import scala.reflect.io.Directory
+              new Directory(new java.io.File(root)).deleteRecursively()
+              new Directory(new java.io.File(newRoot)).deleteRecursively()
+            }
+          }
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(membershipOk).cast("int").as("membership_ok"),
+          lit(fullExactPre).cast("int").as("full_probe_exact"),
+          lit(appendsSurvive).cast("int").as("appends_survive"),
+          lit(fullExactPost).cast("int").as("reshard_exact"))
+      },
+      Some("""SELECT 2 * (SELECT count(*) FROM embeddings) AS n_docs,
+        |1 AS membership_ok, 1 AS full_probe_exact,
+        |1 AS appends_survive, 1 AS reshard_exact""".stripMargin)),
+
+    // SHARDED IVF-PQ COMPOSITION (ShardedPq — the composed 100 TB
+    // geometry: disjoint hash shards take the coarse quantizer past one
+    // broadcast ceiling, PQ codes take per-vector memory down ~32x at the
+    // reference's 1536 dims):
+    //   1. membership_ok — encoded membership is disjoint and total;
+    //   2. full_probe_exact — probing every cell with a corpus-wide
+    //      shortlist reduces to the brute-force cosine top-k (the ADC
+    //      stage only ORDERS candidates; the exact re-rank SCORES them,
+    //      so with nothing pruned the composed search is exact) — over a
+    //      16-query hash-stratified panel;
+    //   3. append_idempotent — hash-routed appends encode into the right
+    //      shards, and replaying the SAME batch is a no-op (per-shard
+    //      vec_id anti-join idempotence);
+    //   4. appended_findable — an appended vector answers its own
+    //      full-probe query through the composed search (top-3 contains
+    //      it; cosine 1.0 to itself, vec_id tie-break).
+    // Same drill discipline as v19/v20: tmp-rooted, DrillOnce-memoized,
+    // deterministic flags, n_docs hash-gated.
+    Q("v21_sharded_pq",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2).as("vec_id"), col("label"), col("embedding")))
+        val tranche = graft.operators.ScaleOps.checkpointed(
+          emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("label"),
+            transform(col("embedding"), x => x + lit(1.0f))
+              .cast("array<float>").as("embedding")))
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")
+        val (nDocs, membershipOk, fullExact, appendIdem, findable) =
+          DrillOnce.cached(s"v21_$tag") {
+            val root = s"${System.getProperty("java.io.tmpdir")}/graft_shpq_" +
+              s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+            try {
+              val nCorpus = corpus.count()
+              val nTranche = tranche.count()
+              graft.operators.ShardedPq.build(s, corpus, root, shards = 3)
+              def encIds = (0 until 3).map(r => graft.operators.PqIndex
+                .loadEncoded(s, s"$root/shard=$r").select("vec_id"))
+                .reduce(_ unionAll _)
+              val ids0 = graft.operators.ScaleOps.checkpointed(encIds)
+              val membershipOk =
+                ids0.count() == nCorpus && ids0.distinct().count() == nCorpus
+              val panel = graft.operators.AnnEval.rowPanel(
+                corpus.filter(col("vec_id") =!= 0), maxPanel = 16)
+              val exact = graft.operators.ScaleOps.checkpointed(
+                graft.operators.AnnEval.exactTopK(s,
+                  corpus.filter(col("vec_id") =!= 0), panel, 10))
+              val fullExact = graft.operators.AnnEval.meanRecall(
+                graft.operators.AnnEval.shardedPqTopK(s, root, 3, corpus,
+                  panel, k = 10, nProbe = Int.MaxValue,
+                  shortlist = nCorpus.toInt), exact) == 1.0
+              graft.operators.ShardedPq.append(s, root, 3, tranche)
+              val c1 = encIds.count()
+              graft.operators.ShardedPq.append(s, root, 3, tranche)
+              val c2 = encIds.count()
+              val appendIdem = c1 == nCorpus + nTranche && c2 == c1
+              val probe = tranche.orderBy("vec_id")
+                .select(col("vec_id"), col("embedding"))
+                .as[(Long, Seq[Float])].head()
+              val fullFp = corpus.unionAll(tranche)
+              val top3 = graft.operators.ShardedPq.search(s, root, 3, fullFp,
+                probe._2, k = 3, nProbe = Int.MaxValue,
+                shortlist = (nCorpus + nTranche).toInt)
+                .select("vec_id").as[Long].collect()
+              val findable = top3.contains(probe._1)
+              (nCorpus + nTranche, membershipOk, fullExact, appendIdem, findable)
+            } finally {
+              import scala.reflect.io.Directory
+              new Directory(new java.io.File(root)).deleteRecursively()
+            }
+          }
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(membershipOk).cast("int").as("membership_ok"),
+          lit(fullExact).cast("int").as("full_probe_exact"),
+          lit(appendIdem).cast("int").as("append_idempotent"),
+          lit(findable).cast("int").as("appended_findable"))
+      },
+      Some("""SELECT 2 * (SELECT count(*) FROM embeddings) AS n_docs,
+        |1 AS membership_ok, 1 AS full_probe_exact,
+        |1 AS append_idempotent, 1 AS appended_findable""".stripMargin))
   )
 
   /** v19 drift-drill gates: the pre-retrain recall ceiling and post-retrain
