@@ -330,6 +330,39 @@ object ScaleDrill {
           val r = graft.operators.AnnEval.meanRecall(got, exact)
           println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
         }
+        // FILTERED probe (the v22 composition at drill scale): the same
+        // fixed-width 20-query probe with a ~10%-selective predicate
+        // (label = 3) applied to the cell-partitioned vectors BEFORE
+        // scoring — partition pruning still restricts the scan to the
+        // probed cells and the predicate pushes into parquet
+        // (PlanSpec-guarded), so the row stays in the flat
+        // constant-occupancy class with ~selectivity× the cosine work
+        // and shuffle of the unfiltered row. Graded against the exact
+        // FILTERED top-k (recall decays with scale at fixed width for
+        // the same geometry reason as the sharded row — the calibrate
+        // verb, not a fixed width, is the deployment policy).
+        locally {
+          val model = graft.operators.IvfIndex.loadModel(spark, ivfPath)
+          val fvecs = graft.operators.IvfIndex.loadVectors(spark, ivfPath)
+            .filter(col("label") === 3)
+          val repsF = (1 to 3).map { _ =>
+            timed {
+              graft.operators.AnnEval
+                .ivfTopKFrames(spark, fvecs, model, probeQs, k = 10,
+                  nProbe = nProbe)
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
+          report(scale, "probe:ivf_filtered", "probe", repsF.minBy(_._1))
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            val exactF = graft.operators.AnnEval.exactTopK(spark,
+              emb.filter(col("label") === 3), probeQs, 10)
+            val gotF = graft.operators.AnnEval.ivfTopKFrames(spark, fvecs,
+              model, probeQs, k = 10, nProbe = nProbe)
+            val rF = graft.operators.AnnEval.meanRecall(gotF, exactF)
+            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_filtered","recall_at_10":$rF%.3f}""")
+          }
+        }
         // DISTRIBUTED trainer at the SAME constant-occupancy geometry —
         // the off-driver Lloyd that serves past IvfIndex.MaxTrainCells,
         // drilled at every scale: one full train (iters corpus sweeps +
@@ -817,6 +850,8 @@ object DrillCheck {
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant
       // occupancy regardless of scale
+    case ("probe:ivf_filtered", _) => Some(4.0)  // same class with a
+      // pushed ~10%-selective predicate — strictly less work per cell
     case ("x03_minhash_neardup", "probe") |
          ("x15_exact_substring_dedup", "probe")
       => Some(4.0)                               // store-served: 1.1-2.1 measured

@@ -856,8 +856,78 @@ object VectorQueries extends QuerySet {
       },
       Some("""SELECT 2 * (SELECT count(*) FROM embeddings) AS n_docs,
         |1 AS membership_ok, 1 AS full_probe_exact,
-        |1 AS append_idempotent, 1 AS appended_findable""".stripMargin))
+        |1 AS append_idempotent, 1 AS appended_findable""".stripMargin)),
+
+    // FILTERED ANN SEARCH (predicate + vector top-k in ONE query — the
+    // reference's index declares filterable fields NEXT TO the HNSW
+    // vector field, db_utils.py:65-70 + 58-64, so a user can scope a
+    // vector query by metadata; Azure AI Search executes that as a
+    // filtered vector query). Engine composition: IvfIndex.search takes
+    // ANY cell-partitioned frame, so PRE-FILTER = apply the predicate to
+    // the persisted cell-partitioned vectors BEFORE the probe — at scale
+    // the predicate pushes into the parquet scan of only the probed cell
+    // partitions (work ∝ selectivity × probed fraction; no index rebuild
+    // per predicate). The output rows are the FULL-PROBE pre-filtered
+    // top-10 — exact within the filter, so the DuckDB oracle hash-checks
+    // every row — plus two graded strategy flags at the AUTO probe
+    // policy:
+    //   - prefilter_recall_ok: auto-probe pre-filter vs filtered exact.
+    //     Filtered recall is LOWER than the unfiltered 9-10/10 (measured
+    //     5/10 at sf0.01, 7/10 at sf0.1): the filter thins each probed
+    //     cell ~10x, so the filtered top-10 spreads across more cells
+    //     than 4-of-16 probing reaches — the documented reason filtered
+    //     workloads size nProbe by calibration, not the unfiltered
+    //     default;
+    //   - postfilter_recall_ok: the over-fetch alternative (unfiltered
+    //     auto-probe top-(k/selectivity)=100, THEN filter) — the
+    //     strategy a system without predicate pushdown is forced into;
+    //     measured identical here (5/10, 7/10: same probed cells, same
+    //     survivors). Floors FilteredKnnFloor with v16-style margin.
+    // The filter value is deterministic and oracle-recomputable:
+    // min(label) — ~10% selectivity on the 10-label fixture.
+    Q("v22_filtered_knn",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val lbl = emb.agg(min(col("label")).cast("long")).head().getLong(0)
+        val path = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val model = graft.operators.IvfIndex.loadModel(s, path)
+        val vectors = graft.operators.IvfIndex.loadVectors(s, path)
+        val filtered = vectors.filter(col("vec_id") =!= 0 && col("label") === lbl)
+        val exactFiltered = graft.operators.ScaleOps.checkpointed(
+          graft.operators.IvfIndex.search(s, filtered, model, query,
+            k = 10, nProbe = model.centroids.length))
+        val preAuto = graft.operators.IvfIndex.search(s, filtered, model,
+          query, k = 10)
+        val postAuto = graft.operators.IvfIndex.search(s,
+          vectors.filter(col("vec_id") =!= 0), model, query, k = 100)
+          .filter(col("label") === lbl)
+          .orderBy(desc("sim"), col("vec_id")).limit(10)
+        def hits(df: org.apache.spark.sql.DataFrame): Long =
+          df.select("vec_id").join(exactFiltered.select("vec_id"), "vec_id").count()
+        val (preHits, postHits) = (hits(preAuto), hits(postAuto))
+        exactFiltered
+          .withColumn("prefilter_recall_ok",
+            (lit(preHits) >= FilteredKnnFloor).cast("int"))
+          .withColumn("postfilter_recall_ok",
+            (lit(postHits) >= FilteredKnnFloor).cast("int"))
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0),
+        |lbl AS (SELECT min(label) AS l FROM embeddings)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
+        |1 AS prefilter_recall_ok, 1 AS postfilter_recall_ok
+        |FROM embeddings, q, lbl WHERE vec_id <> 0 AND label = l
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
+
+  /** v22 floor: auto-probe filtered recall@10 measured 5/10 (sf0.01) and
+    * 7/10 (sf0.1) for BOTH strategies; floor 3 keeps the v16 margin
+    * discipline (>= 1.67x under the cross-SF minimum, the lsh precedent).
+    */
+  private val FilteredKnnFloor = 3
 
   /** v19 drift-drill gates: the pre-retrain recall ceiling and post-retrain
     * floor, each with >= 1.5x margin against the cross-SF extreme of the

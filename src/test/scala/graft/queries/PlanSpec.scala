@@ -385,6 +385,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("v22: filtered ANN pre-filter pushes the predicate into the probed-cell scan") {
+    // the composition behind v22_filtered_knn: predicate applied to the
+    // cell-partitioned vectors BEFORE the probe. At scale this must be
+    // (a) partition pruning — only the probed cells' directories are
+    // listed/read — and (b) parquet predicate pushdown on the filter
+    // column, so the probe's work is selectivity x probed fraction, not
+    // a post-scan filter over whole cells.
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val path = graft.sources.VectorIndexStore.ensureIvf(spark, sf)
+    val model = graft.operators.IvfIndex.loadModel(spark, path)
+    val vectors = graft.operators.IvfIndex.loadVectors(spark, path)
+    val q = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val df = graft.operators.IvfIndex.search(spark,
+      vectors.filter(col("label") === 3), model, q, k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"), p)
+    assert(p.contains("PartitionFilters:") && p.contains("cell"), p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()
