@@ -279,6 +279,27 @@ object Graft {
                           k: Int = 10): graft.sources.VectorIndexStore.ProbeCal =
     graft.sources.VectorIndexStore.calibrateShardedIvf(spark, path, shards, target, k)
 
+  /** Size the smallest probe width holding `target` recall@k for a
+    * FILTERED workload — queries scoped by `predicate` over the
+    * cell-partitioned vectors (the filtered-search composition: apply
+    * the predicate before the probe, partition pruning + parquet
+    * pushdown do the rest). A filtered workload needs its own width: the
+    * filter thins every probed cell, so the filtered true top-k spreads
+    * across more cells than the unfiltered calibration saw (measured,
+    * SCALE.md round-15 §13). Returns (width, measured recall), or None
+    * when the target is unreachable within `maxWidth`. Measurement-only:
+    * apply the width to your filtered probes; the artifact's
+    * `nprobe.CAL` (the unfiltered-corpus contract) is not touched.
+    */
+  def calibrateFilteredWidth(spark: SparkSession, path: String,
+                             queries: Seq[(Long, Seq[Float])],
+                             predicate: org.apache.spark.sql.Column,
+                             target: Double = 0.9, k: Int = 10,
+                             maxWidth: Int = Int.MaxValue)
+      : Option[(Int, Double)] =
+    graft.operators.AnnCalibrate.calibrateFilteredWidth(
+      spark, Seq(path), queries, k, target, predicate, maxWidth)
+
   // ---- sharded IVF-PQ (the sharded geometry at the 32x memory point) ----
 
   /** Build S independent hash-sharded IVF-PQ artifacts — the composition

@@ -51,14 +51,34 @@ object AnnCalibrate {
     * `shardPaths` lists the per-shard artifact roots — length 1 grades a
     * single index. Vector 0 (the designated query vector of the v-family
     * fixtures) is excluded on both sides, matching [[AnnEval.ivfTopK]].
+    *
+    * `predicate` restricts BOTH sides to a FILTERED workload (the v22
+    * composition: the predicate applies to the cell-partitioned vectors
+    * before the probe): the exact ground truth becomes the filtered
+    * top-k and the capture widths grade the filtered probe, so the
+    * curve — and any width sized from it — holds the recall target FOR
+    * QUERIES UNDER THAT PREDICATE. A filtered workload needs its own
+    * width: the filter thins every probed cell, spreading the filtered
+    * true top-k across more cells than an unfiltered calibration saw
+    * (measured: SCALE.md round-15 §13). The capture-width equivalence
+    * is unchanged — within the filtered corpus, a true neighbor enters
+    * the filtered probe's answer iff its cell rank is <= w
+    * (AnnCalibrateSpec gates this == real filtered probes at every
+    * width). Widths sized under a predicate are per-WORKLOAD numbers
+    * for the caller to apply ([[calibrateFilteredWidth]]); they are
+    * never published to the artifact's `nprobe.CAL`, which records the
+    * unfiltered-corpus width.
     */
   def neighborWidths(spark: SparkSession, shardPaths: Seq[String],
                      queries: Seq[(Long, Seq[Float])], k: Int,
-                     maxWidth: Int = Int.MaxValue): DataFrame = {
+                     maxWidth: Int = Int.MaxValue,
+                     predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import spark.implicits._
     require(shardPaths.nonEmpty, "no shard paths")
     val perShard = shardPaths.zipWithIndex.map { case (p, i) =>
-      IvfIndex.loadVectors(spark, p).filter(col("vec_id") =!= 0)
+      val base = IvfIndex.loadVectors(spark, p).filter(col("vec_id") =!= 0)
+      predicate.fold(base)(base.filter)
         .select(col("vec_id"), col("cell"), col("embedding"))
         .withColumn("shard", lit(i))
     }
@@ -202,4 +222,26 @@ object AnnCalibrate {
     }
     None
   }
+
+  /** Size the smallest probe width holding `target` recall for a
+    * FILTERED workload (queries scoped by `predicate` over the
+    * cell-partitioned vectors — the v22 composition): one filtered
+    * exact pass + the capture-width join, same cost class as the
+    * unfiltered calibration. Returns (width, measured recall) or None
+    * when the target is unreachable within `maxWidth`. This is a
+    * per-WORKLOAD measurement for the caller to apply to its filtered
+    * probes — it does not publish to the artifact's `nprobe.CAL` (a
+    * width sized under one predicate says nothing about another, or
+    * about the unfiltered corpus the sidecar contract covers).
+    */
+  def calibrateFilteredWidth(spark: SparkSession, shardPaths: Seq[String],
+                             queries: Seq[(Long, Seq[Float])], k: Int,
+                             target: Double,
+                             predicate: org.apache.spark.sql.Column,
+                             maxWidth: Int = Int.MaxValue)
+      : Option[(Int, Double)] =
+    calibrateWidth(
+      widthHistogram(neighborWidths(spark, shardPaths, queries, k, maxWidth,
+        Some(predicate))),
+      target)
 }

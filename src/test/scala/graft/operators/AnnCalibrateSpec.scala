@@ -42,6 +42,59 @@ class AnnCalibrateSpec extends SparkTestBase {
     assert(curve(8) == 1.0, s"full-width recall ${curve(8)} != 1.0")
   }
 
+  test("filtered one-pass curve equals real filtered probes; sized width holds its target") {
+    // the v22 workload: a ~10%-selective predicate applied to the
+    // cell-partitioned vectors before the probe. The capture-width
+    // equivalence must hold WITHIN the filtered corpus (filtered exact
+    // top-k vs filtered probe at every width), and the width sized for
+    // the filtered workload must deliver its target on a real filtered
+    // probe — an unfiltered calibration cannot promise that (the filter
+    // thins every probed cell, SCALE.md round-15 §13).
+    val path = buildSingle(nCells = 8)
+    val pred = col("label") === 3
+    val fvecs = IvfIndex.loadVectors(spark, path)
+      .filter(col("vec_id") =!= 0).filter(pred)
+    val panel = AnnEval.rowPanel(
+      IvfIndex.loadVectors(spark, path).filter(col("vec_id") =!= 0),
+      maxPanel = 12)
+    val k = 5
+    val model = IvfIndex.loadModel(spark, path)
+    val exactF = AnnEval.exactTopK(spark, fvecs, panel, k)
+    val hist = AnnCalibrate.widthHistogram(
+      AnnCalibrate.neighborWidths(spark, Seq(path), panel, k,
+        predicate = Some(pred)))
+    val curve = AnnCalibrate.recallCurve(hist, Seq(1, 2, 4, 8)).toMap
+    for (w <- Seq(1, 2, 4, 8)) {
+      val probed = AnnEval.meanRecall(
+        AnnEval.ivfTopKFrames(spark, fvecs, model, panel, k, nProbe = w),
+        exactF)
+      assert(math.abs(curve(w) - probed) < 1e-9,
+        s"filtered curve($w)=${curve(w)} but a real filtered probe " +
+          s"at nProbe=$w measures $probed")
+    }
+    assert(curve(8) == 1.0, s"filtered full-width recall ${curve(8)} != 1.0")
+    // the sized width delivers its target on a real filtered probe
+    val Some((w9, measured)) = AnnCalibrate.calibrateFilteredWidth(
+      spark, Seq(path), panel, k, target = 0.9, predicate = pred)
+    assert(measured >= 0.9)
+    val real = AnnEval.meanRecall(
+      AnnEval.ivfTopKFrames(spark, fvecs, model, panel, k, nProbe = w9),
+      exactF)
+    assert(real >= 0.9, s"filtered-calibrated width $w9 measures $real < 0.9")
+    // and the unfiltered calibration still answers for ITS workload at
+    // the same target — the two are independent per-workload numbers
+    // (w9 typically sits at or above the unfiltered width because the
+    // filter thins cells, but that is a measured tendency, not a
+    // theorem: the filtered true-neighbor SET differs, so the spec pins
+    // each width to its own workload's real probe instead of comparing
+    // them)
+    val unfiltered = AnnCalibrate.calibrateWidth(
+      AnnCalibrate.widthHistogram(
+        AnnCalibrate.neighborWidths(spark, Seq(path), panel, k)),
+      0.9).get
+    assert(unfiltered._2 >= 0.9)
+  }
+
   test("calibrateIvf publishes the minimal width holding the target") {
     val path = buildSingle(nCells = 8)
     val cal = VectorIndexStore.calibrateIvf(spark, path, target = 0.9, k = 10)

@@ -405,7 +405,9 @@ class PlanSpec extends SparkTestBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"), p)
-    assert(p.contains("PartitionFilters:") && p.contains("cell"), p)
+    // the probed-cell restriction must sit INSIDE PartitionFilters (the
+    // bare substring "cell" appears all over the plan text)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
   }
 
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
