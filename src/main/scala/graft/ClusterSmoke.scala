@@ -279,7 +279,8 @@ object ClusterSmoke {
       //   store:ivf_probe     — single-index batched probe (its ensure
       //     runs OUTSIDE the timed window: the first mode pays the shared
       //     build there, both modes' counters cover probing only).
-      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun) = withRootConf(sharedIndexRoot) {
+      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun,
+           filteredProbeRun, filteredCalRun) = withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -321,7 +322,32 @@ object ClusterSmoke {
         val pq = timedRun("store:sharded_pq_probe",
           graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, 3, emb, panel, k = 10))
         println(f"CLUSTERSMOKE# $mode store:sharded_pq_probe ${pq.secs}%.2fs rows=${pq.rows}")
-        (p, c, i, rr, pq)
+        //   store:filtered_probe / store:filtered_cal — the filtered-ANN
+        //     composition (v22) and its predicate-aware calibration verb
+        //     across the JVM boundary: the predicate-filtered
+        //     partition-pruned scan runs on this mode's executors, and
+        //     the filtered capture-width pass must size the IDENTICAL
+        //     width with the identical measured recall (the digest IS
+        //     the calibration, like store:sharded_cal). Probes the
+        //     SHARED artifact, so counters are exact.
+        import org.apache.spark.sql.functions.col
+        val fPred = col("label") === 3
+        val fVecs = graft.operators.IvfIndex.loadVectors(spark, ivfPath)
+          .filter(col("vec_id") =!= 0).filter(fPred)
+        val fModel = graft.operators.IvfIndex.loadModel(spark, ivfPath)
+        val fp = timedRun("store:filtered_probe",
+          graft.operators.AnnEval.ivfTopKFrames(spark, fVecs, fModel,
+            panel, k = 10, nProbe = 4))
+        println(f"CLUSTERSMOKE# $mode store:filtered_probe ${fp.secs}%.2fs rows=${fp.rows}")
+        val fc = timedRun("store:filtered_cal", {
+          import spark.implicits._
+          val cal = graft.operators.AnnCalibrate.calibrateFilteredWidth(
+            spark, Seq(ivfPath), panel, k = 10, target = 0.9,
+            predicate = fPred)
+          cal.map { case (w, r) => (w, r) }.toSeq.toDF("width", "measured")
+        })
+        println(f"CLUSTERSMOKE# $mode store:filtered_cal ${fc.secs}%.2fs rows=${fc.rows}")
+        (p, c, i, rr, pq, fp, fc)
       }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
@@ -331,7 +357,9 @@ object ClusterSmoke {
         "store:ivf_probe" -> probeRun,
         "store:reshard" -> reshardRun,
         "store:sharded_pq_build" -> shPqBuildRun,
-        "store:sharded_pq_probe" -> shPqProbeRun)).toMap
+        "store:sharded_pq_probe" -> shPqProbeRun,
+        "store:filtered_probe" -> filteredProbeRun,
+        "store:filtered_cal" -> filteredCalRun)).toMap
     } finally {
       spark.stop()
       // the state-store maintenance threads are JVM-global and would keep
