@@ -184,6 +184,31 @@ object Graft {
         model.centroids.length))
   }
 
+  /** [[ivfProbe]] scoped by a metadata predicate — filtered vector
+    * search, one query (the reference's index declares filterable fields
+    * next to its vector field). The predicate applies to the
+    * cell-partitioned vectors BEFORE the probe: the scan prunes to the
+    * probed cells AND pushes the filter into parquet (PlanSpec-guarded),
+    * so work ∝ selectivity × probed fraction with no per-predicate
+    * index rebuild. NOTE the width question: a width calibrated on the
+    * unfiltered corpus (`NProbeCalibrated`) does not promise its recall
+    * target under a predicate — size filtered workloads with
+    * [[calibrateFilteredWidth]] and pass the result here.
+    */
+  def filteredIvfProbe(spark: SparkSession, indexPath: String,
+                       predicate: org.apache.spark.sql.Column,
+                       queryVec: Array[Float], k: Int,
+                       nProbe: Int = graft.operators.IvfIndex.NProbeAuto)
+      : DataFrame = {
+    val model = graft.operators.IvfIndex.loadModel(spark, indexPath)
+    graft.operators.IvfIndex.search(spark,
+      graft.operators.IvfIndex.loadVectors(spark, indexPath)
+        .filter(predicate),
+      model, queryVec.toSeq, k,
+      graft.operators.IvfIndex.resolveNProbeAt(indexPath, nProbe,
+        model.centroids.length))
+  }
+
   // ---- sharded IVF (the geometry past one flat coarse quantizer) ----
 
   /** Build S independent hash-sharded IVF artifacts under `path/shard=r`:
@@ -232,6 +257,19 @@ object Graft {
                                 maxShardRows: Long =
                                   sources.VectorIndexStore.DefaultMaxShardRows): (String, Int) =
     sources.VectorIndexStore.reshardShardedIvfIfNeeded(spark, sfDir, shards, maxShardRows)
+
+  /** [[reshardShardedIvfIfNeeded]] for the sharded IVF-PQ composition:
+    * mean per-shard ENCODED rows against the budget; reshards by
+    * re-encoding from the full-precision store (the PQ shards hold
+    * codes, not vectors — the documented source-of-truth difference
+    * from the artifact-sourced IVF loop). Returns the serving
+    * (path, shards) pair.
+    */
+  def reshardShardedPqIfNeeded(spark: SparkSession, sfDir: String,
+                               shards: Int,
+                               maxShardRows: Long =
+                                 sources.VectorIndexStore.DefaultMaxShardRows): (String, Int) =
+    sources.VectorIndexStore.reshardShardedPqIfNeeded(spark, sfDir, shards, maxShardRows)
 
   /** Per-shard drift check + recall-gated retrain; returns the number of
     * shards retrained (a drifted shard retrains its own cells only).

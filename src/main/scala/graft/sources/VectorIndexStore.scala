@@ -298,6 +298,51 @@ object VectorIndexStore {
     newPath
   }
 
+  /** [[reshardShardedIvfIfNeeded]] for the ENCODED composition — the
+    * growth LOOP at the 32× memory point, completing the maintenance
+    * symmetry (the IVF composition has had its loop since the verb
+    * landed; the PQ composition only had the verb). Judges mean
+    * per-shard ENCODED rows against `maxShardRows` (S parquet footer
+    * counts when quiet); over the line it reshards to
+    * ceil(total / maxShardRows) via [[reshardShardedPq]] — which
+    * re-encodes from the full-precision store, the documented
+    * source-of-truth difference from the artifact-sourced IVF loop —
+    * and returns the serving (path, shards) pair for schedulers. The
+    * same stale-S diagnostic applies: a scheduler re-calling with the
+    * pre-reshard S gets the serving pqsh* artifacts named, not a
+    * missing-path failure.
+    */
+  def reshardShardedPqIfNeeded(spark: SparkSession, sfDir: String,
+                               shards: Int,
+                               maxShardRows: Long = DefaultMaxShardRows,
+                               gcOld: Boolean = true): (String, Int) = {
+    require(maxShardRows >= 1, s"maxShardRows=$maxShardRows")
+    val path = shardedPqPath(spark, sfDir, shards)
+    if (!Versioned.metaBackend.exists(s"$path/_SUCCESS")) {
+      val siblings = Versioned.metaBackend.list(root(spark))
+        .filter(e => e.isDir && e.name.startsWith("pqsh") &&
+          e.name.endsWith(tag(sfDir)))
+        .map(_.name)
+      throw new IllegalStateException(
+        s"no sharded PQ artifact at S=$shards for $sfDir ($path) — it " +
+          "was likely resharded and GC'd; follow the (path, shards) pair " +
+          "a prior reshard returned" +
+          (if (siblings.nonEmpty)
+            s" (serving artifacts for this corpus: ${siblings.mkString(", ")})"
+          else ""))
+    }
+    graft.operators.Sharding.verifyShards(path, shards)
+    val total = (0 until shards).map { r =>
+      graft.operators.PqIndex.loadEncoded(spark, s"$path/shard=$r").count()
+    }.sum
+    if (total <= maxShardRows * shards) (path, shards)
+    else {
+      val newShards = ((total + maxShardRows - 1) / maxShardRows).toInt
+      (reshardShardedPq(spark, sfDir, shards, newShards, gcOld = gcOld),
+        newShards)
+    }
+  }
+
   /** [[calibratePqShortlist]] for a sharded PQ root: one pass over the
     * unioned per-shard ADC frames sizes the smallest PER-SHARD re-rank
     * depth holding `target` recall@k, published as ONE `shortlist.CAL`

@@ -54,6 +54,29 @@ class GraftSpec extends SparkTestBase {
     assert(sims.sameElements(sims.sortBy(-_.toDouble)))
   }
 
+  test("filteredIvfProbe scopes the probe by predicate; full probe is exact within it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val path = graft.sources.VectorIndexStore.ensureIvf(spark, sf)
+    val nCells = graft.operators.IvfIndex.loadModel(spark, path).centroids.length
+    val pred = col("label") === 3 && col("vec_id") =!= 0
+    val got = Graft.filteredIvfProbe(spark, path, pred, qv, k = 5,
+      nProbe = nCells).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    // every result satisfies the predicate...
+    val labels = emb.filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).forall(labels.contains))
+    // ...and at full probe the result IS the exact filtered top-k
+    // (set compare: Graft.knn orders by raw cosine, the probe by the
+    // 6-dp rounded cosine — a rounding tie could legally reorder)
+    val exact = Graft.knn(emb.filter(pred), qv, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == exact,
+      "full-probe filtered probe must equal the exact filtered top-k")
+  }
+
   test("nearDupPairs + dupClusters compose") {
     val pairs = Graft.nearDupPairs(spark, docs, threshold = 0.5)
     val clusters = Graft.dupClusters(spark, pairs)

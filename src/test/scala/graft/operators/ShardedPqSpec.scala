@@ -166,4 +166,42 @@ class ShardedPqSpec extends SparkTestBase {
       case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
     }
   }
+
+  test("reshardShardedPqIfNeeded: no-op under budget, grows S past it, stale-S diagnostic") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_shpq_if").toString
+    val prev = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+    spark.conf.set(graft.sources.VectorIndexStore.RootConf, idxRoot)
+    try {
+      val n = emb.count()
+      val path = graft.sources.VectorIndexStore.ensureShardedPq(spark, sf, shards = 2)
+      // generous budget: S footer counts of the ENCODED tables, then a
+      // no-op returning the serving pair unchanged
+      assert(graft.sources.VectorIndexStore.reshardShardedPqIfNeeded(
+        spark, sf, 2, maxShardRows = n) == (path, 2))
+      assert(new java.io.File(path).exists(), "no-op must not touch the artifact")
+      // tight budget: reshard to ceil(n / budget) by RE-ENCODING from the
+      // full-precision store; membership total; old artifact GC'd
+      val budget = n / 4
+      val (newPath, newShards) = graft.sources.VectorIndexStore
+        .reshardShardedPqIfNeeded(spark, sf, 2, maxShardRows = budget)
+      assert(newShards == ((n + budget - 1) / budget).toInt && newShards > 2)
+      assert(ShardedPq.shardCount(newPath).contains(newShards))
+      assert(!new java.io.File(path).exists(), "old artifact must be GC'd")
+      assert((0 until newShards).map(r =>
+        PqIndex.loadEncoded(spark, s"$newPath/shard=$r").count()).sum == n)
+      // at the policy line a second call is a no-op on the new artifact
+      assert(graft.sources.VectorIndexStore.reshardShardedPqIfNeeded(
+        spark, sf, newShards, maxShardRows = budget) == (newPath, newShards))
+      // a scheduler whose configured S went stale gets the serving pqsh*
+      // artifacts named, not a missing-path crash
+      val e = intercept[IllegalStateException] {
+        graft.sources.VectorIndexStore.reshardShardedPqIfNeeded(spark, sf, 2)
+      }
+      assert(e.getMessage.contains("resharded") && e.getMessage.contains("pqsh"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
+      case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
+    }
+  }
 }
