@@ -265,7 +265,7 @@ object NearDup {
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).cast("long").as("chg"))
         .graftCheckpoint()
       // coalesce: sum over an EMPTY label frame is null (no pairs found)
-      val changed = next.agg(coalesce(sum("chg"), lit(0L))).head.getLong(0)
+      val changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       labels = next.drop("chg")
       converged = changed == 0
       i += 1
@@ -325,7 +325,7 @@ object NearDup {
         coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)),
         // high 32 bits only: summing full-range xxhash64 longs overflows
         // under ANSI; a 32-bit-per-row sum is safe to ~2^31 rows
-        coalesce(sum(shiftright(xxhash64(col("src"), col("dst")), 32)), lit(0L))).head
+        coalesce(sum(shiftright(xxhash64(col("src"), col("dst")), 32)), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 

@@ -310,7 +310,7 @@ object PipelineQueries extends QuerySet {
         // which only holds while the sketch stays in its sparse (exact)
         // regime. If a fixture ever pushes it out, fail loudly here with
         // the estimator named, instead of a confusing one-cell hash diff.
-        val exactFiles = withVec.select(countDistinct("filename")).head.getLong(0)
+        val exactFiles = withVec.select(countDistinct("filename")).head().getLong(0)
         require(exactFiles == nFiles,
           s"approx_count_distinct(rsd=0.005) left its exact regime: " +
             s"estimate $nFiles vs exact $exactFiles distinct files — " +

@@ -38,8 +38,8 @@ object NaiveBayes {
     val counts = tl.groupBy("tok").agg(
       sum(col("label")).as("c_pass"),
       sum(lit(1) - col("label")).as("c_fail"))
-    val t = counts.agg(sum("c_pass"), sum("c_fail"), count(lit(1))).head
-    val pri = labels.agg(sum(col("label")), sum(lit(1) - col("label"))).head
+    val t = counts.agg(sum("c_pass"), sum("c_fail"), count(lit(1))).head()
+    val pri = labels.agg(sum(col("label")), sum(lit(1) - col("label"))).head()
     Model(counts, t.getLong(0), t.getLong(1), t.getLong(2) + 1L,
       math.log(pri.getLong(0).toDouble / pri.getLong(1)))
   }

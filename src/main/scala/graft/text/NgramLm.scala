@@ -57,7 +57,7 @@ object NgramLm {
     val bi = graft.operators.ScaleOps.checkpointed(
       trainBigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c2")))
     val uni = bi.groupBy("t1").agg(sum(col("c2")).as("c1"))
-    val v = bi.select(countDistinct(col("t2"))).head.getLong(0) + 1L
+    val v = bi.select(countDistinct(col("t2"))).head().getLong(0) + 1L
     Model(bi, uni, v)
   }
 
