@@ -587,6 +587,88 @@ object StreamingOps {
     }
   }
 
+  /** STREAMED maintenance of a SHARDED vector index — the
+    * [[arrivalEmbedIngest]] pattern composed with [[graft.operators.ShardedIvf]],
+    * because at the scale sharding exists for, the live index IS
+    * streaming-fed: each micro-batch embeds its documents and either
+    * BUILDS the S-shard composition (first batch: one tagging pass,
+    * pruned concurrent per-shard trains — the batch is the bounded
+    * training sample, the IVF contract) or hash-APPENDS to it
+    * (per-shard anti-join idempotence, so checkpoint redelivery of a
+    * batch is a no-op, and per-shard qerr watermarks), then runs the
+    * per-shard drift-retrain loop exactly like the single-index sink
+    * (quiet shards cost one qerr read; a failed recall gate must not
+    * kill ingestion — stale-but-valid geometry keeps serving). Lease
+    * contention with external maintenance gets the bounded retry every
+    * sink uses. The served artifact is a FULL ShardedIvf (shards.META,
+    * per-shard lifecycle plane), so every offline verb — probe,
+    * calibrate, compact, reshard, reshardIfNeeded — applies to the
+    * streamed artifact unchanged.
+    */
+  def arrivalShardedIngest(spark: SparkSession, srcDir: String, glob: String,
+                           shardedRoot: String, shards: Int,
+                           checkpoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(schema)
+      .load(srcDir)
+    val rows = stream.select(
+      regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+      decode(col("content"), "UTF-8").as("text"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = rows.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          import sp.implicits._
+          val vecs = batch.toDF().select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val emb = new graft.operators.HashingEmbedder()
+              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
+            }
+            .toDF("vec_id", "label", "embedding")
+          if (graft.operators.Sharding.shardCount(shardedRoot).isEmpty) {
+            retryOnContention() {
+              graft.operators.ShardedIvf.build(sp, vecs, shardedRoot, shards)
+            }
+          } else {
+            retryOnContention() {
+              graft.operators.ShardedIvf.append(sp, shardedRoot, shards, vecs)
+            }
+            try retryOnContention() {
+              graft.operators.ShardedIvf.retrainIfNeeded(sp, shardedRoot, shards)
+              ()
+            }
+            catch {
+              case e: graft.sources.VectorIndexStore.RetrainRecallGateFailed =>
+                System.err.println(s"[graft] sharded retrain skipped: ${e.getMessage}")
+            }
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+    } finally {
+      try { if (q != null) q.stop() } finally {
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+  }
+
   /** Cosine threshold for the STREAMED semantic-pair store: the hashing
     * embedder's token-count vectors share stopword mass, so the background
     * similarity between unrelated documents sits far above dense-embedding
