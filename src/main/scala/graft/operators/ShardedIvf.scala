@@ -238,13 +238,33 @@ object ShardedIvf {
     */
   def search(spark: SparkSession, path: String, shards: Int,
              query: Seq[Float], k: Int,
-             nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+             nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
+    searchFiltered(spark, path, shards, query, k, nProbe, predicate = None)
+
+  /** [[search]] scoped by a metadata predicate — filtered vector search
+    * over the SHARDED composition. The predicate applies to each shard's
+    * cell-partitioned vectors BEFORE its probe (partition pruning to the
+    * probed cells + parquet predicate pushdown, the single-index v22
+    * plan, S times), so the disjoint-membership union stays lossless and
+    * full probe over every shard IS the exact filtered top-k. Width
+    * note: neither the auto policy nor the root's `nprobe.CAL`
+    * (unfiltered contracts) promise a recall target under a predicate —
+    * size filtered workloads with
+    * [[AnnCalibrate.calibrateFilteredWidth]] over the shard paths and
+    * pass the result as `nProbe`.
+    */
+  def searchFiltered(spark: SparkSession, path: String, shards: Int,
+                     query: Seq[Float], k: Int,
+                     nProbe: Int = IvfIndex.NProbeAuto,
+                     predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     verifyShards(path, shards)
     val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val perShard = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
       val model = IvfIndex.loadModel(spark, shardPath)
-      IvfIndex.search(spark, IvfIndex.loadVectors(spark, shardPath),
+      val vecs = IvfIndex.loadVectors(spark, shardPath)
+      IvfIndex.search(spark, predicate.fold(vecs)(vecs.filter),
         model, query, k, np)
     }
     perShard.reduce(_ unionAll _)

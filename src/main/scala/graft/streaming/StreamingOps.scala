@@ -604,6 +604,14 @@ object StreamingOps {
     * per-shard lifecycle plane), so every offline verb — probe,
     * calibrate, compact, reshard, reshardIfNeeded — applies to the
     * streamed artifact unchanged.
+    *
+    * Crash recovery: a crash MID-FIRST-BUILD leaves partial shard dirs
+    * with no shards.META, so checkpoint redelivery re-enters the build
+    * branch — which ShardedIvf.build treats as an in-place rebuild
+    * (scratch-and-rename cutover on POSIX paths; refused loudly on
+    * `://` paths with the recovery named — the direct-build contract).
+    * A crash at any later point redelivers into the append branch,
+    * where the per-shard anti-joins make it a no-op.
     */
   def arrivalShardedIngest(spark: SparkSession, srcDir: String, glob: String,
                            shardedRoot: String, shards: Int,

@@ -53,6 +53,32 @@ class ShardedIvfSpec extends SparkTestBase {
     assert(all == exactTop(10, qid, qv))
   }
 
+  test("searchFiltered scopes every shard's probe; full probe is the exact filtered top-k") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shivf_f").toString + "/ix"
+    ShardedIvf.build(spark, emb, root, shards = 3, nCellsPerShard = 8)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val pred = col("label") === 3 && col("vec_id") =!= 0
+    val maxCells = (0 until 3).map(r =>
+      IvfIndex.loadModel(spark, s"$root/shard=$r").centroids.length).max
+    val got = ShardedIvf.searchFiltered(spark, root, 3, qv, k = 5,
+      nProbe = maxCells, predicate = Some(pred))
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    assert(got.nonEmpty && got.forall(_._2 == 3),
+      "every filtered result must satisfy the predicate")
+    // full probe over all shards == exact filtered brute force (sets:
+    // the exact side orders by raw cosine, the probe by the rounded one)
+    val exact = emb.filter(pred)
+      .select(col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"),
+          lit(qv.toArray).cast("array<float>")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == exact,
+      "full-probe filtered sharded search must equal the exact filtered top-k")
+  }
+
   test("default pruned probe keeps useful recall and peaks at one shard's model") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_shivf2").toString + "/ix"
