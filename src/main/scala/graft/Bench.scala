@@ -26,8 +26,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // LIFECYCLE-class queries (per-JVM DrillOnce drills / heavy artifact
+    // ensures: streamed-index lifecycles, sharded builds, drift-retrains)
+    // run LAST: their first rep builds indexes and runs streaming
+    // lifecycles in-process, and the GC/page-cache state that leaves
+    // behind inflated the x family 2-5x in the round-15 driver bench
+    // with byte-equal work counters (round-15 verdict, What's wrong #3).
+    // Ordering them after every steady-state query keeps the rest of the
+    // matrix a regression signal; their own steady-state numbers are
+    // unaffected (min-of-reps already excludes the one-time drill rep).
+    val lifecycleLast = Set(
+      "k05_delete_propagation",
+      "s13_restart_recovery", "s14_streamed_index_freshness",
+      "s15_streamed_embedding_index", "s16_streamed_semantic_pairs",
+      "s17_streamed_sharded_index", "s18_streamed_sharded_pq",
+      "v19_pq_drift_retrain", "v20_sharded_reshard", "v21_sharded_pq",
+      "v24_filtered_sharded_pq")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (lifecycleLast.contains(n), n) }
     if (selected.isEmpty) {
       // a typo'd filter must not masquerade as an empty-but-successful run
       System.err.println(
@@ -94,6 +111,13 @@ object Bench {
       val runs = (1 to reps).flatMap { _ =>
         org.apache.spark.sql.GraftShim.drainListenerBus(spark)
         val in0 = rowsInAcc.get(); val sh0 = shuffleAcc.get()
+        // driver-JVM GC time charged to this rep: with byte-equal work
+        // counters, a wall-clock delta that tracks gc_ms is JVM state
+        // (allocation pressure from earlier queries), not a plan change
+        // — the attribution the round-15 x-family inflation needed
+        val gc0 = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.stream()
+          .mapToLong(_.getCollectionTime).sum()
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst PRUNE work that
         // doesn't change cardinality (a final unique-key left join and its
@@ -108,7 +132,10 @@ object Bench {
         } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.GraftShim.drainListenerBus(spark)
-        if (ok) Some((secs, rowsInAcc.get() - in0, shuffleAcc.get() - sh0))
+        val gcMs = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.stream()
+          .mapToLong(_.getCollectionTime).sum() - gc0
+        if (ok) Some((secs, rowsInAcc.get() - in0, shuffleAcc.get() - sh0, gcMs))
         else None
       }
       name -> runs
@@ -120,9 +147,9 @@ object Bench {
       s"\"" + k + "\":" + (if (rs.nonEmpty) rs.map(_._1).min else -1.0)
     }.mkString("{", ",", "}")
     val work = results.map { case (k, rs) =>
-      val (sec, in, sh) =
-        if (rs.nonEmpty) rs.minBy(_._1) else (-1.0, -1L, -1L)
-      "\"" + k + "\":" + s"""{"secs":$sec,"rows_in":$in,"shuffle_rows":$sh}"""
+      val (sec, in, sh, gc) =
+        if (rs.nonEmpty) rs.minBy(_._1) else (-1.0, -1L, -1L, -1L)
+      "\"" + k + "\":" + s"""{"secs":$sec,"rows_in":$in,"shuffle_rows":$sh,"gc_ms":$gc}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs) if rs.nonEmpty => rs.map(_._1).min }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

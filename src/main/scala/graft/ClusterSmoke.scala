@@ -97,7 +97,8 @@ object ClusterSmoke {
     // Those two get a 5% shuffle band — a real plan regression moves
     // counters at the multiple level (x03's transition measured 112x) —
     // everything else stays byte-exact, as do ALL rows_in and results.
-    val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard")
+    val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard",
+      "store:reshard_catchup")
     for ((name, l) <- localRuns) {
       val c = clusterRuns(name)
       val resultOk = l.digest == c.digest && l.rows == c.rows
@@ -279,8 +280,9 @@ object ClusterSmoke {
       //   store:ivf_probe     — single-index batched probe (its ensure
       //     runs OUTSIDE the timed window: the first mode pays the shared
       //     build there, both modes' counters cover probing only).
-      val (shProbeRun, calRun, probeRun, reshardRun, shPqProbeRun,
-           filteredProbeRun, filteredCalRun) = withRootConf(sharedIndexRoot) {
+      val (shProbeRun, calRun, probeRun, reshardRun, catchupRun, shPqProbeRun,
+           filteredProbeRun, filteredCalRun, pqFilteredProbeRun,
+           pqFilteredCalRun) = withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -312,6 +314,29 @@ object ClusterSmoke {
           graft.operators.AnnEval.shardedTopK(spark, reshRoot, 2, panel, k = 10)
         })
         println(f"CLUSTERSMOKE# $mode store:reshard ${rr.secs}%.2fs rows=${rr.rows}")
+        //   store:reshard_catchup — the round-16 bounded-stall reshard
+        //     across the JVM boundary: snapshot rebuild of THIS MODE's
+        //     2-shard artifact at S'=4 with NO old-root lease, an append
+        //     landing between the phases, then the leased replay (the
+        //     only blocked window) carrying exactly that delta. Digest =
+        //     the caught-up probe + the replayed count; per-mode
+        //     artifact, so its window partials get the store:reshard 5%
+        //     shuffle band.
+        val cuRoot = s"$artifactRoot/index_catchup/ix4"
+        graft.sources.PosixMetaBackend.deleteRecursively(s"$artifactRoot/index_catchup")
+        val cu = timedRun("store:reshard_catchup", {
+          import org.apache.spark.sql.functions.{col, lit}
+          graft.operators.ShardedIvf.reshardCatchUpBuild(spark, reshRoot, 2, cuRoot, 4)
+          val emb0 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+          val tranche = emb0.select((col("vec_id") + 900000L).as("vec_id"),
+            col("label"), col("embedding"))
+          graft.operators.ShardedIvf.append(spark, reshRoot, 2, tranche)
+          val replayed = graft.operators.ShardedIvf.reshardCatchUpReplay(
+            spark, reshRoot, 2, cuRoot, 4)
+          graft.operators.AnnEval.shardedTopK(spark, cuRoot, 4, panel, k = 10)
+            .withColumn("replayed", lit(replayed))
+        })
+        println(f"CLUSTERSMOKE# $mode store:reshard_catchup ${cu.secs}%.2fs rows=${cu.rows}")
         //   store:sharded_pq_probe — the composed probe plan across the
         //     JVM boundary: per-shard ADC frames (broadcast table maps in
         //     executor JVMs), per-(qid, shard) rank window over their
@@ -347,7 +372,26 @@ object ClusterSmoke {
           cal.map { case (w, r) => (w, r) }.toSeq.toDF("width", "measured")
         })
         println(f"CLUSTERSMOKE# $mode store:filtered_cal ${fc.secs}%.2fs rows=${fc.rows}")
-        (p, c, i, rr, pq, fp, fc)
+        //   store:pq_filtered_probe / store:pq_filtered_cal — the
+        //     round-16 filtered ENCODED composition (v24) and its
+        //     per-workload shortlist calibration across the JVM
+        //     boundary: per-shard predicate-filtered ADC scans of the
+        //     SHARED sharded-PQ artifact, and the filtered
+        //     capture-shortlist pass must size the IDENTICAL depth with
+        //     the identical measured recall in both modes.
+        val pqf = timedRun("store:pq_filtered_probe",
+          graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, 3, emb,
+            panel, k = 10, predicate = Some(fPred)))
+        println(f"CLUSTERSMOKE# $mode store:pq_filtered_probe ${pqf.secs}%.2fs rows=${pqf.rows}")
+        val pqc = timedRun("store:pq_filtered_cal", {
+          import spark.implicits._
+          val cal = graft.operators.AnnCalibrate.calibrateFilteredShortlist(
+            spark, (0 until 3).map(r => s"$shPqPath/shard=$r"), emb, panel,
+            k = 10, target = 0.9, predicate = fPred, nProbe = Int.MaxValue)
+          cal.toSeq.toDF("shortlist", "measured")
+        })
+        println(f"CLUSTERSMOKE# $mode store:pq_filtered_cal ${pqc.secs}%.2fs rows=${pqc.rows}")
+        (p, c, i, rr, cu, pq, fp, fc, pqf, pqc)
       }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
@@ -356,10 +400,13 @@ object ClusterSmoke {
         "store:sharded_cal" -> calRun,
         "store:ivf_probe" -> probeRun,
         "store:reshard" -> reshardRun,
+        "store:reshard_catchup" -> catchupRun,
         "store:sharded_pq_build" -> shPqBuildRun,
         "store:sharded_pq_probe" -> shPqProbeRun,
         "store:filtered_probe" -> filteredProbeRun,
-        "store:filtered_cal" -> filteredCalRun)).toMap
+        "store:filtered_cal" -> filteredCalRun,
+        "store:pq_filtered_probe" -> pqFilteredProbeRun,
+        "store:pq_filtered_cal" -> pqFilteredCalRun)).toMap
     } finally {
       spark.stop()
       // the state-store maintenance threads are JVM-global and would keep

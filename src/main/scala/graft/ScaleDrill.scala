@@ -110,6 +110,19 @@ object ScaleDrill {
       rows += ((scale, name, phase, m._1, m._2, m._3))
       println(f"""DRILL {"scale":$scale,"name":"$name","phase":"$phase","secs":${m._1}%.3f,"rows_in":${m._2},"shuffle_rows":${m._3},"master":"$master"}""")
     }
+    // DRILLRECALL/DRILLCAL payloads are PERSISTED into the drill artifact,
+    // not just printed: every recall/width/shortlist a doc quotes must be
+    // checkable against a committed .jsonl (round-15 verdict, What's
+    // wrong #1 — the timing rows got this discipline in r14; the quality
+    // rows get it here). The row keeps the stdout payload verbatim plus a
+    // marker field ("recall_line"/"cal_line") so artifact consumers can
+    // separate quality rows from timing rows.
+    val extraRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drillLine(kind: String, json: String): Unit = {
+      println(s"$kind $json")
+      val marker = if (kind == "DRILLCAL") "cal_line" else "recall_line"
+      extraRows += json.replaceFirst("\\{", s"""{"$marker":true,""")
+    }
 
     /** AQE-final plan census for a query: executes the plan once (noop
       * row drain) so AdaptiveSparkPlanExec finalizes, then counts the
@@ -328,7 +341,7 @@ object ScaleDrill {
           val got = graft.operators.AnnEval.ivfTopK(spark, ivfPath, probeQs,
             k = 10, nProbe = nProbe)
           val r = graft.operators.AnnEval.meanRecall(got, exact)
-          println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
+          drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_knn20","recall_at_10":$r%.3f}""")
         }
         // FILTERED probe (the v22 composition at drill scale): the same
         // fixed-width 20-query probe with a ~10%-selective predicate
@@ -360,7 +373,7 @@ object ScaleDrill {
             val gotF = graft.operators.AnnEval.ivfTopKFrames(spark, fvecs,
               model, probeQs, k = 10, nProbe = nProbe)
             val rF = graft.operators.AnnEval.meanRecall(gotF, exactF)
-            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_filtered","recall_at_10":$rF%.3f}""")
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_filtered","recall_at_10":$rF%.3f}""")
           }
         }
         // DISTRIBUTED trainer at the SAME constant-occupancy geometry —
@@ -386,7 +399,7 @@ object ScaleDrill {
                 .filter(col("vec_id") =!= 0),
               distModel, probeQs, k = 10, nProbe = nProbe)
             val rD = graft.operators.AnnEval.meanRecall(gotD, exactD)
-            println(f"""DRILLRECALL {"scale":$scale,"name":"build:ivf_dist","recall_at_10":$rD%.3f}""")
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"build:ivf_dist","recall_at_10":$rD%.3f}""")
           }
           // PAST-MAXTRAINCELLS build (opt-in knob): the exact geometry
           // the pre-round-13 engine REFUSED (k > MaxTrainCells threw,
@@ -414,7 +427,7 @@ object ScaleDrill {
                   pm, probeQs, k = 10,
                   nProbe = graft.operators.IvfIndex.NProbeAuto)
                 val rP = graft.operators.AnnEval.meanRecall(gotP, exactP)
-                println(f"""DRILLRECALL {"scale":$scale,"name":"build:ivf_pastmax","recall_at_10":$rP%.3f,"k":$kPast,"nprobe":${graft.operators.IvfIndex.autoNProbe(kPast)}}""")
+                drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"build:ivf_pastmax","recall_at_10":$rP%.3f,"k":$kPast,"nprobe":${graft.operators.IvfIndex.autoNProbe(kPast)}}""")
               }
             } else
               println(s"DRILL# pastmax skipped: corpus n=$n < k=$kPast")
@@ -445,6 +458,30 @@ object ScaleDrill {
             }
           }
           report(scale, "probe:ivf_sharded", "probe", repsS.minBy(_._1))
+          // FILTERED probe on the COMPOSITION (round 16): the
+          // probe:ivf_filtered predicate (label = 3, ~10% selective)
+          // applied to each shard's cell-partitioned vectors before its
+          // probe — S partition-pruned pushdown scans, so the row stays
+          // in the flat class at ~selectivity x the unfiltered sharded
+          // probe's work (the batch mirror of ShardedIvf.searchFiltered)
+          val repsSF = (1 to 3).map { _ =>
+            timed {
+              graft.operators.AnnEval
+                .shardedTopK(spark, shPath, shards, probeQs, k = 10,
+                  nProbe = nProbe, predicate = Some(col("label") === 3))
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
+          report(scale, "probe:ivf_sharded_filtered", "probe", repsSF.minBy(_._1))
+          if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
+            val exactSF = graft.operators.AnnEval.exactTopK(spark,
+              emb.filter(col("label") === 3), probeQs, 10)
+            val gotSF = graft.operators.AnnEval.shardedTopK(spark, shPath,
+              shards, probeQs, k = 10, nProbe = nProbe,
+              predicate = Some(col("label") === 3))
+            val rSF = graft.operators.AnnEval.meanRecall(gotSF, exactSF)
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_sharded_filtered","recall_at_10":$rSF%.3f}""")
+          }
           if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
             // persisted: the Θ(panel·n) exact pass grades BOTH the fixed
             // and the calibrated probe below — don't pay it twice
@@ -453,7 +490,7 @@ object ScaleDrill {
             val gotS = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
               probeQs, k = 10, nProbe = nProbe)
             val rS = graft.operators.AnnEval.meanRecall(gotS, exactS)
-            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded","recall_at_10":$rS%.3f}""")
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_sharded","recall_at_10":$rS%.3f}""")
             // CALIBRATION at drill scale: the engine sizes the per-shard
             // width holding recall@10 >= 0.9 on ITS artifact in one exact
             // pass (AnnCalibrate's capture-width curve) and publishes the
@@ -468,12 +505,12 @@ object ScaleDrill {
               val cal = graft.sources.VectorIndexStore.calibrateShardedIvf(
                 spark, shPath, shards, target = 0.9, k = 10)
               calW = cal.width
-              println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:ivf_sharded","target":0.9,"width":${cal.width},"measured":${cal.measured}%.3f}""")
+              drillLine("DRILLCAL", f"""{"scale":$scale,"name":"calibrate:ivf_sharded","target":0.9,"width":${cal.width},"measured":${cal.measured}%.3f}""")
             })
             val gotC = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
               probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
             val rC = graft.operators.AnnEval.meanRecall(gotC, exactS)
-            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal","recall_at_10":$rC%.3f,"width":$calW}""")
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_sharded_cal","recall_at_10":$rC%.3f,"width":$calW}""")
             // RESHARD at drill scale (round 15): S=4 -> S'=8 from the
             // artifact's own shard tables — the growth verb for the shard
             // count. One re-tagging pass + 8 pruned concurrent rebuilds,
@@ -492,7 +529,37 @@ object ScaleDrill {
               val gotR = graft.operators.AnnEval.shardedTopK(spark, reshRoot,
                 2 * shards, probeQs, k = 10, nProbe = nProbe)
               val rR = graft.operators.AnnEval.meanRecall(gotR, exactS)
-              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_resharded","recall_at_10":$rR%.3f,"shards":${2 * shards}}""")
+              drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_resharded","recall_at_10":$rR%.3f,"shards":${2 * shards}}""")
+              // CATCH-UP reshard (round 16): the bounded-stall protocol,
+              // split at the lease — the corpus-sized snapshot rebuild
+              // holds NO lease (appends keep landing; a quarter-corpus
+              // tranche lands between the phases to prove it), and the
+              // REPLAY row is the measured blocked window: the landed
+              // delta's anti-join + hash-routed append. The
+              // build-vs-replay ratio at each scale is the protocol's
+              // point — the blocked window scales with the DELTA, not
+              // the corpus. Runs on the drill-owned resharded artifact
+              // so the append never perturbs shPath's later
+              // cal-staleness measurement.
+              val cuRoot = s"$outRoot/catchup_x$scale/ix$shards"
+              graft.sources.PosixMetaBackend.deleteRecursively(s"$outRoot/catchup_x$scale")
+              report(scale, "reshard:ivf_catchup_build", "cold", timed {
+                graft.operators.ShardedIvf.reshardCatchUpBuild(
+                  spark, reshRoot, 2 * shards, cuRoot, shards)
+              })
+              val cuDelta = emb.filter(pmod(col("vec_id"), lit(4L)) === 1)
+                .select((col("vec_id") + lit(6000000000L)).as("vec_id"),
+                  col("label"), col("embedding"))
+              val cuDeltaN = cuDelta.count()
+              graft.operators.ShardedIvf.append(spark, reshRoot, 2 * shards, cuDelta)
+              var replayed = 0L
+              report(scale, "reshard:ivf_catchup_replay", "replay", timed {
+                replayed = graft.operators.ShardedIvf.reshardCatchUpReplay(
+                  spark, reshRoot, 2 * shards, cuRoot, shards)
+              })
+              require(replayed == cuDeltaN,
+                s"catch-up replay at x$scale carried $replayed of $cuDeltaN appends")
+              drillLine("DRILLCAL", s"""{"scale":$scale,"name":"reshard:ivf_catchup","replayed":$replayed,"blocked_phase":"replay"}""")
             }
             // CALIBRATION STALENESS under appends (round 15): the policy
             // is that appends do NOT invalidate nprobe.CAL — the qerr
@@ -542,7 +609,7 @@ object ScaleDrill {
               val gotA = graft.operators.AnnEval.shardedTopK(spark, shPath, shards,
                 probeQs, k = 10, nProbe = graft.operators.IvfIndex.NProbeCalibrated)
               val rA = graft.operators.AnnEval.meanRecall(gotA, exactA)
-              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:ivf_sharded_cal_stale","recall_at_10":$rA%.3f,"width":$calW,"drift":$worstDrift%.3f,"eps":$eps}""")
+              drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_sharded_cal_stale","recall_at_10":$rA%.3f,"width":$calW,"drift":$worstDrift%.3f,"eps":$eps}""")
             }
             exactS.unpersist()
           }
@@ -595,6 +662,65 @@ object ScaleDrill {
             if (!pqCalScale || sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) None
             else Some(graft.operators.AnnEval.exactTopK(spark, emb, probeQs, 10)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          // FILTERED probes on the ENCODED geometries (round 16 — the
+          // v23/v24 plan at drill scale): the probe:ivf_filtered
+          // predicate applied to the encoded frame before the ADC scan
+          // (partition pruning to probed cells + parquet pushdown on
+          // label over the ~32x-smaller encoded parquet), single index
+          // here and the sharded composition below. One persisted
+          // filtered exact oracle serves every filtered grading (a
+          // ~selectivity-sized slice of the full pass).
+          val fPred = col("label") === 3
+          val pqModelF = graft.operators.PqIndex.loadModel(spark, pqPath)
+          val fEnc = graft.operators.PqIndex.loadEncoded(spark, pqPath)
+            .filter(col("vec_id") =!= 0).filter(fPred)
+          val exactPqF =
+            if (!pqCalScale || sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) None
+            else Some(graft.operators.AnnEval.exactTopK(spark,
+              emb.filter(fPred), probeQs, 10)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          val repsPF = (1 to 3).map { _ =>
+            timed {
+              graft.operators.AnnEval.pqTopKFrames(spark, fEnc, pqModelF,
+                emb, probeQs, k = 10, nProbe = nProbe)
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
+          report(scale, "probe:pq_filtered", "probe", repsPF.minBy(_._1))
+          exactPqF.foreach { exactF =>
+            val gotPF = graft.operators.AnnEval.pqTopKFrames(spark, fEnc,
+              pqModelF, emb, probeQs, k = 10, nProbe = nProbe)
+            val rPF = graft.operators.AnnEval.meanRecall(gotPF, exactF)
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_filtered","recall_at_10":$rPF%.3f,"nprobe":$nProbe}""")
+            // FILTERED shortlist calibration (per-workload — never
+            // published to shortlist.CAL), with the calibrate:pq
+            // widening loop: the ceiling at a narrow width is the
+            // filtered cell-pruning recall, so the probe doubles from
+            // the fixed width until 0.9 is reachable. The executed
+            // grading at the sized (width, depth) is the
+            // capture-shortlist equivalence measured at scale.
+            var npF = nProbe
+            var calF: Option[(Int, Double)] = None
+            var dblF = 0
+            report(scale, "calibrate:pq_filtered", "cold", timed {
+              while (calF.isEmpty) {
+                calF = graft.operators.AnnCalibrate.calibrateFilteredShortlist(
+                  spark, Seq(pqPath), emb, probeQs, k = 10, target = 0.9,
+                  predicate = fPred, nProbe = npF)
+                if (calF.isEmpty) {
+                  require(npF < pqCells,
+                    s"filtered PQ calibration at x$scale: 0.9 unreachable even at full probe")
+                  npF = math.min(2 * npF, pqCells); dblF += 1
+                }
+              }
+              drillLine("DRILLCAL", f"""{"scale":$scale,"name":"calibrate:pq_filtered","target":0.9,"shortlist":${calF.get._1},"measured":${calF.get._2}%.3f,"nprobe":$npF,"doublings":$dblF}""")
+            })
+            val gotFC = graft.operators.AnnEval.pqTopKFrames(spark, fEnc,
+              pqModelF, emb, probeQs, k = 10, nProbe = npF,
+              shortlist = calF.get._1)
+            val rFC = graft.operators.AnnEval.meanRecall(gotFC, exactF)
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_filtered_cal","recall_at_10":$rFC%.3f,"shortlist":${calF.get._1},"nprobe":$npF}""")
+          }
           var cal: graft.sources.VectorIndexStore.PqShortCal = null
           var doublings = 0
           if (pqCalScale) {
@@ -614,7 +740,7 @@ object ScaleDrill {
                   np = math.min(2 * np, nCells); doublings += 1
               }
             }
-            println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
+            drillLine("DRILLCAL", f"""{"scale":$scale,"name":"calibrate:pq","target":0.9,"shortlist":${cal.shortlist},"measured":${cal.measured}%.3f,"nprobe":${cal.nProbe},"doublings":$doublings}""")
           })
           exactPq.foreach { exactP =>
             // served at the width the calibration was sized for (the
@@ -623,7 +749,7 @@ object ScaleDrill {
               k = 10, nProbe = cal.nProbe,
               shortlist = graft.operators.PqIndex.ShortlistCalibrated)
             val rP = graft.operators.AnnEval.meanRecall(gotP, exactP)
-            println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_cal","recall_at_10":$rP%.3f,"shortlist":${cal.shortlist},"nprobe":${cal.nProbe}}""")
+            drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_cal","recall_at_10":$rP%.3f,"shortlist":${cal.shortlist},"nprobe":${cal.nProbe}}""")
           }
           // ceiling exercise: nProbe=1 prunes most true neighbors' cells,
           // so recall 0.999 is unreachable by ANY shortlist — the error
@@ -636,7 +762,7 @@ object ScaleDrill {
             case e: IllegalStateException =>
               e.getMessage.contains("widen the PROBE")
           }
-          println(s"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_ceiling","target":0.999,"nprobe":1,"raised_probe_diagnostic":$ceilingNamed}""")
+          drillLine("DRILLCAL", s"""{"scale":$scale,"name":"calibrate:pq_ceiling","target":0.999,"nprobe":1,"raised_probe_diagnostic":$ceilingNamed}""")
           require(ceilingNamed,
             s"pq ceiling exercise at x$scale: expected the ceiling-aware " +
               "diagnostic naming the probe")
@@ -663,6 +789,24 @@ object ScaleDrill {
               }
             }
             report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
+            // filtered probe on the COMPOSED encoded geometry — the
+            // v24 plan: each shard's encoded frame filtered before its
+            // ADC scan, per-shard shortlists of filtered candidates
+            val repsQF = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
+                  pqShards, emb, probeQs, k = 10, predicate = Some(fPred))
+                  .write.mode("overwrite").format("noop").save()
+              }
+            }
+            report(scale, "probe:pq_sharded_filtered", "probe", repsQF.minBy(_._1))
+            exactPqF.foreach { exactF =>
+              val gotQF = graft.operators.AnnEval.shardedPqTopK(spark,
+                shPqPath, pqShards, emb, probeQs, k = 10,
+                predicate = Some(fPred))
+              val rQF = graft.operators.AnnEval.meanRecall(gotQF, exactF)
+              drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_sharded_filtered","recall_at_10":$rQF%.3f}""")
+            }
             // the CALIBRATION row is budget-guarded and must run
             // whenever the scale allows — only the held-out GRADING
             // needs the exact oracle (SKIP_RECALL drops the grading,
@@ -684,18 +828,19 @@ object ScaleDrill {
                       npS = math.min(2 * npS, maxShardCells); dblS += 1
                   }
                 }
-                println(f"""DRILLCAL {"scale":$scale,"name":"calibrate:pq_sharded","target":0.9,"shortlist":${calS.shortlist},"measured":${calS.measured}%.3f,"nprobe":${calS.nProbe},"doublings":$dblS}""")
+                drillLine("DRILLCAL", f"""{"scale":$scale,"name":"calibrate:pq_sharded","target":0.9,"shortlist":${calS.shortlist},"measured":${calS.measured}%.3f,"nprobe":${calS.nProbe},"doublings":$dblS}""")
               })
               exactPq.foreach { exactQ =>
               val gotQ = graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
                 pqShards, emb, probeQs, k = 10, nProbe = calS.nProbe,
                 shortlist = graft.operators.PqIndex.ShortlistCalibrated)
               val rQ = graft.operators.AnnEval.meanRecall(gotQ, exactQ)
-              println(f"""DRILLRECALL {"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
+              drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
               }
             }
           }
           exactPq.foreach(_.unpersist())
+          exactPqF.foreach(_.unpersist())
         }
       }
       // Drift-retrain at scale (the v19 lifecycle, drill edition): build
@@ -733,13 +878,16 @@ object ScaleDrill {
     }
 
     // ---- drill artifact (the Bench pattern): one JSONL row per line ----
-    val jsonl = rows.map { case (sc, n, ph, secs, in, sh) =>
+    // timing rows first, then the persisted DRILLRECALL/DRILLCAL quality
+    // rows — one committed artifact carries every number a doc may quote
+    val jsonl = (rows.map { case (sc, n, ph, secs, in, sh) =>
       f"""{"scale":$sc,"name":"$n","phase":"$ph","secs":$secs%.3f,"rows_in":$in,"shuffle_rows":$sh,"master":"$master"}"""
-    }.mkString("", "\n", "\n")
+    } ++ extraRows).mkString("", "\n", "\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outRoot/drill_results.jsonl"),
       jsonl.getBytes("UTF-8"))
-    println(s"DRILL# artifact: $outRoot/drill_results.jsonl (${rows.length} rows)")
+    println(s"DRILL# artifact: $outRoot/drill_results.jsonl " +
+      s"(${rows.length} timing + ${extraRows.length} quality rows)")
 
     if (scales.contains(1) && scales.contains(10)) {
       val checks = DrillCheck.evaluate(rows.toSeq)
@@ -817,6 +965,7 @@ object DrillCheck {
     case n if n.startsWith("build:") => Some(25.0) // 9.0-11.7 measured
     case "reshard:ivf_sharded" => Some(25.0)       // build-class shuffle
       // (one repartition-by-shard tagging pass + per-shard cell writes)
+    case "reshard:ivf_catchup_build" => Some(25.0) // same class, unleased
     case "x02_jaccard_stats" => Some(21.0)         // 10.4 measured at 1→10 under
       // the r14 permutation generator (exactly linear; budget = ~2x
       // measured per the stated policy). Scope note: this 1→10 line
@@ -846,12 +995,29 @@ object DrillCheck {
       // calibration
     case ("calibrate:pq_sharded", "cold") => Some(25.0) // same class,
       // unioned per-shard ADC frames + one window
+    case ("calibrate:pq_filtered", "cold") => Some(25.0) // the filtered
+      // shortlist calibration: a ~selectivity-sized slice of the
+      // calibrate:pq work (filtered ADC pass + filtered exact pass)
+    case ("reshard:ivf_catchup_build", "cold") => Some(25.0) // phase 1 of
+      // the bounded-stall reshard — the reshard:ivf_sharded work class
+      // (snapshot re-tag + pruned concurrent rebuilds), just unleased
+    case ("reshard:ivf_catchup_replay", "replay") => Some(25.0) // the
+      // blocked window: anti-join + hash-routed append of the landed
+      // delta — linear in the DELTA (a quarter-corpus here), never the
+      // corpus; a corpus-shaped ratio means the replay re-reads the
+      // world and the protocol's point is lost
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant
       // occupancy regardless of scale
     case ("probe:ivf_filtered", _) => Some(4.0)  // same class with a
       // pushed ~10%-selective predicate — strictly less work per cell
+    case ("probe:ivf_sharded_filtered", _) => Some(4.0) // the filtered
+      // probe class S times over (per-shard pruned pushdown scans) —
+      // still flat; probe:pq_filtered / probe:pq_sharded_filtered stay
+      // report-only like their unfiltered twin probe:pq_sharded (stated,
+      // not silent: no measured base yet and their 1x times sit at the
+      // MinSignalSecs boundary)
     case ("x03_minhash_neardup", "probe") |
          ("x15_exact_substring_dedup", "probe")
       => Some(4.0)                               // store-served: 1.1-2.1 measured

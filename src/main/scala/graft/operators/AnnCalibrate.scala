@@ -155,21 +155,49 @@ object AnnCalibrate {
   def shardedPqShortlistWidths(spark: SparkSession, path: String, shards: Int,
                                fullPrecision: DataFrame,
                                queries: Seq[(Long, Seq[Float])], k: Int,
-                               nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+                               nProbe: Int = IvfIndex.NProbeAuto): DataFrame =
+    pqShortlistWidthsAt(spark,
+      (0 until shards).map(r => s"$path/shard=$r"), fullPrecision,
+      queries, k, nProbe, predicate = None)
+
+  /** The general path-based capture-shortlist frame over encoded
+    * geometries: `shardPaths` lists the per-shard IVF-PQ artifact roots
+    * (length 1 = a single [[PqIndex]] artifact — the one-shard window
+    * degenerates to the single-index per-qid rank), and `predicate`
+    * restricts BOTH sides to a FILTERED workload (the
+    * [[ShardedPq.searchFiltered]] composition): it applies to each
+    * shard's encoded frame before the ADC scan AND to the full-precision
+    * corpus before the exact pass, so the ground truth is the filtered
+    * top-k and a capture width is the true neighbor's ADC rank among
+    * FILTERED candidates in its own shard — exactly the per-shard
+    * shortlist at which the filtered probe returns it. The predicate
+    * must name columns BOTH frames carry (`vec_id` / `label` — the
+    * filterable fields the encoded schema keeps next to the codes).
+    * Widths sized under a predicate are per-WORKLOAD numbers for the
+    * caller to pass as `shortlist` ([[calibrateFilteredShortlist]]);
+    * they never publish to `shortlist.CAL`, which records the
+    * unfiltered-corpus depth.
+    */
+  def pqShortlistWidthsAt(spark: SparkSession, shardPaths: Seq[String],
+                          fullPrecision: DataFrame,
+                          queries: Seq[(Long, Seq[Float])], k: Int,
+                          nProbe: Int = IvfIndex.NProbeAuto,
+                          predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = (0 until shards).map { r =>
-      val shardPath = s"$path/shard=$r"
-      AnnEval.pqApproxScores(spark,
-        PqIndex.loadEncoded(spark, shardPath).filter(col("vec_id") =!= 0),
-        PqIndex.loadModel(spark, shardPath), queries, nProbe)
-        .withColumn("shard", lit(r))
+    require(shardPaths.nonEmpty, "no shard paths")
+    val scored = shardPaths.zipWithIndex.map { case (p, i) =>
+      val enc = PqIndex.loadEncoded(spark, p).filter(col("vec_id") =!= 0)
+      AnnEval.pqApproxScores(spark, predicate.fold(enc)(enc.filter),
+        PqIndex.loadModel(spark, p), queries, nProbe)
+        .withColumn("shard", lit(i))
     }.reduce(_ unionAll _)
     val ranked = scored
       .withColumn("width", row_number().over(
         Window.partitionBy("qid", "shard").orderBy(col("approx_d"), col("vec_id"))))
       .select(col("qid"), col("vec_id"), col("width"))
-    val exact = AnnEval.exactTopK(spark,
-      fullPrecision.filter(col("vec_id") =!= 0), queries, k)
+    val fp = fullPrecision.filter(col("vec_id") =!= 0)
+    val exact = AnnEval.exactTopK(spark, predicate.fold(fp)(fp.filter), queries, k)
     exact
       .join(ranked, Seq("qid", "vec_id"), "left")
       .select(col("qid"), col("vec_id"),
@@ -243,5 +271,33 @@ object AnnCalibrate {
     calibrateWidth(
       widthHistogram(neighborWidths(spark, shardPaths, queries, k, maxWidth,
         Some(predicate))),
+      target)
+
+  /** [[calibrateFilteredWidth]]'s twin for the ENCODED geometries: size
+    * the smallest per-shard RE-RANK SHORTLIST holding `target` recall
+    * for a FILTERED workload over an IVF-PQ artifact (`shardPaths`
+    * length 1) or a [[ShardedPq]] composition (the per-shard roots) —
+    * one filtered ADC pass + one filtered exact pass, same cost class
+    * as the unfiltered shortlist calibration. The curve is conditional
+    * on `nProbe` (a neighbor in an unprobed cell is never capturable —
+    * size the probe width first), and the answer is per-WORKLOAD: the
+    * caller passes it as `shortlist` to
+    * [[ShardedPq.searchFiltered]] / `AnnEval.shardedPqTopK(predicate=)`;
+    * it is never published to the artifact's `shortlist.CAL` (a depth
+    * sized under one predicate says nothing about another, or about the
+    * unfiltered corpus the sidecar contract covers). Returns (depth,
+    * measured recall at that depth) or None when the target exceeds the
+    * cell-pruning ceiling at this `nProbe`.
+    */
+  def calibrateFilteredShortlist(spark: SparkSession, shardPaths: Seq[String],
+                                 fullPrecision: DataFrame,
+                                 queries: Seq[(Long, Seq[Float])], k: Int,
+                                 target: Double,
+                                 predicate: org.apache.spark.sql.Column,
+                                 nProbe: Int = IvfIndex.NProbeAuto)
+      : Option[(Int, Double)] =
+    calibrateWidth(
+      widthHistogram(pqShortlistWidthsAt(spark, shardPaths, fullPrecision,
+        queries, k, nProbe, Some(predicate))),
       target)
 }

@@ -187,13 +187,17 @@ object AnnEval {
     */
   def shardedTopK(spark: SparkSession, path: String, shards: Int,
                   queries: Seq[(Long, Seq[Float])], k: Int,
-                  nProbe: Int = IvfIndex.NProbeAuto): DataFrame = {
+                  nProbe: Int = IvfIndex.NProbeAuto,
+                  predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     ShardedIvf.verifyShards(path, shards) // wrong S silently drops shards
     val np = IvfIndex.resolveShardedNProbeAt(path, nProbe)
     val scored = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
-      ivfScored(spark,
-        IvfIndex.loadVectors(spark, shardPath).filter(col("vec_id") =!= 0),
+      // predicate: the batch mirror of ShardedIvf.searchFiltered — each
+      // shard's cell-partitioned vectors are filtered BEFORE its probe
+      val vecs = IvfIndex.loadVectors(spark, shardPath).filter(col("vec_id") =!= 0)
+      ivfScored(spark, predicate.fold(vecs)(vecs.filter),
         IvfIndex.loadModel(spark, shardPath), queries, np)
     }.reduce(_ unionAll _)
     topKPerQuery(scored, k)
@@ -207,19 +211,28 @@ object AnnEval {
     * global per-qid window — the batch-panel mirror of
     * `ShardedPq.search`, graded by the same [[meanRecall]]/[[exactTopK]]
     * machinery as every other index path.
+    *
+    * `predicate` scopes the probe to a FILTERED workload (the batch
+    * mirror of [[ShardedPq.searchFiltered]]): it applies to each
+    * shard's encoded frame before the ADC scan, so each per-shard
+    * shortlist holds filtered candidates only and the re-rank scores
+    * survivors — grade it against the filtered [[exactTopK]] and size
+    * the depth with `AnnCalibrate.calibrateFilteredShortlist`.
     */
   def shardedPqTopK(spark: SparkSession, path: String, shards: Int,
                     fullPrecision: DataFrame,
                     queries: Seq[(Long, Seq[Float])], k: Int,
                     nProbe: Int = IvfIndex.NProbeAuto,
-                    shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+                    shortlist: Int = PqIndex.DefaultShortlist,
+                    predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Sharding.verifyShards(path, shards) // wrong S silently drops shards
     val sl = ShardedPq.resolveShardedShortlist(path, nProbe, shortlist)
     val scored = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
-      pqApproxScores(spark,
-        PqIndex.loadEncoded(spark, shardPath).filter(col("vec_id") =!= 0),
+      val enc = PqIndex.loadEncoded(spark, shardPath).filter(col("vec_id") =!= 0)
+      pqApproxScores(spark, predicate.fold(enc)(enc.filter),
         PqIndex.loadModel(spark, shardPath), queries, nProbe)
         .withColumn("shard", lit(r))
     }.reduce(_ unionAll _)

@@ -175,6 +175,65 @@ object ShardedIvf {
     }
   }
 
+  /** CATCH-UP reshard, phase 1 of 2 — the bounded-stall protocol for
+    * streaming-fed indexes ([[reshard]] holds the old root's writer
+    * lease across read+build+GC, which is correct for scheduled
+    * maintenance but at 10⁹ vectors means hours of blocked ingest).
+    * This phase takes NO lease on the old root: it builds the S′
+    * composition at `newPath` from a SNAPSHOT of the old shard tables
+    * (the tagging pass materializes the snapshot in one read — appends
+    * landing after that listing simply miss it and are replayed in
+    * phase 2), so ingest keeps flowing for the whole corpus-sized
+    * rebuild. MUST be followed by [[reshardCatchUpReplay]] before
+    * cutover — publishing a phase-1-only artifact silently drops every
+    * append that landed during the build.
+    */
+  def reshardCatchUpBuild(spark: SparkSession, oldPath: String, oldShards: Int,
+                          newPath: String, newShards: Int,
+                          nCellsPerShard: Int = -1): Unit = {
+    require(newPath != oldPath,
+      "reshard builds at a NEW root (shard count is part of the artifact " +
+        "identity; in-place cutover would break readers holding the old S)")
+    verifyShards(oldPath, oldShards)
+    val corpus = (0 until oldShards).map { r =>
+      IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
+        .select(col("vec_id"), col("label"), col("embedding"))
+    }.reduce(_ unionAll _)
+    build(spark, corpus, newPath, newShards, nCellsPerShard)
+    // a reused target root must not serve a width sized for another S
+    graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/nprobe.CAL")
+  }
+
+  /** CATCH-UP reshard, phase 2 of 2 — the ONLY window appends block:
+    * under the old root's writer lease, the delta that landed during
+    * phase 1 (old-shard rows whose vec_id is absent from the new
+    * artifact — per-shard anti-join, batch-sized when the policy is
+    * sane) is hash-routed into the S′ artifact through the standard
+    * idempotent [[append]]. The caller cuts over INSIDE the same lease
+    * scope (publish the new identity / flip the serving pointer, then
+    * GC the old root) so nothing can land after the replay and be lost
+    * to the GC. Returns the replayed row count — the measured catch-up
+    * size, which the drill grades against the blocked window.
+    */
+  def reshardCatchUpReplay(spark: SparkSession, oldPath: String,
+                           oldShards: Int, newPath: String,
+                           newShards: Int): Long = {
+    verifyShards(oldPath, oldShards)
+    graft.sources.Versioned.withWriterLease(oldPath) {
+      val current = (0 until oldShards).map { r =>
+        IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
+          .select(col("vec_id"), col("label"), col("embedding"))
+      }.reduce(_ unionAll _)
+      val snapshotIds = (0 until newShards).map { r =>
+        IvfIndex.loadVectors(spark, s"$newPath/shard=$r").select("vec_id")
+      }.reduce(_ unionAll _)
+      val delta = current.join(snapshotIds, Seq("vec_id"), "left_anti")
+      val n = delta.count()
+      if (n > 0) append(spark, newPath, newShards, delta)
+      n
+    }
+  }
+
   /** Hash-route `newVectors` to their shards and append each slice
     * through the per-shard `appendIvf` (existing-model assignment,
     * vec_id anti-join idempotence, distortion watermark — under the
@@ -198,18 +257,36 @@ object ShardedIvf {
     * is internally a distributed train+assign+recall-gate job — the
     * cluster is already saturated by one. Returns the number of shards
     * retrained.
+    *
+    * `continueOnGateFailure`: a shard whose retrain FAILS ITS RECALL
+    * GATE (`RetrainRecallGateFailed` — the candidate geometry was
+    * refused, the stale-but-valid one keeps serving) aborts the
+    * remaining shards' drift checks when false (the offline default: a
+    * refused retrain is a loud operator signal). A STREAMING sink
+    * passes true so one persistently gate-failing shard cannot starve
+    * later drifted shards' retrains forever — the failure is logged per
+    * shard and the sweep continues (the next batch retries the failed
+    * shard anyway).
     */
   def retrainIfNeeded(spark: SparkSession, path: String, shards: Int,
                       factor: Double = 2.0, recallFloor: Double = 0.2,
-                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10): Int = {
+                      nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10,
+                      continueOnGateFailure: Boolean = false): Int = {
     verifyShards(path, shards)
     // root-calibration staleness is keyed to the retrain itself: each
     // per-shard retrain invalidates its parent's nprobe.CAL
     // (VectorIndexStore.invalidateProbeCal), so direct per-shard
     // maintenance is covered too — nothing extra to do here
     (0 until shards).count { r =>
-      graft.sources.VectorIndexStore.retrainIvfIfNeeded(
+      try graft.sources.VectorIndexStore.retrainIvfIfNeeded(
         spark, s"$path/shard=$r", factor, recallFloor, nProbe, k)
+      catch {
+        case e: graft.sources.VectorIndexStore.RetrainRecallGateFailed
+            if continueOnGateFailure =>
+          System.err.println(
+            s"[graft] shard $r retrain skipped (recall gate): ${e.getMessage}")
+          false
+      }
     }
   }
 

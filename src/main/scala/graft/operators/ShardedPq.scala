@@ -90,16 +90,27 @@ object ShardedPq {
                       fullPrecision: DataFrame, factor: Double = 2.0,
                       recallFloor: Double = 0.2,
                       nProbe: Int = IvfIndex.NProbeAuto, k: Int = 10,
-                      shortlist: Int = PqIndex.DefaultShortlist): Int = {
+                      shortlist: Int = PqIndex.DefaultShortlist,
+                      continueOnGateFailure: Boolean = false): Int = {
     Sharding.verifyShards(path, shards)
     val tagged = fullPrecision
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("shard", Sharding.shardCol(shards))
     (0 until shards).count { r =>
-      graft.sources.VectorIndexStore.retrainPqIfNeeded(
+      // continueOnGateFailure: same contract as ShardedIvf.retrainIfNeeded
+      // (a streaming caller must not let one gate-failing shard starve
+      // the rest of the sweep; offline callers keep the loud default)
+      try graft.sources.VectorIndexStore.retrainPqIfNeeded(
         spark, s"$path/shard=$r",
         tagged.filter(col("shard") === r).drop("shard"),
         factor, recallFloor, nProbe, k, shortlist)
+      catch {
+        case e: graft.sources.VectorIndexStore.RetrainRecallGateFailed
+            if continueOnGateFailure =>
+          System.err.println(
+            s"[graft] shard $r retrain skipped (recall gate): ${e.getMessage}")
+          false
+      }
     }
   }
 
@@ -121,13 +132,42 @@ object ShardedPq {
   def search(spark: SparkSession, path: String, shards: Int,
              fullPrecision: DataFrame, query: Seq[Float], k: Int,
              nProbe: Int = IvfIndex.NProbeAuto,
-             shortlist: Int = PqIndex.DefaultShortlist): DataFrame = {
+             shortlist: Int = PqIndex.DefaultShortlist): DataFrame =
+    searchFiltered(spark, path, shards, fullPrecision, query, k, nProbe,
+      shortlist, predicate = None)
+
+  /** [[search]] scoped by a metadata predicate — filtered vector search
+    * on the ENCODED composition (the reference's surface pairs
+    * filterable fields with the vector field, db_utils.py:65-70 +
+    * 58-64). The predicate applies to each shard's encoded frame BEFORE
+    * its ADC scan — the encoded table carries the filter column next to
+    * the codes (`(vec_id, label, cell, code)`, [[PqIndex.encode]]), so
+    * at scale this is partition pruning to the probed cells plus
+    * parquet predicate pushdown on the encoded scan (the v22 plan on
+    * the encoded frame; PlanSpec gates it). Each shard's SHORTLIST is
+    * then a shortlist of FILTERED candidates, and the exact re-rank
+    * scores only survivors, so with every cell probed and a
+    * corpus-wide shortlist the composed filtered search is EXACT within
+    * the filter (ADC only orders; the re-rank scores). Width/depth
+    * note: neither the auto probe policy nor the root's `shortlist.CAL`
+    * (unfiltered contracts) promise a recall target under a predicate —
+    * the filter thins every probed cell, so the filtered true top-k
+    * sits DEEPER in each shard's ADC order; size filtered workloads
+    * with [[graft.operators.AnnCalibrate.calibrateFilteredShortlist]]
+    * and pass the result as `shortlist`.
+    */
+  def searchFiltered(spark: SparkSession, path: String, shards: Int,
+                     fullPrecision: DataFrame, query: Seq[Float], k: Int,
+                     nProbe: Int = IvfIndex.NProbeAuto,
+                     shortlist: Int = PqIndex.DefaultShortlist,
+                     predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     Sharding.verifyShards(path, shards)
     val sl = resolveShardedShortlist(path, nProbe, shortlist)
     val shorts = (0 until shards).map { r =>
       val shardPath = s"$path/shard=$r"
-      PqIndex.adcShortlist(spark,
-        PqIndex.loadEncoded(spark, shardPath),
+      val enc = PqIndex.loadEncoded(spark, shardPath)
+      PqIndex.adcShortlist(spark, predicate.fold(enc)(enc.filter),
         PqIndex.loadModel(spark, shardPath), query, nProbe, sl)
     }.reduce(_ unionAll _)
     val qCol = lit(query.toArray).cast("array<float>")

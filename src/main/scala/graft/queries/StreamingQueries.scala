@@ -592,15 +592,69 @@ object StreamingQueries extends QuerySet {
     //   late_arrival_found — a tranche-2 vector answers its own
     //                        full-probe query at rounded sim 1.0 (the
     //                        streamed artifact serves late content);
-    //   redelivery_noop    — the re-delivered corpus is absorbed by the
-    //                        per-shard anti-joins (same count after).
-    // The served artifact is a full ShardedIvf (shards.META, per-shard
+    //   reshard_followed   — an EXTERNAL growth-loop reshard
+    //                        (ShardedHome.reshardIfNeeded — catch-up
+    //                        rebuild, pointer flip, old-generation GC)
+    //                        lands BETWEEN batches, and the sink's next
+    //                        batch follows the SERVING pointer to the
+    //                        new (generation, S′) pair — the round-15
+    //                        composition hole (loud append failure on
+    //                        the GC'd root, then a silently shrunken
+    //                        rebuild after restart), closed and gated:
+    //                        a post-reshard tranche is appended to the
+    //                        S′ generation and served;
+    //   redelivery_noop    — a fresh checkpoint re-delivers EVERY file
+    //                        AFTER the reshard (the restart-after-
+    //                        reshard worst case) and the pointer-first
+    //                        recovery + per-shard anti-joins absorb it.
+    // The served generation is a full ShardedIvf (shards.META, per-shard
     // qerr plane), so calibrate/compact/reshard/reshardIfNeeded all
     // apply to the streamed index unchanged.
     Q("s17_streamed_sharded_index",
       (s, d) => {
+        val (nDocs, membershipOk, fullExact, lateFound, reshardFollowed,
+          redeliveryNoop) = s17Drill(s, d)
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(membershipOk).cast("int").as("membership_ok"),
+          lit(fullExact).cast("int").as("full_probe_exact"),
+          lit(lateFound).cast("int").as("late_arrival_found"),
+          lit(reshardFollowed).cast("int").as("reshard_followed"),
+          lit(redeliveryNoop).cast("int").as("redelivery_noop"))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 500)
+        |  + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_docs,
+        |1 AS membership_ok, 1 AS full_probe_exact,
+        |1 AS late_arrival_found, 1 AS reshard_followed,
+        |1 AS redelivery_noop""".stripMargin)),
+
+    // STREAMED ENCODED COMPOSITION — the s17 pattern on ShardedPq, the
+    // geometry that actually serves at 100 TB (hash shards past the
+    // broadcast ceiling, one-byte-per-subspace codes): the first
+    // micro-batch trains per-shard coarse+codebooks and BUILDS the
+    // 3-shard encoded composition (publishing the ShardedHome pointer),
+    // a restart ingests tranche 2 as hash-routed appendPq batches
+    // (existing-codebook encode, per-shard vec_id anti-joins, qerr
+    // quantization watermark per append — drift is WATCHED on every
+    // batch; retrain is external maintenance against the cold
+    // full-precision store the artifact deliberately does not carry).
+    // Flags, all deterministic (the full-precision side is re-derived
+    // by the same HashingEmbedder over the same files):
+    //   membership_ok      — encoded membership is disjoint and total
+    //                        over the streamed corpus;
+    //   full_probe_exact   — every cell probed + a corpus-wide
+    //                        shortlist reduces the composed search to
+    //                        the brute-force cosine top-10 (ADC only
+    //                        ORDERS candidates; the exact re-rank
+    //                        SCORES them — 16-query panel);
+    //   late_arrival_found — a tranche-2 vector answers its own
+    //                        full-probe query at rounded sim 1.0;
+    //   redelivery_noop    — a fresh checkpoint's full re-delivery is
+    //                        absorbed by the per-shard anti-joins.
+    Q("s18_streamed_sharded_pq",
+      (s, d) => {
         val (nDocs, membershipOk, fullExact, lateFound, redeliveryNoop) =
-          s17Drill(s, d)
+          s18Drill(s, d)
         s.range(1).select(
           lit(nDocs).as("n_docs"),
           lit(membershipOk).cast("int").as("membership_ok"),
@@ -643,56 +697,159 @@ object StreamingQueries extends QuerySet {
   /** s17 lifecycle + grading, memoized per process (the driver's
     * fresh-JVM Verify always pays it): tranche 1 builds the 3-shard
     * composition from the first micro-batch, a restart ingests tranche 2
-    * as hash-routed appends, the grading runs against the artifact's own
-    * shard tables, then a fresh-checkpoint full re-delivery asserts
-    * at-least-once idempotence.
+    * as hash-routed appends, the grading runs against the serving
+    * generation's own shard tables, then an EXTERNAL catch-up reshard
+    * flips the ShardedHome pointer, a third tranche proves the sink
+    * follows it, and a fresh-checkpoint full re-delivery (the
+    * restart-after-reshard worst case) asserts at-least-once
+    * idempotence. Tmp/checkpoint trees are deleted in a finally (only
+    * the computed flags are memoized — v20/v21 discipline).
     */
-  private def s17Drill(s: org.apache.spark.sql.SparkSession,
-                       d: String): (Long, Boolean, Boolean, Boolean, Boolean) = {
+  private def s17Drill(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, Boolean, Boolean, Boolean, Boolean, Boolean) = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
     val pid = ProcessHandle.current().pid()
-    val srcDir = s"/tmp/graft_s17_$pid/src_$tag"
-    val root = s"/tmp/graft_s17_$pid/shivf_$tag"
-    val ckpt = s"${StreamingOps.ckptParent}/graft_s17_$pid/ckpt_$tag"
-    val ckpt2 = s"${StreamingOps.ckptParent}/graft_s17_$pid/ckpt2_$tag"
+    val tmpRoot = s"/tmp/graft_s17_$pid"
+    val ckptRoot = s"${StreamingOps.ckptParent}/graft_s17_$pid"
+    val srcDir = s"$tmpRoot/src_$tag"
+    val root = s"$tmpRoot/shivf_$tag"
+    val ckpt = s"$ckptRoot/ckpt_$tag"
+    val ckpt2 = s"$ckptRoot/ckpt2_$tag"
     DrillOnce.cached(s"s17_$tag") {
       import s.implicits._
-      DrillOnce.freshDirs(srcDir, root, ckpt, ckpt2)
-      StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
-      StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
-      StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
-      StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
-      def corpus = (0 until 3).map(r => graft.operators.IvfIndex
-        .loadVectors(s, s"$root/shard=$r")
-        .select(col("vec_id"), col("embedding"))).reduce(_ unionAll _)
-      val stored = graft.operators.ScaleOps.checkpointed(corpus)
-      val nDocs = stored.count()
-      val membershipOk = stored.select("vec_id").distinct().count() == nDocs
-      val panel = graft.operators.AnnEval.rowPanel(
-        stored.filter(col("vec_id") =!= 0), maxPanel = 32)
-      val exact = graft.operators.ScaleOps.checkpointed(
-        graft.operators.AnnEval.exactTopK(s,
-          stored.filter(col("vec_id") =!= 0), panel, 10))
-      val fullExact = graft.operators.AnnEval.meanRecall(
-        graft.operators.AnnEval.shardedTopK(s, root, 3, panel, k = 10,
-          nProbe = Int.MaxValue), exact) == 1.0
-      // a tranche-2 vector with nonzero norm (empty-text docs embed to
-      // the zero vector, whose cosine to anything is not 1.0) answers
-      // its own full-probe query at rounded sim 1.0 — which duplicate id
-      // wins the tie is irrelevant, the CONTENT is served
-      val qv = stored
-        .filter(col("vec_id") >= 250 &&
-          graft.functions.VectorFunctions.norm(col("embedding")) > 0)
-        .orderBy("vec_id").select("embedding").as[Seq[Float]].head()
-      val topSim = graft.operators.ShardedIvf.search(s, root, 3, qv, k = 1,
-        nProbe = Int.MaxValue).select("sim").as[Double].head()
-      val lateFound = topSim == 1.0
-      // at-least-once worst case: a fresh checkpoint re-delivers EVERY
-      // file as one batch; the per-shard anti-joins must absorb it
-      StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt2)
-      val redeliveryNoop = corpus.count() == nDocs
-      (nDocs, membershipOk, fullExact, lateFound, redeliveryNoop)
+      try {
+        DrillOnce.freshDirs(srcDir, root, ckpt, ckpt2)
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
+        StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        val (dir1, s1) = graft.operators.ShardedHome.serving(root).get
+        def corpusAt(dir: String, sh: Int) = (0 until sh)
+          .map(r => graft.operators.IvfIndex
+            .loadVectors(s, s"$dir/shard=$r")
+            .select(col("vec_id"), col("embedding"))).reduce(_ unionAll _)
+        val stored = graft.operators.ScaleOps.checkpointed(corpusAt(dir1, s1))
+        val nDocs = stored.count()
+        val membershipOk = stored.select("vec_id").distinct().count() == nDocs
+        val panel = graft.operators.AnnEval.rowPanel(
+          stored.filter(col("vec_id") =!= 0), maxPanel = 32)
+        val exact = graft.operators.ScaleOps.checkpointed(
+          graft.operators.AnnEval.exactTopK(s,
+            stored.filter(col("vec_id") =!= 0), panel, 10))
+        val fullExact = graft.operators.AnnEval.meanRecall(
+          graft.operators.AnnEval.shardedTopK(s, dir1, s1, panel, k = 10,
+            nProbe = Int.MaxValue), exact) == 1.0
+        // a tranche-2 vector with nonzero norm (empty-text docs embed to
+        // the zero vector, whose cosine to anything is not 1.0) answers
+        // its own full-probe query at rounded sim 1.0 — which duplicate id
+        // wins the tie is irrelevant, the CONTENT is served
+        val qv = stored
+          .filter(col("vec_id") >= 250 &&
+            graft.functions.VectorFunctions.norm(col("embedding")) > 0)
+          .orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+        val topSim = graft.operators.ShardedIvf.search(s, dir1, s1, qv, k = 1,
+          nProbe = Int.MaxValue).select("sim").as[Double].head()
+        val lateFound = topSim == 1.0
+        // EXTERNAL growth-loop reshard between batches: catch-up rebuild,
+        // pointer flip, old-generation GC — then the sink's next batch
+        // (ORIGINAL checkpoint, new doc ids at +10000) must follow the
+        // pointer to (gen-2, S′) and serve the late tranche from it
+        val (dir2, s2) = graft.operators.ShardedHome.reshardIfNeeded(
+          s, root, maxShardRows = math.max(1L, (nDocs + 4) / 5))
+        val expLate = graft.sources.Tables.load(s, d, "documents")
+          .filter(col("doc_id") < 20).count()
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 20, idOffset = 10000)
+        StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        val (dir3, s3) = graft.operators.ShardedHome.serving(root).get
+        val post = graft.operators.ScaleOps.checkpointed(corpusAt(dir3, s3))
+        val reshardFollowed = dir2 != dir1 && s2 > s1 && dir3 == dir2 &&
+          s3 == s2 && post.count() == nDocs + expLate &&
+          post.filter(col("vec_id") >= 10000).count() == expLate
+        // at-least-once worst case AFTER the reshard: a fresh checkpoint
+        // re-delivers EVERY file as one batch; pointer-first recovery
+        // enters the append branch and the per-shard anti-joins absorb it
+        StreamingOps.arrivalShardedIngest(s, srcDir, "*.txt", root, 3, ckpt2)
+        val redeliveryNoop = corpusAt(dir3, s3).count() == nDocs + expLate
+        (nDocs + expLate, membershipOk, fullExact, lateFound,
+          reshardFollowed, redeliveryNoop)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmpRoot)).deleteRecursively()
+        new Directory(new java.io.File(ckptRoot)).deleteRecursively()
+      }
+    }
+  }
+
+  /** s18 lifecycle + grading — the s17 pattern on the ENCODED
+    * composition (tranche 1 builds, a restart appends tranche 2 through
+    * the per-shard codebooks, a fresh checkpoint re-delivers
+    * everything). The full-precision side every PQ re-rank and exact
+    * baseline needs is re-derived deterministically: the same
+    * HashingEmbedder over the same doc files the sink ingested.
+    */
+  private def s18Drill(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, Boolean, Boolean, Boolean, Boolean) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+    val pid = ProcessHandle.current().pid()
+    val tmpRoot = s"/tmp/graft_s18_$pid"
+    val ckptRoot = s"${StreamingOps.ckptParent}/graft_s18_$pid"
+    val srcDir = s"$tmpRoot/src_$tag"
+    val root = s"$tmpRoot/shpq_$tag"
+    val ckpt = s"$ckptRoot/ckpt_$tag"
+    val ckpt2 = s"$ckptRoot/ckpt2_$tag"
+    DrillOnce.cached(s"s18_$tag") {
+      import s.implicits._
+      try {
+        DrillOnce.freshDirs(srcDir, root, ckpt, ckpt2)
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.arrivalShardedPqIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 500)
+        StreamingOps.arrivalShardedPqIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        val (dir, sh) = graft.operators.ShardedHome.serving(root).get
+        // the deterministic full-precision twin of the streamed corpus
+        val fp = graft.operators.ScaleOps.checkpointed(
+          graft.sources.Tables.load(s, d, "documents")
+            .filter(col("doc_id") < 500)
+            .select(col("doc_id"), col("text")).as[(Long, String)]
+            .mapPartitions { it =>
+              val emb = new graft.operators.HashingEmbedder()
+              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
+            }.toDF("vec_id", "label", "embedding"))
+        def encIds = (0 until sh).map(r => graft.operators.PqIndex
+          .loadEncoded(s, s"$dir/shard=$r").select("vec_id"))
+          .reduce(_ unionAll _)
+        val ids = graft.operators.ScaleOps.checkpointed(encIds)
+        val nDocs = ids.count()
+        val membershipOk = ids.distinct().count() == nDocs &&
+          nDocs == fp.count()
+        val panel = graft.operators.AnnEval.rowPanel(
+          fp.filter(col("vec_id") =!= 0), maxPanel = 16)
+        val exact = graft.operators.ScaleOps.checkpointed(
+          graft.operators.AnnEval.exactTopK(s,
+            fp.filter(col("vec_id") =!= 0), panel, 10))
+        val fullExact = graft.operators.AnnEval.meanRecall(
+          graft.operators.AnnEval.shardedPqTopK(s, dir, sh, fp, panel,
+            k = 10, nProbe = Int.MaxValue, shortlist = nDocs.toInt),
+          exact) == 1.0
+        val probe = fp
+          .filter(col("vec_id") >= 250 &&
+            graft.functions.VectorFunctions.norm(col("embedding")) > 0)
+          .orderBy("vec_id").select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].head()
+        val topSim = graft.operators.ShardedPq.search(s, dir, sh, fp,
+          probe._2, k = 1, nProbe = Int.MaxValue, shortlist = nDocs.toInt)
+          .select("sim").as[Double].head()
+        val lateFound = topSim == 1.0
+        StreamingOps.arrivalShardedPqIngest(s, srcDir, "*.txt", root, 3, ckpt2)
+        val redeliveryNoop = encIds.count() == nDocs
+        (nDocs, membershipOk, fullExact, lateFound, redeliveryNoop)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmpRoot)).deleteRecursively()
+        new Directory(new java.io.File(ckptRoot)).deleteRecursively()
+      }
     }
   }
 

@@ -920,6 +920,147 @@ object VectorQueries extends QuerySet {
         |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
         |1 AS prefilter_recall_ok, 1 AS postfilter_recall_ok
         |FROM embeddings, q, lbl WHERE vec_id <> 0 AND label = l
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // FILTERED ANN on the ENCODED geometry (v22's predicate+vector
+    // composition, moved to the IVF-PQ artifact — the memory end of the
+    // spectrum, where the reference's filterable-fields-next-to-the-
+    // vector-field surface, db_utils.py:65-70 + 58-64, must still
+    // answer). The encoded table carries the filter column NEXT TO the
+    // one-byte codes ((vec_id, label, cell, code), PqIndex.encode), so
+    // PRE-FILTER = the predicate applied to the encoded frame before the
+    // ADC scan — at scale partition pruning to the probed cells plus
+    // parquet predicate pushdown on `label` over the ~32x-smaller
+    // encoded parquet (PlanSpec gates the plan), and the exact re-rank
+    // reads only filtered survivors from the full-precision store. The
+    // output rows are EXACT within the filter: with every cell probed
+    // and a corpus-wide shortlist the ADC stage prunes nothing (it only
+    // ORDERS candidates; the re-rank SCORES them), so the DuckDB oracle
+    // hash-checks every row. Two graded strategy flags:
+    //   - prefilter_recall_ok: the DEFAULT policy (auto probe, default
+    //     shortlist 50) vs the filtered exact — lower than unfiltered PQ
+    //     recall for the v22 reason (the filter thins each probed cell,
+    //     so the filtered true top-k sits deeper in the ADC order AND
+    //     spreads over more cells); floors FilteredPqFloor.
+    //   - calibrated_holds: AnnCalibrate.calibrateFilteredShortlist
+    //     sizes the smallest per-workload re-rank depth holding 0.9
+    //     recall over a 16-query panel at full probe (ceiling 1.0 there,
+    //     so the target is always reachable), and EXECUTING the filtered
+    //     probe at that depth delivers >= 0.9 panel recall — the
+    //     capture-shortlist equivalence, gated end-to-end.
+    Q("v23_filtered_pq",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val lbl = emb.agg(min(col("label")).cast("long")).head().getLong(0)
+        val pred = col("label") === lbl
+        val path = graft.sources.VectorIndexStore.ensurePq(s, d)
+        val model = graft.operators.PqIndex.loadModel(s, path)
+        val filteredEnc = graft.operators.PqIndex.loadEncoded(s, path)
+          .filter(col("vec_id") =!= 0).filter(pred)
+        val nFiltered = filteredEnc.count()
+        val exactFiltered = graft.operators.ScaleOps.checkpointed(
+          graft.operators.PqIndex.search(s, filteredEnc, emb, model, query,
+            k = 10, nProbe = Int.MaxValue, shortlist = nFiltered.toInt))
+        val preAuto = graft.operators.PqIndex.search(s, filteredEnc, emb,
+          model, query, k = 10)
+        val preHits = preAuto.select("vec_id")
+          .join(exactFiltered.select("vec_id"), "vec_id").count()
+        val panel = graft.operators.AnnEval.rowPanel(
+          emb.filter(col("vec_id") =!= 0), maxPanel = 16)
+        val cal = graft.operators.AnnCalibrate.calibrateFilteredShortlist(
+          s, Seq(path), emb, panel, k = 10, target = 0.9, predicate = pred,
+          nProbe = Int.MaxValue)
+        val calHolds = cal.exists { case (sl, _) =>
+          val exactPanel = graft.operators.AnnEval.exactTopK(s,
+            emb.filter(col("vec_id") =!= 0).filter(pred), panel, 10)
+          val probed = graft.operators.AnnEval.pqTopKFrames(s, filteredEnc,
+            model, emb, panel, k = 10, nProbe = Int.MaxValue, shortlist = sl)
+          graft.operators.AnnEval.meanRecall(probed, exactPanel) >= 0.9
+        }
+        System.err.println(s"[graft] v23 measured: hits@default=$preHits/10 cal=$cal calHolds=$calHolds")
+        exactFiltered
+          .withColumn("prefilter_recall_ok",
+            (lit(preHits) >= FilteredPqFloor).cast("int"))
+          .withColumn("calibrated_holds", lit(calHolds).cast("int"))
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0),
+        |lbl AS (SELECT min(label) AS l FROM embeddings)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
+        |1 AS prefilter_recall_ok, 1 AS calibrated_holds
+        |FROM embeddings, q, lbl WHERE vec_id <> 0 AND label = l
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // FILTERED ANN on the COMPOSED 100 TB geometry (ShardedPq — the
+    // sharded IVF-PQ composition v21 proves; this closes the one
+    // engine-internal capability gap the round-15 verdict named: a
+    // filtered query on the geometry that actually serves at 100 TB).
+    // ShardedPq.searchFiltered applies the predicate to EACH SHARD's
+    // encoded frame before its ADC scan (the v23 plan, S times), each
+    // shard shortlists FILTERED candidates only (disjoint membership →
+    // lossless union), and one exact re-rank + global top-k finishes.
+    // Output rows: the full-probe corpus-wide-shortlist filtered top-10
+    // — exact within the filter (nothing pruned, ADC only orders), so
+    // the oracle hash-checks every row against the same SQL as v22/v23.
+    // Graded flags, both over the PERSISTED ensureShardedPq artifact
+    // (read-only probes — no tmp lifecycle needed):
+    //   - prefilter_recall_ok: default policy (per-shard auto probe,
+    //     default shortlist) vs filtered exact, floored;
+    //   - calibrated_holds: calibrateFilteredShortlist over the S shard
+    //     roots sizes the per-shard depth for 0.9 panel recall at full
+    //     probe, and executing the filtered sharded probe
+    //     (AnnEval.shardedPqTopK with the predicate) at that depth
+    //     delivers it — the sharded capture-shortlist equivalence
+    //     (per-(query, shard) ADC rank), gated end-to-end.
+    Q("v24_filtered_sharded_pq",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val lbl = emb.agg(min(col("label")).cast("long")).head().getLong(0)
+        val pred = col("label") === lbl
+        val shards = 3
+        val path = graft.sources.VectorIndexStore.ensureShardedPq(s, d, shards)
+        val shardPaths = (0 until shards).map(r => s"$path/shard=$r")
+        val nFiltered = emb.filter(col("vec_id") =!= 0).filter(pred).count()
+        val exactFiltered = graft.operators.ScaleOps.checkpointed(
+          graft.operators.ShardedPq.searchFiltered(s, path, shards, emb,
+            query, k = 10, nProbe = Int.MaxValue, shortlist = nFiltered.toInt,
+            predicate = Some(pred && col("vec_id") =!= 0)))
+        val preAuto = graft.operators.ShardedPq.searchFiltered(s, path,
+          shards, emb, query, k = 10,
+          predicate = Some(pred && col("vec_id") =!= 0))
+        val preHits = preAuto.select("vec_id")
+          .join(exactFiltered.select("vec_id"), "vec_id").count()
+        val panel = graft.operators.AnnEval.rowPanel(
+          emb.filter(col("vec_id") =!= 0), maxPanel = 16)
+        val cal = graft.operators.AnnCalibrate.calibrateFilteredShortlist(
+          s, shardPaths, emb, panel, k = 10, target = 0.9, predicate = pred,
+          nProbe = Int.MaxValue)
+        val calHolds = cal.exists { case (sl, _) =>
+          val exactPanel = graft.operators.AnnEval.exactTopK(s,
+            emb.filter(col("vec_id") =!= 0).filter(pred), panel, 10)
+          val probed = graft.operators.AnnEval.shardedPqTopK(s, path, shards,
+            emb, panel, k = 10, nProbe = Int.MaxValue, shortlist = sl,
+            predicate = Some(pred))
+          graft.operators.AnnEval.meanRecall(probed, exactPanel) >= 0.9
+        }
+        System.err.println(s"[graft] v24 measured: hits@default=$preHits/10 cal=$cal calHolds=$calHolds")
+        exactFiltered
+          .withColumn("prefilter_recall_ok",
+            (lit(preHits) >= FilteredShardedPqFloor).cast("int"))
+          .withColumn("calibrated_holds", lit(calHolds).cast("int"))
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0),
+        |lbl AS (SELECT min(label) AS l FROM embeddings)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
+        |1 AS prefilter_recall_ok, 1 AS calibrated_holds
+        |FROM embeddings, q, lbl WHERE vec_id <> 0 AND label = l
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 
@@ -928,6 +1069,21 @@ object VectorQueries extends QuerySet {
     * discipline (>= 1.67x under the cross-SF minimum, the lsh precedent).
     */
   private val FilteredKnnFloor = 3
+
+  /** v23/v24 floors: default-policy (auto probe, default shortlist 50)
+    * filtered recall@10 on the encoded geometries, measured sf0.01/sf0.1
+    * — single PQ 5/10 and 7/10; sharded PQ 8/10 and 6/10 (S per-shard
+    * shortlists of filtered candidates union losslessly, so the
+    * composition is not systematically below the single index; the
+    * cross-SF ordering flips because the per-shard auto width covers a
+    * different cell fraction per geometry). Floor 3 keeps the v22/v16
+    * margin discipline (>= 1.67x under the cross-SF minimum of 5, 2x
+    * under v24's minimum of 6). The calibrated gate is not floored: the
+    * capture-shortlist equivalence makes the executed recall EQUAL the
+    * measured calibration recall, which the target bounds at 0.9.
+    */
+  private val FilteredPqFloor = 3
+  private val FilteredShardedPqFloor = 3
 
   /** v19 drift-drill gates: the pre-retrain recall ceiling and post-retrain
     * floor, each with >= 1.5x margin against the cross-SF extreme of the

@@ -189,6 +189,68 @@ object VectorIndexStore {
     newPath
   }
 
+  /** CATCH-UP variant of [[reshardShardedIvf]] — the bounded-stall
+    * protocol for a streaming-fed store artifact. [[reshardShardedIvf]]
+    * holds the OLD root's writer lease across read+build+GC (correct
+    * for scheduled offline maintenance, but at 10⁹ vectors that is
+    * hours of blocked ingest); this variant splits the verb at the
+    * lease ([[graft.operators.ShardedIvf.reshardCatchUpBuild]] /
+    * `reshardCatchUpReplay`): the corpus-sized rebuild runs from a
+    * SNAPSHOT with no old-root lease — appends keep landing — and the
+    * old lease is taken only for the replay of the landed delta
+    * (per-shard anti-joins, batch-sized), the publish rename, and the
+    * GC, so nothing lands after the replay and is lost. The target
+    * collision check runs under the NEW identity's lease, as in
+    * [[reshardPublish]]. The publish rename is a POSIX primitive, so a
+    * `://` store root is refused loudly (remote deployments publish at
+    * a new root with the blocking variant, which needs no rename).
+    * Returns the new artifact path.
+    */
+  def reshardShardedIvfCatchUp(spark: SparkSession, sfDir: String,
+                               oldShards: Int, newShards: Int,
+                               nCellsPerShard: Int = -1,
+                               gcOld: Boolean = true): String = {
+    require(newShards != oldShards && newShards >= 1,
+      s"reshard $oldShards -> $newShards is not a reshard")
+    val oldPath = shardedIvfPath(spark, sfDir, oldShards)
+    require(Versioned.metaBackend.exists(s"$oldPath/_SUCCESS"),
+      s"no complete sharded artifact at $oldPath to reshard")
+    val newPath = shardedIvfPath(spark, sfDir, newShards)
+    require(!newPath.contains("://"),
+      s"catch-up reshard publishes $newPath by directory rename (POSIX " +
+        "only); on remote storage use reshardShardedIvf at a new root")
+    Versioned.withWriterLease(newPath) {
+      if (Versioned.metaBackend.exists(s"$newPath/_SUCCESS"))
+        throw new IllegalStateException(
+          s"an artifact already exists at the target shard count " +
+            s"($newPath); resharding onto it would repoint readers at " +
+            s"ITS corpus and GC the live one at $oldPath — delete the " +
+            "target first (or pick another S') if that artifact is " +
+            "disposable")
+      val tmp = newPath + ".tmp-" + ProcessHandle.current().pid() +
+        "-" + System.nanoTime()
+      // PHASE 1 — no old-root lease: ingest flows for the whole rebuild
+      graft.operators.ShardedIvf.reshardCatchUpBuild(
+        spark, oldPath, oldShards, tmp, newShards, nCellsPerShard)
+      // PHASE 2 — the only blocked window: replay, publish, GC under
+      // the old lease (re-entrant with the replay's own acquisition)
+      Versioned.withWriterLease(oldPath) {
+        graft.operators.ShardedIvf.reshardCatchUpReplay(
+          spark, oldPath, oldShards, tmp, newShards)
+        markComplete(tmp)
+        Option(new java.io.File(newPath).getParentFile).foreach(_.mkdirs())
+        if (!new java.io.File(tmp).renameTo(new java.io.File(newPath))) {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(tmp)).deleteRecursively()
+          throw new IllegalStateException(
+            s"could not publish $newPath (rename failed)")
+        }
+        if (gcOld) Versioned.metaBackend.deleteRecursively(oldPath)
+      }
+    }
+    newPath
+  }
+
   /** Default reshard trigger: the per-shard corpus size at which the
     * shard's own constant-occupancy geometry ([[autoCells]], target
     * occupancy 128) reaches 4096 cells. Well below any hard limit — a

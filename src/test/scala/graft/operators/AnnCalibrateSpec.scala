@@ -222,6 +222,80 @@ class AnnCalibrateSpec extends SparkTestBase {
     }
   }
 
+  test("filtered PQ shortlist curve equals real filtered probes on single AND sharded encoded geometries") {
+    // the v23/v24 workload: the predicate applies to the ENCODED frame
+    // before the ADC scan (the encoded schema keeps the filter column
+    // next to the codes), so the capture shortlist is the true
+    // neighbor's ADC rank among FILTERED candidates — the curve must
+    // equal real filtered probes at every depth, and the sized depth
+    // must deliver its target when executed
+    val path = buildPq()
+    val pred = col("label") === 3
+    val panel = AnnEval.rowPanel(emb.filter(col("vec_id") =!= 0), maxPanel = 12)
+    val k = 5
+    val np = 4
+    val model = PqIndex.loadModel(spark, path)
+    val fEnc = PqIndex.loadEncoded(spark, path)
+      .filter(col("vec_id") =!= 0).filter(pred)
+    val exactF = AnnEval.exactTopK(spark,
+      emb.filter(col("vec_id") =!= 0).filter(pred), panel, k)
+    val depths = Seq(3, 10, 30)
+    val curve = AnnCalibrate.recallCurve(
+      AnnCalibrate.widthHistogram(
+        AnnCalibrate.pqShortlistWidthsAt(spark, Seq(path), emb, panel, k,
+          nProbe = np, predicate = Some(pred))),
+      depths).toMap
+    for (d <- depths) {
+      val probed = AnnEval.meanRecall(
+        AnnEval.pqTopKFrames(spark, fEnc, model, emb, panel, k,
+          nProbe = np, shortlist = d), exactF)
+      assert(math.abs(curve(d) - probed) < 1e-9,
+        s"filtered curve($d)=${curve(d)} but a real filtered PQ probe " +
+          s"at shortlist=$d measures $probed")
+    }
+    // full probe: ceiling 1.0, so target 0.9 is reachable and the sized
+    // depth holds when executed
+    val Some((sl, measured)) = AnnCalibrate.calibrateFilteredShortlist(
+      spark, Seq(path), emb, panel, k, target = 0.9, predicate = pred,
+      nProbe = Int.MaxValue)
+    assert(measured >= 0.9)
+    val real = AnnEval.meanRecall(
+      AnnEval.pqTopKFrames(spark, fEnc, model, emb, panel, k,
+        nProbe = Int.MaxValue, shortlist = sl), exactF)
+    assert(real >= 0.9, s"filtered-calibrated depth $sl measures $real < 0.9")
+
+    // the SHARDED composition: capture shortlist = per-(query, shard)
+    // ADC rank among filtered candidates — same equivalence against
+    // the predicate-scoped sharded probe
+    val root = java.nio.file.Files.createTempDirectory("graft_cal_shpqf")
+      .toString + "/ix"
+    ShardedPq.build(spark, emb, root, shards = 3)
+    val shardPaths = (0 until 3).map(r => s"$root/shard=$r")
+    val curveS = AnnCalibrate.recallCurve(
+      AnnCalibrate.widthHistogram(
+        AnnCalibrate.pqShortlistWidthsAt(spark, shardPaths, emb, panel, k,
+          nProbe = np, predicate = Some(pred))),
+      depths).toMap
+    for (d <- depths) {
+      val probed = AnnEval.meanRecall(
+        AnnEval.shardedPqTopK(spark, root, 3, emb, panel, k,
+          nProbe = np, shortlist = d, predicate = Some(pred)), exactF)
+      assert(math.abs(curveS(d) - probed) < 1e-9,
+        s"sharded filtered curve($d)=${curveS(d)} but a real probe " +
+          s"at per-shard shortlist=$d measures $probed")
+    }
+    val Some((slS, measuredS)) = AnnCalibrate.calibrateFilteredShortlist(
+      spark, shardPaths, emb, panel, k, target = 0.9, predicate = pred,
+      nProbe = Int.MaxValue)
+    assert(measuredS >= 0.9)
+    val realS = AnnEval.meanRecall(
+      AnnEval.shardedPqTopK(spark, root, 3, emb, panel, k,
+        nProbe = Int.MaxValue, shortlist = slS, predicate = Some(pred)),
+      exactF)
+    assert(realS >= 0.9,
+      s"sharded filtered-calibrated depth $slS measures $realS < 0.9")
+  }
+
   test("calibratePqShortlist publishes a working depth; unreachable targets name the probe ceiling") {
     val path = buildPq()
     val cal = VectorIndexStore.calibratePqShortlist(spark, path, emb,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** ShardedHome contracts — the serving-pointer indirection a
+  * streaming-fed sharded index resolves through: pointer publish/read
+  * round-trip, the growth loop's no-op under budget, the catch-up
+  * reshard to the next generation (pointer flip + old-generation GC,
+  * membership preserved), and the loud no-pointer diagnostic.
+  */
+class ShardedHomeSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("pointer round-trips; growth loop no-ops under budget, flips generations past it") {
+    import spark.implicits._
+    val home = java.nio.file.Files.createTempDirectory("graft_shhome").toString
+    assert(ShardedHome.serving(home).isEmpty)
+    ShardedIvf.build(spark, emb, s"$home/${ShardedHome.InitialGen}", 3,
+      nCellsPerShard = 8)
+    ShardedHome.publishServing(home, ShardedHome.InitialGen, 3)
+    assert(ShardedHome.serving(home)
+      .contains((s"$home/${ShardedHome.InitialGen}", 3)))
+    // under the row budget: the serving pair comes back unchanged
+    assert(ShardedHome.reshardIfNeeded(spark, home, maxShardRows = 1L << 40)
+      == (s"$home/gen-1", 3))
+    assert(new java.io.File(s"$home/gen-1").exists())
+    // past it: catch-up reshard to gen-2 at S' = ceil(total/budget),
+    // pointer flipped, old generation GC'd, membership total at S'
+    val n = emb.count()
+    val (p2, s2) = ShardedHome.reshardIfNeeded(spark, home,
+      maxShardRows = math.max(1L, (n + 4) / 5))
+    assert(p2 == s"$home/gen-2" && s2 == 5, s"got ($p2, $s2)")
+    assert(ShardedHome.serving(home).contains((p2, 5)))
+    assert(!new java.io.File(s"$home/gen-1").exists(),
+      "the old generation must be GC'd after the flip")
+    val ids = (0 until 5).map(r =>
+      IvfIndex.loadVectors(spark, s"$p2/shard=$r").select("vec_id"))
+      .reduce(_ unionAll _)
+    assert(ids.count() == n && ids.distinct().count() == n)
+    // appends resolve through the pointer's S and keep serving
+    val tranche = emb.select((col("vec_id") + 50000L).as("vec_id"),
+      col("label"), col("embedding"))
+    ShardedIvf.append(spark, p2, s2, tranche)
+    assert((0 until 5).map(r =>
+      IvfIndex.loadVectors(spark, s"$p2/shard=$r").count()).sum == 2 * n)
+    // a home with no pointer fails loudly (nothing to reshard)
+    val empty = java.nio.file.Files.createTempDirectory("graft_shhome_e").toString
+    val e = intercept[IllegalStateException] {
+      ShardedHome.reshardIfNeeded(spark, empty, maxShardRows = 1)
+    }
+    assert(e.getMessage.contains("SERVING"), e.getMessage)
+  }
+}

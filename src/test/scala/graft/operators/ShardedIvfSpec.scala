@@ -274,6 +274,47 @@ class ShardedIvfSpec extends SparkTestBase {
       "reshard must not mutate the old artifact")
   }
 
+  test("catch-up reshard: appends land during the unleased build and the replay carries exactly the delta") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shivf_cu").toString
+    val root = s"$tmp/ix"
+    val newRoot = s"$tmp/ix5"
+    val corpus = emb.select((col("vec_id") * 2).as("vec_id"), col("label"),
+      col("embedding"))
+    val tranche = emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x + lit(1.0f))
+        .cast("array<float>").as("embedding"))
+    val nCorpus = corpus.count()
+    val nTranche = tranche.count()
+    ShardedIvf.build(spark, corpus, root, shards = 3, nCellsPerShard = 8)
+    // PHASE 1 — snapshot rebuild at S'=5 holds NO lease on the old root
+    ShardedIvf.reshardCatchUpBuild(spark, root, 3, newRoot, 5,
+      nCellsPerShard = 8)
+    // ... so an append lands DURING the reshard — under the blocking
+    // verb this interleaving is impossible (reshard holds the old lease
+    // for read+build+GC); here it is the protocol's defining scenario
+    ShardedIvf.append(spark, root, 3, tranche)
+    // PHASE 2 — the replay finds exactly the landed delta and routes it
+    // through the idempotent append
+    assert(ShardedIvf.reshardCatchUpReplay(spark, root, 3, newRoot, 5)
+      == nTranche, "replay must carry exactly the appends the snapshot missed")
+    // replay is idempotent: nothing further to carry
+    assert(ShardedIvf.reshardCatchUpReplay(spark, root, 3, newRoot, 5) == 0L)
+    // the caught-up artifact is disjoint-total over corpus+tranche ...
+    val ids = (0 until 5).map { r =>
+      IvfIndex.loadVectors(spark, s"$newRoot/shard=$r").select("vec_id")
+    }.reduce(_ unionAll _)
+    assert(ids.count() == nCorpus + nTranche &&
+      ids.distinct().count() == nCorpus + nTranche)
+    // ... and full probe over it is exact INCLUDING the replayed tranche
+    val probe = tranche.orderBy("vec_id")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    val top = ShardedIvf.search(spark, newRoot, 5, probe._2, k = 1,
+      nProbe = Int.MaxValue).select("vec_id", "sim")
+      .as[(Long, Double)].head()
+    assert(top._2 == 1.0, s"replayed vector must be served: $top")
+  }
+
   test("reshard drops calibration (a width for S says nothing about S') and can shrink") {
     val base = java.nio.file.Files.createTempDirectory("graft_resh2").toString
     val root = s"$base/ix3"
@@ -317,6 +358,41 @@ class ShardedIvfSpec extends SparkTestBase {
       assert(graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 3) == newPath)
       val after = new java.io.File(newPath).listFiles().map(f => f.getName -> f.lastModified).toMap
       assert(after == mtimes, "ensure must short-circuit onto the resharded artifact")
+    } finally prev match {
+      case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
+      case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)
+    }
+  }
+
+  test("store-level catch-up reshard carries appends, publishes, GCs, and refuses a live target") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_resh_cu").toString
+    val prev = spark.conf.getOption(graft.sources.VectorIndexStore.RootConf)
+    spark.conf.set(graft.sources.VectorIndexStore.RootConf, idxRoot)
+    try {
+      val oldPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 2)
+      // a streaming-fed artifact: appended rows beyond the fixture corpus
+      val tranche = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        col("label"), col("embedding"))
+      ShardedIvf.append(spark, oldPath, 2, tranche)
+      val newPath = graft.sources.VectorIndexStore
+        .reshardShardedIvfCatchUp(spark, sf, 2, 3)
+      assert(new java.io.File(s"$newPath/_SUCCESS").exists(), "no completeness marker")
+      assert(!new java.io.File(oldPath).exists(), "old artifact must be GC'd")
+      val ids = (0 until 3).map(r =>
+        IvfIndex.loadVectors(spark, s"$newPath/shard=$r").select("vec_id"))
+        .reduce(_ unionAll _)
+      assert(ids.count() == 2 * emb.count() &&
+        ids.distinct().count() == 2 * emb.count(),
+        "the caught-up artifact must carry the full appended corpus")
+      // a live artifact at the target S is refused, not destroyed
+      graft.sources.VectorIndexStore.ensureShardedIvf(spark, sf, shards = 2)
+      val e = intercept[IllegalStateException] {
+        graft.sources.VectorIndexStore.reshardShardedIvfCatchUp(spark, sf, 2, 3)
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      assert(new java.io.File(s"$newPath/_SUCCESS").exists(),
+        "the refused target must be left serving")
     } finally prev match {
       case Some(p) => spark.conf.set(graft.sources.VectorIndexStore.RootConf, p)
       case None => spark.conf.unset(graft.sources.VectorIndexStore.RootConf)

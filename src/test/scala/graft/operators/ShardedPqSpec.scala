@@ -52,6 +52,38 @@ class ShardedPqSpec extends SparkTestBase {
       "full probe + complete shortlist must reproduce the exact top-k")
   }
 
+  test("searchFiltered scopes every shard's ADC scan; full probe + full shortlist is the exact filtered top-k") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shpq_f").toString + "/ix"
+    ShardedPq.build(spark, emb, root, shards = 3, nCellsPerShard = 8)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val pred = col("label") === 3 && col("vec_id") =!= 0
+    val n = emb.filter(pred).count().toInt
+    // nothing pruned (every cell probed, shortlist covers every filtered
+    // candidate) → the ADC stage only orders, the exact re-rank scores:
+    // the composed filtered search IS the filtered brute force
+    val got = ShardedPq.searchFiltered(spark, root, 3, emb, qv, k = 5,
+      nProbe = Int.MaxValue, shortlist = n, predicate = Some(pred))
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    assert(got.nonEmpty && got.forall(_._2 == 3),
+      "every filtered result must satisfy the predicate")
+    val exact = emb.filter(pred)
+      .select(col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"),
+          lit(qv.toArray).cast("array<float>")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == exact,
+      "full-probe full-shortlist filtered sharded-PQ search must equal " +
+        "the exact filtered top-k")
+    // the default policy (auto probe, default shortlist) still yields
+    // only predicate-satisfying rows — the ADC scan never sees the rest
+    val auto = ShardedPq.searchFiltered(spark, root, 3, emb, qv, k = 5,
+      predicate = Some(pred)).select("label").as[Int].collect()
+    assert(auto.forall(_ == 3))
+  }
+
   test("append hash-routes and is idempotent; probes see appended vectors") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_shpq_app").toString + "/ix"

@@ -410,6 +410,30 @@ class PlanSpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
   }
 
+  test("v23: filtered encoded-geometry probe pushes the predicate into the probed-cell ADC scan") {
+    // the composition behind v23_filtered_pq / v24_filtered_sharded_pq:
+    // the predicate applies to the ENCODED frame before the ADC scan.
+    // The encoded parquet is cell-partitioned and ~32x smaller than the
+    // vectors, and the plan must still be (a) partition pruning to the
+    // probed cells and (b) parquet predicate pushdown on the filter
+    // column — a post-scan filter over whole encoded cells would make
+    // filtered-probe work proportional to cell size, not selectivity
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val path = graft.sources.VectorIndexStore.ensurePq(spark, sf)
+    val model = graft.operators.PqIndex.loadModel(spark, path)
+    val encoded = graft.operators.PqIndex.loadEncoded(spark, path)
+    val q = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val df = graft.operators.PqIndex.adcShortlist(spark,
+      encoded.filter(col("label") === 3), model, q, nProbe = 4, shortlist = 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"), p)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+  }
+
   test("flagship ingest: one scan, one exchange, map-side dedup group limit") {
     val df = graft.SparkEntry.entry(spark)
     df.collect()

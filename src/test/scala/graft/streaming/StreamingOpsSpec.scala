@@ -282,4 +282,44 @@ class StreamingOpsSpec extends SparkTestBase {
       .filter(col("cell") =!= col("expected_cell")).count() == 0)
     assert(graft.sources.VectorIndexStore.driftFactor(spark, ivf).isEmpty)
   }
+
+  test("sharded sink follows the serving pointer across an external reshard; redelivery stays a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shsink_resh").toString
+    val src = s"$dir/src"
+    val home = s"$dir/home"
+    // two batches: build gen-1 (100 docs keep every shard above the
+    // trainer's >= nCells sample floor), then append to it
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 100)
+    StreamingOps.arrivalShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
+    StreamingOps.writeDocFiles(spark, sf, src, 100, 150)
+    StreamingOps.arrivalShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
+    val (d1, s1) = graft.operators.ShardedHome.serving(home).get
+    assert(d1 == s"$home/gen-1" && s1 == 3)
+    def countAt(d: String, sh: Int) = (0 until sh).map(r =>
+      graft.operators.IvfIndex.loadVectors(spark, s"$d/shard=$r").count()).sum
+    val n = countAt(d1, s1)
+    // EXTERNAL reshard between batches (the round-15 composition hole:
+    // the sink used to hold (root, S) fixed forever — loud append
+    // failure on the GC'd root, silently shrunken rebuild after restart)
+    val (d2, s2) = graft.operators.ShardedHome.reshardIfNeeded(spark, home,
+      maxShardRows = math.max(1L, (n + 3) / 4))
+    assert(d2 == s"$home/gen-2" && s2 == 4 && !new java.io.File(d1).exists())
+    // the sink's next batch resolves the pointer and appends to gen-2
+    StreamingOps.writeDocFiles(spark, sf, src, 150, 200)
+    StreamingOps.arrivalShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
+    assert(graft.operators.ShardedHome.serving(home).contains((d2, 4)),
+      "a routine batch must not move the pointer")
+    val expected = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(src).count()
+    assert(countAt(d2, s2) == expected,
+      "the post-reshard batch must land in the serving generation")
+    // restart-after-reshard worst case: a fresh checkpoint re-delivers
+    // every file; pointer-first recovery enters the append branch and
+    // the per-shard anti-joins absorb it (NOT a shrunken rebuild)
+    StreamingOps.arrivalShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt2")
+    assert(graft.operators.ShardedHome.serving(home).contains((d2, 4)))
+    assert(countAt(d2, s2) == expected, "redelivery must be a no-op")
+  }
 }
