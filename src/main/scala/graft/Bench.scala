@@ -41,7 +41,7 @@ object Bench {
       "s15_streamed_embedding_index", "s16_streamed_semantic_pairs",
       "s17_streamed_sharded_index", "s18_streamed_sharded_pq",
       "v19_pq_drift_retrain", "v20_sharded_reshard", "v21_sharded_pq",
-      "v24_filtered_sharded_pq")
+      "v24_filtered_sharded_pq", "v25_deleted_knn", "v26_deleted_sharded")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (lifecycleLast.contains(n), n) }

@@ -98,7 +98,14 @@ object ClusterSmoke {
     // counters at the multiple level (x03's transition measured 112x) —
     // everything else stays byte-exact, as do ALL rows_in and results.
     val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard",
-      "store:reshard_catchup")
+      "store:reshard_catchup", "store:delete_probe")
+    // The catch-up lifecycle (and the delete probe chained onto ITS
+    // artifact) also sees the warm-vs-cold lazy-artifact class on the
+    // INPUT side: whether a stage is recomputed or shuffle-reused across
+    // the build→append→replay→probe chain differs per attempt, moving
+    // rows_in by ~0.3% (measured 34,206 vs 34,110 on one run, byte-equal
+    // on another — same code both times). Results stay byte-exact.
+    val rowsInBand = Set("store:reshard_catchup", "store:delete_probe")
     for ((name, l) <- localRuns) {
       val c = clusterRuns(name)
       val resultOk = l.digest == c.digest && l.rows == c.rows
@@ -107,7 +114,11 @@ object ClusterSmoke {
           math.abs(l.shuffleRows - c.shuffleRows) <=
             0.05 * math.max(l.shuffleRows, c.shuffleRows)
         else l.shuffleRows == c.shuffleRows
-      val countersOk = l.rowsIn == c.rowsIn && shuffleOk
+      val rowsInOk =
+        if (rowsInBand(name))
+          math.abs(l.rowsIn - c.rowsIn) <= 0.05 * math.max(l.rowsIn, c.rowsIn)
+        else l.rowsIn == c.rowsIn
+      val countersOk = rowsInOk && shuffleOk
       if (!(resultOk && countersOk)) failed += 1
       lines += f"""{"name":"$name","result_match":$resultOk,"counters_match":$countersOk,"rows":${l.rows},"local_secs":${l.secs}%.3f,"cluster_secs":${c.secs}%.3f,"rows_in":[${l.rowsIn},${c.rowsIn}],"shuffle_rows":[${l.shuffleRows},${c.shuffleRows}]}"""
     }
@@ -280,8 +291,8 @@ object ClusterSmoke {
       //   store:ivf_probe     — single-index batched probe (its ensure
       //     runs OUTSIDE the timed window: the first mode pays the shared
       //     build there, both modes' counters cover probing only).
-      val (shProbeRun, calRun, probeRun, reshardRun, catchupRun, shPqProbeRun,
-           filteredProbeRun, filteredCalRun, pqFilteredProbeRun,
+      val (shProbeRun, calRun, probeRun, reshardRun, catchupRun, deleteRun,
+           shPqProbeRun, filteredProbeRun, filteredCalRun, pqFilteredProbeRun,
            pqFilteredCalRun) = withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
@@ -337,6 +348,21 @@ object ClusterSmoke {
             .withColumn("replayed", lit(replayed))
         })
         println(f"CLUSTERSMOKE# $mode store:reshard_catchup ${cu.secs}%.2fs rows=${cu.rows}")
+        //   store:delete_probe — the tombstone lifecycle verb across the
+        //     JVM boundary: hash-routed delete on THIS MODE's caught-up
+        //     4-shard artifact (owning-shard sidecar writes), then the
+        //     batched sharded probe over the LOGICAL view — the per-shard
+        //     broadcast anti-joins run in executor JVMs. Results must be
+        //     byte-equal across modes; per-mode artifact, so its window
+        //     partials share the reshard 5% shuffle band.
+        val dp = timedRun("store:delete_probe", {
+          import org.apache.spark.sql.functions.col
+          val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+          graft.operators.ShardedIvf.delete(spark, cuRoot, 4,
+            emb1.filter(col("vec_id") % 6 === 1).select("vec_id"))
+          graft.operators.AnnEval.shardedTopK(spark, cuRoot, 4, panel, k = 10)
+        })
+        println(f"CLUSTERSMOKE# $mode store:delete_probe ${dp.secs}%.2fs rows=${dp.rows}")
         //   store:sharded_pq_probe — the composed probe plan across the
         //     JVM boundary: per-shard ADC frames (broadcast table maps in
         //     executor JVMs), per-(qid, shard) rank window over their
@@ -391,7 +417,7 @@ object ClusterSmoke {
           cal.toSeq.toDF("shortlist", "measured")
         })
         println(f"CLUSTERSMOKE# $mode store:pq_filtered_cal ${pqc.secs}%.2fs rows=${pqc.rows}")
-        (p, c, i, rr, cu, pq, fp, fc, pqf, pqc)
+        (p, c, i, rr, cu, dp, pq, fp, fc, pqf, pqc)
       }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
@@ -401,6 +427,7 @@ object ClusterSmoke {
         "store:ivf_probe" -> probeRun,
         "store:reshard" -> reshardRun,
         "store:reshard_catchup" -> catchupRun,
+        "store:delete_probe" -> deleteRun,
         "store:sharded_pq_build" -> shPqBuildRun,
         "store:sharded_pq_probe" -> shPqProbeRun,
         "store:filtered_probe" -> filteredProbeRun,

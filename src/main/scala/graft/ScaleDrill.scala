@@ -560,6 +560,54 @@ object ScaleDrill {
               require(replayed == cuDeltaN,
                 s"catch-up replay at x$scale carried $replayed of $cuDeltaN appends")
               drillLine("DRILLCAL", s"""{"scale":$scale,"name":"reshard:ivf_catchup","replayed":$replayed,"blocked_phase":"replay"}""")
+              // DELETE at drill scale (round 16): the tombstone verb on
+              // the caught-up artifact — a ~10% takedown routed to its
+              // owning shards (cost ∝ deleted ids: S filtered passes
+              // over the ID SET plus sidecar writes, never a corpus
+              // rewrite — the delete-vs-compact time gap at each scale
+              // is the verb's point). The tombstoned probe is the
+              // standard pruned-probe class plus one broadcast
+              // anti-join per shard; graded against a FRESH exact
+              // oracle over the remaining corpus (the ground truth
+              // changes with the corpus — reusing exactS would grade
+              // against deleted neighbors). Compaction then applies the
+              // tombstones physically; the probe must be byte-equal
+              // across it.
+              if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_DELETE")) {
+                val delIds = emb.filter(pmod(col("vec_id"), lit(10L)) === 6)
+                  .select("vec_id")
+                val nDel = delIds.count()
+                report(scale, "delete:ivf_sharded", "cold", timed {
+                  graft.operators.ShardedIvf.delete(spark, cuRoot, shards, delIds)
+                })
+                drillLine("DRILLCAL", s"""{"scale":$scale,"name":"delete:ivf_sharded","deleted":$nDel}""")
+                val remaining = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 6)
+                  .unionAll(cuDelta)
+                val exactD = graft.operators.AnnEval
+                  .exactTopK(spark, remaining, probeQs, 10)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                def probeD = graft.operators.AnnEval.shardedTopK(spark, cuRoot,
+                  shards, probeQs, k = 10, nProbe = nProbe)
+                var gotD1: Array[org.apache.spark.sql.Row] = null
+                report(scale, "probe:ivf_sharded_deleted", "probe", timed {
+                  gotD1 = probeD.orderBy("qid", "vec_id").collect()
+                })
+                require(!gotD1.exists(r => r.getLong(1) % 10 == 6 &&
+                    r.getLong(1) < 5000000000L),
+                  s"a tombstoned id surfaced in the x$scale deleted probe")
+                val rD = graft.operators.AnnEval.meanRecall(probeD, exactD)
+                exactD.unpersist()
+                drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:ivf_sharded_deleted","recall_at_10":$rD%.3f,"deleted":$nDel}""")
+                report(scale, "compact:ivf_deleted", "cold", timed {
+                  graft.operators.ShardedIvf.compactShards(spark, cuRoot, shards)
+                })
+                val gotD2 = probeD.orderBy("qid", "vec_id").collect()
+                require(gotD2.sameElements(gotD1),
+                  s"x$scale probe changed across the physical apply (compact)")
+                require((0 until shards).forall(r => graft.sources.Tombstones
+                  .read(spark, s"$cuRoot/shard=$r").isEmpty),
+                  s"x$scale compact left tombstone sidecars behind")
+              }
             }
             // CALIBRATION STALENESS under appends (round 15): the policy
             // is that appends do NOT invalidate nprobe.CAL — the qerr
@@ -1001,6 +1049,17 @@ object DrillCheck {
     case ("reshard:ivf_catchup_build", "cold") => Some(25.0) // phase 1 of
       // the bounded-stall reshard — the reshard:ivf_sharded work class
       // (snapshot re-tag + pruned concurrent rebuilds), just unleased
+    case ("delete:ivf_sharded", "cold") => Some(25.0) // S filtered passes
+      // over the DELETED-ID set + owning-shard sidecar writes — linear
+      // in the deletes (a ~10% takedown here), never a corpus rewrite;
+      // a corpus-shaped ratio means the delete path scans the world
+    case ("compact:ivf_deleted", "cold") => Some(25.0) // the physical
+      // apply: per-shard pointer-published rewrites — the build-class
+      // linear budget
+    case ("probe:ivf_sharded_deleted", _) => Some(4.0) // the pruned-probe
+      // class plus one broadcast anti-join per shard (build side = the
+      // tombstone sidecar, ∝ deletes) — must stay flat like its
+      // undeleted twin
     case ("reshard:ivf_catchup_replay", "replay") => Some(25.0) // the
       // blocked window: anti-join + hash-routed append of the landed
       // delta — linear in the DELTA (a quarter-corpus here), never the

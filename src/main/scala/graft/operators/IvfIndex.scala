@@ -624,8 +624,26 @@ object IvfIndex {
 
   /** The persisted corpus with its `cell` partition column — feed straight
     * into [[search]] for a probe-only query (no training scan in the plan).
+    *
+    * This is the LOGICAL view: the artifact's `tombstones` sidecar
+    * ([[graft.sources.Tombstones]], written by
+    * [[graft.sources.VectorIndexStore.deleteIvf]]) is anti-joined out, so
+    * every consumer — probes, calibration, drift stats, retrain, reshard —
+    * sees deletions immediately without a corpus rewrite. The sidecar is
+    * tiny (∝ deleted ids) and broadcast by Spark's size estimate, so the
+    * anti-join costs one broadcast, never a corpus shuffle; with no
+    * sidecar the frame is returned untouched (one existence check).
+    * Physical presence (what [[graft.sources.VectorIndexStore.appendIvf]]'s
+    * idempotence anti-join must see) reads [[loadVectorsRaw]].
     */
   def loadVectors(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Tombstones.applyTo(spark, path, loadVectorsRaw(spark, path), "vec_id")
+
+  /** The PHYSICAL vectors table — tombstoned rows included. For verbs
+    * whose contract is physical presence (append idempotence); readers
+    * answering queries use [[loadVectors]].
+    */
+  def loadVectorsRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(vectorsDir(path))
 
   /** Sentinel `nProbe` value: resolve the probe width from the model's

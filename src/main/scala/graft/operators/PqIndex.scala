@@ -313,8 +313,22 @@ object PqIndex {
     graft.sources.Versioned.readPointer(path, "encoded")
       .map(c => s"$path/${c.dir}").getOrElse(s"$path/encoded")
 
-  /** The persisted encoded corpus with its `cell` partition column. */
+  /** The persisted encoded corpus with its `cell` partition column.
+    *
+    * The LOGICAL view — the artifact's `tombstones` sidecar
+    * ([[graft.sources.VectorIndexStore.deletePq]]) is anti-joined out
+    * BEFORE the ADC scan, so deleted codes never enter a shortlist (a
+    * post-shortlist filter would let deleted rows eat re-rank slots and
+    * silently displace live candidates). Same cost shape as
+    * [[IvfIndex.loadVectors]]: one existence check when clean, one
+    * broadcast anti-join when tombstones exist. Physical presence (the
+    * append idempotence anti-join) reads [[loadEncodedRaw]].
+    */
   def loadEncoded(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Tombstones.applyTo(spark, path, loadEncodedRaw(spark, path), "vec_id")
+
+  /** The PHYSICAL encoded table — tombstoned rows included. */
+  def loadEncodedRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(encodedDir(path))
 
   /** Default ADC re-rank shortlist when no measured calibration applies. */

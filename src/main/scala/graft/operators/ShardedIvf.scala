@@ -230,6 +230,16 @@ object ShardedIvf {
       val delta = current.join(snapshotIds, Seq("vec_id"), "left_anti")
       val n = delta.count()
       if (n > 0) append(spark, newPath, newShards, delta)
+      // DELETES that landed during phase 1 are invisible to the replay
+      // (they only REMOVE ids from `current`, and an id the snapshot
+      // already captured is physically present in the new artifact) —
+      // forward the old shards' un-compacted tombstones so the new root
+      // hides them too. Ids the snapshot never saw anti-join nothing;
+      // the new root's next compact clears them. Cost ∝ deletes.
+      val pending = (0 until oldShards).flatMap(r =>
+        graft.sources.Tombstones.read(spark, s"$oldPath/shard=$r"))
+      if (pending.nonEmpty)
+        delete(spark, newPath, newShards, pending.reduce(_ unionAll _))
       n
     }
   }
@@ -247,6 +257,24 @@ object ShardedIvf {
     Sharding.appendRouted(spark, path, shards, newVectors,
       (shardPath, slice) =>
         graft.sources.VectorIndexStore.appendIvf(spark, shardPath, slice))
+
+  /** DELETE vectors from the composition: hash-route the ids to their
+    * owning shards and tombstone each slice through the per-shard
+    * `deleteIvf` — each shard stays a fully self-contained single-index
+    * artifact, so every per-shard verb (probe, calibrate, retrain,
+    * compact) sees the deletion with no sharded-specific machinery.
+    * Under the root lease ([[Sharding.deleteRouted]]), so deletes
+    * serialize with appends and the leased [[reshard]] (whose logical
+    * corpus read then applies them PHYSICALLY — a resharded artifact is
+    * born clean). Per-shard contract as [[graft.sources.VectorIndexStore.deleteIvf]]:
+    * visible immediately, physical at the shard's next compact/retrain,
+    * re-add requires that compact first.
+    */
+  def delete(spark: SparkSession, path: String, shards: Int,
+             ids: DataFrame): Unit =
+    Sharding.deleteRouted(spark, path, shards, ids,
+      (shardPath, slice) =>
+        graft.sources.VectorIndexStore.deleteIvf(spark, shardPath, slice))
 
   /** Per-shard drift check + recall-gated retrain
     * (`retrainIvfIfNeeded` on each shard artifact): each shard's qerr

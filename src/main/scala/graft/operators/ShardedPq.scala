@@ -79,6 +79,18 @@ object ShardedPq {
       (shardPath, slice) =>
         graft.sources.VectorIndexStore.appendPq(spark, shardPath, slice))
 
+  /** DELETE from the encoded composition — [[ShardedIvf.delete]] with
+    * the per-shard `deletePq`: the owning shards' tombstones anti-join
+    * their encoded tables before every ADC scan, so deleted codes never
+    * occupy shortlist slots anywhere in the union. Physical at each
+    * shard's next compact or retrain (whose re-encode excludes them).
+    */
+  def delete(spark: SparkSession, path: String, shards: Int,
+             ids: DataFrame): Unit =
+    Sharding.deleteRouted(spark, path, shards, ids,
+      (shardPath, slice) =>
+        graft.sources.VectorIndexStore.deletePq(spark, shardPath, slice))
+
   /** Per-shard drift check + recall-gated retrain (`retrainPqIfNeeded`
     * on each shard artifact, fed the hash-routed slice of the
     * caller-supplied full-precision corpus). Sequential by design, like

@@ -199,4 +199,25 @@ private[graft] object Sharding {
         if (!slice.isEmpty) appendAt(s"$path/shard=$r", slice)
       }
     }
+
+  /** Hash-route delete `ids` (one column: vec_id) to their OWNING shards
+    * and tombstone each slice through the per-index delete — the same
+    * disjoint-total routing as [[appendRouted]], so only shards that own
+    * a deleted id pay a sidecar write (cost ∝ deletes, not S). Under the
+    * sharded root's writer lease: serializes with appends, retrains and
+    * the leased reshard, so a delete cannot land between a reshard's
+    * corpus read and its cutover and be lost.
+    */
+  private[graft] def deleteRouted(spark: SparkSession, path: String, shards: Int,
+                                  ids: DataFrame,
+                                  deleteAt: (String, DataFrame) => Unit): Unit =
+    graft.sources.Versioned.withWriterLease(path) {
+      verifyShards(path, shards)
+      val tagged = ids.toDF("vec_id").distinct()
+        .withColumn("shard", shardCol(shards))
+      for (r <- 0 until shards) {
+        val slice = tagged.filter(col("shard") === r).drop("shard")
+        if (!slice.isEmpty) deleteAt(s"$path/shard=$r", slice)
+      }
+    }
 }

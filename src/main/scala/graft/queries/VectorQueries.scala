@@ -1061,6 +1061,187 @@ object VectorQueries extends QuerySet {
         |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
         |1 AS prefilter_recall_ok, 1 AS calibrated_holds
         |FROM embeddings, q, lbl WHERE vec_id <> 0 AND label = l
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // DELETE — the tombstone lifecycle verb on the ANN artifact (takedown /
+    // right-to-be-forgotten propagation: a removal must reach a derived
+    // index immediately WITHOUT rewriting the corpus — at 100 TB a
+    // per-request rewrite is not a plan). LSM discipline, shared with the
+    // dedup stores (Tombstones): deleteIvf appends the ids to a sidecar
+    // under the writer lease (cost ∝ deleted ids); EVERY reader
+    // (IvfIndex.loadVectors — probes, calibration, drift, retrain,
+    // reshard) anti-joins it immediately (a broadcast — the sidecar is
+    // tiny); compaction applies it physically and clears. Output rows:
+    // the post-delete FULL-PROBE top-10 — exact over the remaining
+    // corpus, so the DuckDB oracle (… WHERE vec_id % 7 <> 3) hash-checks
+    // every row. Deterministic lifecycle flags (v20/v21 discipline:
+    // tmp-rooted, DrillOnce-memoized):
+    //   - raw_intact: the delete wrote a sidecar, not a rewrite (physical
+    //     table still carries every row);
+    //   - readd_blocked: an append of a deleted id before the compact is
+    //     a no-op (the idempotence anti-join reads PHYSICAL presence —
+    //     the documented re-add-requires-compact contract);
+    //   - compact_applies: compactIvf physically omits the tombstoned
+    //     rows, clears the sidecar, and the probe rows are byte-equal;
+    //   - readd_lands: after the compact the same append lands and the
+    //     id is findable again.
+    Q("v25_deleted_knn",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")
+        val (rows, rawIntact, readdBlocked, compactOk, readdLands) =
+          DrillOnce.cached(s"v25_$tag") {
+            val root = s"${System.getProperty("java.io.tmpdir")}/graft_del_" +
+              s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+            try {
+              graft.sources.VectorIndexStore.buildIvfAt(s, root, emb, nCells = 16)
+              graft.sources.VectorIndexStore.deleteIvf(s, root,
+                emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+              val model = graft.operators.IvfIndex.loadModel(s, root)
+              def probe(): Seq[(Long, Int, Double)] =
+                graft.operators.IvfIndex.search(s,
+                  graft.operators.IvfIndex.loadVectors(s, root)
+                    .filter(col("vec_id") =!= 0),
+                  model, query, k = 10, nProbe = 16)
+                  .select("vec_id", "label", "sim")
+                  .as[(Long, Int, Double)].collect().toSeq
+              val rows1 = probe()
+              val rawIntact = graft.operators.IvfIndex
+                .loadVectorsRaw(s, root).count() == emb.count()
+              val victim = emb.filter(col("vec_id") === 3) // 3 % 7 == 3: deleted
+              graft.sources.VectorIndexStore.appendIvf(s, root, victim)
+              val readdBlocked = graft.operators.IvfIndex.loadVectors(s, root)
+                .filter(col("vec_id") === 3).count() == 0
+              graft.sources.VectorIndexStore.compactIvf(s, root, nCells = 16)
+              val compactOk = probe() == rows1 &&
+                graft.sources.Tombstones.read(s, root).isEmpty &&
+                graft.operators.IvfIndex.loadVectorsRaw(s, root)
+                  .filter(col("vec_id") % 7 === 3).count() == 0
+              graft.sources.VectorIndexStore.appendIvf(s, root, victim)
+              val readdLands = graft.operators.IvfIndex.loadVectors(s, root)
+                .filter(col("vec_id") === 3).count() == 1
+              (rows1, rawIntact, readdBlocked, compactOk, readdLands)
+            } finally {
+              import scala.reflect.io.Directory
+              new Directory(new java.io.File(root)).deleteRecursively()
+            }
+          }
+        rows.toDF("vec_id", "label", "sim")
+          .withColumn("raw_intact", lit(rawIntact).cast("int"))
+          .withColumn("readd_blocked", lit(readdBlocked).cast("int"))
+          .withColumn("compact_applies", lit(compactOk).cast("int"))
+          .withColumn("readd_lands", lit(readdLands).cast("int"))
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
+        |1 AS raw_intact, 1 AS readd_blocked, 1 AS compact_applies, 1 AS readd_lands
+        |FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 7 <> 3
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // DELETE on the COMPOSED geometries (the v25 verb where 100 TB
+    // actually serves): ShardedIvf.delete hash-routes the ids to their
+    // OWNING shards (cost ∝ deletes, not S) and tombstones each slice
+    // per shard, so every per-shard verb — probe, calibrate, retrain,
+    // compact — sees the deletion with no sharded-specific machinery;
+    // ShardedPq.delete does the same on the encoded composition, where
+    // the tombstones anti-join each shard's encoded table BEFORE its ADC
+    // scan (deleted codes never occupy shortlist slots). Output rows:
+    // the post-delete full-probe sharded top-10 — exact over the
+    // remaining corpus (disjoint membership keeps the union lossless),
+    // hash-checked by the oracle. Flags:
+    //   - routing_ok: each shard's sidecar holds exactly the deleted ids
+    //     it owns (pmod(xxhash64(vec_id), S) — the append routing);
+    //   - pq_delete_exact: the deleted ENCODED composition at full probe
+    //     + corpus-wide shortlist reproduces the same exact rows (the
+    //     ADC stage prunes nothing, the re-rank scores survivors only);
+    //   - catchup_forwards: deletes that land DURING a catch-up
+    //     reshard's rebuild window are forwarded by the replay — the
+    //     resharded artifact hides them (with the appends of the same
+    //     window present), closing the lost-delete race the snapshot
+    //     build opens.
+    Q("v26_deleted_sharded",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Seq[Float]].head()
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")
+        val (rows, routingOk, pqExact, catchupForwards) =
+          DrillOnce.cached(s"v26_$tag") {
+            val base = s"${System.getProperty("java.io.tmpdir")}/graft_delsh_" +
+              s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+            try {
+              val delIds = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+              val root = s"$base/ivf"
+              graft.operators.ShardedIvf.build(s, emb, root, shards = 3)
+              graft.operators.ShardedIvf.delete(s, root, 3, delIds)
+              val expected = delIds.withColumn("shard",
+                pmod(xxhash64(col("vec_id")), lit(3L)).cast("int"))
+              val routingOk = (0 until 3).forall { r =>
+                val want = expected.filter(col("shard") === r)
+                  .select("vec_id").as[Long].collect().toSet
+                graft.sources.Tombstones.read(s, s"$root/shard=$r")
+                  .map(_.as[Long].collect().toSet)
+                  .getOrElse(Set.empty[Long]) == want
+              }
+              val rows1 = graft.operators.ShardedIvf.searchFiltered(s, root, 3,
+                query, k = 10, nProbe = Int.MaxValue,
+                predicate = Some(col("vec_id") =!= 0))
+                .select("vec_id", "label", "sim")
+                .as[(Long, Int, Double)].collect().toSeq
+              val pqRoot = s"$base/pq"
+              graft.operators.ShardedPq.build(s, emb, pqRoot, shards = 3)
+              graft.operators.ShardedPq.delete(s, pqRoot, 3, delIds)
+              val n = emb.count().toInt
+              val pqRows = graft.operators.ShardedPq.searchFiltered(s, pqRoot,
+                3, emb, query, k = 10, nProbe = Int.MaxValue, shortlist = n,
+                predicate = Some(col("vec_id") =!= 0))
+                .select("vec_id", "label", "sim")
+                .as[(Long, Int, Double)].collect().toSeq
+              val pqExact = pqRows == rows1
+              // catch-up window: build the S'=2 snapshot, then delete a
+              // SECOND set and append a tranche on the OLD root, replay
+              val newRoot = s"$base/ivf2"
+              graft.operators.ShardedIvf.reshardCatchUpBuild(
+                s, root, 3, newRoot, 2)
+              val delIds2 = emb.filter(col("vec_id") % 11 === 7)
+                .select("vec_id")
+              val tranche = emb.limit(8)
+                .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+                  col("embedding"))
+              graft.operators.ShardedIvf.append(s, root, 3, tranche)
+              graft.operators.ShardedIvf.delete(s, root, 3, delIds2)
+              graft.operators.ShardedIvf.reshardCatchUpReplay(
+                s, root, 3, newRoot, 2)
+              val member = (0 until 2).map(r => graft.operators.IvfIndex
+                .loadVectors(s, s"$newRoot/shard=$r").select("vec_id"))
+                .reduce(_ unionAll _)
+              val catchupForwards =
+                member.filter(col("vec_id") >= 1000000).count() == 8 &&
+                  member.filter(col("vec_id") < 1000000 &&
+                    col("vec_id") % 11 === 7).count() == 0
+              (rows1, routingOk, pqExact, catchupForwards)
+            } finally {
+              import scala.reflect.io.Directory
+              new Directory(new java.io.File(base)).deleteRecursively()
+            }
+          }
+        rows.toDF("vec_id", "label", "sim")
+          .withColumn("routing_ok", lit(routingOk).cast("int"))
+          .withColumn("pq_delete_exact", lit(pqExact).cast("int"))
+          .withColumn("catchup_forwards", lit(catchupForwards).cast("int"))
+      },
+      Some(s"""WITH q AS (SELECT $embD AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_cosine_similarity($embD, qv), 6) AS sim,
+        |1 AS routing_ok, 1 AS pq_delete_exact, 1 AS catchup_forwards
+        |FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 5 <> 2
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 

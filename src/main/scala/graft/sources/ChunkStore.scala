@@ -50,4 +50,66 @@ object ChunkStore {
       .write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
   }
+
+  /** Tombstone anchor: a SIBLING of the store dir, not inside it — the
+    * store path IS the parquet data directory (flat layout, files at the
+    * top level), so a `tombstones/` subdirectory inside it would be
+    * swept into every `spark.read.parquet(path)` listing as data. The
+    * index/dedup stores don't have this problem (their tables live in
+    * versioned SUBdirs of an artifact root, so the sidecar sits beside
+    * the tables); here the sidecar gets its own sibling root.
+    */
+  private def tsAnchor(path: String): String = s"$path.ts"
+
+  /** The LOGICAL store view: the physical table minus the [[Tombstones]]
+    * sidecar [[delete]] writes. Readers that must see removals (serving,
+    * exports, downstream pipelines) read through here; [[upsert]]'s
+    * key anti-join deliberately keeps reading the PHYSICAL table, so a
+    * deleted key cannot be re-upserted until a [[compact]] — the same
+    * re-add-requires-compact contract as every other store's delete.
+    */
+  def read(spark: SparkSession, path: String, keyCol: String = "text_hash"): DataFrame =
+    Tombstones.applyTo(spark, tsAnchor(path), spark.read.parquet(path), keyCol)
+
+  /** DELETE chunks by key — the removal half of the A14 merge sink
+    * (takedowns must propagate to the chunk store exactly like to every
+    * derived index; the reference's own surface is insert-only,
+    * db_utils.py:131-146, so removal is an engine extension, LSM-style):
+    * append the keys to the tombstone sidecar (cost ∝ deletes),
+    * [[read]] hides them immediately, [[compact]] applies physically.
+    */
+  def delete(spark: SparkSession, path: String, keys: DataFrame): Unit =
+    Versioned.withWriterLease(path) { Tombstones.add(spark, tsAnchor(path), keys) }
+
+  /** Physically apply pending tombstones and bound the small-file count:
+    * rewrite the logical view over the physical layout (one file set),
+    * then clear the sidecar — publish-then-clear, so a crash in between
+    * leaves tombstones that anti-join nothing, never resurrected rows.
+    * Flat layout only (a hive-partitioned 100 TB store compacts through
+    * a table format's own OPTIMIZE; this is the local-layout verb).
+    */
+  def compact(spark: SparkSession, path: String, keyCol: String = "text_hash",
+              partitions: Int = 4): Unit =
+    Versioned.withWriterLease(path) {
+      val clean = read(spark, path, keyCol)
+        .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .repartition(partitions)
+      val tmp = s"$path.compacting-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp)
+      val dir = new java.io.File(path)
+      val bak = new java.io.File(s"$path.precompact")
+      Fs.deleteRecursively(spark, bak.getPath)
+      if (!dir.renameTo(bak) || !new java.io.File(tmp).renameTo(dir)) {
+        // restore-or-fail loudly: never leave the store path empty
+        if (!dir.exists() && bak.exists() && !bak.renameTo(dir))
+          throw new IllegalStateException(
+            s"chunk store compact at $path failed AND could not restore " +
+              s"the original from $bak — manual rename required")
+        Fs.deleteRecursively(spark, tmp)
+        throw new IllegalStateException(
+          s"chunk store compact at $path failed (rename refused); original restored")
+      }
+      Fs.deleteRecursively(spark, bak.getPath)
+      Tombstones.clear(spark, tsAnchor(path))
+    }
 }

@@ -355,6 +355,18 @@ object VectorIndexStore {
     val newPath = shardedPqPath(spark, sfDir, newShards)
     reshardPublish(oldPath, newPath, gcOld) {
       ensureShardedPq(spark, sfDir, newShards, nCellsPerShard)
+      // the rebuild re-encodes from the FULL-PRECISION store, which knows
+      // nothing of the old artifact's tombstones — forward the old
+      // shards' pending deletes so a deleted id stays deleted across the
+      // reshard (the IVF reshard needs none of this: it is
+      // artifact-sourced through the logical view, so deletes apply
+      // physically). Materialized (sidecar writes) before the old root's
+      // GC; the new root's next compact clears them.
+      val pending = (0 until oldShards).flatMap(r =>
+        Tombstones.read(spark, s"$oldPath/shard=$r"))
+      if (pending.nonEmpty)
+        graft.operators.ShardedPq.delete(spark, newPath, newShards,
+          pending.reduce(_ unionAll _))
       ()
     }
     newPath
@@ -511,6 +523,10 @@ object VectorIndexStore {
     // the plain legacy dir has had no new readers since the first pointer
     // publish — remove it once a SECOND compaction confirms that
     if (hadPointer) deleteLegacy(path, "vectors")
+    // `all` is the LOGICAL view, so the rewrite applied any tombstones
+    // physically; publish-then-clear (a crash in between leaves
+    // tombstones that anti-join nothing — never resurrected rows)
+    Tombstones.clear(spark, path)
   }
 
   /** [[compactIvf]] for the PQ encoded table — same pointer upgrade. */
@@ -523,6 +539,8 @@ object VectorIndexStore {
         .write.partitionBy("cell").parquet(v)
     }
     if (hadPointer) deleteLegacy(path, "encoded")
+    // loadEncoded is the logical view — tombstones now physically applied
+    Tombstones.clear(spark, path)
   }
 
   /** INCREMENTAL maintenance for the IVF-PQ artifact: encode new vectors
@@ -550,6 +568,38 @@ object VectorIndexStore {
       .write.mode("append").partitionBy("cell").parquet(dir)
     logWatermark(spark, path, PqIndex.quantizationStats(spark, fresh, model))
   }
+
+  /** DELETE vectors from an IVF artifact — the lifecycle verb takedowns
+    * and right-to-be-forgotten requests need: propagating a removal
+    * through a derived index must not rewrite 100 TB per request. Same
+    * LSM discipline as the dedup stores ([[MinhashStore.delete]]):
+    * `ids` (one column, the vec_ids) append to the artifact's
+    * [[Tombstones]] sidecar under the writer lease (cost ∝ deleted ids),
+    * every reader ([[graft.operators.IvfIndex.loadVectors]] — probes,
+    * calibration, drift, retrain, reshard) anti-joins it immediately,
+    * and the next [[compactIvf]] (or a retrain, which rewrites the
+    * corpus anyway) applies it physically and clears the sidecar.
+    *
+    * Contract until that compact: a tombstoned id stays deleted —
+    * [[appendIvf]]'s idempotence anti-join reads PHYSICAL presence, so
+    * re-adding a deleted vector requires a compact first (the documented
+    * trade that keeps appends one anti-join instead of a
+    * generation-reconciling merge). The probe calibration (`nprobe.CAL`)
+    * is NOT invalidated: deletes thin cells the same way appends fill
+    * them — bounded staleness under the same measured policy
+    * (SCALE.md round-15 §2), with the retrain drift gate as the backstop.
+    */
+  def deleteIvf(spark: SparkSession, path: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    Versioned.withWriterLease(path) { Tombstones.add(spark, path, ids) }
+
+  /** [[deleteIvf]] for the IVF-PQ artifact: the tombstones anti-join the
+    * ENCODED table before the ADC scan
+    * ([[graft.operators.PqIndex.loadEncoded]]), so deleted codes never
+    * occupy shortlist slots. Physically applied (and the sidecar cleared)
+    * by [[compactPq]] or [[retrainPqIfNeeded]]'s re-encode.
+    */
+  def deletePq(spark: SparkSession, path: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    Versioned.withWriterLease(path) { Tombstones.add(spark, path, ids) }
 
   /** Append one (n_vectors, mean_sq_err, append_seq) watermark row to the
     * artifact's `qerr` log — the error series both append paths emit (PQ
@@ -800,6 +850,10 @@ object VectorIndexStore {
       }
       if (hadVecPtr) deleteLegacy(path, "vectors")
       if (hadModelPtr) deleteLegacy(path, "model")
+      // `corpus` is the logical view — the rewrite applied any tombstones
+      // physically; a stale sidecar left behind would silently hide the
+      // next append of a formerly-deleted id (publish-then-clear ordering)
+      Tombstones.clear(spark, path)
       val (seq, mean) = logWatermark(spark, path,
         IvfIndex.distortionStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)
@@ -826,7 +880,11 @@ object VectorIndexStore {
       fullPrecision.select("vec_id", "label", "embedding"),
       PqIndex.loadModel(spark, path)))
     if (!driftFactor(spark, path).exists(_ > factor)) return false
-    val corpus = fullPrecision.select("vec_id", "label", "embedding")
+    // the caller's full-precision corpus doesn't know about THIS
+    // artifact's deletions — re-encoding it verbatim would resurrect
+    // every tombstoned id; anti-join first, clear after the publish
+    val corpus = Tombstones.applyTo(spark, path,
+      fullPrecision.select("vec_id", "label", "embedding"), "vec_id")
     // preserve the LIVE coarse geometry: train's default (16) would
     // silently revert an autoCells-built artifact to the fixture class
     val nCells = PqIndex.loadModel(spark, path).coarse.centroids.length
@@ -861,6 +919,9 @@ object VectorIndexStore {
       }
       if (hadEncPtr) deleteLegacy(path, "encoded")
       if (hadCoarsePtr) { deleteLegacy(path, "coarse"); deleteLegacy(path, "codebooks") }
+      // the re-encode above excluded tombstoned ids — deletions are now
+      // physical; clear so a future re-append isn't silently hidden
+      Tombstones.clear(spark, path)
       val (seq, mean) = logWatermark(spark, path,
         PqIndex.quantizationStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)

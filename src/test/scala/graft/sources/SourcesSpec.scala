@@ -62,6 +62,36 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == batch.count())
   }
 
+  test("chunk store delete: immediate logical removal, re-upsert gated, compact applies + clears") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_store_del").toString + "/chunks"
+    val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
+    ChunkStore.upsert(spark, batch, path)
+    val n = spark.read.parquet(path).count()
+    val victims = spark.read.parquet(path).select("text_hash")
+      .orderBy("text_hash").limit(3).as[String].collect().toSeq
+    ChunkStore.delete(spark, path, victims.toDF("text_hash"))
+    val logical = ChunkStore.read(spark, path)
+    assert(logical.count() == n - 3, "deleted keys vanish from the logical view immediately")
+    assert(logical.filter(col("text_hash").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(path).count() == n,
+      "the physical table is untouched — delete cost is the sidecar")
+    // re-upsert before compact: the key anti-join reads PHYSICAL presence,
+    // so the deleted chunk is skipped and stays deleted
+    ChunkStore.upsert(spark, batch, path)
+    assert(ChunkStore.read(spark, path).count() == n - 3,
+      "a deleted key cannot be re-upserted before a compact")
+    ChunkStore.compact(spark, path)
+    assert(spark.read.parquet(path).count() == n - 3,
+      "compaction applies the tombstones physically")
+    assert(Tombstones.read(spark, s"$path.ts").isEmpty, "and clears the sidecar")
+    // now the re-upsert lands
+    ChunkStore.upsert(spark, batch, path)
+    assert(spark.read.parquet(path).count() == n,
+      "after the compact the same upsert re-adds the removed chunks")
+  }
+
   test("chunk store upsert keeps first arrival per hash (A14/A12)") {
     val path = Files.createTempDirectory("graft_store2").toString + "/chunks"
     val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
