@@ -40,6 +40,7 @@ object Bench {
       "s13_restart_recovery", "s14_streamed_index_freshness",
       "s15_streamed_embedding_index", "s16_streamed_semantic_pairs",
       "s17_streamed_sharded_index", "s18_streamed_sharded_pq",
+      "s19_streamed_deletes",
       "v19_pq_drift_retrain", "v20_sharded_reshard", "v21_sharded_pq",
       "v24_filtered_sharded_pq", "v25_deleted_knn", "v26_deleted_sharded")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

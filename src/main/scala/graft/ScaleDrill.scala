@@ -581,8 +581,11 @@ object ScaleDrill {
                   graft.operators.ShardedIvf.delete(spark, cuRoot, shards, delIds)
                 })
                 drillLine("DRILLCAL", s"""{"scale":$scale,"name":"delete:ivf_sharded","deleted":$nDel}""")
-                val remaining = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 6)
-                  .unionAll(cuDelta)
+                val remaining = emb
+                  .select(col("vec_id"), col("label"), col("embedding"))
+                  .filter(pmod(col("vec_id"), lit(10L)) =!= 6)
+                  .unionAll(cuDelta
+                    .select(col("vec_id"), col("label"), col("embedding")))
                 val exactD = graft.operators.AnnEval
                   .exactTopK(spark, remaining, probeQs, 10)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

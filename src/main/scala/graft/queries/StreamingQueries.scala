@@ -664,7 +664,55 @@ object StreamingQueries extends QuerySet {
       },
       Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 500) AS n_docs,
         |1 AS membership_ok, 1 AS full_probe_exact,
-        |1 AS late_arrival_found, 1 AS redelivery_noop""".stripMargin))
+        |1 AS late_arrival_found, 1 AS redelivery_noop""".stripMargin)),
+
+    // STREAMED DELETES (CDC) — the takedown feed as a stream: upserts
+    // arrive as `doc_<id>.txt`, deletes as `del_<id>.txt` markers, and
+    // arrivalCdcShardedIngest routes each micro-batch's upserts through
+    // the per-shard append anti-joins FIRST, then tombstones the batch's
+    // deletes into their owning shards (ShardedIvf.delete) — takedown
+    // wins within a batch, which is also what makes a fresh-checkpoint
+    // FULL redelivery (the whole history collapsed into one batch)
+    // converge to the incremental state. Lifecycle flags:
+    //   deleted_hidden   — after the delete batch, the serving logical
+    //                      view is exactly (corpus ∪ tranche) minus the
+    //                      takedowns;
+    //   delete_wins      — an id upserted AND deleted in the SAME batch
+    //                      ends deleted;
+    //   redelivery_noop  — a fresh checkpoint re-delivers every file as
+    //                      one batch: appends absorbed by physical
+    //                      presence, deletes by anti-join no-ops —
+    //                      membership byte-equal;
+    //   compact_applies  — an EXTERNAL per-shard compact (the offline
+    //                      maintenance verb on the streamed artifact)
+    //                      removes the tombstoned rows physically,
+    //                      clears every sidecar, membership unchanged;
+    //   readd_lands      — after that compact, a later upsert batch
+    //                      re-adds a formerly deleted id (the CDC
+    //                      re-add path; before the compact it is
+    //                      absorbed by physical presence, by contract).
+    // Ordering caveat (documented on the sink): a delete and a re-add
+    // that STRADDLE a compact are ordered by the compact, which a
+    // filename-marker replay cannot reconstruct — the drill therefore
+    // checks redelivery convergence BEFORE the compact; a deployment
+    // replaying history across compacts needs an ordered CDC log (the
+    // table-format integration point), not arrival markers.
+    Q("s19_streamed_deletes",
+      (s, d) => {
+        val (nDocs, deletedHidden, deleteWins, redeliveryNoop,
+          compactApplies, readdLands) = s19Drill(s, d)
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(deletedHidden).cast("int").as("deleted_hidden"),
+          lit(deleteWins).cast("int").as("delete_wins"),
+          lit(redeliveryNoop).cast("int").as("redelivery_noop"),
+          lit(compactApplies).cast("int").as("compact_applies"),
+          lit(readdLands).cast("int").as("readd_lands"))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 402)
+        |  - (SELECT count(*) FROM documents WHERE doc_id < 250 AND doc_id % 10 = 3) AS n_docs,
+        |1 AS deleted_hidden, 1 AS delete_wins, 1 AS redelivery_noop,
+        |1 AS compact_applies, 1 AS readd_lands""".stripMargin))
   )
 
   /** s15/s16 shared lifecycle (one DrillOnce key — whichever probe runs
@@ -845,6 +893,87 @@ object StreamingQueries extends QuerySet {
         StreamingOps.arrivalShardedPqIngest(s, srcDir, "*.txt", root, 3, ckpt2)
         val redeliveryNoop = encIds.count() == nDocs
         (nDocs, membershipOk, fullExact, lateFound, redeliveryNoop)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmpRoot)).deleteRecursively()
+        new Directory(new java.io.File(ckptRoot)).deleteRecursively()
+      }
+    }
+  }
+
+  /** s19 lifecycle + grading (CDC deletes), memoized per process:
+    * tranche 1 builds the 3-shard composition; tranche 2 carries appends
+    * PLUS takedown markers (one id upserted-and-deleted in the SAME
+    * batch); membership is graded against the documents table; a
+    * fresh-checkpoint full redelivery must be a no-op; then an external
+    * per-shard compact applies the tombstones physically and a third
+    * upsert batch re-adds one formerly deleted id through the original
+    * checkpoint. Tmp/checkpoint trees deleted in a finally; only flags
+    * memoize (v20/v21 discipline).
+    */
+  private def s19Drill(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+    val pid = ProcessHandle.current().pid()
+    val tmpRoot = s"/tmp/graft_s19_$pid"
+    val ckptRoot = s"${StreamingOps.ckptParent}/graft_s19_$pid"
+    val srcDir = s"$tmpRoot/src_$tag"
+    val root = s"$tmpRoot/shivf_$tag"
+    val ckpt = s"$ckptRoot/ckpt_$tag"
+    val ckpt2 = s"$ckptRoot/ckpt2_$tag"
+    DrillOnce.cached(s"s19_$tag") {
+      import s.implicits._
+      try {
+        DrillOnce.freshDirs(srcDir, root, ckpt, ckpt2)
+        val docs = graft.sources.Tables.load(s, d, "documents")
+        val ids1 = docs.filter(col("doc_id") < 250)
+          .select("doc_id").as[Long].collect().toSet
+        val ids2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 402)
+          .select("doc_id").as[Long].collect().toSet
+        val takedowns = ids1.filter(_ % 10 == 3)
+        require(takedowns.nonEmpty && ids2.nonEmpty, "fixture too small for s19")
+        val dwId = ids2.max      // upserted AND deleted in the same batch
+        val readdId = takedowns.min // re-added after the compact
+        // tranche 1: plain corpus build
+        StreamingOps.writeDocFiles(s, d, srcDir, 0, 250)
+        StreamingOps.arrivalCdcShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        // tranche 2: appends + the takedown feed (incl. the same-batch id)
+        StreamingOps.writeDocFiles(s, d, srcDir, 250, 402)
+        StreamingOps.writeDelFiles(srcDir, (takedowns + dwId).toSeq.sorted)
+        StreamingOps.arrivalCdcShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        val (dir, sh) = graft.operators.ShardedHome.serving(root).get
+        def membership: Set[Long] = (0 until sh).map(r =>
+          graft.operators.IvfIndex.loadVectors(s, s"$dir/shard=$r")
+            .select("vec_id")).reduce(_ unionAll _)
+          .as[Long].collect().toSet
+        val expected = (ids1 ++ ids2) -- takedowns - dwId
+        val after2 = membership
+        val deletedHidden = after2 == expected
+        val deleteWins = !after2.contains(dwId)
+        // fresh checkpoint: the whole history as ONE batch (appends
+        // first, deletes after — converges), BEFORE any compact
+        StreamingOps.arrivalCdcShardedIngest(s, srcDir, "*.txt", root, 3, ckpt2)
+        val redeliveryNoop = membership == expected
+        // external maintenance on the streamed artifact: the per-shard
+        // compact applies every tombstone physically and clears sidecars
+        graft.operators.ShardedIvf.compactShards(s, dir, sh)
+        val compactApplies = membership == expected &&
+          (0 until sh).forall(r => graft.sources.Tombstones
+            .read(s, s"$dir/shard=$r").isEmpty) &&
+          (0 until sh).map(r => graft.operators.IvfIndex
+            .loadVectorsRaw(s, s"$dir/shard=$r").count()).sum == expected.size
+        // the CDC re-add path: a NEW arrival for a formerly deleted id
+        // (fresh filename — the file source tracks paths, not contents)
+        val text = docs.filter(col("doc_id") === readdId)
+          .select("text").as[String].head()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(srcDir).resolve(f"readd_doc_$readdId%05d.txt"),
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        StreamingOps.arrivalCdcShardedIngest(s, srcDir, "*.txt", root, 3, ckpt)
+        val readdLands = membership == expected + readdId
+        (expected.size.toLong + 1, deletedHidden, deleteWins,
+          redeliveryNoop, compactApplies, readdLands)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmpRoot)).deleteRecursively()

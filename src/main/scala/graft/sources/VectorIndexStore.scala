@@ -850,14 +850,18 @@ object VectorIndexStore {
       }
       if (hadVecPtr) deleteLegacy(path, "vectors")
       if (hadModelPtr) deleteLegacy(path, "model")
-      // `corpus` is the logical view — the rewrite applied any tombstones
-      // physically; a stale sidecar left behind would silently hide the
-      // next append of a formerly-deleted id (publish-then-clear ordering)
-      Tombstones.clear(spark, path)
       val (seq, mean) = logWatermark(spark, path,
         IvfIndex.distortionStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)
       invalidateProbeCal(path) // a width sized for the OLD cells is stale
+      // `corpus` is the logical view — the rewrite applied any tombstones
+      // physically; a stale sidecar left behind would silently hide the
+      // next append of a formerly-deleted id. Cleared LAST: the lazy
+      // `corpus` plan above still references the sidecar's parquet files,
+      // so clearing before its final execution is a FILE_NOT_EXIST crash
+      // (a crash before this line leaves tombstones that anti-join
+      // nothing — the same benign publish-then-clear gap as compact's)
+      Tombstones.clear(spark, path)
       true
     } finally assigned.unpersist()
   }
@@ -919,13 +923,15 @@ object VectorIndexStore {
       }
       if (hadEncPtr) deleteLegacy(path, "encoded")
       if (hadCoarsePtr) { deleteLegacy(path, "coarse"); deleteLegacy(path, "codebooks") }
-      // the re-encode above excluded tombstoned ids — deletions are now
-      // physical; clear so a future re-append isn't silently hidden
-      Tombstones.clear(spark, path)
       val (seq, mean) = logWatermark(spark, path,
         PqIndex.quantizationStats(spark, corpus, model))
       writeBaseline(path, mean, seq + 1)
       invalidateShortCal(path) // a depth sized for the OLD geometry is stale
+      // the re-encode above excluded tombstoned ids — deletions are now
+      // physical; clear so a future re-append isn't silently hidden.
+      // Cleared LAST: the lazy `corpus` anti-join plan above still
+      // references the sidecar files (retrainIvfIfNeeded's ordering note)
+      Tombstones.clear(spark, path)
       true
     } finally encoded.unpersist()
   }

@@ -714,6 +714,133 @@ object StreamingOps {
     }
   }
 
+  /** CDC form of [[arrivalShardedIngest]] — the arrival stream carries
+    * UPSERTS (`doc_<id>.txt`, payload embedded as usual) and DELETES
+    * (`del_<id>.txt`, a takedown marker whose payload is ignored): the
+    * shape a takedown / right-to-be-forgotten feed actually has, closing
+    * the streaming half of the delete verb. Per micro-batch: upserts
+    * hash-route through the per-shard append anti-joins FIRST, then the
+    * batch's deletes tombstone their owning shards
+    * ([[graft.operators.ShardedIvf.delete]]) — so a same-batch
+    * upsert+delete of one id ends DELETED (takedown wins), and a
+    * fresh-checkpoint FULL redelivery, which collapses the whole history
+    * into one batch, converges to the same final state as the
+    * incremental run. Redelivered deletes re-append already-applied
+    * tombstone ids — an anti-join no-op. The store contract carries
+    * over: after an EXTERNAL compact applies the tombstones physically,
+    * a LATER upsert batch re-adds the id (the CDC re-add path); before
+    * that compact, re-upserts of a deleted id are absorbed by physical
+    * presence. First batch builds from its upserts, then applies its own
+    * deletes; a delete-only stream against a not-yet-built home is
+    * skipped (there is no artifact to tombstone — the marker files stay
+    * in the source for the redelivery that follows the first build).
+    * The sink follows the [[graft.operators.ShardedHome]] pointer each
+    * batch and sweeps the per-shard drift retrains, like the plain sink.
+    */
+  def arrivalCdcShardedIngest(spark: SparkSession, srcDir: String, glob: String,
+                              shardedHome: String, shards: Int,
+                              checkpoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(schema)
+      .load(srcDir)
+    val rows = stream.select(
+      regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 1).as("op"),
+      regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 2)
+        .cast("long").as("doc_id"),
+      decode(col("content"), "UTF-8").as("text"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = rows.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          import sp.implicits._
+          val ups = batch.toDF().filter(col("op") === "doc")
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val emb = new graft.operators.HashingEmbedder()
+              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
+            }
+            .toDF("vec_id", "label", "embedding")
+          val dels = batch.toDF().filter(col("op") === "del")
+            .select(col("doc_id").as("vec_id"))
+          def applyDeletes(dir: String, sN: Int): Unit =
+            if (!dels.isEmpty) retryOnContention() {
+              graft.operators.ShardedIvf.delete(sp, dir, sN, dels)
+            }
+          graft.operators.ShardedHome.serving(shardedHome) match {
+            case None =>
+              if (!ups.isEmpty) {
+                val gen = graft.operators.ShardedHome.InitialGen
+                retryOnContention() {
+                  graft.operators.ShardedIvf.build(sp, ups,
+                    s"$shardedHome/$gen", shards)
+                }
+                graft.operators.ShardedHome.publishServing(shardedHome, gen, shards)
+                applyDeletes(s"$shardedHome/$gen", shards)
+              }
+            case Some((dir0, s0)) =>
+              def appendResolved(dir: String, sN: Int): Unit =
+                retryOnContention() {
+                  graft.operators.ShardedIvf.append(sp, dir, sN, ups)
+                }
+              try appendResolved(dir0, s0)
+              catch {
+                case e: Exception
+                    if graft.operators.ShardedHome.serving(shardedHome)
+                      .exists(_._1 != dir0) =>
+                  val (dir1, s1) =
+                    graft.operators.ShardedHome.serving(shardedHome).get
+                  System.err.println(s"[graft] serving generation moved " +
+                    s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
+                  appendResolved(dir1, s1)
+              }
+              val (dir, sN) = graft.operators.ShardedHome.serving(shardedHome).get
+              applyDeletes(dir, sN)
+              retryOnContention() {
+                graft.operators.ShardedIvf.retrainIfNeeded(sp, dir, sN,
+                  continueOnGateFailure = true)
+                ()
+              }
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+    } finally {
+      try { if (q != null) q.stop() } finally {
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
+  }
+
+  /** Takedown marker files for [[arrivalCdcShardedIngest]]: one
+    * `del_<id>.txt` per id (payload is a constant marker — the DELETE is
+    * the filename).
+    */
+  def writeDelFiles(outDir: String, ids: Seq[Long]): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(f"del_$id%05d.txt"),
+        "tombstone".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** STREAMED maintenance of the ENCODED sharded composition
     * ([[graft.operators.ShardedPq]] — the geometry that actually serves
     * at 100 TB: disjoint hash shards past the broadcast ceiling, one

@@ -322,4 +322,47 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(graft.operators.ShardedHome.serving(home).contains((d2, 4)))
     assert(countAt(d2, s2) == expected, "redelivery must be a no-op")
   }
+
+  test("CDC sink: same-batch takedown wins, deletes route to owning shards, replay converges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdcsink").toString
+    val src = s"$dir/src"
+    val home = s"$dir/home"
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 100)
+    StreamingOps.arrivalCdcShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
+    // batch 2: appends 100..120 + takedowns {ids < 100 with id % 9 == 2}
+    // + id 119 upserted AND deleted in the SAME batch
+    StreamingOps.writeDocFiles(spark, sf, src, 100, 120)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val ids = docs.filter(col("doc_id") < 120).select("doc_id")
+      .as[Long].collect().toSet
+    val takedowns = ids.filter(i => i < 100 && i % 9 == 2)
+    StreamingOps.writeDelFiles(src, (takedowns + 119L).toSeq.sorted)
+    StreamingOps.arrivalCdcShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
+    val (d1, s1) = graft.operators.ShardedHome.serving(home).get
+    def membership: Set[Long] = (0 until s1).map(r =>
+      graft.operators.IvfIndex.loadVectors(spark, s"$d1/shard=$r")
+        .select("vec_id")).reduce(_ unionAll _).as[Long].collect().toSet
+    val expected = ids -- takedowns - 119L
+    assert(membership == expected,
+      "the serving logical view must be the corpus minus the takedown feed")
+    // sidecars hold only fed takedown ids, disjointly. Subset, not
+    // equality: the sink's per-batch retrain sweep may have retrained a
+    // drifted shard, which applies that shard's tombstones PHYSICALLY
+    // and clears its sidecar — membership above is the real contract;
+    // exact hash-routing identity is VectorDeleteSpec's assertion.
+    val sides = (0 until s1).map(r =>
+      graft.sources.Tombstones.read(spark, s"$d1/shard=$r")
+        .map(_.as[Long].collect().toSet).getOrElse(Set.empty[Long]))
+    assert(sides.reduce(_ ++ _).subsetOf(takedowns + 119L),
+      "a shard sidecar may only hold fed takedown ids")
+    assert(sides.map(_.size).sum == sides.reduce(_ ++ _).size,
+      "no takedown id may be tombstoned on more than one shard")
+    // fresh-checkpoint full replay: one batch, appends-then-deletes —
+    // converges to the same state (physical presence absorbs the
+    // appends, anti-joins absorb the re-tombstoned ids)
+    StreamingOps.arrivalCdcShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt2")
+    assert(membership == expected, "CDC replay must converge")
+  }
 }
