@@ -195,6 +195,18 @@ object ShardedIvf {
       "reshard builds at a NEW root (shard count is part of the artifact " +
         "identity; in-place cutover would break readers holding the old S)")
     verifyShards(oldPath, oldShards)
+    // per-shard append-seq watermarks, captured BEFORE the corpus read:
+    // an append racing the capture lands in the snapshot AND above the
+    // watermark, and the replay's idempotent append absorbs the overlap —
+    // the conservative direction; the reverse order could silently drop
+    // a racing append from both
+    val watermarks = (0 until oldShards).map { r =>
+      val qerr = s"$oldPath/shard=$r/qerr"
+      val w =
+        if (!graft.sources.Fs.exists(spark, qerr)) 0L
+        else spark.read.parquet(qerr).count() - 1
+      r -> w
+    }
     val corpus = (0 until oldShards).map { r =>
       IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
         .select(col("vec_id"), col("label"), col("embedding"))
@@ -202,7 +214,19 @@ object ShardedIvf {
     build(spark, corpus, newPath, newShards, nCellsPerShard)
     // a reused target root must not serve a width sized for another S
     graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/nprobe.CAL")
+    // recorded at the NEW root so the replay (possibly another process)
+    // knows which appends the snapshot already holds
+    graft.sources.Versioned.metaBackend.writeAtomic(s"$newPath/catchup.META",
+      watermarks.map { case (r, w) => s"$r:$w" }.mkString(" "))
   }
+
+  /** Parse `catchup.META` ("r:w r:w …") when the snapshot build wrote it. */
+  private def catchupWatermarks(newPath: String): Option[Map[Int, Long]] =
+    graft.sources.Versioned.metaBackend.readString(s"$newPath/catchup.META")
+      .map(_.trim.split("\\s+").map { tok =>
+        val Array(r, w) = tok.split(":")
+        r.toInt -> w.toLong
+      }.toMap)
 
   /** CATCH-UP reshard, phase 2 of 2 — the ONLY window appends block:
     * under the old root's writer lease, the delta that landed during
@@ -220,16 +244,47 @@ object ShardedIvf {
                            newShards: Int): Long = {
     verifyShards(oldPath, oldShards)
     graft.sources.Versioned.withWriterLease(oldPath) {
-      val current = (0 until oldShards).map { r =>
-        IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
-          .select(col("vec_id"), col("label"), col("embedding"))
-      }.reduce(_ unionAll _)
-      val snapshotIds = (0 until newShards).map { r =>
+      // DELTA-SHAPED when possible: each old shard's append log serves
+      // exactly the rows with seq above the snapshot's recorded watermark
+      // (graft.sources.AppendLog — I/O ∝ the delta, not the corpus).
+      // Per-shard fallback to the corpus anti-join when the log cannot
+      // prove completeness back to the watermark (legacy artifact, log
+      // cleared by a mid-window compact/retrain) or when no watermark
+      // was recorded (a snapshot built by older code).
+      lazy val snapshotIds = (0 until newShards).map { r =>
         IvfIndex.loadVectors(spark, s"$newPath/shard=$r").select("vec_id")
       }.reduce(_ unionAll _)
-      val delta = current.join(snapshotIds, Seq("vec_id"), "left_anti")
+      val wm = catchupWatermarks(newPath)
+      val perShard = (0 until oldShards).map { r =>
+        val shardPath = s"$oldPath/shard=$r"
+        wm.flatMap(_.get(r))
+          .flatMap(w => graft.sources.AppendLog.since(spark, shardPath, w))
+          .getOrElse {
+            IvfIndex.loadVectors(spark, shardPath)
+              .select(col("vec_id"), col("label"), col("embedding"))
+              .join(snapshotIds, Seq("vec_id"), "left_anti")
+          }
+      }
+      val delta = perShard.reduce(_ unionAll _)
       val n = delta.count()
       if (n > 0) append(spark, newPath, newShards, delta)
+      // the new artifact is now current up to each old shard's PRESENT
+      // seq (the old lease is held — nothing lands mid-replay), so
+      // advance the recorded watermarks: a repeated replay serves an
+      // empty delta instead of re-reading the same log rows (replay
+      // idempotence — the appends would be anti-joined anyway, but the
+      // count must read 0 and the log rows must not be re-scanned)
+      if (wm.isDefined) {
+        val advanced = (0 until oldShards).map { r =>
+          val qerr = s"$oldPath/shard=$r/qerr"
+          val w =
+            if (!graft.sources.Fs.exists(spark, qerr)) 0L
+            else spark.read.parquet(qerr).count() - 1
+          s"$r:$w"
+        }.mkString(" ")
+        graft.sources.Versioned.metaBackend.writeAtomic(
+          s"$newPath/catchup.META", advanced)
+      }
       // DELETES that landed during phase 1 are invisible to the replay
       // (they only REMOVE ids from `current`, and an id the snapshot
       // already captured is physically present in the new artifact) —
@@ -332,6 +387,22 @@ object ShardedIvf {
       val shardPath = s"$path/shard=$r"
       val nCells = IvfIndex.loadModel(spark, shardPath).centroids.length
       graft.sources.VectorIndexStore.compactIvf(spark, shardPath, nCells)
+    }
+  }
+
+  /** Per-shard [[graft.sources.VectorIndexStore.compactIvfIfDeleted]]
+    * sweep: only shards whose tombstone sidecar crossed the fraction pay
+    * a rewrite — deletes hash-route unevenly only by id distribution, so
+    * after a skewed takedown (one customer's corpus, one source's
+    * documents) this compacts exactly the shards that need it. Returns
+    * the number of shards compacted.
+    */
+  def compactShardsIfDeleted(spark: SparkSession, path: String, shards: Int,
+                             maxDeletedFraction: Double = 0.1): Int = {
+    verifyShards(path, shards)
+    (0 until shards).count { r =>
+      graft.sources.VectorIndexStore.compactIvfIfDeleted(
+        spark, s"$path/shard=$r", maxDeletedFraction)
     }
   }
 

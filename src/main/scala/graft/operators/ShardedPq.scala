@@ -136,6 +136,19 @@ object ShardedPq {
     }
   }
 
+  /** Per-shard tombstone-fraction compaction sweep
+    * ([[ShardedIvf.compactShardsIfDeleted]] on the encoded composition).
+    * Returns the number of shards compacted.
+    */
+  def compactShardsIfDeleted(spark: SparkSession, path: String, shards: Int,
+                             maxDeletedFraction: Double = 0.1): Int = {
+    Sharding.verifyShards(path, shards)
+    (0 until shards).count { r =>
+      graft.sources.VectorIndexStore.compactPqIfDeleted(
+        spark, s"$path/shard=$r", maxDeletedFraction)
+    }
+  }
+
   /** Single-query top-k over all shards: per-shard ADC shortlist (each
     * with ITS model's resolved `nProbe` and the resolved per-shard
     * `shortlist`), exact re-rank of the unioned shortlists against the

@@ -91,6 +91,15 @@ object ChunkStore {
   def compact(spark: SparkSession, path: String, keyCol: String = "text_hash",
               partitions: Int = 4): Unit =
     Versioned.withWriterLease(path) {
+      // flat-layout only, loudly: rewriting a hive-partitioned store
+      // through this verb would silently FLATTEN it — downstream readers
+      // lose partition pruning with no error anywhere
+      val partitioned = Option(new java.io.File(path).listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
+      require(!partitioned,
+        s"chunk store at $path is hive-partitioned; this compact would " +
+          "flatten it — at that layout compact through the table format's " +
+          "own rewrite (local flat stores only)")
       val clean = read(spark, path, keyCol)
         .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         .repartition(partitions)

@@ -496,11 +496,32 @@ object VectorIndexStore {
     val model = IvfIndex.loadModel(spark, path)
     val dir = IvfIndex.vectorsDir(path)
     val existing = spark.read.parquet(dir).select("vec_id").distinct()
+    // NOT persisted, deliberately: `fresh` references `dir`, and the
+    // append-write below triggers refreshByPath(dir), which invalidates
+    // any CACHED plan over it — the recompute would then anti-join the
+    // just-appended rows and read back EMPTY. An uncached plan keeps the
+    // file listing pinned from creation, so recomputes stay correct.
     val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
     if (fresh.isEmpty) return // redelivered batch: nothing to assign, no watermark row
+    // append-log FIRST (AppendLog's crash-ordering rationale): the seq
+    // this batch will take is the current qerr row count, and the lease
+    // makes the peek race-free
+    val seq =
+      if (!Fs.exists(spark, s"$path/qerr")) 0L
+      else spark.read.parquet(s"$path/qerr").count()
+    AppendLog.record(spark, path, fresh, seq)
+    // distortion stats materialized BEFORE the write (belt to the pinned
+    // listing's suspenders: a literal one-row frame cannot re-read `dir`)
+    val stats = {
+      import spark.implicits._
+      val (n, mean) = statsMeanOf(spark,
+        IvfIndex.distortionStats(spark, fresh, model))
+      Seq((n, mean)).toDF("n_vectors", "mean_sq_err")
+    }
     IvfIndex.assign(spark, fresh, model)
       .write.mode("append").partitionBy("cell").parquet(dir)
-    logWatermark(spark, path, IvfIndex.distortionStats(spark, fresh, model))
+    logWatermark(spark, path, stats)
+    ()
   }
 
   /** Small-file COMPACTION for the IVF vectors table: scheduled appends
@@ -516,6 +537,18 @@ object VectorIndexStore {
     Versioned.withWriterLease(path) {
     val hadPointer = graft.sources.Versioned.readPointer(path, "vectors").isDefined
     val all = IvfIndex.loadVectors(spark, path)
+    // an ENTIRELY tombstoned corpus rewrites to zero rows — a partitionBy
+    // write then emits NO files (partition dirs only exist per value) and
+    // the published version is unreadable (schema inference finds
+    // nothing); a flat empty file instead would mix layouts with the next
+    // partitioned append. Refuse loudly: the logical-delete design keeps
+    // serving (empty results) and appending (new ids) WITHOUT the
+    // compact, so a fully-deleted artifact either keeps its sidecar or
+    // gets GC'd/rebuilt by the operator.
+    require(!all.isEmpty,
+      s"compacting $path would publish an EMPTY vectors version " +
+        "(every row is tombstoned) — an empty partitioned rewrite is " +
+        "unreadable; keep serving through the sidecar, or GC/rebuild")
     Versioned.publish(path, "vectors", -1L) { v =>
       all.repartition(nCells, org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").parquet(v)
@@ -527,6 +560,10 @@ object VectorIndexStore {
     // physically; publish-then-clear (a crash in between leaves
     // tombstones that anti-join nothing — never resurrected rows)
     Tombstones.clear(spark, path)
+    // the rewrite also bounds the append log's size (AppendLog.clear doc);
+    // a catch-up replay whose watermark predates this clear falls back to
+    // the anti-join via the FROM completeness check
+    AppendLog.clear(spark, path)
   }
 
   /** [[compactIvf]] for the PQ encoded table — same pointer upgrade. */
@@ -534,6 +571,11 @@ object VectorIndexStore {
     Versioned.withWriterLease(path) {
     val hadPointer = graft.sources.Versioned.readPointer(path, "encoded").isDefined
     val all = PqIndex.loadEncoded(spark, path)
+    // empty-rewrite refusal: compactIvf's rationale
+    require(!all.isEmpty,
+      s"compacting $path would publish an EMPTY encoded version " +
+        "(every code is tombstoned) — keep serving through the sidecar, " +
+        "or GC/rebuild")
     Versioned.publish(path, "encoded", -1L) { v =>
       all.repartition(nCells, org.apache.spark.sql.functions.col("cell"))
         .write.partitionBy("cell").parquet(v)
@@ -600,6 +642,59 @@ object VectorIndexStore {
     */
   def deletePq(spark: SparkSession, path: String, ids: org.apache.spark.sql.DataFrame): Unit =
     Versioned.withWriterLease(path) { Tombstones.add(spark, path, ids) }
+
+  /** SELF-SCHEDULING physical apply for the delete sidecar (the
+    * PostingStore.compactIfNeeded pattern on the deletes axis): the
+    * logical-delete design is cheap only while the sidecar stays small —
+    * every probe broadcasts it, and a sidecar that grows toward the
+    * corpus turns "negligible anti-join" into a real per-query tax. When
+    * the tombstoned-id count exceeds `maxDeletedFraction` of the
+    * PHYSICAL corpus, compact (apply + clear). The check costs one
+    * sidecar count and one footer count; under the line it does nothing.
+    * Returns whether a compact ran. A maintenance scheduler calls it
+    * unconditionally after takedown batches, like the other `-IfNeeded`
+    * verbs.
+    */
+  def compactIvfIfDeleted(spark: SparkSession, path: String,
+                          maxDeletedFraction: Double = 0.1): Boolean = {
+    require(maxDeletedFraction > 0, s"maxDeletedFraction=$maxDeletedFraction")
+    val deleted = Tombstones.read(spark, path)
+      .map(_.distinct().count()).getOrElse(0L)
+    if (deleted == 0) return false
+    val physical = IvfIndex.loadVectorsRaw(spark, path).count()
+    if (deleted < maxDeletedFraction * physical) false
+    else if (IvfIndex.loadVectors(spark, path).isEmpty) {
+      // fully deleted: compact would publish an unreadable empty version
+      // (compactIvf refuses) — keep serving through the sidecar; a
+      // scheduler loop must not crash on this state every pass
+      System.err.println(s"[graft] $path is fully tombstoned — compact " +
+        "skipped (GC/rebuild the artifact, or let new appends regrow it)")
+      false
+    } else {
+      compactIvf(spark, path, IvfIndex.loadModel(spark, path).centroids.length)
+      true
+    }
+  }
+
+  /** [[compactIvfIfDeleted]] for the IVF-PQ artifact. */
+  def compactPqIfDeleted(spark: SparkSession, path: String,
+                         maxDeletedFraction: Double = 0.1): Boolean = {
+    require(maxDeletedFraction > 0, s"maxDeletedFraction=$maxDeletedFraction")
+    val deleted = Tombstones.read(spark, path)
+      .map(_.distinct().count()).getOrElse(0L)
+    if (deleted == 0) return false
+    val physical = PqIndex.loadEncodedRaw(spark, path).count()
+    if (deleted < maxDeletedFraction * physical) false
+    else if (PqIndex.loadEncoded(spark, path).isEmpty) {
+      System.err.println(s"[graft] $path is fully tombstoned — compact " +
+        "skipped (GC/rebuild the artifact, or let new appends regrow it)")
+      false
+    } else {
+      compactPq(spark, path,
+        PqIndex.loadModel(spark, path).coarse.centroids.length)
+      true
+    }
+  }
 
   /** Append one (n_vectors, mean_sq_err, append_seq) watermark row to the
     * artifact's `qerr` log — the error series both append paths emit (PQ
@@ -862,6 +957,7 @@ object VectorIndexStore {
       // (a crash before this line leaves tombstones that anti-join
       // nothing — the same benign publish-then-clear gap as compact's)
       Tombstones.clear(spark, path)
+      AppendLog.clear(spark, path) // rewrite bounds the log (compactIvf note)
       true
     } finally assigned.unpersist()
   }

@@ -731,9 +731,11 @@ object StreamingOps {
     * a LATER upsert batch re-adds the id (the CDC re-add path); before
     * that compact, re-upserts of a deleted id are absorbed by physical
     * presence. First batch builds from its upserts, then applies its own
-    * deletes; a delete-only stream against a not-yet-built home is
-    * skipped (there is no artifact to tombstone — the marker files stay
-    * in the source for the redelivery that follows the first build).
+    * deletes; a delete-only batch against a not-yet-built home is a
+    * SEMANTIC no-op and is consumed as one (deleting an id no index
+    * holds removes nothing, and a later upsert of that id is by
+    * definition a new document) — the checkpoint records the batch, the
+    * markers are not replayed.
     * The sink follows the [[graft.operators.ShardedHome]] pointer each
     * batch and sweeps the per-shard drift retrains, like the plain sink.
     */

@@ -315,6 +315,52 @@ class ShardedIvfSpec extends SparkTestBase {
     assert(top._2 == 1.0, s"replayed vector must be served: $top")
   }
 
+  test("catch-up replay is delta-shaped via the append log; falls back to the anti-join when the log can't prove completeness") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shivf_alog").toString
+    val root = s"$tmp/ix"
+    ShardedIvf.build(spark, emb, root, shards = 3, nCellsPerShard = 8)
+    val tranche = emb.limit(30)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("label"), col("embedding"))
+    // LOG PATH: snapshot records watermarks; the window append writes the
+    // per-shard logs; the replay must serve the delta from them
+    val newRoot = s"$tmp/ix2"
+    ShardedIvf.reshardCatchUpBuild(spark, root, 3, newRoot, 2, nCellsPerShard = 8)
+    assert(graft.sources.Versioned.metaBackend
+      .readString(s"$newRoot/catchup.META").isDefined,
+      "the snapshot build must record per-shard watermarks")
+    ShardedIvf.append(spark, root, 3, tranche)
+    assert((0 until 3).exists(r =>
+      graft.sources.AppendLog.completeFrom(s"$root/shard=$r").isDefined),
+      "the window append must have written per-shard append logs")
+    assert(ShardedIvf.reshardCatchUpReplay(spark, root, 3, newRoot, 2) == 30)
+    // idempotence through the ADVANCED watermark, not the anti-join: a
+    // second replay reads an empty delta from the log
+    assert(ShardedIvf.reshardCatchUpReplay(spark, root, 3, newRoot, 2) == 0L)
+    val ids = (0 until 2).map(r => IvfIndex
+      .loadVectors(spark, s"$newRoot/shard=$r").select("vec_id"))
+      .reduce(_ unionAll _)
+    assert(ids.filter(col("vec_id") >= 700000L).count() == 30)
+    // FALLBACK PATH: a mid-window compact clears the logs (completeness
+    // lost) — the replay must fall back to the corpus anti-join and still
+    // carry the delta
+    val root2 = s"$tmp/jx"
+    ShardedIvf.build(spark, emb, root2, shards = 3, nCellsPerShard = 8)
+    val newRoot2 = s"$tmp/jx2"
+    ShardedIvf.reshardCatchUpBuild(spark, root2, 3, newRoot2, 2, nCellsPerShard = 8)
+    ShardedIvf.append(spark, root2, 3, tranche)
+    ShardedIvf.compactShards(spark, root2, 3) // clears every append log
+    (0 until 3).foreach(r => assert(
+      graft.sources.AppendLog.completeFrom(s"$root2/shard=$r").isEmpty,
+      "compact must clear the log"))
+    assert(ShardedIvf.reshardCatchUpReplay(spark, root2, 3, newRoot2, 2) == 30,
+      "with the log gone the anti-join fallback must still find the delta")
+    val ids2 = (0 until 2).map(r => IvfIndex
+      .loadVectors(spark, s"$newRoot2/shard=$r").select("vec_id"))
+      .reduce(_ unionAll _)
+    assert(ids2.filter(col("vec_id") >= 700000L).count() == 30)
+  }
+
   test("reshard drops calibration (a width for S says nothing about S') and can shrink") {
     val base = java.nio.file.Files.createTempDirectory("graft_resh2").toString
     val root = s"$base/ix3"

@@ -181,6 +181,51 @@ class VectorDeleteSpec extends SparkTestBase {
       "window deletes must be forwarded — the new root hides them via its own sidecars")
   }
 
+  test("compactIvfIfDeleted: free under the fraction, applies+clears over it; sharded sweep touches only crossed shards") {
+    import spark.implicits._
+    val path = tmp("graft_del_ifneeded")
+    VectorIndexStore.buildIvfAt(spark, path, emb, nCells = 8)
+    val n = emb.count()
+    // under the line: ~1 deleted id of n — the check must do nothing
+    VectorIndexStore.deleteIvf(spark, path, emb.filter(col("vec_id") === 1).select("vec_id"))
+    assert(!VectorIndexStore.compactIvfIfDeleted(spark, path, maxDeletedFraction = 0.5))
+    assert(Tombstones.read(spark, path).isDefined, "under the line the sidecar stays")
+    // over the line: half the corpus — the verb compacts and clears
+    VectorIndexStore.deleteIvf(spark, path,
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id"))
+    assert(VectorIndexStore.compactIvfIfDeleted(spark, path, maxDeletedFraction = 0.4))
+    assert(Tombstones.read(spark, path).isEmpty)
+    assert(IvfIndex.loadVectorsRaw(spark, path).count() ==
+      emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") =!= 1).count())
+    assert(!VectorIndexStore.compactIvfIfDeleted(spark, path), "idempotent when clean")
+    // sharded sweep: a SKEWED takedown (every deleted id owned by one
+    // shard, minus one survivor) must compact only the crossed shard
+    val root = tmp("graft_del_ifneeded_sh")
+    ShardedIvf.build(spark, emb, root, shards = 3, nCellsPerShard = 8)
+    val shardOf0 = pmod(xxhash64(lit(0L)), lit(3L)).cast("int")
+    val target = spark.range(1).select(shardOf0.as("s")).as[Int].head()
+    val ownedAll = emb.select(col("vec_id"))
+      .withColumn("s", pmod(xxhash64(col("vec_id")), lit(3L)).cast("int"))
+      .filter(col("s") === target).select("vec_id")
+    val survivor = ownedAll.as[Long].collect().min
+    ShardedIvf.delete(spark, root, 3, ownedAll.filter(col("vec_id") =!= survivor))
+    val compacted = ShardedIvf.compactShardsIfDeleted(spark, root, 3,
+      maxDeletedFraction = 0.5)
+    assert(compacted == 1, "only the shard owning the skewed takedown pays the rewrite")
+    assert(Tombstones.read(spark, s"$root/shard=$target").isEmpty)
+    assert(IvfIndex.loadVectorsRaw(spark, s"$root/shard=$target")
+      .select("vec_id").as[Long].collect().toSeq == Seq(survivor),
+      "the rewrite keeps exactly the surviving row")
+    // a FULLY tombstoned artifact refuses the empty rewrite (compactIvf)
+    // and the policy verb SKIPS it instead of crashing a scheduler loop
+    ShardedIvf.delete(spark, root, 3, emb.filter(col("vec_id") === survivor).select("vec_id"))
+    assert(ShardedIvf.compactShardsIfDeleted(spark, root, 3,
+      maxDeletedFraction = 0.01) == 0, "fully-deleted shard must be skipped, not compacted")
+    assertThrows[IllegalArgumentException] {
+      VectorIndexStore.compactIvf(spark, s"$root/shard=$target", nCells = 8)
+    }
+  }
+
   test("sharded PQ delete excludes codes; store reshard forwards pending tombstones") {
     import spark.implicits._
     val prior = spark.conf.getOption(VectorIndexStore.RootConf)
