@@ -40,9 +40,10 @@ object Bench {
       "s13_restart_recovery", "s14_streamed_index_freshness",
       "s15_streamed_embedding_index", "s16_streamed_semantic_pairs",
       "s17_streamed_sharded_index", "s18_streamed_sharded_pq",
-      "s19_streamed_deletes",
+      "s19_streamed_deletes", "s20_cdc_log_replay", "s21_streamed_pq_cdc",
       "v19_pq_drift_retrain", "v20_sharded_reshard", "v21_sharded_pq",
-      "v24_filtered_sharded_pq", "v25_deleted_knn", "v26_deleted_sharded")
+      "v23_filtered_pq", "v24_filtered_sharded_pq", "v25_deleted_knn",
+      "v26_deleted_sharded")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (lifecycleLast.contains(n), n) }

@@ -65,8 +65,15 @@ object ShardedHome {
 
   /** The growth loop AT A HOME — [[graft.sources.VectorIndexStore.reshardShardedIvfIfNeeded]]
     * re-expressed over the pointer, with the catch-up protocol: judge
-    * mean per-shard rows against `maxShardRows` (S parquet footer
-    * counts — metadata reads, no corpus scan); over the line, rebuild
+    * mean per-shard LIVE rows against `maxShardRows` — counted as
+    * physical parquet footer counts MINUS the tombstone sidecar's id
+    * count (each metadata-cheap / sidecar-sized; the LOGICAL count via
+    * the anti-joined view would be a tombstone broadcast join per shard
+    * per micro-batch — a real tax on a 1-second-batch sink). Stale
+    * sidecar ids (deletes of never-present rows) make this conservative:
+    * it can only UNDER-count live rows, delaying the reshard by at most
+    * the stale fraction, never triggering a spurious one — and the next
+    * compact clears them. Over the line, rebuild
     * at S′ = ceil(total / maxShardRows) into the next generation
     * directory WITHOUT the old generation's lease (appends keep
     * landing), then — under that lease, the only blocked window —
@@ -88,7 +95,14 @@ object ShardedHome {
       s"no SERVING pointer at $home — nothing to reshard (the first " +
         "streamed batch publishes it)"))
     val total = (0 until s).map { r =>
-      IvfIndex.loadVectors(spark, s"$cur/shard=$r").count()
+      val shardPath = s"$cur/shard=$r"
+      // physical footer count minus sidecar ids — see the growth-check
+      // note above (NOT the logical view: its tombstone anti-join would
+      // cost a broadcast join per shard on every micro-batch)
+      val physical = IvfIndex.loadVectorsRaw(spark, shardPath).count()
+      val deleted = graft.sources.Tombstones.read(spark, shardPath)
+        .map(_.distinct().count()).getOrElse(0L)
+      math.max(0L, physical - deleted)
     }.sum
     // the >= total short-circuit also keeps the product from overflowing
     // under a no-op sentinel like Long.MaxValue
@@ -102,6 +116,61 @@ object ShardedHome {
       // phase 2 — the bounded stall: replay, flip, GC under one lease
       graft.sources.Versioned.withWriterLease(cur) {
         ShardedIvf.reshardCatchUpReplay(spark, cur, s, newDir, newShards)
+        publishServing(home, newName, newShards)
+        graft.sources.Versioned.metaBackend.deleteRecursively(cur)
+      }
+      (newDir, newShards)
+    }
+  }
+
+  /** [[reshardIfNeeded]] for an ENCODED home — the growth loop of
+    * [[graft.streaming.StreamingOps.arrivalShardedPqIngest]]. Same
+    * live-row judgment (physical encoded footer counts minus
+    * sidecar-sized tombstone counts); over the line the rebuild
+    * RE-ENCODES at S′ from the cold full-precision store
+    * ([[graft.sources.FpStore]]) scoped to the serving generation's
+    * LOGICAL membership — PQ shards hold one-byte codes, so the
+    * artifact-sourced catch-up of the IVF loop does not apply (decoding
+    * codes would bake quantization error into the new artifact), and
+    * the membership semi-join is what keeps deletion truth SINGLE: ids
+    * the serving index no longer holds (tombstoned or compacted away)
+    * fall out of the rebuild, so the new generation is born clean with
+    * no tombstone forwarding at all.
+    *
+    * BLOCKING by design, unlike the IVF catch-up: the rebuild runs
+    * under the old generation's writer lease (external appenders wait;
+    * the calling sink's own batches are serial anyway, so in-sink this
+    * blocks only the sink's loop while probes keep serving the old
+    * generation until the flip). A delta-shaped encoded catch-up would
+    * need the append journal generalized to codes — scheduled work, not
+    * this verb.
+    */
+  def reshardPqIfNeeded(spark: SparkSession, home: String, fpPath: String,
+                        maxShardRows: Long =
+                          graft.sources.VectorIndexStore.DefaultMaxShardRows)
+      : (String, Int) = {
+    require(maxShardRows >= 1, s"maxShardRows=$maxShardRows")
+    val (cur, s) = serving(home).getOrElse(throw new IllegalStateException(
+      s"no SERVING pointer at $home — nothing to reshard (the first " +
+        "streamed batch publishes it)"))
+    val total = (0 until s).map { r =>
+      val shardPath = s"$cur/shard=$r"
+      val physical = PqIndex.loadEncodedRaw(spark, shardPath).count()
+      val deleted = graft.sources.Tombstones.read(spark, shardPath)
+        .map(_.distinct().count()).getOrElse(0L)
+      math.max(0L, physical - deleted)
+    }.sum
+    if (maxShardRows >= total || total <= maxShardRows * s) (cur, s)
+    else {
+      val newShards = ((total + maxShardRows - 1) / maxShardRows).toInt
+      val newName = s"gen-${genSeq(cur.split('/').last) + 1}"
+      val newDir = s"$home/$newName"
+      graft.sources.Versioned.withWriterLease(cur) {
+        val membership = (0 until s).map { r =>
+          PqIndex.loadEncoded(spark, s"$cur/shard=$r").select("vec_id")
+        }.reduce(_ unionAll _)
+        val corpus = graft.sources.FpStore.readMember(spark, fpPath, membership)
+        ShardedPq.build(spark, corpus, newDir, newShards)
         publishServing(home, newName, newShards)
         graft.sources.Versioned.metaBackend.deleteRecursively(cur)
       }

@@ -195,17 +195,29 @@ object ShardedIvf {
       "reshard builds at a NEW root (shard count is part of the artifact " +
         "identity; in-place cutover would break readers holding the old S)")
     verifyShards(oldPath, oldShards)
-    // per-shard append-seq watermarks, captured BEFORE the corpus read:
-    // an append racing the capture lands in the snapshot AND above the
-    // watermark, and the replay's idempotent append absorbs the overlap —
-    // the conservative direction; the reverse order could silently drop
-    // a racing append from both
+    // per-shard watermarks, captured BEFORE the corpus read: an append
+    // racing the capture lands in the snapshot AND above the watermark,
+    // and the replay's idempotent append absorbs the overlap — the
+    // conservative direction; the reverse order could silently drop a
+    // racing append from both. Three axes per shard:
+    //   w  — append-seq watermark (last qerr seq; -1 when no qerr exists,
+    //        matching appendIvf's first seq = 0 — recording 0 here would
+    //        make since(0) silently drop the seq-0 window append);
+    //   dw — delete-journal watermark (AppendLog.delSeqWatermark; -1 when
+    //        no journal exists);
+    //   g  — Tombstones.generation: the replay trusts the delete journal
+    //        only if g is UNCHANGED, because a mid-window compact applies
+    //        pending tombstones physically and clears both the sidecar
+    //        and the journal — the one transition neither can witness.
     val watermarks = (0 until oldShards).map { r =>
-      val qerr = s"$oldPath/shard=$r/qerr"
+      val shardPath = s"$oldPath/shard=$r"
+      val qerr = s"$shardPath/qerr"
       val w =
-        if (!graft.sources.Fs.exists(spark, qerr)) 0L
+        if (!graft.sources.Fs.exists(spark, qerr)) -1L
         else spark.read.parquet(qerr).count() - 1
-      r -> w
+      val dw = graft.sources.AppendLog.delSeqWatermark(spark, shardPath)
+      val g = graft.sources.Tombstones.generation(shardPath)
+      (r, w, dw, g)
     }
     val corpus = (0 until oldShards).map { r =>
       IvfIndex.loadVectors(spark, s"$oldPath/shard=$r")
@@ -215,17 +227,31 @@ object ShardedIvf {
     // a reused target root must not serve a width sized for another S
     graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/nprobe.CAL")
     // recorded at the NEW root so the replay (possibly another process)
-    // knows which appends the snapshot already holds
+    // knows which appends and deletes the snapshot already holds
     graft.sources.Versioned.metaBackend.writeAtomic(s"$newPath/catchup.META",
-      watermarks.map { case (r, w) => s"$r:$w" }.mkString(" "))
+      watermarks.map { case (r, w, dw, g) => s"$r:$w:$dw:$g" }.mkString(" "))
   }
 
-  /** Parse `catchup.META` ("r:w r:w …") when the snapshot build wrote it. */
-  private def catchupWatermarks(newPath: String): Option[Map[Int, Long]] =
+  /** One old shard's snapshot watermarks: append seq, and (v2 META) the
+    * delete-journal seq + tombstone generation the delete axis trusts.
+    */
+  private case class CatchupMark(appendSeq: Long,
+                                 delAxis: Option[(Long, Long)])
+
+  /** Parse `catchup.META` — v2 tokens "r:w:dw:g"; v1 ("r:w", written by
+    * an older snapshot build) parses with no delete axis, so the replay
+    * falls back to the reverse delta for removals.
+    */
+  private def catchupWatermarks(newPath: String): Option[Map[Int, CatchupMark]] =
     graft.sources.Versioned.metaBackend.readString(s"$newPath/catchup.META")
       .map(_.trim.split("\\s+").map { tok =>
-        val Array(r, w) = tok.split(":")
-        r.toInt -> w.toLong
+        tok.split(":") match {
+          case Array(r, w, dw, g) =>
+            r.toInt -> CatchupMark(w.toLong, Some((dw.toLong, g.toLong)))
+          case Array(r, w) => r.toInt -> CatchupMark(w.toLong, None)
+          case other => throw new IllegalStateException(
+            s"unparseable catchup.META token '${other.mkString(":")}' at $newPath")
+        }
       }.toMap)
 
   /** CATCH-UP reshard, phase 2 of 2 — the ONLY window appends block:
@@ -258,43 +284,113 @@ object ShardedIvf {
       val perShard = (0 until oldShards).map { r =>
         val shardPath = s"$oldPath/shard=$r"
         wm.flatMap(_.get(r))
-          .flatMap(w => graft.sources.AppendLog.since(spark, shardPath, w))
+          .flatMap(m => graft.sources.AppendLog.since(spark, shardPath,
+            m.appendSeq))
           .getOrElse {
             IvfIndex.loadVectors(spark, shardPath)
               .select(col("vec_id"), col("label"), col("embedding"))
               .join(snapshotIds, Seq("vec_id"), "left_anti")
           }
       }
-      val delta = perShard.reduce(_ unionAll _)
+      // dropDuplicates: a crash between AppendLog.record and the qerr
+      // watermark row makes the retried append re-record the same batch
+      // at the same seq — surplus log rows whose vec_ids must not
+      // double-materialize as physical rows (appendIvf's idempotence
+      // anti-join reads EXISTING presence only, not intra-batch dups)
+      val delta = perShard.reduce(_ unionAll _).dropDuplicates("vec_id")
       val n = delta.count()
       if (n > 0) append(spark, newPath, newShards, delta)
+      // DELETES that landed during phase 1 are invisible to the forward
+      // delta (they only REMOVE ids from the logical view, and an id the
+      // snapshot already captured is physically present in the new
+      // artifact — serving it would silently undo a takedown). Two paths:
+      //   - JOURNAL (cost ∝ deletes): every shard's delete journal is
+      //     trustworthy — its Tombstones.generation is UNCHANGED since
+      //     the snapshot (no mid-window compact turned pending tombstones
+      //     into unjournaled physical absences) — so the window's
+      //     removals are exactly the journal rows above each dw. Only
+      //     WINDOW deletes forward: a pre-snapshot tombstone's id is
+      //     already physically absent from the new root (the snapshot
+      //     read the logical view), and forwarding it would plant a
+      //     stale sidecar row that silently hides a legitimate
+      //     post-cutover re-add.
+      //   - REVERSE DELTA (fallback — id-column reads, corpus-shaped but
+      //     column-pruned): ids physically present in the NEW root yet
+      //     absent from the OLD root's LOGICAL view were removed during
+      //     the window, whether their tombstones are still pending or a
+      //     mid-window compact already applied-and-cleared them. Used
+      //     when any shard's generation moved, its journal cannot prove
+      //     completeness, or the snapshot predates the v2 META.
+      val journalDeletes: Option[Seq[org.apache.spark.sql.DataFrame]] =
+        wm.flatMap { marks =>
+          val per = (0 until oldShards).map { r =>
+            val shardPath = s"$oldPath/shard=$r"
+            marks.get(r).flatMap(_.delAxis).flatMap { case (dw, g) =>
+              if (graft.sources.Tombstones.generation(shardPath) != g) None
+              else if (graft.sources.AppendLog
+                .delSeqWatermark(spark, shardPath) <= dw)
+                Some(Nil) // no window deletes on this shard
+              else graft.sources.AppendLog.deletesSince(spark, shardPath, dw)
+                .map(df => List(df))
+            }
+          }
+          if (per.forall(_.isDefined)) Some(per.flatMap(_.get)) else None
+        }
+      lazy val newPhysical = (0 until newShards).map { r =>
+        IvfIndex.loadVectorsRaw(spark, s"$newPath/shard=$r").select("vec_id")
+      }.reduce(_ unionAll _)
+      journalDeletes match {
+        case Some(dfs) if dfs.nonEmpty =>
+          // semi-join against the new root's PHYSICAL ids: a delete that
+          // raced the snapshot capture (landed after the dw capture but
+          // before the corpus materialization) is journaled ABOVE dw yet
+          // already physically absent from the new root — forwarding it
+          // would plant a stale sidecar row that hides a legitimate
+          // post-cutover re-add. Paid only when window deletes exist
+          // (takedowns mid-reshard are rare); the no-delete path stays
+          // delta-shaped.
+          val ids = dfs.reduce(_ unionAll _).distinct()
+            .join(newPhysical, Seq("vec_id"), "left_semi")
+          if (!ids.isEmpty) delete(spark, newPath, newShards, ids)
+        case Some(_) => () // no window deletes anywhere
+        case None =>
+          val oldLogical = (0 until oldShards).map { r =>
+            IvfIndex.loadVectors(spark, s"$oldPath/shard=$r").select("vec_id")
+          }.reduce(_ unionAll _)
+          // anti-join the new root's EXISTING tombstones so a repeated
+          // fallback replay is a no-op instead of re-appending the same
+          // sidecar rows
+          val alreadyHidden = (0 until newShards).flatMap(r =>
+            graft.sources.Tombstones.read(spark, s"$newPath/shard=$r")
+              .map(_.select(col("doc_id").as("vec_id"))))
+          val removed0 = newPhysical
+            .join(oldLogical, Seq("vec_id"), "left_anti").distinct()
+          val removed =
+            if (alreadyHidden.isEmpty) removed0
+            else removed0.join(alreadyHidden.reduce(_ unionAll _),
+              Seq("vec_id"), "left_anti")
+          if (!removed.isEmpty) delete(spark, newPath, newShards, removed)
+      }
       // the new artifact is now current up to each old shard's PRESENT
-      // seq (the old lease is held — nothing lands mid-replay), so
-      // advance the recorded watermarks: a repeated replay serves an
-      // empty delta instead of re-reading the same log rows (replay
-      // idempotence — the appends would be anti-joined anyway, but the
-      // count must read 0 and the log rows must not be re-scanned)
+      // state (the old lease is held — nothing lands mid-replay), so
+      // advance the recorded watermarks on BOTH axes: a repeated replay
+      // serves an empty delta instead of re-reading the same journal rows
+      // (replay idempotence — the appends would be anti-joined anyway,
+      // but the count must read 0 and the journals must not be re-scanned)
       if (wm.isDefined) {
         val advanced = (0 until oldShards).map { r =>
-          val qerr = s"$oldPath/shard=$r/qerr"
+          val shardPath = s"$oldPath/shard=$r"
+          val qerr = s"$shardPath/qerr"
           val w =
-            if (!graft.sources.Fs.exists(spark, qerr)) 0L
+            if (!graft.sources.Fs.exists(spark, qerr)) -1L
             else spark.read.parquet(qerr).count() - 1
-          s"$r:$w"
+          val dw = graft.sources.AppendLog.delSeqWatermark(spark, shardPath)
+          val g = graft.sources.Tombstones.generation(shardPath)
+          s"$r:$w:$dw:$g"
         }.mkString(" ")
         graft.sources.Versioned.metaBackend.writeAtomic(
           s"$newPath/catchup.META", advanced)
       }
-      // DELETES that landed during phase 1 are invisible to the replay
-      // (they only REMOVE ids from `current`, and an id the snapshot
-      // already captured is physically present in the new artifact) —
-      // forward the old shards' un-compacted tombstones so the new root
-      // hides them too. Ids the snapshot never saw anti-join nothing;
-      // the new root's next compact clears them. Cost ∝ deletes.
-      val pending = (0 until oldShards).flatMap(r =>
-        graft.sources.Tombstones.read(spark, s"$oldPath/shard=$r"))
-      if (pending.nonEmpty)
-        delete(spark, newPath, newShards, pending.reduce(_ unionAll _))
       n
     }
   }

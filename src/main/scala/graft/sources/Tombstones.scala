@@ -31,6 +31,20 @@ object Tombstones {
   // NOT underscore-prefixed: Spark's file listing treats `_`/`.`-prefixed
   // paths as hidden metadata and silently ignores their files
   private def dir(path: String) = s"$path/tombstones"
+  private def genFile(path: String) = s"$path/tombstones.GEN"
+
+  /** Monotone PHYSICAL-APPLY generation: how many times this artifact's
+    * tombstones were applied physically and [[clear]]ed (compactions,
+    * retrain rewrites). Observers that snapshot an artifact and later
+    * reconcile against it (the catch-up reshard) compare generations: an
+    * unchanged generation proves no mid-window compact silently turned
+    * pending tombstones into physical absences — the one transition the
+    * sidecar itself cannot witness (the apply CLEARS it). 0 before any
+    * apply ever ran.
+    */
+  def generation(path: String): Long =
+    Versioned.metaBackend.readString(genFile(path))
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
 
   /** Append `ids` (a one-column frame of doc ids) to the sidecar. */
   def add(spark: SparkSession, path: String, ids: DataFrame): Unit =
@@ -55,7 +69,16 @@ object Tombstones {
       case None => df
     }
 
-  /** Drop the sidecar (after a compaction physically applied it). */
-  def clear(spark: SparkSession, path: String): Unit =
+  /** Drop the sidecar (after a compaction physically applied it) and bump
+    * the [[generation]]. Gen-first: a crash between the bump and the drop
+    * leaves a bumped gen with pending tombstones — observers then
+    * conservatively treat the window as compacted (a fallback
+    * reconciliation, never a resurrection); the reverse order could bless
+    * a sidecar that no longer witnesses the rows the apply removed.
+    */
+  def clear(spark: SparkSession, path: String): Unit = {
+    Versioned.metaBackend.writeAtomic(genFile(path),
+      (generation(path) + 1).toString)
     Fs.deleteRecursively(spark, dir(path))
+  }
 }

@@ -630,9 +630,19 @@ object VectorIndexStore {
     * is NOT invalidated: deletes thin cells the same way appends fill
     * them — bounded staleness under the same measured policy
     * (SCALE.md round-15 §2), with the retrain drift gate as the backstop.
+    *
+    * Deletes JOURNAL as well as tombstone ([[AppendLog.recordDelete]],
+    * journal-first — its crash-ordering note): the sidecar alone cannot
+    * witness a removal across a mid-window compact (the physical apply
+    * clears it), and the catch-up reshard needs exactly that witness to
+    * keep its delta replay delete-safe. Cost ∝ deleted ids, like the
+    * sidecar write itself.
     */
   def deleteIvf(spark: SparkSession, path: String, ids: org.apache.spark.sql.DataFrame): Unit =
-    Versioned.withWriterLease(path) { Tombstones.add(spark, path, ids) }
+    Versioned.withWriterLease(path) {
+      AppendLog.recordDelete(spark, path, ids)
+      Tombstones.add(spark, path, ids)
+    }
 
   /** [[deleteIvf]] for the IVF-PQ artifact: the tombstones anti-join the
     * ENCODED table before the ADC scan

@@ -130,8 +130,8 @@ object StreamingOps {
     * conflict that outlives the retries still fails loudly, and
     * at-least-once redelivery converges the store on restart.
     */
-  private def retryOnContention[T](attempts: Int = 3, backoffMs: Long = 500)
-                                  (op: => T): T = {
+  private[streaming] def retryOnContention[T](attempts: Int = 3, backoffMs: Long = 500)
+                                             (op: => T): T = {
     var left = attempts
     while (true) {
       try return op
@@ -630,88 +630,17 @@ object StreamingOps {
                            shardedHome: String, shards: Int,
                            checkpoint: String,
                            maxShardRows: Long = Long.MaxValue): Unit = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .schema(schema)
-      .load(srcDir)
-    val rows = stream.select(
+    val rows = ArrivalSinks.binarySource(spark, srcDir, glob).select(
       regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
       decode(col("content"), "UTF-8").as("text"))
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = rows.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sp = batch.sparkSession
-          import sp.implicits._
-          val vecs = batch.toDF().select(col("doc_id"), col("text"))
-            .as[(Long, String)]
-            .mapPartitions { it =>
-              val emb = new graft.operators.HashingEmbedder()
-              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
-            }
-            .toDF("vec_id", "label", "embedding")
-          graft.operators.ShardedHome.serving(shardedHome) match {
-            case None =>
-              val gen = graft.operators.ShardedHome.InitialGen
-              retryOnContention() {
-                graft.operators.ShardedIvf.build(sp, vecs,
-                  s"$shardedHome/$gen", shards)
-              }
-              graft.operators.ShardedHome.publishServing(shardedHome, gen, shards)
-            case Some((dir0, s0)) =>
-              // resolve-then-append can race a CROSS-PROCESS reshard's
-              // pointer flip (the flip holds the old generation's lease,
-              // so the append either finishes first or fails on the GC'd
-              // generation) — re-resolve once and retry on the new pair
-              def appendResolved(dir: String, sN: Int): Unit =
-                retryOnContention() {
-                  graft.operators.ShardedIvf.append(sp, dir, sN, vecs)
-                }
-              try appendResolved(dir0, s0)
-              catch {
-                case e: Exception
-                    if graft.operators.ShardedHome.serving(shardedHome)
-                      .exists(_._1 != dir0) =>
-                  val (dir1, s1) =
-                    graft.operators.ShardedHome.serving(shardedHome).get
-                  System.err.println(s"[graft] serving generation moved " +
-                    s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
-                  appendResolved(dir1, s1)
-              }
-              val (dir, sN) = graft.operators.ShardedHome.serving(shardedHome).get
-              retryOnContention() {
-                graft.operators.ShardedIvf.retrainIfNeeded(sp, dir, sN,
-                  continueOnGateFailure = true)
-                ()
-              }
-              // growth loop: judged every batch (S footer counts — cheap),
-              // catch-up reshard + pointer flip when over the line
-              if (maxShardRows != Long.MaxValue)
-                graft.operators.ShardedHome.reshardIfNeeded(sp, shardedHome,
-                  maxShardRows)
-          }
-          ()
-        }
-        .start()
-      q.processAllAvailable()
-    } finally {
-      try { if (q != null) q.stop() } finally {
-        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-    }
+    ArrivalSinks.runArrival(spark, checkpoint, rows, { batch =>
+      val sp = batch.sparkSession
+      val vecs = ArrivalSinks.embed(sp, batch)
+      ArrivalSinks.processBatch(sp, shardedHome, shards,
+        ArrivalSinks.ivfVerbs(), vecs,
+        dels = vecs.select("vec_id").limit(0),
+        maxShardRows, readdCompacts = false)
+    })
   }
 
   /** CDC form of [[arrivalShardedIngest]] — the arrival stream carries
@@ -741,93 +670,28 @@ object StreamingOps {
     */
   def arrivalCdcShardedIngest(spark: SparkSession, srcDir: String, glob: String,
                               shardedHome: String, shards: Int,
-                              checkpoint: String): Unit = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .schema(schema)
-      .load(srcDir)
-    val rows = stream.select(
+                              checkpoint: String,
+                              maxShardRows: Long = Long.MaxValue): Unit = {
+    val rows = ArrivalSinks.binarySource(spark, srcDir, glob).select(
       regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 1).as("op"),
       regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 2)
         .cast("long").as("doc_id"),
       decode(col("content"), "UTF-8").as("text"))
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = rows.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sp = batch.sparkSession
-          import sp.implicits._
-          val ups = batch.toDF().filter(col("op") === "doc")
-            .select(col("doc_id"), col("text"))
-            .as[(Long, String)]
-            .mapPartitions { it =>
-              val emb = new graft.operators.HashingEmbedder()
-              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
-            }
-            .toDF("vec_id", "label", "embedding")
-          val dels = batch.toDF().filter(col("op") === "del")
-            .select(col("doc_id").as("vec_id"))
-          def applyDeletes(dir: String, sN: Int): Unit =
-            if (!dels.isEmpty) retryOnContention() {
-              graft.operators.ShardedIvf.delete(sp, dir, sN, dels)
-            }
-          graft.operators.ShardedHome.serving(shardedHome) match {
-            case None =>
-              if (!ups.isEmpty) {
-                val gen = graft.operators.ShardedHome.InitialGen
-                retryOnContention() {
-                  graft.operators.ShardedIvf.build(sp, ups,
-                    s"$shardedHome/$gen", shards)
-                }
-                graft.operators.ShardedHome.publishServing(shardedHome, gen, shards)
-                applyDeletes(s"$shardedHome/$gen", shards)
-              }
-            case Some((dir0, s0)) =>
-              def appendResolved(dir: String, sN: Int): Unit =
-                retryOnContention() {
-                  graft.operators.ShardedIvf.append(sp, dir, sN, ups)
-                }
-              try appendResolved(dir0, s0)
-              catch {
-                case e: Exception
-                    if graft.operators.ShardedHome.serving(shardedHome)
-                      .exists(_._1 != dir0) =>
-                  val (dir1, s1) =
-                    graft.operators.ShardedHome.serving(shardedHome).get
-                  System.err.println(s"[graft] serving generation moved " +
-                    s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
-                  appendResolved(dir1, s1)
-              }
-              val (dir, sN) = graft.operators.ShardedHome.serving(shardedHome).get
-              applyDeletes(dir, sN)
-              retryOnContention() {
-                graft.operators.ShardedIvf.retrainIfNeeded(sp, dir, sN,
-                  continueOnGateFailure = true)
-                ()
-              }
-          }
-          ()
-        }
-        .start()
-      q.processAllAvailable()
-    } finally {
-      try { if (q != null) q.stop() } finally {
-        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-    }
+    ArrivalSinks.runArrival(spark, checkpoint, rows, { batch =>
+      val sp = batch.sparkSession
+      val ups = ArrivalSinks.embed(sp,
+        batch.filter(col("op") === "doc").select("doc_id", "text"))
+      val dels = batch.filter(col("op") === "del")
+        .select(col("doc_id").as("vec_id"))
+      // readdCompacts = false: filename markers are UNORDERED within a
+      // replayed batch, so a tombstone the batch also re-adds cannot be
+      // distinguished from a takedown that must win — the marker feed
+      // keeps the documented re-add-requires-external-compact contract
+      // (the seq-ordered [[cdcLogShardedIngest]] lifts it)
+      ArrivalSinks.processBatch(sp, shardedHome, shards,
+        ArrivalSinks.ivfVerbs(), ups, dels,
+        maxShardRows, readdCompacts = false)
+    })
   }
 
   /** Takedown marker files for [[arrivalCdcShardedIngest]]: one
@@ -843,6 +707,46 @@ object StreamingOps {
     }
   }
 
+  /** The SEQ-ORDERED CDC sink — [[arrivalCdcShardedIngest]] with the
+    * marker-ordering boundary LIFTED: the feed is a
+    * [[graft.sources.CdcLog]] (an append-only `(seq, op, doc_id, text)`
+    * parquet log — the shape a database WAL, a Kafka partition, or a
+    * table-format commit stream actually delivers), so order survives
+    * any batching. Per micro-batch the rows COLLAPSE to the per-id NET
+    * op (max-seq wins — [[graft.sources.CdcLog.collapse]]); a
+    * fresh-checkpoint full replay collapses the ENTIRE history into one
+    * batch and lands on the same net state the incremental run reached
+    * step by step, for every add/del interleaving — including
+    * delete/re-add pairs that straddle external compacts, the round-16
+    * documented boundary.
+    *
+    * Re-adds are FIRST-CLASS here (`readdCompacts = true`): a net-add of
+    * an id the owning shard still tombstones triggers that ONE shard's
+    * compact (the physical apply clears the sidecar — the
+    * re-add-requires-compact contract, performed by the sink), then the
+    * normal append lands the new payload. Safe precisely because the
+    * feed is ordered: the add provably supersedes the delete. Cost: a
+    * cell-partitioned rewrite of each such shard, paid only when a
+    * takedown is actually reversed.
+    */
+  def cdcLogShardedIngest(spark: SparkSession, logDir: String,
+                          shardedHome: String, shards: Int,
+                          checkpoint: String,
+                          maxShardRows: Long = Long.MaxValue): Unit = {
+    val rows = graft.sources.CdcLog.readStream(spark, logDir)
+    ArrivalSinks.runArrival(spark, checkpoint, rows, { batch =>
+      val sp = batch.sparkSession
+      val net = graft.sources.CdcLog.collapse(batch)
+      val ups = ArrivalSinks.embed(sp,
+        net.filter(col("op") === "add").select("doc_id", "text"))
+      val dels = net.filter(col("op") === "del")
+        .select(col("doc_id").as("vec_id"))
+      ArrivalSinks.processBatch(sp, shardedHome, shards,
+        ArrivalSinks.ivfVerbs(), ups, dels,
+        maxShardRows, readdCompacts = true)
+    })
+  }
+
   /** STREAMED maintenance of the ENCODED sharded composition
     * ([[graft.operators.ShardedPq]] — the geometry that actually serves
     * at 100 TB: disjoint hash shards past the broadcast ceiling, one
@@ -854,85 +758,59 @@ object StreamingOps {
     * through the per-shard `appendPq` (existing-codebook encode, vec_id
     * anti-join idempotence — checkpoint redelivery is a no-op — and the
     * per-append quantization watermark, so drift is WATCHED on every
-    * batch). The sink follows the pointer each batch, so an external
-    * reshard-by-re-encode (the PQ reshard needs the cold full-precision
-    * store the artifact deliberately does not carry — re-encoding codes
-    * would bake quantization error in) flips the pointer and the sink
-    * appends to the new generation; retrain is likewise EXTERNAL
-    * maintenance (`ShardedPq.retrainIfNeeded` against the full-precision
-    * corpus) — the sink's qerr series is the signal that schedules it.
-    * Crash recovery is pointer-first, exactly as the IVF sink.
+    * batch). The arrival feed is CDC-shaped like the IVF sink's
+    * (`doc_<id>.txt` upserts, `del_<id>.txt` takedown markers): deletes
+    * tombstone the owning ENCODED shards after the batch's appends
+    * ([[graft.operators.ShardedPq.delete]] — deleted codes never occupy
+    * shortlist slots; takedown wins in-batch, fresh-checkpoint replay
+    * converges, same marker-ordering boundary as the IVF CDC sink).
+    *
+    * `fpStore` names the COLD full-precision store
+    * ([[graft.sources.FpStore]]) the sink maintains alongside the codes
+    * — the store every exact re-rank reads anyway, and the ONLY possible
+    * source for the growth loop: PQ shards hold one-byte codes, so a
+    * reshard must RE-ENCODE from full precision (decoding codes would
+    * bake quantization error into the new artifact). With `maxShardRows`
+    * finite, the sink judges mean LIVE rows per shard each batch and
+    * over the line rebuilds at S′ from the fp store scoped to the
+    * serving membership ([[graft.operators.ShardedHome.reshardPqIfNeeded]]
+    * — deleted ids fall out of the rebuild by membership, the new
+    * generation is born clean), then flips the pointer. The rebuild
+    * blocks only this sink's own batch loop (foreachBatch is serial);
+    * external probes keep serving the old generation until the flip.
+    * Retrain stays EXTERNAL maintenance (`ShardedPq.retrainIfNeeded`
+    * against the fp store) — the sink's qerr series is the signal that
+    * schedules it. Crash recovery is pointer-first, exactly as the IVF
+    * sink.
     */
   def arrivalShardedPqIngest(spark: SparkSession, srcDir: String, glob: String,
                              shardedHome: String, shards: Int,
-                             checkpoint: String): Unit = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .schema(schema)
-      .load(srcDir)
-    val rows = stream.select(
-      regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+                             checkpoint: String,
+                             fpStore: Option[String] = None,
+                             maxShardRows: Long = Long.MaxValue): Unit = {
+    require(maxShardRows == Long.MaxValue || fpStore.isDefined,
+      "the encoded growth loop re-encodes from the cold full-precision " +
+        "store (PQ shards hold codes, not vectors) — pass fpStore with " +
+        "maxShardRows")
+    val rows = ArrivalSinks.binarySource(spark, srcDir, glob).select(
+      regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 1).as("op"),
+      regexp_extract(col("path"), "(doc|del)_(\\d+)\\.txt$", 2)
+        .cast("long").as("doc_id"),
       decode(col("content"), "UTF-8").as("text"))
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = rows.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sp = batch.sparkSession
-          import sp.implicits._
-          val vecs = batch.toDF().select(col("doc_id"), col("text"))
-            .as[(Long, String)]
-            .mapPartitions { it =>
-              val emb = new graft.operators.HashingEmbedder()
-              it.map { case (id, tx) => (id, 0, emb.embed(tx).toSeq) }
-            }
-            .toDF("vec_id", "label", "embedding")
-          graft.operators.ShardedHome.serving(shardedHome) match {
-            case None =>
-              val gen = graft.operators.ShardedHome.InitialGen
-              retryOnContention() {
-                graft.operators.ShardedPq.build(sp, vecs,
-                  s"$shardedHome/$gen", shards)
-              }
-              graft.operators.ShardedHome.publishServing(shardedHome, gen, shards)
-            case Some((dir0, s0)) =>
-              def appendResolved(dir: String, sN: Int): Unit =
-                retryOnContention() {
-                  graft.operators.ShardedPq.append(sp, dir, sN, vecs)
-                }
-              try appendResolved(dir0, s0)
-              catch {
-                case e: Exception
-                    if graft.operators.ShardedHome.serving(shardedHome)
-                      .exists(_._1 != dir0) =>
-                  val (dir1, s1) =
-                    graft.operators.ShardedHome.serving(shardedHome).get
-                  System.err.println(s"[graft] serving generation moved " +
-                    s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
-                  appendResolved(dir1, s1)
-              }
-          }
-          ()
-        }
-        .start()
-      q.processAllAvailable()
-    } finally {
-      try { if (q != null) q.stop() } finally {
-        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    ArrivalSinks.runArrival(spark, checkpoint, rows, { batch =>
+      val sp = batch.sparkSession
+      val ups = ArrivalSinks.embed(sp,
+        batch.filter(col("op") === "doc").select("doc_id", "text"))
+      val dels = batch.filter(col("op") === "del")
+        .select(col("doc_id").as("vec_id"))
+      val verbs = fpStore match {
+        case Some(fp) => ArrivalSinks.pqVerbs(fp)
+        case None => ArrivalSinks.pqVerbs("")
+          .copy(persist = (_, _) => ())
       }
-    }
+      ArrivalSinks.processBatch(sp, shardedHome, shards, verbs, ups, dels,
+        maxShardRows, readdCompacts = false)
+    })
   }
 
   /** Cosine threshold for the STREAMED semantic-pair store: the hashing

@@ -365,4 +365,148 @@ class StreamingOpsSpec extends SparkTestBase {
     StreamingOps.arrivalCdcShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt2")
     assert(membership == expected, "CDC replay must converge")
   }
+
+  test("CDC-log sink: the ordered feed re-adds across AND without compacts; fresh-home replay converges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdclog").toString
+    val log = s"$dir/log"
+    val home = s"$dir/home"
+    val home2 = s"$dir/home2"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val texts = docs.filter(col("doc_id") < 120)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val ids = texts.keySet
+    val takedowns = ids.filter(i => i < 100 && i % 9 == 2)
+    assert(takedowns.size >= 2, "fixture premise")
+    val preReadd = takedowns.min   // re-added with NO compact anywhere
+    val postReadd = takedowns.max  // re-added after an external compact
+    def adds(is: Iterable[Long]) = is.toSeq.sorted.map(i => ("add", i, texts(i)))
+    def dels(is: Iterable[Long]) = is.toSeq.sorted.map(i => ("del", i, null: String))
+    graft.sources.CdcLog.append(spark, log, adds(ids.filter(_ < 100)))
+    StreamingOps.cdcLogShardedIngest(spark, log, home, 3, s"$dir/ckpt")
+    // same segment: adds 100..120, THEN the takedowns — incl. 119 whose
+    // del seq is after its add seq (ordered delete-wins)
+    graft.sources.CdcLog.append(spark, log,
+      adds(ids.filter(_ >= 100)) ++ dels(takedowns + 119L))
+    StreamingOps.cdcLogShardedIngest(spark, log, home, 3, s"$dir/ckpt")
+    val (d1, s1) = graft.operators.ShardedHome.serving(home).get
+    def membership(d: String, sh: Int): Set[Long] = (0 until sh).map(r =>
+      graft.operators.IvfIndex.loadVectors(spark, s"$d/shard=$r")
+        .select("vec_id")).reduce(_ unionAll _).as[Long].collect().toSet
+    val expected1 = ids -- takedowns - 119L
+    assert(membership(d1, s1) == expected1 && !membership(d1, s1).contains(119L))
+    // PRE-compact re-add: the marker sink's absorbed case — here the sink
+    // compacts the owning shard (ordered feed proves the add supersedes)
+    graft.sources.CdcLog.append(spark, log, adds(Seq(preReadd)))
+    StreamingOps.cdcLogShardedIngest(spark, log, home, 3, s"$dir/ckpt")
+    assert(membership(d1, s1) == expected1 + preReadd,
+      "an ordered re-add must land without any external compact")
+    // external compact, then the POST-compact re-add (s19's chain)
+    graft.operators.ShardedIvf.compactShards(spark, d1, s1)
+    graft.sources.CdcLog.append(spark, log, adds(Seq(postReadd)))
+    StreamingOps.cdcLogShardedIngest(spark, log, home, 3, s"$dir/ckpt")
+    val expectedF = expected1 + preReadd + postReadd
+    assert(membership(d1, s1) == expectedF)
+    // fresh checkpoint into a FRESH home: the whole history as ONE
+    // collapsed batch, across both compacts — the boundary the marker
+    // feed documents, closed by seq order
+    StreamingOps.cdcLogShardedIngest(spark, log, home2, 3, s"$dir/ckpt3")
+    val (d2, s2) = graft.operators.ShardedHome.serving(home2).get
+    assert(membership(d2, s2) == expectedF,
+      "a replay-from-zero must land on the incremental final state")
+    // and into the SAME home: byte-equal membership
+    StreamingOps.cdcLogShardedIngest(spark, log, home, 3, s"$dir/ckpt2")
+    assert(membership(d1, s1) == expectedF, "same-home replay must be a no-op")
+  }
+
+  test("encoded CDC sink: deletes hide codes; growth re-encodes from the fp store scoped to membership") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pqcdc").toString
+    val src = s"$dir/src"
+    val home = s"$dir/home"
+    val fp = s"$dir/fp"
+    StreamingOps.writeDocFiles(spark, sf, src, 0, 100)
+    StreamingOps.arrivalShardedPqIngest(spark, src, "*.txt", home, 3,
+      s"$dir/ckpt", fpStore = Some(fp))
+    StreamingOps.writeDocFiles(spark, sf, src, 100, 120)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val ids = docs.filter(col("doc_id") < 120).select("doc_id")
+      .as[Long].collect().toSet
+    val takedowns = ids.filter(i => i < 100 && i % 9 == 2)
+    StreamingOps.writeDelFiles(src, (takedowns + 119L).toSeq.sorted)
+    StreamingOps.arrivalShardedPqIngest(spark, src, "*.txt", home, 3,
+      s"$dir/ckpt", fpStore = Some(fp))
+    val (d1, s1) = graft.operators.ShardedHome.serving(home).get
+    def membership(d: String, sh: Int): Set[Long] = (0 until sh).map(r =>
+      graft.operators.PqIndex.loadEncoded(spark, s"$d/shard=$r")
+        .select("vec_id")).reduce(_ unionAll _).as[Long].collect().toSet
+    val expected = ids -- takedowns - 119L
+    assert(membership(d1, s1) == expected,
+      "deleted codes must be hidden from the encoded logical view")
+    // the fp store is PHYSICAL (deletion truth lives in the index): every
+    // upserted id present, the rebuild corpus is the membership semi-join
+    assert(graft.sources.FpStore.read(spark, fp).count() == ids.size)
+    assert(graft.sources.FpStore.readMember(spark, fp,
+      spark.createDataset(expected.toSeq).toDF("vec_id"))
+      .count() == expected.size)
+    // growth: a third tranche under a finite budget rebuilds at S' from
+    // fp ⋉ membership — pointer flips, takedowns stay absent, no
+    // sidecars in the new generation
+    StreamingOps.writeDocFiles(spark, sf, src, 120, 140)
+    val ids3 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 140)
+      .select("doc_id").as[Long].collect().toSet
+    val expected2 = expected ++ ids3
+    val budget = math.max(1L, expected2.size / 4L)
+    StreamingOps.arrivalShardedPqIngest(spark, src, "*.txt", home, 3,
+      s"$dir/ckpt", fpStore = Some(fp), maxShardRows = budget)
+    val (d2, s2) = graft.operators.ShardedHome.serving(home).get
+    assert(d2 == s"$home/gen-2" &&
+      s2 == ((expected2.size + budget - 1) / budget).toInt,
+      s"growth must flip to gen-2 at the policy S' (got $d2, $s2)")
+    assert(membership(d2, s2) == expected2,
+      "the rebuilt generation must serve exactly the live membership")
+    assert((0 until s2).forall(r => graft.sources.Tombstones
+      .read(spark, s"$d2/shard=$r").isEmpty),
+      "the rebuilt generation is born clean — no tombstone forwarding")
+    assert(!new java.io.File(d1).exists(), "old generation must be GC'd")
+  }
+
+  test("CdcLog: collapse keeps the max-seq op per id; FpStore vacuum bounds lingering rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdclog_unit").toString
+    val log = s"$dir/log"
+    graft.sources.CdcLog.append(spark, log,
+      Seq(("add", 1L, "a"), ("add", 2L, "b"), ("del", 1L, null)))
+    graft.sources.CdcLog.append(spark, log, Seq(("add", 1L, "a2")))
+    assert(graft.sources.CdcLog.nextSeq(spark, log) == 4L,
+      "seqs must be contiguous across append calls")
+    val net = graft.sources.CdcLog.collapse(
+      spark.read.schema(graft.sources.CdcLog.schema).parquet(log))
+      .select("doc_id", "op", "text").as[(Long, String, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(net == Map(1L -> (("add", "a2")), 2L -> (("add", "b"))),
+      s"collapse must keep the latest op+payload per id: $net")
+    // FpStore: first-arrival upsert, membership read, vacuum
+    val fp = s"$dir/fp"
+    val v1 = Seq((1L, 0, Seq(1.0f)), (2L, 0, Seq(2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    graft.sources.FpStore.upsert(spark, fp, v1)
+    graft.sources.FpStore.upsert(spark, fp,
+      Seq((2L, 0, Seq(9.9f)), (3L, 0, Seq(3.0f)))
+        .toDF("vec_id", "label", "embedding"))
+    assert(graft.sources.FpStore.read(spark, fp).count() == 3)
+    assert(graft.sources.FpStore.read(spark, fp)
+      .filter(col("vec_id") === 2L).select("embedding")
+      .as[Seq[Float]].head() == Seq(2.0f), "first arrival wins")
+    val member = Seq(1L, 3L).toDF("vec_id")
+    assert(graft.sources.FpStore.readMember(spark, fp, member)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    graft.sources.FpStore.vacuum(spark, fp, member)
+    assert(graft.sources.FpStore.read(spark, fp)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L),
+      "vacuum must drop rows outside the membership")
+  }
 }
