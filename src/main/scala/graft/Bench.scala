@@ -41,6 +41,7 @@ object Bench {
       "s15_streamed_embedding_index", "s16_streamed_semantic_pairs",
       "s17_streamed_sharded_index", "s18_streamed_sharded_pq",
       "s19_streamed_deletes", "s20_cdc_log_replay", "s21_streamed_pq_cdc",
+      "s22_cdc_log_pq",
       "v19_pq_drift_retrain", "v20_sharded_reshard", "v21_sharded_pq",
       "v23_filtered_pq", "v24_filtered_sharded_pq", "v25_deleted_knn",
       "v26_deleted_sharded")

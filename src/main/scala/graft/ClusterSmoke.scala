@@ -98,14 +98,16 @@ object ClusterSmoke {
     // counters at the multiple level (x03's transition measured 112x) —
     // everything else stays byte-exact, as do ALL rows_in and results.
     val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard",
-      "store:reshard_catchup", "store:delete_probe")
+      "store:reshard_catchup", "store:delete_probe",
+      "store:catchup_compact_safe")
     // The catch-up lifecycle (and the delete probe chained onto ITS
     // artifact) also sees the warm-vs-cold lazy-artifact class on the
     // INPUT side: whether a stage is recomputed or shuffle-reused across
     // the build→append→replay→probe chain differs per attempt, moving
     // rows_in by ~0.3% (measured 34,206 vs 34,110 on one run, byte-equal
     // on another — same code both times). Results stay byte-exact.
-    val rowsInBand = Set("store:reshard_catchup", "store:delete_probe")
+    val rowsInBand = Set("store:reshard_catchup", "store:delete_probe",
+      "store:catchup_compact_safe")
     for ((name, l) <- localRuns) {
       val c = clusterRuns(name)
       val resultOk = l.digest == c.digest && l.rows == c.rows
@@ -292,8 +294,8 @@ object ClusterSmoke {
       //     runs OUTSIDE the timed window: the first mode pays the shared
       //     build there, both modes' counters cover probing only).
       val (shProbeRun, calRun, probeRun, reshardRun, catchupRun, deleteRun,
-           shPqProbeRun, filteredProbeRun, filteredCalRun, pqFilteredProbeRun,
-           pqFilteredCalRun) = withRootConf(sharedIndexRoot) {
+           catchupSafeRun, shPqProbeRun, filteredProbeRun, filteredCalRun,
+           pqFilteredProbeRun, pqFilteredCalRun) = withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -363,6 +365,34 @@ object ClusterSmoke {
           graft.operators.AnnEval.shardedTopK(spark, cuRoot, 4, panel, k = 10)
         })
         println(f"CLUSTERSMOKE# $mode store:delete_probe ${dp.secs}%.2fs rows=${dp.rows}")
+        //   store:catchup_compact_safe — the round-17 flagship fix across
+        //     the JVM boundary: a catch-up reshard of THIS MODE's
+        //     tombstoned 4-shard artifact with a takedown AND the
+        //     tombstone-fraction compact landing INSIDE the window (the
+        //     documented maintenance schedule that silently resurrected
+        //     deletes before the generation marker + reverse delta).
+        //     Digest = the new generation's probe + a resurrected-id
+        //     count that must read 0 in both modes; per-mode artifact,
+        //     so it shares the reshard 5% bands.
+        val ccRoot = s"$artifactRoot/index_catchup_safe/ix2"
+        graft.sources.PosixMetaBackend.deleteRecursively(s"$artifactRoot/index_catchup_safe")
+        val cs = timedRun("store:catchup_compact_safe", {
+          import org.apache.spark.sql.functions.{col, lit}
+          graft.operators.ShardedIvf.reshardCatchUpBuild(spark, cuRoot, 4, ccRoot, 2)
+          val emb2 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+          val winDel = emb2.filter(col("vec_id") % 6 === 2).select("vec_id")
+          graft.operators.ShardedIvf.delete(spark, cuRoot, 4, winDel)
+          graft.operators.ShardedIvf.compactShardsIfDeleted(spark, cuRoot, 4,
+            maxDeletedFraction = 0.001)
+          graft.operators.ShardedIvf.reshardCatchUpReplay(spark, cuRoot, 4, ccRoot, 2)
+          val resurrected = (0 until 2).map(r =>
+            graft.operators.IvfIndex.loadVectors(spark, s"$ccRoot/shard=$r")
+              .select("vec_id")).reduce(_ unionAll _)
+            .filter(col("vec_id") % 6 === 2 && col("vec_id") < 900000L).count()
+          graft.operators.AnnEval.shardedTopK(spark, ccRoot, 2, panel, k = 10)
+            .withColumn("resurrected", lit(resurrected))
+        })
+        println(f"CLUSTERSMOKE# $mode store:catchup_compact_safe ${cs.secs}%.2fs rows=${cs.rows}")
         //   store:sharded_pq_probe — the composed probe plan across the
         //     JVM boundary: per-shard ADC frames (broadcast table maps in
         //     executor JVMs), per-(qid, shard) rank window over their
@@ -417,7 +447,7 @@ object ClusterSmoke {
           cal.toSeq.toDF("shortlist", "measured")
         })
         println(f"CLUSTERSMOKE# $mode store:pq_filtered_cal ${pqc.secs}%.2fs rows=${pqc.rows}")
-        (p, c, i, rr, cu, dp, pq, fp, fc, pqf, pqc)
+        (p, c, i, rr, cu, dp, cs, pq, fp, fc, pqf, pqc)
       }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
@@ -428,6 +458,7 @@ object ClusterSmoke {
         "store:reshard" -> reshardRun,
         "store:reshard_catchup" -> catchupRun,
         "store:delete_probe" -> deleteRun,
+        "store:catchup_compact_safe" -> catchupSafeRun,
         "store:sharded_pq_build" -> shPqBuildRun,
         "store:sharded_pq_probe" -> shPqProbeRun,
         "store:filtered_probe" -> filteredProbeRun,

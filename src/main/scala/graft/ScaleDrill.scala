@@ -954,6 +954,25 @@ object ScaleDrill {
         sys.exit(1)
       }
     }
+    // The 100× catch-up gate (round-17): the blocked replay's rows_in
+    // must stay id-bookkeeping-shaped — the journal path reads the DELTA
+    // plus per-shard ID-column idempotence scans (measured ~1.9 rows_in
+    // per corpus row), while the pre-journal anti-join re-read the corpus
+    // FULL-WIDTH (measured 8.25 per corpus row at 100×,
+    // SCALE_DRILL_r16_100x_prejournal.jsonl). A 1→100 RATIO cannot
+    // separate the two (the drill's delta is corpus-proportional, so both
+    // paths scale ~linearly); the per-corpus-row ABSOLUTE does. The
+    // catchup BUILD row's rows_in IS the corpus (the snapshot read), so
+    // the artifact carries its own denominator.
+    for (hi <- scales.filter(_ >= 100);
+         c <- DrillCheck.catchupAbsolute(rows.toSeq, hi)) {
+      println(f"""DRILLCHECK100 {"name":"${c.name}","scale":$hi,"ratio":${c.ratio}%.2f,"budget":${c.budget},"ok":${c.ok}}""")
+      if (!c.ok && !sys.env.contains("SPARK_GRAFT_DRILL_NOCHECK")) {
+        System.err.println(f"[drillcheck] catch-up replay rows_in at x$hi is ${c.ratio}%.2f per corpus row (budget ${c.budget}) — the blocked window is re-reading the corpus, the journal path is not being taken")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }
@@ -1094,6 +1113,34 @@ object DrillCheck {
       // below ExactSemanticCap (100k vectors); the cap bounds it, x14
       // measures the IVF path that serves above the cap
     case _ => None                               // report-only
+  }
+
+  /** The 100×+ catch-up ABSOLUTE gate (round-17): the blocked replay's
+    * rows_in per CORPUS row — the catchup build's rows_in IS the corpus
+    * (its snapshot read), so the artifact carries its own denominator.
+    * A 1→N ratio cannot separate the journal path from a corpus re-read
+    * (the drill's delta is corpus-proportional, both scale ~linearly);
+    * the absolute can: the journal path measures 1.85–1.86 across three
+    * decades (delta + ID-column idempotence bookkeeping,
+    * SCALE_DRILL_r17_catchup100.jsonl) vs 8.2–8.25 for the pre-journal
+    * full-width anti-join (SCALE_DRILL_r16_100x_prejournal.jsonl) —
+    * budget 4.0 sits between the regimes with ~2× margin both ways.
+    */
+  val CatchupRowsPerCorpusRow = 4.0
+
+  /** Evaluate the catch-up absolute gate at `scale`, when both catchup
+    * rows are present there.
+    */
+  def catchupAbsolute(rows: Seq[(Int, String, String, Double, Long, Long)],
+                      scale: Int): Option[Check] = {
+    def rowsInOf(n: String) =
+      rows.find(r => r._1 == scale && r._2 == n).map(_._5)
+    for (corpus <- rowsInOf("reshard:ivf_catchup_build");
+         replay <- rowsInOf("reshard:ivf_catchup_replay")) yield {
+      val ratio = replay.toDouble / corpus
+      Check("reshard:ivf_catchup_replay#rows_in_per_corpus_row", "replay",
+        ratio, CatchupRowsPerCorpusRow, ratio <= CatchupRowsPerCorpusRow)
+    }
   }
 
   /** Evaluate every budgeted (name, phase) present at BOTH scale 1 and

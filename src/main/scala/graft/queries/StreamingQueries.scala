@@ -696,7 +696,8 @@ object StreamingQueries extends QuerySet {
     // filename-marker replay cannot reconstruct — the drill therefore
     // checks redelivery convergence BEFORE the compact; a deployment
     // replaying history across compacts needs an ordered CDC log (the
-    // table-format integration point), not arrival markers.
+    // table-format integration point), not arrival markers — which is
+    // exactly what s20_cdc_log_replay / s22_cdc_log_pq now drill.
     Q("s19_streamed_deletes",
       (s, d) => {
         val (nDocs, deletedHidden, deleteWins, redeliveryNoop,
@@ -801,7 +802,46 @@ object StreamingQueries extends QuerySet {
         |  - (SELECT count(*) FROM documents WHERE doc_id < 250 AND doc_id % 10 = 3)
         |  - 1 AS n_docs,
         |1 AS deleted_hidden, 1 AS delete_wins, 1 AS redelivery_noop,
-        |1 AS grown_clean""".stripMargin))
+        |1 AS grown_clean""".stripMargin)),
+
+    // The ordered CDC log on the ENCODED composition — s20's sink on the
+    // geometry that serves at 100 TB (its takedown feed IS the same
+    // feed): per-batch net-op collapse, re-adds first-class (a net-add
+    // of a still-tombstoned id compacts the owning ENCODED shard — the
+    // physical apply drops its codes — then appendPq re-encodes the new
+    // payload under the existing codebooks), the cold fp store
+    // maintained alongside. One honest payload boundary, stated: the fp
+    // store is first-arrival, so a re-add that CHANGES a document's
+    // text serves the new code immediately but a later growth rebuild
+    // re-encodes the fp store's original payload (the fixture corpora
+    // derive embeddings deterministically from doc text, so drill
+    // payloads cannot diverge; a payload-replacing deployment vacuums
+    // fp first). Flags mirror s20's chains on the encoded artifact:
+    //   deleted_hidden          — post-takedown encoded membership exact;
+    //   delete_wins             — add seq < del seq ends deleted;
+    //   precompact_readd_lands  — delete → re-add with NO compact
+    //                             anywhere: the sink compacts the owning
+    //                             encoded shard and the id's codes serve
+    //                             again;
+    //   replay_converges        — fresh-checkpoint replay into a FRESH
+    //                             home (whole history, one batch) lands
+    //                             on the incremental final membership.
+    Q("s22_cdc_log_pq",
+      (s, d) => {
+        val (nDocs, deletedHidden, deleteWins, preReadd, replayConverges) =
+          s22Drill(s, d)
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(deletedHidden).cast("int").as("deleted_hidden"),
+          lit(deleteWins).cast("int").as("delete_wins"),
+          lit(preReadd).cast("int").as("precompact_readd_lands"),
+          lit(replayConverges).cast("int").as("replay_converges"))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 402)
+        |  - (SELECT count(*) FROM documents WHERE doc_id < 250 AND doc_id % 10 = 3)
+        |  - 1 + 1 AS n_docs,
+        |1 AS deleted_hidden, 1 AS delete_wins, 1 AS precompact_readd_lands,
+        |1 AS replay_converges""".stripMargin))
   )
 
   /** s15/s16 shared lifecycle (one DrillOnce key — whichever probe runs
@@ -1236,6 +1276,81 @@ object StreamingQueries extends QuerySet {
           !new java.io.File(dir1).exists()
         (expected2.size.toLong, deletedHidden, deleteWins, redeliveryNoop,
           grownClean)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmpRoot)).deleteRecursively()
+        new Directory(new java.io.File(ckptRoot)).deleteRecursively()
+      }
+    }
+  }
+
+  /** s22 lifecycle + grading (ordered CDC log on the ENCODED
+    * composition), memoized per process: s20's segment chain minus the
+    * external-compact leg (the encoded re-add path is sink-performed
+    * either way, and s21 already drills the encoded growth loop) —
+    * build; appends + takedowns (one same-segment add-then-del); a
+    * pre-compact re-add (the sink compacts the owning ENCODED shard);
+    * then a fresh-checkpoint replay into a FRESH home. Tmp/checkpoint
+    * trees deleted in a finally; only flags memoize.
+    */
+  private def s22Drill(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, Boolean, Boolean, Boolean, Boolean) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
+    val pid = ProcessHandle.current().pid()
+    val tmpRoot = s"/tmp/graft_s22_$pid"
+    val ckptRoot = s"${StreamingOps.ckptParent}/graft_s22_$pid"
+    val logDir = s"$tmpRoot/cdclog_$tag"
+    val home = s"$tmpRoot/shpq_$tag"
+    val home2 = s"$tmpRoot/shpq2_$tag"
+    val fp = s"$tmpRoot/fp_$tag"
+    val fp2 = s"$tmpRoot/fp2_$tag"
+    val ckpt = s"$ckptRoot/ckpt_$tag"
+    val ckpt2 = s"$ckptRoot/ckpt2_$tag"
+    DrillOnce.cached(s"s22_$tag") {
+      import s.implicits._
+      try {
+        DrillOnce.freshDirs(logDir, home, home2, fp, fp2, ckpt, ckpt2)
+        val docs = graft.sources.Tables.load(s, d, "documents")
+        val texts = docs.filter(col("doc_id") < 402)
+          .select("doc_id", "text").as[(Long, String)]
+          .collect().toMap
+        val ids1 = texts.keySet.filter(_ < 250)
+        val ids2 = texts.keySet.filter(id => id >= 250 && id < 402)
+        val takedowns = ids1.filter(_ % 10 == 3)
+        require(takedowns.nonEmpty && ids2.nonEmpty, "fixture too small for s22")
+        val dwId = ids2.max
+        val readdId = takedowns.min
+        def addOps(is: Iterable[Long]) =
+          is.toSeq.sorted.map(id => ("add", id, texts(id)))
+        def delOps(is: Iterable[Long]) =
+          is.toSeq.sorted.map(id => ("del", id, null: String))
+        graft.sources.CdcLog.append(s, logDir, addOps(ids1))
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
+        graft.sources.CdcLog.append(s, logDir,
+          addOps(ids2) ++ delOps(takedowns + dwId))
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
+        val (dir1, sh1) = graft.operators.ShardedHome.serving(home).get
+        def membership(dir: String, sh: Int): Set[Long] = (0 until sh)
+          .map(r => graft.operators.PqIndex.loadEncoded(s, s"$dir/shard=$r")
+            .select("vec_id")).reduce(_ unionAll _)
+          .as[Long].collect().toSet
+        val expected1 = (ids1 ++ ids2) -- takedowns - dwId
+        val after2 = membership(dir1, sh1)
+        val deletedHidden = after2 == expected1
+        val deleteWins = !after2.contains(dwId)
+        // pre-compact re-add: the sink compacts the owning ENCODED shard
+        // (codes dropped, sidecar cleared), appendPq re-encodes
+        graft.sources.CdcLog.append(s, logDir, addOps(Seq(readdId)))
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
+        val expectedF = expected1 + readdId
+        val preReadd = membership(dir1, sh1) == expectedF
+        // fresh checkpoint into a FRESH home: whole history, one batch
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home2, 3, ckpt2, fp2)
+        val (dir2, sh2) = graft.operators.ShardedHome.serving(home2).get
+        val replayConverges = membership(dir2, sh2) == expectedF
+        (expectedF.size.toLong, deletedHidden, deleteWins, preReadd,
+          replayConverges)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmpRoot)).deleteRecursively()

@@ -155,8 +155,16 @@ private[streaming] object ArrivalSinks {
             val shardPath = s"$dir0/shard=$r"
             if (!slice.isEmpty &&
               !verbs.shardTombstoned(sp, shardPath, slice).isEmpty)
-              StreamingOps.retryOnContention() {
+              try StreamingOps.retryOnContention() {
                 verbs.compactShard(sp, shardPath)
+              } catch {
+                // a FULLY tombstoned shard refuses its compact (an empty
+                // partitioned rewrite is unreadable — the store contract);
+                // the stream must survive it: the re-add stays absorbed
+                // until appends regrow the shard or the operator rebuilds
+                case e: IllegalArgumentException =>
+                  System.err.println(s"[graft] re-add compact skipped on " +
+                    s"$shardPath: ${e.getMessage}")
               }
           }
         }

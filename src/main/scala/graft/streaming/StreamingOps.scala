@@ -667,6 +667,11 @@ object StreamingOps {
     * markers are not replayed.
     * The sink follows the [[graft.operators.ShardedHome]] pointer each
     * batch and sweeps the per-shard drift retrains, like the plain sink.
+    * The marker-ordering boundary (a delete and a re-add straddling a
+    * compact collapse unordered on a fresh-checkpoint replay) is LIFTED
+    * by the seq-ordered variant, [[cdcLogShardedIngest]] — deployments
+    * replaying history across compacts feed that sink a
+    * [[graft.sources.CdcLog]] instead of marker files.
     */
   def arrivalCdcShardedIngest(spark: SparkSession, srcDir: String, glob: String,
                               shardedHome: String, shards: Int,
@@ -743,6 +748,33 @@ object StreamingOps {
         .select(col("doc_id").as("vec_id"))
       ArrivalSinks.processBatch(sp, shardedHome, shards,
         ArrivalSinks.ivfVerbs(), ups, dels,
+        maxShardRows, readdCompacts = true)
+    })
+  }
+
+  /** [[cdcLogShardedIngest]] on the ENCODED composition — the geometry
+    * that actually serves at 100 TB, fed by the same seq-ordered CDC log
+    * its takedown feed arrives on. Same per-batch net-op collapse and
+    * first-class re-adds (a net-add of a still-tombstoned id compacts
+    * the owning ENCODED shard — the physical apply drops its codes and
+    * clears the sidecar — then `appendPq` re-encodes the new payload
+    * under the existing codebooks); same cold full-precision store and
+    * growth loop as [[arrivalShardedPqIngest]].
+    */
+  def cdcLogShardedPqIngest(spark: SparkSession, logDir: String,
+                            shardedHome: String, shards: Int,
+                            checkpoint: String, fpStore: String,
+                            maxShardRows: Long = Long.MaxValue): Unit = {
+    val rows = graft.sources.CdcLog.readStream(spark, logDir)
+    ArrivalSinks.runArrival(spark, checkpoint, rows, { batch =>
+      val sp = batch.sparkSession
+      val net = graft.sources.CdcLog.collapse(batch)
+      val ups = ArrivalSinks.embed(sp,
+        net.filter(col("op") === "add").select("doc_id", "text"))
+      val dels = net.filter(col("op") === "del")
+        .select(col("doc_id").as("vec_id"))
+      ArrivalSinks.processBatch(sp, shardedHome, shards,
+        ArrivalSinks.pqVerbs(fpStore), ups, dels,
         maxShardRows, readdCompacts = true)
     })
   }

@@ -211,6 +211,27 @@ class DrillCheckSpec extends AnyFunSuite {
     assert(math.abs(checks.head.ratio - 2.0) < 1e-9)
   }
 
+  test("the 100x catch-up absolute gate passes the measured journal path and fails the pre-journal anti-join") {
+    // both sides transcribed VERBATIM from the committed artifacts:
+    // SCALE_DRILL_r17_catchup100.jsonl (journal path, this HEAD) and
+    // SCALE_DRILL_r16_100x_prejournal.jsonl (the corpus-shaped replay
+    // the journal replaced) — the gate must separate the two regimes
+    val journal = Seq(
+      full(100, "reshard:ivf_catchup_build", "cold", 30.737, 1000008L, 401593L),
+      full(100, "reshard:ivf_catchup_replay", "replay", 60.972, 1851589L, 1000165L))
+    val ok = DrillCheck.catchupAbsolute(journal, 100)
+    assert(ok.exists(c => c.ok && c.ratio < 2.0), s"journal path: $ok")
+    val prejournal = Seq(
+      full(100, "reshard:ivf_catchup_build", "cold", 36.418, 1000000L, 401585L),
+      full(100, "reshard:ivf_catchup_replay", "replay", 128.462, 8251569L, 2850060L))
+    val bad = DrillCheck.catchupAbsolute(prejournal, 100)
+    assert(bad.exists(c => !c.ok && c.ratio > 8.0),
+      s"the pre-journal corpus re-read must breach: $bad")
+    // missing either row at the scale: no check, never a false pass
+    assert(DrillCheck.catchupAbsolute(journal.take(1), 100).isEmpty)
+    assert(DrillCheck.catchupAbsolute(journal, 10).isEmpty)
+  }
+
   test("a pair missing either scale endpoint is not checked") {
     val rows = Seq(
       row(10, "build:ivf", "cold", 500.0),
