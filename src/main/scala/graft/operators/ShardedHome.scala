@@ -137,13 +137,16 @@ object ShardedHome {
     * fall out of the rebuild, so the new generation is born clean with
     * no tombstone forwarding at all.
     *
-    * BLOCKING by design, unlike the IVF catch-up: the rebuild runs
-    * under the old generation's writer lease (external appenders wait;
-    * the calling sink's own batches are serial anyway, so in-sink this
-    * blocks only the sink's loop while probes keep serving the old
-    * generation until the flip). A delta-shaped encoded catch-up would
-    * need the append journal generalized to codes — scheduled work, not
-    * this verb.
+    * Bounded-stall like the IVF loop ([[ShardedPq.reshardCatchUpBuild]] /
+    * `reshardCatchUpReplay`): the corpus-sized re-encode holds NO lease
+    * (external appenders keep landing on the old generation — the
+    * calling sink's own loop is serial either way), and the old lease is
+    * taken only for the replay of the landed delta + the pointer flip +
+    * the GC. The encoded protocol needs no journal: delta discovery is
+    * id-column anti-joins over the ~32×-narrower code tables — already
+    * the cheap shape the IVF append log exists to reach — and the
+    * delete axis reconciles by the same reverse delta, so a mid-window
+    * compact cannot resurrect a takedown here either.
     */
   def reshardPqIfNeeded(spark: SparkSession, home: String, fpPath: String,
                         maxShardRows: Long =
@@ -165,12 +168,11 @@ object ShardedHome {
       val newShards = ((total + maxShardRows - 1) / maxShardRows).toInt
       val newName = s"gen-${genSeq(cur.split('/').last) + 1}"
       val newDir = s"$home/$newName"
+      // phase 1 — no lease: external appends flow for the re-encode
+      ShardedPq.reshardCatchUpBuild(spark, cur, s, newDir, newShards, fpPath)
+      // phase 2 — the bounded stall: replay both axes, flip, GC
       graft.sources.Versioned.withWriterLease(cur) {
-        val membership = (0 until s).map { r =>
-          PqIndex.loadEncoded(spark, s"$cur/shard=$r").select("vec_id")
-        }.reduce(_ unionAll _)
-        val corpus = graft.sources.FpStore.readMember(spark, fpPath, membership)
-        ShardedPq.build(spark, corpus, newDir, newShards)
+        ShardedPq.reshardCatchUpReplay(spark, cur, s, newDir, newShards, fpPath)
         publishServing(home, newName, newShards)
         graft.sources.Versioned.metaBackend.deleteRecursively(cur)
       }

@@ -91,6 +91,101 @@ object ShardedPq {
       (shardPath, slice) =>
         graft.sources.VectorIndexStore.deletePq(spark, shardPath, slice))
 
+  /** CATCH-UP reshard for the ENCODED composition, phase 1 of 2 — the
+    * bounded-stall protocol ([[ShardedIvf.reshardCatchUpBuild]]'s shape)
+    * at the geometry that serves at 100 TB. Takes NO lease on the old
+    * root: the corpus-sized RE-ENCODE (from the cold full-precision
+    * store scoped to the old root's logical membership — PQ shards hold
+    * codes, so re-encoding from fp is the only reshard source that does
+    * not bake quantization error in) runs while appends keep landing on
+    * the old generation. MUST be followed by [[reshardCatchUpReplay]]
+    * before cutover.
+    *
+    * No journal and no watermark sidecar, unlike the IVF protocol: the
+    * encoded tables are ~32× narrower than full-precision (one byte per
+    * subspace), so the replay's delta discovery is an id-column
+    * anti-join over CODES — already the cheap shape the IVF append log
+    * exists to reach. The snapshot is simply the membership the build
+    * read; deltas and removals are recomputed against it structurally.
+    */
+  def reshardCatchUpBuild(spark: SparkSession, oldPath: String,
+                          oldShards: Int, newPath: String, newShards: Int,
+                          fpPath: String, nCellsPerShard: Int = -1): Unit = {
+    require(newPath != oldPath,
+      "reshard builds at a NEW root (shard count is part of the artifact " +
+        "identity; in-place cutover would break readers holding the old S)")
+    Sharding.verifyShards(oldPath, oldShards)
+    val membership = (0 until oldShards).map { r =>
+      PqIndex.loadEncoded(spark, s"$oldPath/shard=$r").select("vec_id")
+    }.reduce(_ unionAll _)
+    val corpus = graft.sources.FpStore.readMember(spark, fpPath, membership)
+    build(spark, corpus, newPath, newShards, nCellsPerShard)
+    // a reused target root must not serve a depth sized for another S
+    graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/shortlist.CAL")
+  }
+
+  /** CATCH-UP reshard phase 2 — the ONLY window external appenders
+    * block: under the old root's writer lease, reconcile BOTH axes with
+    * id-column anti-joins over the narrow encoded tables:
+    *
+    *   - APPENDS that landed during phase 1: old-logical ids absent from
+    *     the new root's physical codes → their full-precision rows fetch
+    *     from the fp store and re-encode through the idempotent
+    *     [[append]]. Every appender must [[graft.sources.FpStore.upsert]]
+    *     BEFORE appending codes (the sinks do; the require makes an
+    *     appender that skipped it loud, not a silent drop).
+    *   - DELETES that landed during phase 1: new-physical ids absent
+    *     from the old LOGICAL view (pending tombstones AND
+    *     applied-and-cleared ones alike — the reverse delta, so a
+    *     mid-window compact cannot resurrect a takedown) → tombstoned on
+    *     the new root, anti-joined against its existing tombstones so a
+    *     repeated replay is a no-op.
+    *
+    * Naturally idempotent with no watermark state: after a replay the
+    * new root's physical ids ⊇ the old logical view, so a repeat serves
+    * an empty delta. The caller cuts over inside the same lease scope.
+    * Returns the replayed append count.
+    */
+  def reshardCatchUpReplay(spark: SparkSession, oldPath: String,
+                           oldShards: Int, newPath: String, newShards: Int,
+                           fpPath: String): Long = {
+    Sharding.verifyShards(oldPath, oldShards)
+    graft.sources.Versioned.withWriterLease(oldPath) {
+      val newPhysical = (0 until newShards).map { r =>
+        PqIndex.loadEncodedRaw(spark, s"$newPath/shard=$r").select("vec_id")
+      }.reduce(_ unionAll _)
+      val oldLogical = (0 until oldShards).map { r =>
+        PqIndex.loadEncoded(spark, s"$oldPath/shard=$r").select("vec_id")
+      }.reduce(_ unionAll _)
+      val delta = oldLogical.join(newPhysical, Seq("vec_id"), "left_anti")
+        .distinct()
+      val n = delta.count()
+      if (n > 0) {
+        val rows = graft.sources.FpStore.read(spark, fpPath)
+          .join(delta, Seq("vec_id"), "left_semi")
+        val got = rows.count()
+        require(got == n,
+          s"catch-up replay found $n window appends but only $got have " +
+            "full-precision rows — every appender must FpStore.upsert " +
+            "before appending codes, or the replay would silently drop " +
+            "the difference")
+        append(spark, newPath, newShards, rows)
+      }
+      val alreadyHidden = (0 until newShards).flatMap(r =>
+        graft.sources.Tombstones.read(spark, s"$newPath/shard=$r")
+          .map(_.select(org.apache.spark.sql.functions.col("doc_id")
+            .as("vec_id"))))
+      val removed0 = newPhysical
+        .join(oldLogical, Seq("vec_id"), "left_anti").distinct()
+      val removed =
+        if (alreadyHidden.isEmpty) removed0
+        else removed0.join(alreadyHidden.reduce(_ unionAll _),
+          Seq("vec_id"), "left_anti")
+      if (!removed.isEmpty) delete(spark, newPath, newShards, removed)
+      n
+    }
+  }
+
   /** Per-shard drift check + recall-gated retrain (`retrainPqIfNeeded`
     * on each shard artifact, fed the hash-routed slice of the
     * caller-supplied full-precision corpus). Sequential by design, like
