@@ -99,7 +99,7 @@ object ClusterSmoke {
     // everything else stays byte-exact, as do ALL rows_in and results.
     val shuffleBand = Set("v19_pq_drift_retrain", "store:reshard",
       "store:reshard_catchup", "store:delete_probe",
-      "store:catchup_compact_safe")
+      "store:catchup_compact_safe", "store:pq_catchup_safe")
     // The catch-up lifecycle (and the delete probe chained onto ITS
     // artifact) also sees the warm-vs-cold lazy-artifact class on the
     // INPUT side: whether a stage is recomputed or shuffle-reused across
@@ -107,7 +107,7 @@ object ClusterSmoke {
     // rows_in by ~0.3% (measured 34,206 vs 34,110 on one run, byte-equal
     // on another — same code both times). Results stay byte-exact.
     val rowsInBand = Set("store:reshard_catchup", "store:delete_probe",
-      "store:catchup_compact_safe")
+      "store:catchup_compact_safe", "store:pq_catchup_safe")
     for ((name, l) <- localRuns) {
       val c = clusterRuns(name)
       val resultOk = l.digest == c.digest && l.rows == c.rows
@@ -295,7 +295,8 @@ object ClusterSmoke {
       //     build there, both modes' counters cover probing only).
       val (shProbeRun, calRun, probeRun, reshardRun, catchupRun, deleteRun,
            catchupSafeRun, shPqProbeRun, filteredProbeRun, filteredCalRun,
-           pqFilteredProbeRun, pqFilteredCalRun) = withRootConf(sharedIndexRoot) {
+           pqFilteredProbeRun, pqFilteredCalRun, pqCatchupSafeRun) =
+        withRootConf(sharedIndexRoot) {
         val shPath = graft.sources.VectorIndexStore.ensureShardedIvf(spark, sfDir, shards = 3)
         val panel = graft.operators.AnnEval.queryPanel(spark,
           graft.sources.Tables.load(spark, sfDir, "embeddings"))
@@ -447,7 +448,47 @@ object ClusterSmoke {
           cal.toSeq.toDF("shortlist", "measured")
         })
         println(f"CLUSTERSMOKE# $mode store:pq_filtered_cal ${pqc.secs}%.2fs rows=${pqc.rows}")
-        (p, c, i, rr, cu, dp, cs, pq, fp, fc, pqf, pqc)
+        //   store:pq_catchup_safe — the round-17 encoded bounded-stall
+        //     reshard with the takedown + mid-window compact racing it,
+        //     across the JVM boundary: per-mode 2-shard encoded build +
+        //     fp store, unleased re-encode at S'=3, a window append AND
+        //     delete + the tombstone-fraction sweep, then the leased
+        //     replay reconciling both axes from the narrow code tables.
+        //     Digest = the caught-up encoded probe + a resurrected-count
+        //     column that must read 0 in both modes; per-mode artifact,
+        //     reshard 5% bands.
+        val pqCuOld = s"$artifactRoot/pq_catchup/ix2"
+        val pqCuNew = s"$artifactRoot/pq_catchup/ix3"
+        val pqCuFp = s"$artifactRoot/pq_catchup/fp"
+        graft.sources.PosixMetaBackend.deleteRecursively(s"$artifactRoot/pq_catchup")
+        val pcs = timedRun("store:pq_catchup_safe", {
+          import org.apache.spark.sql.functions.{col, lit}
+          val emb3 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+          graft.sources.FpStore.upsert(spark, pqCuFp, emb3)
+          graft.operators.ShardedPq.build(spark, emb3, pqCuOld, 2)
+          graft.operators.ShardedPq.reshardCatchUpBuild(
+            spark, pqCuOld, 2, pqCuNew, 3, pqCuFp)
+          val tranche = emb3.filter(col("vec_id") % 8 === 3)
+            .select((col("vec_id") + 910000L).as("vec_id"), col("label"),
+              col("embedding"))
+          graft.sources.FpStore.upsert(spark, pqCuFp, tranche)
+          graft.operators.ShardedPq.append(spark, pqCuOld, 2, tranche)
+          val winDel = emb3.filter(col("vec_id") % 8 === 5).select("vec_id")
+          graft.operators.ShardedPq.delete(spark, pqCuOld, 2, winDel)
+          graft.operators.ShardedPq.compactShardsIfDeleted(spark, pqCuOld, 2,
+            maxDeletedFraction = 0.001)
+          graft.operators.ShardedPq.reshardCatchUpReplay(
+            spark, pqCuOld, 2, pqCuNew, 3, pqCuFp)
+          val resurrected = (0 until 3).map(r =>
+            graft.operators.PqIndex.loadEncoded(spark, s"$pqCuNew/shard=$r")
+              .select("vec_id")).reduce(_ unionAll _)
+            .filter(col("vec_id") % 8 === 5 && col("vec_id") < 910000L).count()
+          graft.operators.AnnEval.shardedPqTopK(spark, pqCuNew, 3,
+            graft.sources.FpStore.read(spark, pqCuFp), panel, k = 10)
+            .withColumn("resurrected", lit(resurrected))
+        })
+        println(f"CLUSTERSMOKE# $mode store:pq_catchup_safe ${pcs.secs}%.2fs rows=${pcs.rows}")
+        (p, c, i, rr, cu, dp, cs, pq, fp, fc, pqf, pqc, pcs)
       }
       (runs ++ Seq("store:ivf_build" -> buildRun,
         "store:ivf_dist_train" -> distRun,
@@ -459,6 +500,7 @@ object ClusterSmoke {
         "store:reshard_catchup" -> catchupRun,
         "store:delete_probe" -> deleteRun,
         "store:catchup_compact_safe" -> catchupSafeRun,
+        "store:pq_catchup_safe" -> pqCatchupSafeRun,
         "store:sharded_pq_build" -> shPqBuildRun,
         "store:sharded_pq_probe" -> shPqProbeRun,
         "store:filtered_probe" -> filteredProbeRun,

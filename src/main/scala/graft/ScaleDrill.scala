@@ -889,6 +889,38 @@ object ScaleDrill {
               drillLine("DRILLRECALL", f"""{"scale":$scale,"name":"probe:pq_sharded_cal","recall_at_10":$rQ%.3f,"shortlist":${calS.shortlist},"nprobe":${calS.nProbe}}""")
               }
             }
+            // ENCODED catch-up reshard (round 17): the bounded-stall
+            // protocol on the geometry that serves at 100 TB. Phase 1
+            // re-encodes from the cold fp store (untimed setup writes
+            // it — a deployment's fp store already exists); the REPLAY
+            // row is the measured blocked window: id-column anti-joins
+            // over the ~32x-narrower code tables + the delta's fetch +
+            // re-encode. Both rows budgeted at the build class.
+            val fpDir = s"$outRoot/pq_fp_x$scale"
+            graft.sources.PosixMetaBackend.deleteRecursively(fpDir)
+            graft.sources.FpStore.upsert(spark, fpDir, emb)
+            val pqCuRoot = s"$outRoot/pq_catchup_x$scale/ix${pqShards / 2}"
+            graft.sources.PosixMetaBackend.deleteRecursively(s"$outRoot/pq_catchup_x$scale")
+            report(scale, "reshard:pq_catchup_build", "cold", timed {
+              graft.operators.ShardedPq.reshardCatchUpBuild(
+                spark, shPqPath, pqShards, pqCuRoot, pqShards / 2, fpDir)
+            })
+            val pqDelta = emb.filter(pmod(col("vec_id"), lit(4L)) === 2)
+              .select((col("vec_id") + lit(7000000000L)).as("vec_id"),
+                col("label"), col("embedding"))
+            val pqDeltaN = pqDelta.count()
+            graft.sources.FpStore.upsert(spark, fpDir, pqDelta)
+            graft.operators.ShardedPq.append(spark, shPqPath, pqShards, pqDelta)
+            var pqReplayed = 0L
+            report(scale, "reshard:pq_catchup_replay", "replay", timed {
+              pqReplayed = graft.operators.ShardedPq.reshardCatchUpReplay(
+                spark, shPqPath, pqShards, pqCuRoot, pqShards / 2, fpDir)
+            })
+            require(pqReplayed == pqDeltaN,
+              s"encoded catch-up replay at x$scale carried $pqReplayed of $pqDeltaN appends")
+            drillLine("DRILLCAL", s"""{"scale":$scale,"name":"reshard:pq_catchup","replayed":$pqReplayed,"blocked_phase":"replay"}""")
+            graft.sources.PosixMetaBackend.deleteRecursively(fpDir)
+            graft.sources.PosixMetaBackend.deleteRecursively(s"$outRoot/pq_catchup_x$scale")
           }
           exactPq.foreach(_.unpersist())
           exactPqF.foreach(_.unpersist())
@@ -1036,6 +1068,8 @@ object DrillCheck {
     case "reshard:ivf_sharded" => Some(25.0)       // build-class shuffle
       // (one repartition-by-shard tagging pass + per-shard cell writes)
     case "reshard:ivf_catchup_build" => Some(25.0) // same class, unleased
+    case "reshard:pq_catchup_build" => Some(25.0)  // encoded re-encode:
+      // one fp-scoped membership semi-join + per-shard PQ builds
     case "x02_jaccard_stats" => Some(21.0)         // 10.4 measured at 1→10 under
       // the r14 permutation generator (exactly linear; budget = ~2x
       // measured per the stated policy). Scope note: this 1→10 line
@@ -1087,6 +1121,11 @@ object DrillCheck {
       // delta — linear in the DELTA (a quarter-corpus here), never the
       // corpus; a corpus-shaped ratio means the replay re-reads the
       // world and the protocol's point is lost
+    case ("reshard:pq_catchup_build", "cold") => Some(25.0) // the unleased
+      // encoded re-encode — build-class linear
+    case ("reshard:pq_catchup_replay", "replay") => Some(25.0) // the
+      // encoded blocked window: id-column anti-joins over codes + the
+      // delta's fp fetch + re-encode — linear in corpus ids + delta
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant

@@ -161,8 +161,12 @@ object ShardedPq {
         .distinct()
       val n = delta.count()
       if (n > 0) {
+        // dropDuplicates: FpStore.upsert is unleased, so a racing
+        // double-write of one id must not double-materialize codes
+        // (appendPq's anti-join reads existing presence, not batch dups)
         val rows = graft.sources.FpStore.read(spark, fpPath)
           .join(delta, Seq("vec_id"), "left_semi")
+          .dropDuplicates("vec_id")
         val got = rows.count()
         require(got == n,
           s"catch-up replay found $n window appends but only $got have " +

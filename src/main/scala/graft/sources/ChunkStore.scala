@@ -87,6 +87,17 @@ object ChunkStore {
     * leaves tombstones that anti-join nothing, never resurrected rows.
     * Flat layout only (a hive-partitioned 100 TB store compacts through
     * a table format's own OPTIMIZE; this is the local-layout verb).
+    *
+    * READ-QUIESCED WINDOW REQUIRED: the swap is two POSIX renames, not
+    * a pointer flip — the store path IS the parquet directory consumers
+    * `spark.read.parquet` directly, which is the whole point of this
+    * store's layout, and that contract leaves no pointer to publish
+    * behind (unlike the index compacts, whose tables live in versioned
+    * SUBdirs). A reader listing the path between the renames (or a lazy
+    * plan holding the old listing) fails on missing files. Schedule this
+    * verb in a maintenance window, or serve reads through a table
+    * format whose OPTIMIZE owns the swap — the documented local-layout
+    * trade, restated loudly here rather than discovered at 3am.
     */
   def compact(spark: SparkSession, path: String, keyCol: String = "text_hash",
               partitions: Int = 4): Unit =

@@ -51,17 +51,27 @@ object FpStore {
   /** The store scoped to a MEMBERSHIP frame (one `vec_id` column — the
     * serving index's logical view): the rebuild/re-rank corpus. Deleted
     * ids fall out here because they fall out of the membership, not
-    * because this store tracks them.
+    * because this store tracks them. De-duplicated by vec_id: [[upsert]]
+    * is not leased (the sinks are serial; the lease lives on the INDEX
+    * the store pairs with), so two racing writers can land the same id
+    * twice — one row per id is this reader's contract either way, and a
+    * downstream build/append fed duplicates would double-materialize
+    * them (the per-shard idempotence anti-joins check EXISTING presence,
+    * not intra-batch dups).
     */
   def readMember(spark: SparkSession, path: String,
                  membership: DataFrame): DataFrame =
     read(spark, path).join(membership.select("vec_id").distinct(),
       Seq("vec_id"), "left_semi")
+      .dropDuplicates("vec_id")
 
   /** Bound the lingering-deleted-rows storage: rewrite the store down to
     * `membership` (the maintenance analogue of the index compacts; same
     * publish shape as [[ChunkStore.compact]] — POSIX rename, local flat
-    * stores only).
+    * stores only, and the same READ-QUIESCED WINDOW contract: the store
+    * path is the parquet dir readers list directly, so the two-rename
+    * swap must not race a read — schedule it, or let a table format's
+    * OPTIMIZE own the swap at cloud scale).
     */
   def vacuum(spark: SparkSession, path: String,
              membership: DataFrame): Unit =
