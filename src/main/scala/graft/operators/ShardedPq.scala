@@ -115,6 +115,11 @@ object ShardedPq {
       "reshard builds at a NEW root (shard count is part of the artifact " +
         "identity; in-place cutover would break readers holding the old S)")
     Sharding.verifyShards(oldPath, oldShards)
+    // fp watermark captured BEFORE the membership read — the conservative
+    // direction: an upsert racing the capture lands above the watermark
+    // AND (if its codes landed too) in the snapshot, and the replay's
+    // delta semi-join absorbs the overlap
+    val fpw = graft.sources.FpStore.maxSeq(spark, fpPath)
     val membership = (0 until oldShards).map { r =>
       PqIndex.loadEncoded(spark, s"$oldPath/shard=$r").select("vec_id")
     }.reduce(_ unionAll _)
@@ -122,6 +127,11 @@ object ShardedPq {
     build(spark, corpus, newPath, newShards, nCellsPerShard)
     // a reused target root must not serve a depth sized for another S
     graft.sources.Versioned.metaBackend.deleteRecursively(s"$newPath/shortlist.CAL")
+    // recorded at the NEW root so the replay (possibly another process)
+    // can fetch the window's payloads file-pruned instead of re-reading
+    // the full-width fp store
+    graft.sources.Versioned.metaBackend.writeAtomic(s"$newPath/catchup.META",
+      s"fpw:$fpw")
   }
 
   /** CATCH-UP reshard phase 2 — the ONLY window external appenders
@@ -157,16 +167,44 @@ object ShardedPq {
       val oldLogical = (0 until oldShards).map { r =>
         PqIndex.loadEncoded(spark, s"$oldPath/shard=$r").select("vec_id")
       }.reduce(_ unionAll _)
-      val delta = oldLogical.join(newPhysical, Seq("vec_id"), "left_anti")
-        .distinct()
+      // materialized ONCE (eager local checkpoint): the delta plan reads
+      // both roots' id columns, and its consumers (count, the window
+      // fetch's semi-join, S per-shard append slices) would each
+      // re-evaluate those corpus-id scans — and a plain persist would be
+      // UNSAFE here (the append below refreshes the new root's listing,
+      // invalidating a cached plan over it; the checkpoint pins the data)
+      val delta = graft.operators.ScaleOps.checkpointed(
+        oldLogical.join(newPhysical, Seq("vec_id"), "left_anti").distinct())
       val n = delta.count()
       if (n > 0) {
-        // dropDuplicates: FpStore.upsert is unleased, so a racing
-        // double-write of one id must not double-materialize codes
-        // (appendPq's anti-join reads existing presence, not batch dups)
-        val rows = graft.sources.FpStore.read(spark, fpPath)
-          .join(delta, Seq("vec_id"), "left_semi")
-          .dropDuplicates("vec_id")
+        // Payload fetch, DELTA-SHAPED when possible: the snapshot's fp
+        // watermark (catchup.META) + FpStore's per-batch seq stamps let
+        // the scan prune every pre-window file by footer stats — the
+        // blocked window must not re-read the full-width fp store to
+        // fetch a batch-sized delta (the same corpus-re-read smell the
+        // IVF append journal closed; here the fp store's own append-only
+        // layout is the journal). Falls back to the full semi-join scan
+        // when the watermark is absent (legacy snapshot) or the window
+        // files don't cover the delta (an appender that upserted fp
+        // BEFORE the snapshot but appended codes after — legal under
+        // the upsert-then-append contract).
+        // dropDuplicates both ways: FpStore.upsert is unleased, so a
+        // racing double-write of one id must not double-materialize
+        // codes (appendPq's anti-join reads existing presence, not
+        // batch dups).
+        val fpw = graft.sources.Versioned.metaBackend
+          .readString(s"$newPath/catchup.META")
+          .map(_.trim).filter(_.startsWith("fpw:"))
+          .flatMap(_.stripPrefix("fpw:").toLongOption)
+        val windowRows = fpw.map(w =>
+          graft.sources.FpStore.since(spark, fpPath, w)
+            .join(delta, Seq("vec_id"), "left_semi")
+            .dropDuplicates("vec_id"))
+        val rows = windowRows.filter(_.count() == n).getOrElse {
+          graft.sources.FpStore.read(spark, fpPath)
+            .join(delta, Seq("vec_id"), "left_semi")
+            .dropDuplicates("vec_id")
+        }
         val got = rows.count()
         require(got == n,
           s"catch-up replay found $n window appends but only $got have " +
@@ -175,16 +213,23 @@ object ShardedPq {
             "the difference")
         append(spark, newPath, newShards, rows)
       }
+      // advance the watermark so a repeated replay's (empty) fetch stays
+      // file-pruned too
+      graft.sources.Versioned.metaBackend.writeAtomic(
+        s"$newPath/catchup.META",
+        s"fpw:${graft.sources.FpStore.maxSeq(spark, fpPath)}")
       val alreadyHidden = (0 until newShards).flatMap(r =>
         graft.sources.Tombstones.read(spark, s"$newPath/shard=$r")
           .map(_.select(org.apache.spark.sql.functions.col("doc_id")
             .as("vec_id"))))
       val removed0 = newPhysical
         .join(oldLogical, Seq("vec_id"), "left_anti").distinct()
-      val removed =
+      // same one-evaluation materialization: isEmpty + S routed delete
+      // slices would otherwise re-run the reverse-delta scans each
+      val removed = graft.operators.ScaleOps.checkpointed(
         if (alreadyHidden.isEmpty) removed0
         else removed0.join(alreadyHidden.reduce(_ unionAll _),
-          Seq("vec_id"), "left_anti")
+          Seq("vec_id"), "left_anti"))
       if (!removed.isEmpty) delete(spark, newPath, newShards, removed)
       n
     }

@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
 object FpStore {
 
   /** Append `batch` (vec_id, label, embedding), skipping vec_ids already
-    * present — first-arrival, redelivery-safe.
+    * present — first-arrival, redelivery-safe. Each batch is stamped
+    * with a monotone `seq` (max+1): every row of one upsert shares one
+    * seq, so each parquet file carries a CONSTANT seq whose min/max
+    * footer stats let [[since]] prune all pre-watermark files from the
+    * scan — the delta-fetch shape the encoded catch-up replay needs
+    * (fetching a batch-sized window delta must not re-read the
+    * full-width corpus; the IVF append journal exists for exactly this,
+    * and here the store's own append-only layout IS the journal).
     */
   def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val deduped = batch.select(col("vec_id"), col("label"), col("embedding"))
@@ -41,12 +48,31 @@ object FpStore {
       if (!Fs.exists(spark, path)) deduped
       else deduped.join(spark.read.parquet(path).select("vec_id"),
         Seq("vec_id"), "left_anti")
-    fresh.write.mode("append").parquet(path)
+    fresh.withColumn("seq", lit(maxSeq(spark, path) + 1))
+      .write.mode("append").parquet(path)
   }
+
+  /** The latest upsert seq (−1 on an absent/empty store) — the
+    * watermark a snapshot captures so a later [[since]] serves exactly
+    * the window's upserts. Column-pruned aggregate.
+    */
+  def maxSeq(spark: SparkSession, path: String): Long = {
+    if (!Fs.exists(spark, path)) return -1L
+    val row = spark.read.parquet(path).agg(max(col("seq"))).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  /** Rows upserted after `watermark` — file-stats-pruned (each file's
+    * constant seq makes `seq > w` skip pre-watermark files without
+    * reading their payload bytes).
+    */
+  def since(spark: SparkSession, path: String, watermark: Long): DataFrame =
+    spark.read.parquet(path).filter(col("seq") > watermark)
+      .select("vec_id", "label", "embedding")
 
   /** The raw physical store (payloads for every id ever upserted). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).select("vec_id", "label", "embedding")
 
   /** The store scoped to a MEMBERSHIP frame (one `vec_id` column — the
     * serving index's logical view): the rebuild/re-rank corpus. Deleted
@@ -78,7 +104,12 @@ object FpStore {
     Versioned.withWriterLease(path) {
       require(!path.contains("://"),
         s"FpStore.vacuum publishes $path by directory rename (POSIX only)")
-      val clean = readMember(spark, path, membership)
+      // keep the seq column through the rewrite: a post-vacuum upsert
+      // still stamps max+1, and a catch-up watermark taken before the
+      // vacuum stays comparable
+      val clean = spark.read.parquet(path)
+        .join(membership.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+        .dropDuplicates("vec_id")
       val tmp = s"$path.vacuuming-${ProcessHandle.current().pid()}-${System.nanoTime()}"
       clean.write.mode("errorifexists").parquet(tmp)
       val dir = new java.io.File(path)

@@ -504,9 +504,18 @@ class StreamingOpsSpec extends SparkTestBase {
     val member = Seq(1L, 3L).toDF("vec_id")
     assert(graft.sources.FpStore.readMember(spark, fp, member)
       .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the seq axis: per-batch stamps, watermark, and the file-pruned
+    // window read the encoded catch-up replay fetches deltas through
+    assert(graft.sources.FpStore.maxSeq(spark, fp) == 1L,
+      "two upsert batches must stamp seqs 0 and 1")
+    assert(graft.sources.FpStore.since(spark, fp, 0L)
+      .select("vec_id").as[Long].collect().toSet == Set(3L),
+      "since(w) must serve exactly the post-watermark upserts")
     graft.sources.FpStore.vacuum(spark, fp, member)
     assert(graft.sources.FpStore.read(spark, fp)
       .select("vec_id").as[Long].collect().toSet == Set(1L, 3L),
       "vacuum must drop rows outside the membership")
+    assert(graft.sources.FpStore.maxSeq(spark, fp) == 1L,
+      "vacuum must preserve the seq axis")
   }
 }
