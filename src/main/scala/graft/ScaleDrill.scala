@@ -50,7 +50,54 @@ import org.apache.spark.sql.functions._
   * evidenced, cf. SCALE.md on x03).
   */
 object ScaleDrill {
+  /** Knob → controlled rows, hand-maintained next to the gates it
+    * documents (round-18: `SKIP_PROBE` used to gate the ENTIRE ANN
+    * section, so "skip the probes" silently produced zero rows for the
+    * sharded/catch-up/delete chains and cost a wasted full drill run).
+    * `SPARK_GRAFT_DRILL_DRYRUN` prints this and exits; every run prints
+    * the ACTIVE skip knobs up front.
+    */
+  private val knobMap: Seq[(String, String)] = Seq(
+    "SKIP_BUILDS" -> "cold store builds: build:shingle build:minhash build:substr",
+    "ONLY=a,b" -> "restrict the per-query rows to the named queries",
+    "SKIP_ANN" -> ("the ENTIRE ANN section: build:ivf* probe:* calibrate:* " +
+      "reshard:* delete:* compact:* build:pq* (everything below nests in it)"),
+    "SKIP_PROBE" -> ("standalone probe TIMING rows only: probe:ivf_knn20 " +
+      "probe:ivf_filtered probe:ivf_sharded probe:ivf_sharded_filtered " +
+      "probe:pq_filtered probe:pq_sharded probe:pq_sharded_filtered " +
+      "(chain-integral probes like probe:ivf_sharded_deleted stay with " +
+      "their chain's knob)"),
+    "SKIP_RECALL" -> "every DRILLRECALL grading line (exact-oracle passes)",
+    "SKIP_DIST" -> "build:ivf_dist (+ PASTMAX's build:ivf_pastmax, nested)",
+    "SKIP_SHARDED" -> ("the sharded-IVF chain: build/probe/calibrate:ivf_sharded " +
+      "AND the nested RESHARD / DELETE / CALSTALE chains"),
+    "SKIP_RESHARD" -> ("reshard:ivf_sharded + reshard:ivf_catchup_build/replay " +
+      "(nested in SKIP_SHARDED)"),
+    "SKIP_DELETE" -> ("delete:ivf_sharded probe:ivf_sharded_deleted " +
+      "compact:ivf_deleted (nested in SKIP_SHARDED > SKIP_RESHARD)"),
+    "SKIP_CALSTALE" -> "the calibration-staleness chain (nested in SKIP_SHARDED)",
+    "SKIP_PQCAL" -> ("the PQ section: build:pq probe:pq_filtered calibrate:pq* " +
+      "AND the nested SHPQ chain"),
+    "SKIP_SHPQ" -> ("the sharded-PQ chain: build/probe/calibrate:pq_sharded + " +
+      "reshard:pq_catchup_build/replay (nested in SKIP_PQCAL)"),
+    "SKIP_CDC" -> "the CDC-log sink chain: cdc:ivf_log cdc:pq_log rows",
+    "NOCHECK" -> "downgrade DRILLCHECK/DRILLCHECK100 failures to warnings",
+    "EXPLAIN" -> "additionally print DRILLPLAN node-census lines",
+    "PASTMAX" -> "opt IN to the past-MaxTrainCells build at the top scale",
+    "SWEEP_PAR=4,8" -> "opt IN to the BuildParallelism sweep (run alone)")
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_DRILL_DRYRUN")) {
+      println("ScaleDrill knobs (prefix each with SPARK_GRAFT_DRILL_):")
+      knobMap.foreach { case (k, v) => println(f"  $k%-14s $v") }
+      return
+    }
+    sys.env.keys.filter(_.startsWith("SPARK_GRAFT_DRILL_SKIP")).toSeq.sorted
+      .foreach { k =>
+        val short = k.stripPrefix("SPARK_GRAFT_DRILL_")
+        val doc = knobMap.find(_._1 == short).map(_._2).getOrElse("(unknown knob — check spelling)")
+        println(s"DRILL# active knob $short: suppresses $doc")
+      }
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outRoot = args.lift(1).getOrElse("/tmp/graft_scaledrill")
     val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10)
@@ -295,14 +342,16 @@ object ScaleDrill {
         if (sys.env.contains("SPARK_GRAFT_DRILL_EXPLAIN"))
           println(s"""DRILLPLAN {"scale":$scale,"name":"$q",${planCensus(fn(spark, dir))}}""")
       }
-      // ANN probe flatness: constant-occupancy IVF geometry + a FIXED
-      // 20-query batch kNN. The probe reads nProbe cells of
-      // ~targetCellSize vectors each (cell-partitioned parquet →
-      // partition pruning), so its wall-clock should stay ~FLAT while
-      // the corpus and the cell count grow — the measured form of the
-      // partition-pruned ANN claim.
-      if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PROBE")) {
+      // ANN section (everything below until retrain:pq): constant-
+      // occupancy IVF geometry, the sharded / encoded / catch-up /
+      // delete chains, calibration. Gated by SKIP_ANN as a WHOLE;
+      // SKIP_PROBE now gates only the standalone probe timing rows
+      // inside it (round-18 knob orthogonality: SKIP_PROBE used to hide
+      // the entire section, silently yielding zero rows for chains the
+      // other SKIP knobs claim to control — see knobMap/DRYRUN).
+      if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_ANN")) {
         import spark.implicits._
+        val skipProbeRows = sys.env.contains("SPARK_GRAFT_DRILL_SKIP_PROBE")
         // nProbe knob: fixed 4 (the default here) measures probe FLATNESS
         // across scales; "auto" measures the ENGINE default policy
         // (IvfIndex.autoNProbe constant cell fraction — the hold-recall
@@ -322,14 +371,16 @@ object ScaleDrill {
         val probeQs = emb.orderBy("vec_id").limit(20)
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])].collect().toSeq
-        val reps = (1 to 3).map { _ =>
-          timed {
-            graft.operators.AnnEval
-              .ivfTopK(spark, ivfPath, probeQs, k = 10, nProbe = nProbe)
-              .write.mode("overwrite").format("noop").save()
+        if (!skipProbeRows) {
+          val reps = (1 to 3).map { _ =>
+            timed {
+              graft.operators.AnnEval
+                .ivfTopK(spark, ivfPath, probeQs, k = 10, nProbe = nProbe)
+                .write.mode("overwrite").format("noop").save()
+            }
           }
+          report(scale, "probe:ivf_knn20", "probe", reps.minBy(_._1))
         }
-        report(scale, "probe:ivf_knn20", "probe", reps.minBy(_._1))
         // Recall gate for the ACCELERATED build: the same 20-query probe
         // graded against exact kNN over the full corpus (one broadcast
         // pass — cheap at drill sizes). The timing rows can't see a
@@ -358,15 +409,17 @@ object ScaleDrill {
           val model = graft.operators.IvfIndex.loadModel(spark, ivfPath)
           val fvecs = graft.operators.IvfIndex.loadVectors(spark, ivfPath)
             .filter(col("label") === 3)
-          val repsF = (1 to 3).map { _ =>
-            timed {
-              graft.operators.AnnEval
-                .ivfTopKFrames(spark, fvecs, model, probeQs, k = 10,
-                  nProbe = nProbe)
-                .write.mode("overwrite").format("noop").save()
+          if (!skipProbeRows) {
+            val repsF = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval
+                  .ivfTopKFrames(spark, fvecs, model, probeQs, k = 10,
+                    nProbe = nProbe)
+                  .write.mode("overwrite").format("noop").save()
+              }
             }
+            report(scale, "probe:ivf_filtered", "probe", repsF.minBy(_._1))
           }
-          report(scale, "probe:ivf_filtered", "probe", repsF.minBy(_._1))
           if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
             val exactF = graft.operators.AnnEval.exactTopK(spark,
               emb.filter(col("label") === 3), probeQs, 10)
@@ -450,29 +503,33 @@ object ScaleDrill {
             ()
           })
           val shPath = graft.sources.VectorIndexStore.shardedIvfPath(spark, dir, shards)
-          val repsS = (1 to 3).map { _ =>
-            timed {
-              graft.operators.AnnEval
-                .shardedTopK(spark, shPath, shards, probeQs, k = 10, nProbe = nProbe)
-                .write.mode("overwrite").format("noop").save()
+          if (!skipProbeRows) {
+            val repsS = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval
+                  .shardedTopK(spark, shPath, shards, probeQs, k = 10, nProbe = nProbe)
+                  .write.mode("overwrite").format("noop").save()
+              }
             }
+            report(scale, "probe:ivf_sharded", "probe", repsS.minBy(_._1))
           }
-          report(scale, "probe:ivf_sharded", "probe", repsS.minBy(_._1))
           // FILTERED probe on the COMPOSITION (round 16): the
           // probe:ivf_filtered predicate (label = 3, ~10% selective)
           // applied to each shard's cell-partitioned vectors before its
           // probe — S partition-pruned pushdown scans, so the row stays
           // in the flat class at ~selectivity x the unfiltered sharded
           // probe's work (the batch mirror of ShardedIvf.searchFiltered)
-          val repsSF = (1 to 3).map { _ =>
-            timed {
-              graft.operators.AnnEval
-                .shardedTopK(spark, shPath, shards, probeQs, k = 10,
-                  nProbe = nProbe, predicate = Some(col("label") === 3))
-                .write.mode("overwrite").format("noop").save()
+          if (!skipProbeRows) {
+            val repsSF = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval
+                  .shardedTopK(spark, shPath, shards, probeQs, k = 10,
+                    nProbe = nProbe, predicate = Some(col("label") === 3))
+                  .write.mode("overwrite").format("noop").save()
+              }
             }
+            report(scale, "probe:ivf_sharded_filtered", "probe", repsSF.minBy(_._1))
           }
-          report(scale, "probe:ivf_sharded_filtered", "probe", repsSF.minBy(_._1))
           if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_RECALL")) {
             val exactSF = graft.operators.AnnEval.exactTopK(spark,
               emb.filter(col("label") === 3), probeQs, 10)
@@ -730,14 +787,16 @@ object ScaleDrill {
             else Some(graft.operators.AnnEval.exactTopK(spark,
               emb.filter(fPred), probeQs, 10)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          val repsPF = (1 to 3).map { _ =>
-            timed {
-              graft.operators.AnnEval.pqTopKFrames(spark, fEnc, pqModelF,
-                emb, probeQs, k = 10, nProbe = nProbe)
-                .write.mode("overwrite").format("noop").save()
+          if (!skipProbeRows) {
+            val repsPF = (1 to 3).map { _ =>
+              timed {
+                graft.operators.AnnEval.pqTopKFrames(spark, fEnc, pqModelF,
+                  emb, probeQs, k = 10, nProbe = nProbe)
+                  .write.mode("overwrite").format("noop").save()
+              }
             }
+            report(scale, "probe:pq_filtered", "probe", repsPF.minBy(_._1))
           }
-          report(scale, "probe:pq_filtered", "probe", repsPF.minBy(_._1))
           exactPqF.foreach { exactF =>
             val gotPF = graft.operators.AnnEval.pqTopKFrames(spark, fEnc,
               pqModelF, emb, probeQs, k = 10, nProbe = nProbe)
@@ -832,25 +891,29 @@ object ScaleDrill {
               ()
             })
             val shPqPath = graft.sources.VectorIndexStore.shardedPqPath(spark, dir, pqShards)
-            val repsQ = (1 to 3).map { _ =>
-              timed {
-                graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, pqShards,
-                  emb, probeQs, k = 10)
-                  .write.mode("overwrite").format("noop").save()
+            if (!skipProbeRows) {
+              val repsQ = (1 to 3).map { _ =>
+                timed {
+                  graft.operators.AnnEval.shardedPqTopK(spark, shPqPath, pqShards,
+                    emb, probeQs, k = 10)
+                    .write.mode("overwrite").format("noop").save()
+                }
               }
+              report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
             }
-            report(scale, "probe:pq_sharded", "probe", repsQ.minBy(_._1))
             // filtered probe on the COMPOSED encoded geometry — the
             // v24 plan: each shard's encoded frame filtered before its
             // ADC scan, per-shard shortlists of filtered candidates
-            val repsQF = (1 to 3).map { _ =>
-              timed {
-                graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
-                  pqShards, emb, probeQs, k = 10, predicate = Some(fPred))
-                  .write.mode("overwrite").format("noop").save()
+            if (!skipProbeRows) {
+              val repsQF = (1 to 3).map { _ =>
+                timed {
+                  graft.operators.AnnEval.shardedPqTopK(spark, shPqPath,
+                    pqShards, emb, probeQs, k = 10, predicate = Some(fPred))
+                    .write.mode("overwrite").format("noop").save()
+                }
               }
+              report(scale, "probe:pq_sharded_filtered", "probe", repsQF.minBy(_._1))
             }
-            report(scale, "probe:pq_sharded_filtered", "probe", repsQF.minBy(_._1))
             exactPqF.foreach { exactF =>
               val gotQF = graft.operators.AnnEval.shardedPqTopK(spark,
                 shPqPath, pqShards, emb, probeQs, k = 10,
@@ -957,6 +1020,72 @@ object ScaleDrill {
           require(did, s"retrain:pq at x$scale: drift below threshold — " +
             "the drill premise (shifted tranche B) no longer drifts")
         })
+      }
+
+      // CDC-LOG SINK chain (round 18, What's-wrong #4): the seq-ordered
+      // feed sinks (cdcLogShardedIngest / cdcLogShardedPqIngest) drilled
+      // per batch shape — the net-op collapse window, the routed
+      // appends/deletes, the fp upsert, and the re-add probe are exactly
+      // the per-batch costs the drill exists to keep honest. Four timed
+      // sink runs per geometry over ONE shared log (each sink has its
+      // own checkpoint, so both see identical batch boundaries):
+      //   cold    — the whole corpus as one add segment (pointer build);
+      //   steady  — a 10% add tranche + a 10% takedown in one batch
+      //             (collapse + routed appends + routed deletes;
+      //             sidecars are born at the END of this batch);
+      //   noreadd — a further 10% add tranche with sidecars PRESENT but
+      //             no re-adds: the per-batch re-add probe overhead that
+      //             the driver-side sidecar gate + per-sidecar-shard
+      //             semi-join must keep batch-shaped;
+      //   readd   — re-adds of a 10%-of-deletes slice WITH changed text:
+      //             owning-shard compacts + the payload-replacing append
+      //             (shard-sized rewrite, ~corpus/S per affected shard).
+      if (!sys.env.contains("SPARK_GRAFT_DRILL_SKIP_CDC")) {
+        val cdcRoot = s"$outRoot/cdc_x$scale"
+        graft.sources.PosixMetaBackend.deleteRecursively(cdcRoot)
+        val log = s"$cdcRoot/log"
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // seq = segment·stride + doc_id: distinct within a segment and
+        // monotone PER ID across segments (the only order collapse needs);
+        // the stride clears every shifted id the scaled corpus can hold
+        val stride = 1000000000000L
+        def logSeg(k: Int, op: String, rows: DataFrame): Unit = rows.select(
+          (lit(k * stride) + col("doc_id")).as("seq"), lit(op).as("op"),
+          col("doc_id").cast("long").as("doc_id"),
+          (if (op == "add") col("text") else lit(null).cast("string")).as("text"))
+          .write.mode("append").parquet(log)
+        val deleted = docs.filter(pmod(col("doc_id"), lit(10L)) === 6)
+        def shifted(m: Long, off: Long, tag: String) = docs
+          .filter(pmod(col("doc_id"), lit(10L)) === m)
+          .select((col("doc_id") + lit(off)).as("doc_id"),
+            concat(col("text"), lit(tag)).as("text"))
+        val sinks = Seq(
+          ("cdc:ivf_log", () => graft.streaming.StreamingOps.cdcLogShardedIngest(
+            spark, log, s"$cdcRoot/ivf_home", 4,
+            s"${graft.streaming.StreamingOps.ckptParent}/graft_cdc_ivf_x$scale")),
+          ("cdc:pq_log", () => graft.streaming.StreamingOps.cdcLogShardedPqIngest(
+            spark, log, s"$cdcRoot/pq_home", 4,
+            s"${graft.streaming.StreamingOps.ckptParent}/graft_cdc_pq_x$scale",
+            s"$cdcRoot/fp")))
+        try {
+          logSeg(1, "add", docs)
+          for ((name, run) <- sinks) report(scale, name, "cold", timed(run()))
+          logSeg(2, "add", shifted(1L, 5000000000L, " t2"))
+          logSeg(2, "del", deleted)
+          for ((name, run) <- sinks) report(scale, name, "steady", timed(run()))
+          logSeg(3, "add", shifted(2L, 6000000000L, " t3"))
+          for ((name, run) <- sinks) report(scale, name, "noreadd", timed(run()))
+          logSeg(4, "add", deleted
+            .filter(pmod(col("doc_id"), lit(100L)) === 6)
+            .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+          for ((name, run) <- sinks) report(scale, name, "readd", timed(run()))
+        } finally {
+          for (g <- Seq("ivf", "pq"))
+            graft.sources.PosixMetaBackend.deleteRecursively(
+              s"${graft.streaming.StreamingOps.ckptParent}/graft_cdc_${g}_x$scale")
+          graft.sources.PosixMetaBackend.deleteRecursively(cdcRoot)
+        }
       }
     }
 
@@ -1126,6 +1255,12 @@ object DrillCheck {
     case ("reshard:pq_catchup_replay", "replay") => Some(25.0) // the
       // encoded blocked window: id-column anti-joins over codes + the
       // delta's fp fetch + re-encode — linear in corpus ids + delta
+    case ("cdc:ivf_log" | "cdc:pq_log", _) => Some(25.0) // every CDC
+      // batch shape is corpus-proportional by construction (cold = the
+      // corpus, steady/noreadd = 10% tranches + the collapse window,
+      // readd = shard-sized compacts of a fixed shard fraction) — the
+      // linear budget; a breach means a per-batch cost went
+      // corpus-shaped (a full-store anti-join, an unpruned probe)
     case ("probe:ivf_knn20", _) => Some(4.0)     // constant-occupancy: ~2.2-2.5 measured
     case ("probe:ivf_sharded", _) => Some(4.0)   // same pruned-probe class: the
       // union of S cell-pruned scans reads nProbe·S cells of constant

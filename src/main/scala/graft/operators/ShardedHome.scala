@@ -63,6 +63,42 @@ object ShardedHome {
     graft.sources.Versioned.metaBackend.writeAtomic(
       servingFile(home), s"$dirName $shards")
 
+  /** KEEP-PREVIOUS generation GC, run at each cutover: delete every
+    * generation STRICTLY OLDER than the one being retired — the
+    * generation the flip retires is RETAINED until the next reshard.
+    * Probes are lease-free by design, so a cross-process reader that
+    * resolved the old (path, S) pair just before the flip must keep its
+    * files mid-plan; this is the store-level [[graft.sources.Versioned]]
+    * keep-previous discipline applied to the home's generation axis
+    * (round-18; the immediate delete it replaces could yank a prober's
+    * files). Cost: one retired generation's storage until the next
+    * reshard — or until [[gcRetired]].
+    */
+  private def gcBelow(home: String, retiring: String): Unit = {
+    val cutoff = genSeq(retiring.split('/').last)
+    graft.sources.Versioned.metaBackend.list(home)
+      .filter(e => e.isDir && genSeq(e.name) > 0 && genSeq(e.name) < cutoff)
+      .foreach(e => graft.sources.Versioned.metaBackend
+        .deleteRecursively(s"$home/${e.name}"))
+  }
+
+  /** EXPLICIT GC of every non-serving generation — the operator verb
+    * that reclaims the keep-previous grace storage early. Safe only
+    * when no prober can still hold a pre-flip (path, S) pair (probes
+    * are bounded jobs; any scheduling gap after the flip suffices).
+    * Returns the deleted generation names.
+    */
+  def gcRetired(home: String): Seq[String] = {
+    val cur = serving(home).map(_._1.split('/').last).getOrElse(
+      throw new IllegalStateException(s"no SERVING pointer at $home"))
+    val stale = graft.sources.Versioned.metaBackend.list(home)
+      .filter(e => e.isDir && genSeq(e.name) > 0 && e.name != cur)
+      .map(_.name)
+    stale.foreach(nm => graft.sources.Versioned.metaBackend
+      .deleteRecursively(s"$home/$nm"))
+    stale
+  }
+
   /** The growth loop AT A HOME — [[graft.sources.VectorIndexStore.reshardShardedIvfIfNeeded]]
     * re-expressed over the pointer, with the catch-up protocol: judge
     * mean per-shard LIVE rows against `maxShardRows` — counted as
@@ -77,12 +113,17 @@ object ShardedHome {
     * at S′ = ceil(total / maxShardRows) into the next generation
     * directory WITHOUT the old generation's lease (appends keep
     * landing), then — under that lease, the only blocked window —
-    * replay the landed delta, flip the pointer, and GC the old
-    * generation. Crash notes: a crash before the flip leaves the old
-    * generation serving and a stale next-gen directory (the retry's
-    * build treats it as an in-place rebuild — POSIX homes only, the
-    * documented direct-build contract); a crash after the flip leaves
-    * at worst an unreferenced old generation for the operator to GC.
+    * replay the landed delta, flip the pointer, and run the
+    * KEEP-PREVIOUS GC ([[gcBelow]]): the retired generation is RETAINED
+    * until the next reshard (or an explicit [[gcRetired]]) so a
+    * lease-free prober that resolved the old (path, S) pair just before
+    * the flip keeps its files mid-plan; only generations two or more
+    * flips old are deleted. Crash notes: a crash before the flip leaves
+    * the old generation serving and a stale next-gen directory (the
+    * retry's build treats it as an in-place rebuild — POSIX homes only,
+    * the documented direct-build contract); a crash after the flip
+    * leaves at worst an extra retired generation the next flip (or
+    * [[gcRetired]]) reclaims.
     * Returns the serving (path, shards) pair either way, so a sink's
     * maintenance step calls it unconditionally and follows the pointer.
     */
@@ -113,11 +154,14 @@ object ShardedHome {
       val newDir = s"$home/$newName"
       // phase 1 — no lease: ingest flows for the corpus-sized rebuild
       ShardedIvf.reshardCatchUpBuild(spark, cur, s, newDir, newShards)
-      // phase 2 — the bounded stall: replay, flip, GC under one lease
+      // phase 2 — the bounded stall: replay, flip, keep-previous GC
+      // under one lease (the retired generation survives until the NEXT
+      // reshard so a lease-free prober holding the pre-flip pair keeps
+      // its files; [[gcRetired]] reclaims it early)
       graft.sources.Versioned.withWriterLease(cur) {
         ShardedIvf.reshardCatchUpReplay(spark, cur, s, newDir, newShards)
         publishServing(home, newName, newShards)
-        graft.sources.Versioned.metaBackend.deleteRecursively(cur)
+        gcBelow(home, cur)
       }
       (newDir, newShards)
     }
@@ -170,11 +214,12 @@ object ShardedHome {
       val newDir = s"$home/$newName"
       // phase 1 — no lease: external appends flow for the re-encode
       ShardedPq.reshardCatchUpBuild(spark, cur, s, newDir, newShards, fpPath)
-      // phase 2 — the bounded stall: replay both axes, flip, GC
+      // phase 2 — the bounded stall: replay both axes, flip,
+      // keep-previous GC (see [[gcBelow]] — probers keep the old pair)
       graft.sources.Versioned.withWriterLease(cur) {
         ShardedPq.reshardCatchUpReplay(spark, cur, s, newDir, newShards, fpPath)
         publishServing(home, newName, newShards)
-        graft.sources.Versioned.metaBackend.deleteRecursively(cur)
+        gcBelow(home, cur)
       }
       (newDir, newShards)
     }

@@ -183,27 +183,27 @@ object ShardedPq {
         // blocked window must not re-read the full-width fp store to
         // fetch a batch-sized delta (the same corpus-re-read smell the
         // IVF append journal closed; here the fp store's own append-only
-        // layout is the journal). Falls back to the full semi-join scan
-        // when the watermark is absent (legacy snapshot) or the window
-        // files don't cover the delta (an appender that upserted fp
-        // BEFORE the snapshot but appended codes after — legal under
-        // the upsert-then-append contract).
-        // dropDuplicates both ways: FpStore.upsert is unleased, so a
-        // racing double-write of one id must not double-materialize
-        // codes (appendPq's anti-join reads existing presence, not
-        // batch dups).
+        // layout is the journal). FpStore.since/read resolve max-seq per
+        // id (latest-wins), so a window re-add serves its NEWEST
+        // payload. Falls back to the full semi-join scan when the
+        // watermark is absent (legacy snapshot) or the window files
+        // don't cover the delta (an appender that upserted fp BEFORE
+        // the snapshot but appended codes after — legal under the
+        // upsert-then-append contract). Each fetch is materialized ONCE
+        // (checkpoint) and its count reused: the coverage check, the
+        // require, and the S routed append slices must not re-run the
+        // fp-window join per consumer.
         val fpw = graft.sources.Versioned.metaBackend
           .readString(s"$newPath/catchup.META")
           .map(_.trim).filter(_.startsWith("fpw:"))
           .flatMap(_.stripPrefix("fpw:").toLongOption)
-        val windowRows = fpw.map(w =>
+        val windowRows = fpw.map(w => graft.operators.ScaleOps.checkpointed(
           graft.sources.FpStore.since(spark, fpPath, w)
-            .join(delta, Seq("vec_id"), "left_semi")
-            .dropDuplicates("vec_id"))
+            .join(delta, Seq("vec_id"), "left_semi")))
         val rows = windowRows.filter(_.count() == n).getOrElse {
-          graft.sources.FpStore.read(spark, fpPath)
-            .join(delta, Seq("vec_id"), "left_semi")
-            .dropDuplicates("vec_id")
+          graft.operators.ScaleOps.checkpointed(
+            graft.sources.FpStore.read(spark, fpPath)
+              .join(delta, Seq("vec_id"), "left_semi"))
         }
         val got = rows.count()
         require(got == n,

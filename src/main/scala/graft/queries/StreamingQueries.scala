@@ -781,8 +781,9 @@ object StreamingQueries extends QuerySet {
     //   deleted_hidden  — post-takedown encoded membership exact;
     //   delete_wins     — same-batch upsert+delete ends deleted;
     //   redelivery_noop — fresh-checkpoint full replay absorbed (appends
-    //                     by physical presence, fp upserts by
-    //                     first-arrival, deletes by anti-join no-ops);
+    //                     by physical presence, fp re-appends resolved by
+    //                     max-seq latest-wins to the same payloads,
+    //                     deletes by anti-join no-ops);
     //   grown_clean     — the growth batch flips the pointer to gen-2 at
     //                     S' = ceil(total/budget), membership byte-equal
     //                     to expected (takedowns still absent), and NO
@@ -810,38 +811,43 @@ object StreamingQueries extends QuerySet {
     // of a still-tombstoned id compacts the owning ENCODED shard — the
     // physical apply drops its codes — then appendPq re-encodes the new
     // payload under the existing codebooks), the cold fp store
-    // maintained alongside. One honest payload boundary, stated: the fp
-    // store is first-arrival, so a re-add that CHANGES a document's
-    // text serves the new code immediately but a later growth rebuild
-    // re-encodes the fp store's original payload (the fixture corpora
-    // derive embeddings deterministically from doc text, so drill
-    // payloads cannot diverge; a payload-replacing deployment vacuums
-    // fp first). Flags mirror s20's chains on the encoded artifact:
+    // maintained alongside. Re-adds are PAYLOAD-REPLACING end-to-end
+    // (round 18): the fp store is latest-wins (max-seq per id — the
+    // reference's own sink replaces by key, db_utils.py:169-170), so a
+    // delete → re-add with CHANGED text serves the new embedding on the
+    // exact re-rank immediately AND survives the growth rebuild's
+    // corpus-wide re-encode — round 17's stale-payload boundary is
+    // gone. Flags mirror s20's chains on the encoded artifact:
     //   deleted_hidden          — post-takedown encoded membership exact;
     //   delete_wins             — add seq < del seq ends deleted;
     //   precompact_readd_lands  — delete → re-add with NO compact
     //                             anywhere: the sink compacts the owning
     //                             encoded shard and the id's codes serve
     //                             again;
+    //   readd_payload_current   — delete → re-add with NEW text → the
+    //                             full-probe exact search answers the
+    //                             new embedding at sim 1.0 both BEFORE
+    //                             and AFTER a growth rebuild at S′;
     //   replay_converges        — fresh-checkpoint replay into a FRESH
     //                             home (whole history, one batch) lands
     //                             on the incremental final membership.
     Q("s22_cdc_log_pq",
       (s, d) => {
-        val (nDocs, deletedHidden, deleteWins, preReadd, replayConverges) =
-          s22Drill(s, d)
+        val (nDocs, deletedHidden, deleteWins, preReadd, payloadCurrent,
+          replayConverges) = s22Drill(s, d)
         s.range(1).select(
           lit(nDocs).as("n_docs"),
           lit(deletedHidden).cast("int").as("deleted_hidden"),
           lit(deleteWins).cast("int").as("delete_wins"),
           lit(preReadd).cast("int").as("precompact_readd_lands"),
+          lit(payloadCurrent).cast("int").as("readd_payload_current"),
           lit(replayConverges).cast("int").as("replay_converges"))
       },
       Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 402)
         |  - (SELECT count(*) FROM documents WHERE doc_id < 250 AND doc_id % 10 = 3)
         |  - 1 + 1 AS n_docs,
         |1 AS deleted_hidden, 1 AS delete_wins, 1 AS precompact_readd_lands,
-        |1 AS replay_converges""".stripMargin))
+        |1 AS readd_payload_current, 1 AS replay_converges""".stripMargin))
   )
 
   /** s15/s16 shared lifecycle (one DrillOnce key — whichever probe runs
@@ -929,7 +935,7 @@ object StreamingQueries extends QuerySet {
           nProbe = Int.MaxValue).select("sim").as[Double].head()
         val lateFound = topSim == 1.0
         // EXTERNAL growth-loop reshard between batches: catch-up rebuild,
-        // pointer flip, old-generation GC — then the sink's next batch
+        // pointer flip, keep-previous GC — then the sink's next batch
         // (ORIGINAL checkpoint, new doc ids at +10000) must follow the
         // pointer to (gen-2, S′) and serve the late tranche from it
         val (dir2, s2) = graft.operators.ShardedHome.reshardIfNeeded(
@@ -1262,17 +1268,23 @@ object StreamingQueries extends QuerySet {
         sink(ckpt2, Long.MaxValue)
         val redeliveryNoop = membership(dir1, sh1) == expected1
         // tranche 3 under a finite budget: append, then grow — rebuild
-        // at S′ from fp ⋉ membership, pointer flip, old generation GC'd
+        // at S′ from fp ⋉ membership, pointer flip, retired generation
+        // kept for in-flight probers (keep-previous GC)
         val expected2 = expected1 ++ ids3
         val budget = 81L
         StreamingOps.writeDocFiles(s, d, srcDir, 402, 430)
         sink(ckpt, budget)
         val (dir2, sh2) = graft.operators.ShardedHome.serving(home).get
         val expS = ((expected2.size + budget - 1) / budget).toInt
+        // keep-previous GC (round 18): the retired gen-1 must SURVIVE
+        // the flip (a lease-free prober holding the pre-flip pair keeps
+        // its files) until the next reshard or an explicit gcRetired
         val grownClean = dir2 == s"$home/gen-2" && sh2 == expS &&
           membership(dir2, sh2) == expected2 &&
           (0 until sh2).forall(r => graft.sources.Tombstones
             .read(s, s"$dir2/shard=$r").isEmpty) &&
+          new java.io.File(dir1).exists() &&
+          graft.operators.ShardedHome.gcRetired(home) == Seq("gen-1") &&
           !new java.io.File(dir1).exists()
         (expected2.size.toLong, deletedHidden, deleteWins, redeliveryNoop,
           grownClean)
@@ -1290,11 +1302,14 @@ object StreamingQueries extends QuerySet {
     * either way, and s21 already drills the encoded growth loop) —
     * build; appends + takedowns (one same-segment add-then-del); a
     * pre-compact re-add (the sink compacts the owning ENCODED shard);
-    * then a fresh-checkpoint replay into a FRESH home. Tmp/checkpoint
-    * trees deleted in a finally; only flags memoize.
+    * a PAYLOAD-REPLACING re-add (delete → re-add with CHANGED text —
+    * the latest-wins fp store must serve the new embedding on the exact
+    * re-rank immediately and through a growth rebuild's corpus-wide
+    * re-encode); then a fresh-checkpoint replay into a FRESH home.
+    * Tmp/checkpoint trees deleted in a finally; only flags memoize.
     */
   private def s22Drill(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Long, Boolean, Boolean, Boolean, Boolean) = {
+      : (Long, Boolean, Boolean, Boolean, Boolean, Boolean) = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + graft.sources.PhysicalLayout.sourceTag(d, "documents")
     val pid = ProcessHandle.current().pid()
@@ -1345,12 +1360,43 @@ object StreamingQueries extends QuerySet {
         StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
         val expectedF = expected1 + readdId
         val preReadd = membership(dir1, sh1) == expectedF
+        // PAYLOAD-REPLACING re-add (round 18): delete → re-add with
+        // CHANGED text through the ordered feed. The latest-wins fp
+        // store (max-seq per id) must serve the NEW embedding on the
+        // exact re-rank immediately — and a growth rebuild at S′, which
+        // re-encodes fp ⋉ membership corpus-wide, must re-encode the
+        // new payload too (round 17's stale-payload boundary, deleted).
+        val payloadId = (expectedF - readdId).max
+        graft.sources.CdcLog.append(s, logDir, delOps(Seq(payloadId)))
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
+        val newText = texts(payloadId) + " graft payload rewrite marker v2"
+        graft.sources.CdcLog.append(s, logDir,
+          Seq(("add", payloadId, newText)))
+        StreamingOps.cdcLogShardedPqIngest(s, logDir, home, 3, ckpt, fp)
+        val newEmb = new graft.operators.HashingEmbedder().embed(newText).toSeq
+        val nLive = expectedF.size
+        def servesNew(dir: String, sh: Int): Boolean = {
+          val top = graft.operators.ShardedPq.search(s, dir, sh,
+            graft.sources.FpStore.read(s, fp), newEmb, k = 1,
+            nProbe = Int.MaxValue, shortlist = nLive)
+            .select("vec_id", "sim").as[(Long, Double)].head()
+          top == ((payloadId, 1.0))
+        }
+        val servedNow = servesNew(dir1, sh1)
+        // growth rebuild: re-encode fp ⋉ membership at S′ — the verb the
+        // sink's growth loop calls, driven directly with a small budget
+        val budget = math.max(1L, (nLive + 3L) / 4L)
+        graft.operators.ShardedHome.reshardPqIfNeeded(s, home, fp, budget)
+        val (dirG, shG) = graft.operators.ShardedHome.serving(home).get
+        val payloadCurrent = servedNow && dirG != dir1 &&
+          membership(dirG, shG) == expectedF && servesNew(dirG, shG)
         // fresh checkpoint into a FRESH home: whole history, one batch
+        // (payloadId's history collapses to its net add with the new text)
         StreamingOps.cdcLogShardedPqIngest(s, logDir, home2, 3, ckpt2, fp2)
         val (dir2, sh2) = graft.operators.ShardedHome.serving(home2).get
         val replayConverges = membership(dir2, sh2) == expectedF
         (expectedF.size.toLong, deletedHidden, deleteWins, preReadd,
-          replayConverges)
+          payloadCurrent, replayConverges)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmpRoot)).deleteRecursively()

@@ -7,29 +7,64 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * runs create-or-update index DDL on every client init, db_utils.py:48,
   * 120-127) and merge-on-key writes (A14).
   *
-  * Local builds use a parquet directory; at cluster scale the same calls
-  * target a table format with transactional upsert — the API is the
-  * boundary, not the storage.
+  * LAYOUT — [[Versioned]] pointer discipline (round 18; the two-rename
+  * compact swap this replaces needed a read-quiesced window, a flat-local
+  * restriction on the publish itself, and left a crash branch that could
+  * strand the store in `.precompact`):
+  *
+  *   root/data.CURRENT — atomic pointer to the serving version dir;
+  *   root/data-vN-…/   — parquet (flat or hive-partitioned);
+  *                       [[upsert]] APPENDS files into the current
+  *                       version, [[compact]] publishes a rewritten next
+  *                       version behind one atomic pointer flip
+  *                       (keep-previous GC — a reader that resolved the
+  *                       pointer just before the flip keeps its files),
+  *                       portable to every MetaBackend (posix / hadoop /
+  *                       object-store);
+  *   root.ts/          — tombstone sidecar anchor (a SIBLING: the data
+  *                       versions live under the root, and the sidecar
+  *                       must survive whole-version rewrites).
+  *
+  * Readers resolve through [[read]] (logical view) or [[readPhysical]];
+  * at cluster scale the same calls can target a table format with
+  * transactional upsert — the API is the boundary, not the storage.
   */
 object ChunkStore {
+
+  private val DataName = "data"
+
+  /** The serving version's parquet directory, if any version published. */
+  private def currentDir(path: String): Option[String] =
+    Versioned.readPointer(path, DataName).map(c => s"$path/${c.dir}")
+
+  // The pointer watermark slot records the base-count a DERIVED table was
+  // built from in the other stores; this store IS the base table, so the
+  // slot is unused (0) — the pointer carries identity only.
+  private val NoWatermark = 0L
 
   /** Idempotent "CREATE TABLE IF NOT EXISTS": ensures an empty store with
     * the canonical schema exists; re-running is a no-op (never truncates).
     */
-  def ensure(spark: SparkSession, path: String): Unit = {
-    val exists =
-      try { spark.read.parquet(path).schema; true }
-      catch { case _: Throwable => false }
-    if (!exists) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.chunkStore)
-        .write.mode(SaveMode.ErrorIfExists).parquet(path)
+  def ensure(spark: SparkSession, path: String): Unit =
+    if (currentDir(path).isEmpty) Versioned.withWriterLease(path) {
+      if (currentDir(path).isEmpty) { // re-check under the lease
+        if (!path.contains("://")) new java.io.File(path).mkdirs()
+        Versioned.publish(path, DataName, NoWatermark) { dir =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Schemas.chunkStore)
+            .write.mode(SaveMode.ErrorIfExists).parquet(dir)
+        }
+      }
     }
-  }
 
   /** A14 batch upsert: first-arrival merge on `keyCol` — rows whose key
     * already exists in the store are skipped (the reference's
-    * skip-if-hash-exists insert, db_utils.py:131-146), new rows appended.
-    * One anti-join instead of one lookup per row.
+    * skip-if-hash-exists insert, db_utils.py:131-146), new rows appended
+    * into the current version directory. One anti-join instead of one
+    * lookup per row. Holds the writer lease — serialized with [[compact]]
+    * (an upsert racing a compact could otherwise append into the version
+    * the compact is about to retire).
     *
     * `partitionBy` (e.g. `Seq("file_type")` or an ingest-date column) turns
     * the store into a hive-partitioned layout so downstream readers get
@@ -37,29 +72,43 @@ object ChunkStore {
     * anti-join reads only the key column either way (column pruning).
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
-             keyCol: String = "text_hash", partitionBy: Seq[String] = Nil): Unit = {
-    // absent/empty store → everything is fresh (don't mix ensure()'s flat
-    // empty marker into a partitioned layout)
-    val existing =
-      try Some(spark.read.parquet(path).select(keyCol).distinct())
-      catch { case _: Throwable => None }
-    val deduped = batch.dropDuplicates(keyCol)
-    val fresh = existing.fold(deduped)(e => deduped.join(e, Seq(keyCol), "left_anti"))
-    val writer = fresh
-      .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
-  }
+             keyCol: String = "text_hash", partitionBy: Seq[String] = Nil): Unit =
+    Versioned.withWriterLease(path) {
+      val deduped = batch.dropDuplicates(keyCol)
+        .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      currentDir(path) match {
+        case None =>
+          // absent store → everything is fresh; publish v1 directly from
+          // the batch (don't mix an empty flat marker into a partitioned
+          // layout — partition discovery refuses mixed roots)
+          if (!path.contains("://")) new java.io.File(path).mkdirs()
+          Versioned.publish(path, DataName, NoWatermark) { dir =>
+            val w = deduped.write.mode(SaveMode.ErrorIfExists)
+            (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+              .parquet(dir)
+          }
+        case Some(dir) =>
+          val existing = spark.read.parquet(dir).select(keyCol).distinct()
+          val fresh = deduped.join(existing, Seq(keyCol), "left_anti")
+          val w = fresh.write.mode(SaveMode.Append)
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+            .parquet(dir)
+      }
+    }
 
-  /** Tombstone anchor: a SIBLING of the store dir, not inside it — the
-    * store path IS the parquet data directory (flat layout, files at the
-    * top level), so a `tombstones/` subdirectory inside it would be
-    * swept into every `spark.read.parquet(path)` listing as data. The
-    * index/dedup stores don't have this problem (their tables live in
-    * versioned SUBdirs of an artifact root, so the sidecar sits beside
-    * the tables); here the sidecar gets its own sibling root.
+  /** Tombstone anchor: a SIBLING of the store root — the sidecar must
+    * survive version rewrites, and a `tombstones/` subdirectory inside
+    * the root would be GC-ambiguous next to `data-vN` version dirs.
     */
   private def tsAnchor(path: String): String = s"$path.ts"
+
+  /** The serving version's raw parquet — the PHYSICAL table (tombstoned
+    * rows still present until [[compact]]). Loud on a store no
+    * ensure/upsert ever created.
+    */
+  def readPhysical(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(currentDir(path).getOrElse(throw new IllegalStateException(
+      s"chunk store at $path has no published version (run ensure/upsert first)")))
 
   /** The LOGICAL store view: the physical table minus the [[Tombstones]]
     * sidecar [[delete]] writes. Readers that must see removals (serving,
@@ -69,7 +118,7 @@ object ChunkStore {
     * re-add-requires-compact contract as every other store's delete.
     */
   def read(spark: SparkSession, path: String, keyCol: String = "text_hash"): DataFrame =
-    Tombstones.applyTo(spark, tsAnchor(path), spark.read.parquet(path), keyCol)
+    Tombstones.applyTo(spark, tsAnchor(path), readPhysical(spark, path), keyCol)
 
   /** DELETE chunks by key — the removal half of the A14 merge sink
     * (takedowns must propagate to the chunk store exactly like to every
@@ -82,22 +131,16 @@ object ChunkStore {
     Versioned.withWriterLease(path) { Tombstones.add(spark, tsAnchor(path), keys) }
 
   /** Physically apply pending tombstones and bound the small-file count:
-    * rewrite the logical view over the physical layout (one file set),
-    * then clear the sidecar — publish-then-clear, so a crash in between
-    * leaves tombstones that anti-join nothing, never resurrected rows.
-    * Flat layout only (a hive-partitioned 100 TB store compacts through
-    * a table format's own OPTIMIZE; this is the local-layout verb).
-    *
-    * READ-QUIESCED WINDOW REQUIRED: the swap is two POSIX renames, not
-    * a pointer flip — the store path IS the parquet directory consumers
-    * `spark.read.parquet` directly, which is the whole point of this
-    * store's layout, and that contract leaves no pointer to publish
-    * behind (unlike the index compacts, whose tables live in versioned
-    * SUBdirs). A reader listing the path between the renames (or a lazy
-    * plan holding the old listing) fails on missing files. Schedule this
-    * verb in a maintenance window, or serve reads through a table
-    * format whose OPTIMIZE owns the swap — the documented local-layout
-    * trade, restated loudly here rather than discovered at 3am.
+    * publish the logical view as the NEXT version behind one atomic
+    * pointer flip, then clear the sidecar — publish-then-clear, so a
+    * crash in between leaves tombstones that anti-join nothing, never
+    * resurrected rows; a crash mid-write leaves an orphan version dir
+    * the next publication GCs, and the pointer never references an
+    * incomplete version. Reader-safe with NO quiesced window: the
+    * keep-previous GC retains the version a concurrent reader resolved
+    * just before the flip. Flat layout only (this verb's rewrite does
+    * not re-partition; a hive-partitioned 100 TB store compacts through
+    * a table format's own OPTIMIZE).
     */
   def compact(spark: SparkSession, path: String, keyCol: String = "text_hash",
               partitions: Int = 4): Unit =
@@ -105,8 +148,10 @@ object ChunkStore {
       // flat-layout only, loudly: rewriting a hive-partitioned store
       // through this verb would silently FLATTEN it — downstream readers
       // lose partition pruning with no error anywhere
-      val partitioned = Option(new java.io.File(path).listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
+      val cur = currentDir(path).getOrElse(throw new IllegalStateException(
+        s"chunk store at $path has no published version — nothing to compact"))
+      val partitioned = Versioned.metaBackend.list(cur)
+        .exists(e => e.isDir && e.name.contains("="))
       require(!partitioned,
         s"chunk store at $path is hive-partitioned; this compact would " +
           "flatten it — at that layout compact through the table format's " +
@@ -114,22 +159,9 @@ object ChunkStore {
       val clean = read(spark, path, keyCol)
         .select(Schemas.chunkStore.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         .repartition(partitions)
-      val tmp = s"$path.compacting-${ProcessHandle.current().pid()}-${System.nanoTime()}"
-      clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp)
-      val dir = new java.io.File(path)
-      val bak = new java.io.File(s"$path.precompact")
-      Fs.deleteRecursively(spark, bak.getPath)
-      if (!dir.renameTo(bak) || !new java.io.File(tmp).renameTo(dir)) {
-        // restore-or-fail loudly: never leave the store path empty
-        if (!dir.exists() && bak.exists() && !bak.renameTo(dir))
-          throw new IllegalStateException(
-            s"chunk store compact at $path failed AND could not restore " +
-              s"the original from $bak — manual rename required")
-        Fs.deleteRecursively(spark, tmp)
-        throw new IllegalStateException(
-          s"chunk store compact at $path failed (rename refused); original restored")
+      Versioned.publish(path, DataName, NoWatermark) { dir =>
+        clean.write.mode(SaveMode.ErrorIfExists).parquet(dir)
       }
-      Fs.deleteRecursively(spark, bak.getPath)
       Tombstones.clear(spark, tsAnchor(path))
     }
 }

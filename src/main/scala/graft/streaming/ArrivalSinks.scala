@@ -39,9 +39,10 @@ import org.apache.spark.sql.functions._
 private[streaming] object ArrivalSinks {
 
   /** The per-geometry verb set the shared batch body is parameterized
-    * by. `persist` runs FIRST on every batch (the encoded geometry's
-    * cold full-precision store — [[graft.sources.FpStore]]; no-op for
-    * the self-contained IVF artifacts).
+    * by. `persist` runs FIRST on every non-empty upsert batch (the
+    * encoded geometry's cold full-precision store —
+    * [[graft.sources.FpStore]], under its writer lease; no-op for the
+    * self-contained IVF artifacts).
     */
   private[streaming] case class GeomVerbs(
     name: String,
@@ -123,14 +124,19 @@ private[streaming] object ArrivalSinks {
                                       ups: DataFrame, dels: DataFrame,
                                       maxShardRows: Long,
                                       readdCompacts: Boolean): Unit = {
-    verbs.persist(sp, ups)
+    // one action, reused by every empty-guard below (a delete-only batch
+    // must not pay the append lease + S per-shard probes for nothing)
+    val upsEmpty = ups.isEmpty
+    // persist holds the fp store's writer lease (serialized with an
+    // external vacuum) — contention is transient maintenance, retried
+    if (!upsEmpty) StreamingOps.retryOnContention() { verbs.persist(sp, ups) }
     def applyDeletes(dir: String, sN: Int): Unit =
       if (!dels.isEmpty) StreamingOps.retryOnContention() {
         verbs.delete(sp, dir, sN, dels)
       }
     graft.operators.ShardedHome.serving(home) match {
       case None =>
-        if (!ups.isEmpty) {
+        if (!upsEmpty) {
           val gen = graft.operators.ShardedHome.InitialGen
           StreamingOps.retryOnContention() {
             verbs.build(sp, ups, s"$home/$gen", shards)
@@ -142,30 +148,37 @@ private[streaming] object ArrivalSinks {
       // no-op and is consumed as one (deleting an id no index holds
       // removes nothing; a later upsert of that id is a new document)
       case Some((dir0, s0)) =>
-        if (readdCompacts && !ups.isEmpty) {
+        if (readdCompacts && !upsEmpty) {
           // ordered-feed re-add: compact exactly the shards whose
           // sidecars still hold an id this batch re-adds (the physical
           // apply clears stale AND live tombstones for those shards;
           // cost = a cell-partitioned rewrite of each such shard, paid
-          // only when a takedown is actually reversed)
-          val upIds = ups.select("vec_id")
-            .withColumn("shard", graft.operators.Sharding.shardCol(s0))
-          (0 until s0).foreach { r =>
-            val slice = upIds.filter(col("shard") === r).drop("shard")
-            val shardPath = s"$dir0/shard=$r"
-            if (!slice.isEmpty &&
-              !verbs.shardTombstoned(sp, shardPath, slice).isEmpty)
-              try StreamingOps.retryOnContention() {
-                verbs.compactShard(sp, shardPath)
-              } catch {
-                // a FULLY tombstoned shard refuses its compact (an empty
-                // partitioned rewrite is unreadable — the store contract);
-                // the stream must survive it: the re-add stays absorbed
-                // until appends regrow the shard or the operator rebuilds
-                case e: IllegalArgumentException =>
-                  System.err.println(s"[graft] re-add compact skipped on " +
-                    s"$shardPath: ${e.getMessage}")
-              }
+          // only when a takedown is actually reversed). Gate DRIVER-SIDE
+          // first: a shard with no sidecar file cannot hold a re-add, so
+          // the common no-tombstone steady state pays a pure fs check —
+          // zero Spark jobs — and only sidecar-carrying shards pay the
+          // one semi-join probe (which subsumes the slice-empty check).
+          val withSidecar = (0 until s0).filter(r =>
+            graft.sources.Tombstones.read(sp, s"$dir0/shard=$r").isDefined)
+          if (withSidecar.nonEmpty) {
+            val upIds = ups.select("vec_id")
+              .withColumn("shard", graft.operators.Sharding.shardCol(s0))
+            withSidecar.foreach { r =>
+              val slice = upIds.filter(col("shard") === r).drop("shard")
+              val shardPath = s"$dir0/shard=$r"
+              if (!verbs.shardTombstoned(sp, shardPath, slice).isEmpty)
+                try StreamingOps.retryOnContention() {
+                  verbs.compactShard(sp, shardPath)
+                } catch {
+                  // a FULLY tombstoned shard refuses its compact (an empty
+                  // partitioned rewrite is unreadable — the store contract);
+                  // the stream must survive it: the re-add stays absorbed
+                  // until appends regrow the shard or the operator rebuilds
+                  case e: IllegalArgumentException =>
+                    System.err.println(s"[graft] re-add compact skipped on " +
+                      s"$shardPath: ${e.getMessage}")
+                }
+            }
           }
         }
         // resolve-then-append can race a CROSS-PROCESS reshard's pointer
@@ -176,15 +189,19 @@ private[streaming] object ArrivalSinks {
           StreamingOps.retryOnContention() {
             verbs.append(sp, dir, sN, ups)
           }
-        try appendResolved(dir0, s0)
-        catch {
-          case e: Exception
-              if graft.operators.ShardedHome.serving(home)
-                .exists(_._1 != dir0) =>
-            val (dir1, s1) = graft.operators.ShardedHome.serving(home).get
-            System.err.println(s"[graft] serving generation moved " +
-              s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
-            appendResolved(dir1, s1)
+        // delete-only batches skip the append path entirely — no root
+        // writer lease, no S per-shard append probes for an empty frame
+        if (!upsEmpty) {
+          try appendResolved(dir0, s0)
+          catch {
+            case e: Exception
+                if graft.operators.ShardedHome.serving(home)
+                  .exists(_._1 != dir0) =>
+              val (dir1, s1) = graft.operators.ShardedHome.serving(home).get
+              System.err.println(s"[graft] serving generation moved " +
+                s"mid-batch ($dir0 -> $dir1): ${e.getMessage}; retrying")
+              appendResolved(dir1, s1)
+          }
         }
         val (dir, sN) = graft.operators.ShardedHome.serving(home).get
         applyDeletes(dir, sN)

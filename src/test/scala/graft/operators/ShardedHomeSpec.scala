@@ -28,14 +28,22 @@ class ShardedHomeSpec extends SparkTestBase {
       == (s"$home/gen-1", 3))
     assert(new java.io.File(s"$home/gen-1").exists())
     // past it: catch-up reshard to gen-2 at S' = ceil(total/budget),
-    // pointer flipped, old generation GC'd, membership total at S'
+    // pointer flipped, membership total at S'. A lease-free PROBER that
+    // resolved the old (path, S) pair just before the flip must keep
+    // its files mid-plan — keep-previous GC retains the retired
+    // generation until the NEXT reshard (round-18; the immediate delete
+    // this replaces could yank the prober's files)
     val n = emb.count()
+    val preFlipPlan = IvfIndex.loadVectors(spark, s"$home/gen-1/shard=0")
+      .select("vec_id") // resolved pre-flip, completed post-flip
     val (p2, s2) = ShardedHome.reshardIfNeeded(spark, home,
       maxShardRows = math.max(1L, (n + 4) / 5))
     assert(p2 == s"$home/gen-2" && s2 == 5, s"got ($p2, $s2)")
     assert(ShardedHome.serving(home).contains((p2, 5)))
-    assert(!new java.io.File(s"$home/gen-1").exists(),
-      "the old generation must be GC'd after the flip")
+    assert(new java.io.File(s"$home/gen-1").exists(),
+      "the retired generation must survive its own flip (keep-previous GC)")
+    assert(preFlipPlan.count() > 0,
+      "a prober holding the pre-flip pair must complete across the flip")
     val ids = (0 until 5).map(r =>
       IvfIndex.loadVectors(spark, s"$p2/shard=$r").select("vec_id"))
       .reduce(_ unionAll _)
@@ -46,6 +54,19 @@ class ShardedHomeSpec extends SparkTestBase {
     ShardedIvf.append(spark, p2, s2, tranche)
     assert((0 until 5).map(r =>
       IvfIndex.loadVectors(spark, s"$p2/shard=$r").count()).sum == 2 * n)
+    // the NEXT flip reclaims gen-1 (two flips old) and retires gen-2
+    val (p3, s3) = ShardedHome.reshardIfNeeded(spark, home,
+      maxShardRows = math.max(1L, (2 * n + 6) / 7))
+    assert(p3 == s"$home/gen-3" && s3 == 7, s"got ($p3, $s3)")
+    assert(!new java.io.File(s"$home/gen-1").exists(),
+      "generations two flips old are GC'd at the cutover")
+    assert(new java.io.File(s"$home/gen-2").exists(),
+      "the just-retired generation is kept for in-flight probers")
+    // the explicit operator verb reclaims the grace storage early
+    assert(ShardedHome.gcRetired(home) == Seq("gen-2"))
+    assert(!new java.io.File(s"$home/gen-2").exists() &&
+      new java.io.File(p3).exists(),
+      "gcRetired deletes every non-serving generation, never the serving one")
     // a home with no pointer fails loudly (nothing to reshard)
     val empty = java.nio.file.Files.createTempDirectory("graft_shhome_e").toString
     val e = intercept[IllegalStateException] {

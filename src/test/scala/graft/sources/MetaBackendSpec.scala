@@ -155,6 +155,17 @@ class MetaBackendSpec extends SparkTestBase {
     try body finally Versioned.metaBackend = prev
   }
 
+  /** Leased store verbs (ChunkStore/FpStore since round 18) on a mem://
+    * data plane need the CAS lease reference too — POSIX file locks
+    * cannot arbitrate an object-store path (loud refusal, asserted
+    * above).
+    */
+  private def withLeaseBackend[T](be: LeaseBackend)(body: => T): T = {
+    val prev = Versioned.leaseBackend
+    Versioned.leaseBackend = be
+    try body finally Versioned.leaseBackend = prev
+  }
+
   /** The full-lifecycle matrix runs over the two NON-DEFAULT backends
     * (every other suite in the repo exercises the POSIX default end to
     * end): (name, backend, root factory). The object-store row needs the
@@ -209,6 +220,50 @@ class MetaBackendSpec extends SparkTestBase {
         assert(count() == 3 && computes == 2) // re-point moved the token
       }
     }
+
+    test(s"[$name] FpStore vacuum publishes behind the pointer: concurrent reader kept, crash orphan GC'd") {
+      // the round-18 "Missing #2" drill: the fp store's maintenance verb
+      // on the non-default meta planes — latest-wins upsert, a reader
+      // resolved mid-vacuum keeps its version (keep-previous GC), a
+      // crash-between-write-and-flip orphan version is never served and
+      // the next publication collects it
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val be = mkBe()
+      withMetaBackend(be) {
+        withLeaseBackend(new InMemoryCasLeaseBackend) {
+          val root = s"${mkRoot()}/fp"
+          def vecs(rows: (Long, Float)*) = rows.toSeq
+            .map { case (id, v) => (id, 0, Seq(v)) }
+            .toDF("vec_id", "label", "embedding")
+          FpStore.upsert(spark, root, vecs(1L -> 1f, 2L -> 2f))
+          FpStore.upsert(spark, root, vecs(2L -> 9f, 3L -> 3f))
+          assert(FpStore.read(spark, root).filter(col("vec_id") === 2L)
+            .select("embedding").as[Seq[Float]].head() == Seq(9f),
+            "latest-wins resolution on the backend's data plane")
+          // crash emulation: a version dir written but never pointed at
+          // (same version number as a live one, the real crash shape —
+          // the retry re-publishes the number under a fresh suffix)
+          val orphan = s"$root/data-v1-crashed-0"
+          vecs(7L -> 7f).withColumn("seq", org.apache.spark.sql.functions.lit(99L))
+            .write.parquet(orphan)
+          val preFlip = FpStore.read(spark, root)
+          FpStore.vacuum(spark, root, Seq(1L, 2L).toDF("vec_id"))
+          assert(preFlip.count() == 3,
+            "a reader that resolved just before the vacuum's flip keeps its files")
+          assert(FpStore.read(spark, root)
+            .select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+            "vacuum bounds the store to the membership — the orphan is never served")
+          // next publication's GC collects everything older than the
+          // version that was current just before ITS flip
+          FpStore.vacuum(spark, root, Seq(1L).toDF("vec_id"))
+          assert(!be.exists(orphan),
+            "a crashed publication's orphan version dir is GC'd")
+          assert(FpStore.maxSeq(spark, root) == 1L,
+            "the seq watermark axis survives both vacuums")
+        }
+      }
+    }
   }
 
   test("mem:// input stream honors the InputStream read contract at EOF") {
@@ -232,33 +287,50 @@ class MetaBackendSpec extends SparkTestBase {
     } finally in.close()
   }
 
-  test("ChunkStore ensure/upsert lifecycle runs on the object-store data plane (mem://)") {
+  test("ChunkStore ensure/upsert/compact lifecycle runs on the object-store data plane (mem://)") {
     // the INGEST store's committer path on object-store semantics: ensure
-    // (ErrorIfExists create), idempotent re-ensure, two Append-mode
-    // upserts with overlapping keys (anti-join merge reads the store back
-    // through mem:// and the second commit appends into a NON-empty
-    // directory — a different committer path than Versioned.publish's
-    // fresh-dir writes, which the lifecycle rows above cover)
+    // (pointer-published empty version), idempotent re-ensure, two
+    // Append-mode upserts with overlapping keys (anti-join merge reads
+    // the store back through mem:// and the second commit appends into a
+    // NON-empty version directory), then delete + compact — the round-18
+    // pointer-flip compact that replaced the POSIX two-rename swap runs
+    // on an object store with NO special-casing (the `://` refusal is
+    // gone because the rename is gone)
     spark.sparkContext.hadoopConfiguration
       .set("fs.mem.impl", classOf[MemFileSystem].getName)
-    val store = s"${mkMemRoot()}/chunks"
-    ChunkStore.ensure(spark, store)
-    ChunkStore.ensure(spark, store) // idempotent: no truncate, no throw
-    assert(spark.read.parquet(store).count() == 0)
-    def batch(rows: Seq[(String, String)]) = {
-      import org.apache.spark.sql.Row
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.map { case (id, h) =>
-          Row(id, s"content $id", null, s"$id.txt", 0, h, null, "txt", null, null)
-        }),
-        graft.schemas.Schemas.chunkStore)
+    withMetaBackend(ObjectStoreMetaBackend) {
+      withLeaseBackend(new InMemoryCasLeaseBackend) {
+        val store = s"${mkMemRoot()}/chunks"
+        ChunkStore.ensure(spark, store)
+        ChunkStore.ensure(spark, store) // idempotent: no truncate, no throw
+        assert(ChunkStore.readPhysical(spark, store).count() == 0)
+        def batch(rows: Seq[(String, String)]) = {
+          import org.apache.spark.sql.Row
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.map { case (id, h) =>
+              Row(id, s"content $id", null, s"$id.txt", 0, h, null, "txt", null, null)
+            }),
+            graft.schemas.Schemas.chunkStore)
+        }
+        ChunkStore.upsert(spark, batch(Seq(("a", "h1"), ("b", "h2"))), store)
+        // overlapping batch: h2 must be skipped (first arrival), h3 appended
+        ChunkStore.upsert(spark, batch(Seq(("b2", "h2"), ("c", "h3"))), store)
+        val got = ChunkStore.readPhysical(spark, store)
+          .select("id", "text_hash").collect().map(r => (r.getString(0), r.getString(1))).sorted
+        assert(got.toSeq == Seq(("a", "h1"), ("b", "h2"), ("c", "h3")))
+        // delete + pointer-flip compact on the object store; a reader
+        // that resolved the pre-flip version keeps its files
+        import spark.implicits._
+        ChunkStore.delete(spark, store, Seq("h2").toDF("text_hash"))
+        val preFlip = ChunkStore.readPhysical(spark, store)
+        ChunkStore.compact(spark, store)
+        assert(preFlip.count() == 3,
+          "keep-previous GC: a pre-flip reader's version stays readable")
+        assert(ChunkStore.readPhysical(spark, store).count() == 2 &&
+          Tombstones.read(spark, s"$store.ts").isEmpty,
+          "compact applies tombstones physically and clears the sidecar")
+      }
     }
-    ChunkStore.upsert(spark, batch(Seq(("a", "h1"), ("b", "h2"))), store)
-    // overlapping batch: h2 must be skipped (first arrival), h3 appended
-    ChunkStore.upsert(spark, batch(Seq(("b2", "h2"), ("c", "h3"))), store)
-    val got = spark.read.parquet(store)
-      .select("id", "text_hash").collect().map(r => (r.getString(0), r.getString(1))).sorted
-    assert(got.toSeq == Seq(("a", "h1"), ("b", "h2"), ("c", "h3")))
   }
 
   test("object-store writeAtomic is rename-free: pointer flips PUT, nothing else") {

@@ -34,15 +34,15 @@ class SourcesSpec extends SparkTestBase {
   test("chunk store ensure is idempotent and never truncates (A21)") {
     val path = Files.createTempDirectory("graft_store").toString + "/chunks"
     ChunkStore.ensure(spark, path)
-    assert(spark.read.parquet(path).schema.fieldNames.sameElements(Schemas.chunkStore.fieldNames))
-    assert(spark.read.parquet(path).count() == 0)
+    assert(ChunkStore.readPhysical(spark, path).schema.fieldNames.sameElements(Schemas.chunkStore.fieldNames))
+    assert(ChunkStore.readPhysical(spark, path).count() == 0)
     // write data, re-ensure, data survives
     val batch = Ingest.pipeline(spark, docs.limit(10), new HashingEmbedder())
     ChunkStore.upsert(spark, batch, path)
-    val n = spark.read.parquet(path).count()
+    val n = ChunkStore.readPhysical(spark, path).count()
     assert(n > 0)
     ChunkStore.ensure(spark, path)
-    assert(spark.read.parquet(path).count() == n)
+    assert(ChunkStore.readPhysical(spark, path).count() == n)
   }
 
   test("partitioned chunk store: hive layout + partition pruning") {
@@ -50,7 +50,7 @@ class SourcesSpec extends SparkTestBase {
     val path = Files.createTempDirectory("graft_store_part").toString + "/chunks"
     val batch = Ingest.pipeline(spark, docs.limit(30), new HashingEmbedder())
     ChunkStore.upsert(spark, batch, path, partitionBy = Seq("filename"))
-    val back = spark.read.parquet(path)
+    val back = ChunkStore.readPhysical(spark, path)
     assert(back.count() == batch.count())
     // partition dirs exist and the scan prunes on the partition column
     val one = back.filter(col("filename") === "src0")
@@ -59,7 +59,7 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(filename"), plan)
     // second identical upsert is a no-op
     ChunkStore.upsert(spark, batch, path, partitionBy = Seq("filename"))
-    assert(spark.read.parquet(path).count() == batch.count())
+    assert(ChunkStore.readPhysical(spark, path).count() == batch.count())
   }
 
   test("chunk store delete: immediate logical removal, re-upsert gated, compact applies + clears") {
@@ -68,14 +68,14 @@ class SourcesSpec extends SparkTestBase {
     val path = Files.createTempDirectory("graft_store_del").toString + "/chunks"
     val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
     ChunkStore.upsert(spark, batch, path)
-    val n = spark.read.parquet(path).count()
-    val victims = spark.read.parquet(path).select("text_hash")
+    val n = ChunkStore.readPhysical(spark, path).count()
+    val victims = ChunkStore.readPhysical(spark, path).select("text_hash")
       .orderBy("text_hash").limit(3).as[String].collect().toSeq
     ChunkStore.delete(spark, path, victims.toDF("text_hash"))
     val logical = ChunkStore.read(spark, path)
     assert(logical.count() == n - 3, "deleted keys vanish from the logical view immediately")
     assert(logical.filter(col("text_hash").isin(victims: _*)).count() == 0)
-    assert(spark.read.parquet(path).count() == n,
+    assert(ChunkStore.readPhysical(spark, path).count() == n,
       "the physical table is untouched — delete cost is the sidecar")
     // re-upsert before compact: the key anti-join reads PHYSICAL presence,
     // so the deleted chunk is skipped and stays deleted
@@ -83,12 +83,12 @@ class SourcesSpec extends SparkTestBase {
     assert(ChunkStore.read(spark, path).count() == n - 3,
       "a deleted key cannot be re-upserted before a compact")
     ChunkStore.compact(spark, path)
-    assert(spark.read.parquet(path).count() == n - 3,
+    assert(ChunkStore.readPhysical(spark, path).count() == n - 3,
       "compaction applies the tombstones physically")
     assert(Tombstones.read(spark, s"$path.ts").isEmpty, "and clears the sidecar")
     // now the re-upsert lands
     ChunkStore.upsert(spark, batch, path)
-    assert(spark.read.parquet(path).count() == n,
+    assert(ChunkStore.readPhysical(spark, path).count() == n,
       "after the compact the same upsert re-adds the removed chunks")
   }
 
@@ -96,11 +96,11 @@ class SourcesSpec extends SparkTestBase {
     val path = Files.createTempDirectory("graft_store2").toString + "/chunks"
     val batch = Ingest.pipeline(spark, docs.limit(20), new HashingEmbedder())
     ChunkStore.upsert(spark, batch, path)
-    val n1 = spark.read.parquet(path).count()
+    val n1 = ChunkStore.readPhysical(spark, path).count()
     ChunkStore.upsert(spark, batch, path) // identical batch → no-op
-    val n2 = spark.read.parquet(path).count()
+    val n2 = ChunkStore.readPhysical(spark, path).count()
     assert(n1 == n2)
-    val dups = spark.read.parquet(path).groupBy("text_hash").count()
+    val dups = ChunkStore.readPhysical(spark, path).groupBy("text_hash").count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).count()
     assert(dups == 0)
   }

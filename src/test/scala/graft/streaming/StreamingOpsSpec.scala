@@ -305,7 +305,8 @@ class StreamingOpsSpec extends SparkTestBase {
     // failure on the GC'd root, silently shrunken rebuild after restart)
     val (d2, s2) = graft.operators.ShardedHome.reshardIfNeeded(spark, home,
       maxShardRows = math.max(1L, (n + 3) / 4))
-    assert(d2 == s"$home/gen-2" && s2 == 4 && !new java.io.File(d1).exists())
+    assert(d2 == s"$home/gen-2" && s2 == 4 && new java.io.File(d1).exists(),
+      "keep-previous GC: the retired generation survives its own flip")
     // the sink's next batch resolves the pointer and appends to gen-2
     StreamingOps.writeDocFiles(spark, sf, src, 150, 200)
     StreamingOps.arrivalShardedIngest(spark, src, "*.txt", home, 3, s"$dir/ckpt")
@@ -470,7 +471,12 @@ class StreamingOpsSpec extends SparkTestBase {
     assert((0 until s2).forall(r => graft.sources.Tombstones
       .read(spark, s"$d2/shard=$r").isEmpty),
       "the rebuilt generation is born clean — no tombstone forwarding")
-    assert(!new java.io.File(d1).exists(), "old generation must be GC'd")
+    assert(new java.io.File(d1).exists(),
+      "the retired generation survives its flip (keep-previous GC — a " +
+        "lease-free prober holding the pre-flip pair keeps its files)")
+    assert(graft.operators.ShardedHome.gcRetired(home) == Seq("gen-1") &&
+      !new java.io.File(d1).exists(),
+      "the explicit GC verb reclaims the retired generation")
   }
 
   test("CdcLog: collapse keeps the max-seq op per id; FpStore vacuum bounds lingering rows") {
@@ -489,7 +495,8 @@ class StreamingOpsSpec extends SparkTestBase {
       .collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(net == Map(1L -> (("add", "a2")), 2L -> (("add", "b"))),
       s"collapse must keep the latest op+payload per id: $net")
-    // FpStore: first-arrival upsert, membership read, vacuum
+    // FpStore: LATEST-WINS upsert (max-seq per id — the reference's own
+    // sink replaces by key, db_utils.py:169-170), membership read, vacuum
     val fp = s"$dir/fp"
     val v1 = Seq((1L, 0, Seq(1.0f)), (2L, 0, Seq(2.0f)))
       .toDF("vec_id", "label", "embedding")
@@ -500,7 +507,8 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(graft.sources.FpStore.read(spark, fp).count() == 3)
     assert(graft.sources.FpStore.read(spark, fp)
       .filter(col("vec_id") === 2L).select("embedding")
-      .as[Seq[Float]].head() == Seq(2.0f), "first arrival wins")
+      .as[Seq[Float]].head() == Seq(9.9f),
+      "latest seq wins — a payload-replacing upsert must serve the new row")
     val member = Seq(1L, 3L).toDF("vec_id")
     assert(graft.sources.FpStore.readMember(spark, fp, member)
       .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
@@ -509,13 +517,35 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(graft.sources.FpStore.maxSeq(spark, fp) == 1L,
       "two upsert batches must stamp seqs 0 and 1")
     assert(graft.sources.FpStore.since(spark, fp, 0L)
-      .select("vec_id").as[Long].collect().toSet == Set(3L),
-      "since(w) must serve exactly the post-watermark upserts")
+      .select("vec_id").as[Long].collect().toSet == Set(2L, 3L),
+      "since(w) must serve exactly the post-watermark upserts " +
+        "(including the replaced payload's new row)")
     graft.sources.FpStore.vacuum(spark, fp, member)
     assert(graft.sources.FpStore.read(spark, fp)
       .select("vec_id").as[Long].collect().toSet == Set(1L, 3L),
       "vacuum must drop rows outside the membership")
     assert(graft.sources.FpStore.maxSeq(spark, fp) == 1L,
       "vacuum must preserve the seq axis")
+    // a reader that resolved the version just before the vacuum's flip
+    // keeps its files (keep-previous GC — the pointer discipline every
+    // other store publishes behind, now on the fp store's serving path)
+    graft.sources.FpStore.upsert(spark, fp,
+      Seq((4L, 0, Seq(4.0f))).toDF("vec_id", "label", "embedding"))
+    val preFlip = graft.sources.FpStore.read(spark, fp)
+    graft.sources.FpStore.vacuum(spark, fp, Seq(1L, 3L, 4L).toDF("vec_id"))
+    assert(preFlip.count() == 3,
+      "a pre-flip reader's resolved version must stay readable (keep-previous)")
+    assert(graft.sources.FpStore.read(spark, fp)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // seq.META loss (legacy store / manual cleanup): the next claim
+    // falls back to ONE max(seq) data scan and stays monotone — a
+    // watermark sidecar miss must never reuse a seq
+    graft.sources.Versioned.metaBackend.deleteRecursively(s"$fp/seq.META")
+    graft.sources.FpStore.upsert(spark, fp,
+      Seq((5L, 0, Seq(5.0f))).toDF("vec_id", "label", "embedding"))
+    assert(graft.sources.FpStore.maxSeq(spark, fp) == 3L,
+      "post-loss claim = scanned max + 1 (seqs 0..2 lived in the data)")
+    assert(graft.sources.FpStore.since(spark, fp, 2L)
+      .select("vec_id").as[Long].collect().toSet == Set(5L))
   }
 }
