@@ -75,6 +75,9 @@ object DocExtract {
   def extractPages(spark: SparkSession, docs: DataFrame,
                    extractor: PageExtractor = new TextBytesExtractor()): DataFrame = {
     import spark.implicits._
+    // NOT spread: the page splitter is a cheap byte scan and the payload is
+    // the binary content itself — an added exchange moves every byte once
+    // for no CPU win (measured m06 1.59 → 2.28 s with a spread here)
     docs.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>

@@ -27,6 +27,9 @@ object Ingest {
     */
   def chunkDocuments(spark: SparkSession, docs: DataFrame): Dataset[Chunk] = {
     import spark.implicits._
+    // NOT spread (ScaleOps.spread): the splitter is a cheap linear scan and
+    // its input is the text payload itself — an added exchange moves every
+    // byte once for no CPU win (measured regressions on d08/d09/m06)
     docs.select("doc_id", "text", "lang", "source", "n_chars").as[Doc].flatMap { d =>
       Chunker.chunkWithOffsets(d.text).zipWithIndex.map { case ((content, st, en), i) =>
         Chunk(
@@ -119,7 +122,9 @@ object Ingest {
   /** Attach `content_vector` by embedding per partition (batched — §4). */
   def withEmbeddings(spark: SparkSession, chunks: Dataset[Chunk], embedder: Embedder): DataFrame = {
     import spark.implicits._
-    val embedded = chunks.mapPartitions { it =>
+    // spread: embedding is the heaviest per-row kernel in the pipeline and
+    // the upstream dedup typically leaves few (AQE-coalesced) partitions
+    val embedded = ScaleOps.spread(chunks).mapPartitions { it =>
       it.map(c => (c, embedder.embed(c.content)))
     }
     embedded.select(

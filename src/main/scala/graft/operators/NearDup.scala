@@ -118,8 +118,9 @@ object NearDup {
   def minhashBuckets(spark: SparkSession, docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    ScaleOps.spread(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)])
       .flatMap { case (id, text) =>
         val sig = minhashSignature(text)
         // a shingle-less (empty/whitespace) doc has the all-MaxValue
@@ -151,8 +152,9 @@ object NearDup {
     val buckets = minhashBuckets(spark, docs, idCol, textCol).graftCheckpoint()
     // shingle sets computed ONCE per doc (sorted arrays), not once per pair;
     // checkpointed for the same both-join-sides reason as buckets
-    val shingleSets = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
-      .as[(Long, String)]
+    val shingleSets = ScaleOps.spread(
+      docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
+        .as[(Long, String)])
       .map { case (id, text) => (id, TextKernel.shingles(text, ShingleSize).toArray.sorted) }
       .toDF("tid", "tsh")
       .graftCheckpoint()

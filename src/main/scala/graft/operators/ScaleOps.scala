@@ -31,6 +31,32 @@ object ScaleOps {
   def coPartition(df: DataFrame, key: String, numPartitions: Int): DataFrame =
     df.repartition(numPartitions, col(key))
 
+  /** Spread a CPU-bound stage across the cluster when its input arrives in
+    * fewer partitions than the cluster has cores — the optimization-guide
+    * §2.5 "one huge unsplittable file" fix (here: single-row-group fixture
+    * parquet makes every scan a 1-task stage, so per-row kernels — embedder,
+    * chunker, winnow, signature hashing, blocked cosine — ran on one core of
+    * a 32-core machine).
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the branch
+    * compares the plan's actual partition count against
+    * `sparkContext.defaultParallelism`, so on a cluster reading a 100 TB
+    * table in thousands of splits this is a NO-OP — it only fires for
+    * under-split inputs, where redistributing once before heavy per-row work
+    * is the standard remedy. Round-robin repartition is deterministic under
+    * task retries (sort-before-repartition, SPARK-23207) and row-preserving;
+    * call sites are all order-insensitive downstream (they re-aggregate,
+    * re-join, or re-sort). Streaming frames pass through untouched (their
+    * per-batch parallelism is the source's concern).
+    */
+  def spread[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    if (ds.isStreaming) ds
+    else {
+      val target = ds.sparkSession.sparkContext.defaultParallelism
+      if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    }
+  }
+
   /** `spark.graft.checkpoint.mode`: how [[checkpointed]] materializes a
     * multiply-read frame. `local` (default) — executor-memory/disk
     * localCheckpoint, the right call on a single machine and for bounded

@@ -110,7 +110,7 @@ object DedupQueries extends QuerySet {
     // s1 is both consumed by s2 and counted by the callers — checkpoint
     // both so the corpus is scanned + normalized once (t13/g09 discipline;
     // the materialized frames are (doc_id, gnorm) and an id list)
-    val docs = (t(s, d, "documents")
+    val docs = graft.operators.ScaleOps.spread(t(s, d, "documents")
       .select(col("doc_id"), normCol.as("gnorm"))).graftCheckpoint()
     val gtk = docs.select(col("doc_id"),
       explode(split(col("gnorm"), " ")).as("tok"))

@@ -235,8 +235,9 @@ object PipelineQueries extends QuerySet {
       (s, d) => {
         import s.implicits._
         val emb = new HashingEmbedder()
-        t(s, d, "documents").select(col("doc_id"), col("text"))
-          .as[(Long, String)]
+        graft.operators.ScaleOps.spread(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)])
           .mapPartitions { it =>
             it.map { case (id, tx) =>
               val counts = emb.rawBucketCounts(tx)
@@ -294,9 +295,10 @@ object PipelineQueries extends QuerySet {
       (s, d) => {
         import s.implicits._
         val emb = new HashingEmbedder()
-        val withVec = t(s, d, "documents")
-          .select(col("doc_id"), normCol.as("content"), col("source").as("filename"))
-          .as[(Long, String, String)]
+        val withVec = graft.operators.ScaleOps.spread(
+          t(s, d, "documents")
+            .select(col("doc_id"), normCol.as("content"), col("source").as("filename"))
+            .as[(Long, String, String)])
           .mapPartitions { it =>
             it.map { case (id, content, fn) => (id, content, fn, emb.embed(content)) }
           }

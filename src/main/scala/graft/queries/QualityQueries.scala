@@ -28,6 +28,10 @@ object QualityQueries extends QuerySet {
     * normalization (QuerySet.normCol — must agree with t01/t03/x02).
     */
   private def toks(s: SparkSession, d: String): DataFrame =
+    // NOT spread (ScaleOps.spread): measured at sf0.1/local[32], the extra
+    // exchange costs more than the split+explode kernel saves (g09 0.62 →
+    // 1.06 s with spread) — tokenization here is cheap Catalyst codegen and
+    // every consumer partial-aggregates map-side anyway
     t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
       explode(split(normCol, " ")).as("tok"))
 

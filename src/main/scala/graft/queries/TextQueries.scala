@@ -229,8 +229,9 @@ object TextQueries extends QuerySet {
         import spark.implicits._
         // materialized once: the winnow kernel is the expensive part and
         // the frame is read three times (hot agg + both self-join sides)
-        val fps = t(s, d, "documents")
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val fps = graft.operators.ScaleOps.spread(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("text")).as[(Long, String)])
           .flatMap { case (id, text) =>
             TextKernel.winnow(text, k = WinnowK, window = WinnowW)
               .iterator.map(fp => (id, fp)) }

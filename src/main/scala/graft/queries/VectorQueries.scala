@@ -1519,8 +1519,12 @@ object VectorQueries extends QuerySet {
     val grid = s.range(nBlocks * nBlocks)
       .selectExpr(s"id div $nBlocks AS ba", s"id % $nBlocks AS bb")
       .filter(col("ba") <= col("bb"))
-    val a = emb.selectExpr("vec_id AS id_a", "embedding AS ea",
-      s"pmod(xxhash64(vec_id), $nBlocks) AS ba")
+    // spread: the grid fan-out keeps the a-side's (usually 1-task) scan
+    // partitioning, and the small b-side broadcasts — without this the
+    // whole Θ(n²/B²·B²)-cosine evaluation ran on the scan's task count
+    val a = graft.operators.ScaleOps.spread(
+      emb.selectExpr("vec_id AS id_a", "embedding AS ea",
+        s"pmod(xxhash64(vec_id), $nBlocks) AS ba"))
     val b = emb.selectExpr("vec_id AS id_b", "embedding AS eb",
       s"pmod(xxhash64(vec_id), $nBlocks) AS bb")
     broadcast(grid).join(a, "ba").join(b, "bb")

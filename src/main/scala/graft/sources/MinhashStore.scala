@@ -46,8 +46,9 @@ object MinhashStore {
     */
   private def setsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long").as("tid"), col("text"))
-      .as[(Long, String)]
+    graft.operators.ScaleOps.spread(
+      docs.select(col("doc_id").cast("long").as("tid"), col("text"))
+        .as[(Long, String)])
       .map { case (id, text) =>
         (id, TextKernel.shingles(text, NearDup.ShingleSize).toArray.sorted)
       }

@@ -42,7 +42,7 @@ object ShingleStore {
     */
   def shingleRowsOf(docs: DataFrame): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val base = docs
+    val base = graft.operators.ScaleOps.spread(docs)
       .select(col("doc_id"), norm.as("norm"))
       .filter(length(col("norm")) > 0)
       .withColumn("toks", split(col("norm"), " "))
