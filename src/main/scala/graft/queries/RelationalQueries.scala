@@ -605,19 +605,27 @@ object RelationalQueries extends QuerySet {
 
     // ---- exact percentiles (interpolated) + median ----
     Q("r38_percentiles",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          // one percentile aggregation state for all three points (the
-          // per-point form sorted the group three times — r71 discipline)
-          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
-          round(expr("median(l_quantity)"), 4).as("med_qty"))
-        .select(col("l_returnflag"),
-          round(col("ps").getItem(0), 4).as("p50"),
-          round(col("ps").getItem(1), 4).as("p90"),
-          round(col("ps").getItem(2), 4).as("p99"),
-          col("med_qty"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        // ORDER-STATISTICS exact percentiles (OrderStats, round 18): the
+        // `percentile` aggregate built boxed value→count maps per partial
+        // and merged them in one final task per group (gc_ms 343 on 600k
+        // rows); the window form sorts primitives once per column and
+        // aggregates only the ~2 ranked rows each point touches. Results
+        // are BIT-identical (OrderStatsSpec pins the interpolation against
+        // the aggregate); the oracle is unchanged.
+        val li = t(s, d, "lineitem")
+        val ep = graft.operators.OrderStats.exactPercentilesByGroup(
+          li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99), "ps")
+        val mq = graft.operators.OrderStats.exactPercentileByGroup(
+          li, "l_returnflag", "l_quantity", 0.5, "med")
+        ep.join(mq, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(col("ps_0"), 4).as("p50"),
+            round(col("ps_1"), 4).as("p90"),
+            round(col("ps_2"), 4).as("p99"),
+            round(col("med"), 4).as("med_qty"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
@@ -1295,24 +1303,28 @@ object RelationalQueries extends QuerySet {
     // exact band and expects every flag = 1 (rank error at accuracy 10000
     // is 1e-4, 50x inside the band).
     Q("r71_approx_percentile",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          // ONE exact-percentile aggregation for all five band points and
-          // ONE sketch for both approx points (array forms) — the
-          // per-point form built five separate sort-based percentile
-          // states + two sketches per group (7.1 s → ~1.6 s, same result)
-          expr("percentile(l_extendedprice, array(0.495, 0.5, 0.505, 0.945, 0.955))")
-            .as("ps"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+      (s, d) => {
+        // exact side = ORDER-STATISTICS (OrderStats — r38's rework; bit-
+        // identical to the old single `percentile` array aggregate, which
+        // built boxed value→count maps); sketch side unchanged — the
+        // approx_percentile results the band flags grade must stay the
+        // declared sketch at accuracy 10000
+        val li = t(s, d, "lineitem")
+        val ex = graft.operators.OrderStats.exactPercentilesByGroup(
+          li, "l_returnflag", "l_extendedprice",
+          Seq(0.495, 0.5, 0.505, 0.945, 0.955), "ps")
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
             .as("ap"))
-        .select(col("l_returnflag"),
-          round(col("ps").getItem(1), 4).as("exact_p50"),
-          col("ap").getItem(0).between(col("ps").getItem(0), col("ps").getItem(2))
-            .cast("int").as("p50_in_band"),
-          col("ap").getItem(1).between(col("ps").getItem(3), col("ps").getItem(4))
-            .cast("int").as("p95_in_band"))
-        .orderBy("l_returnflag"),
+        ex.join(ap, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(col("ps_1"), 4).as("exact_p50"),
+            col("ap").getItem(0).between(col("ps_0"), col("ps_2"))
+              .cast("int").as("p50_in_band"),
+            col("ap").getItem(1).between(col("ps_3"), col("ps_4"))
+              .cast("int").as("p95_in_band"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | 1 AS p50_in_band,
