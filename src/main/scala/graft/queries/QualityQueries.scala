@@ -579,7 +579,11 @@ object QualityQueries extends QuerySet {
         // scoring) — checkpoint so the corpus tokenizes exactly once
         val tk = graft.operators.ScaleOps.checkpointed(
           toks(s, d).select("doc_id", "tok"))
-        val labels = tk.groupBy("doc_id").agg(
+        // labels also has three consumers (train filter, held-out filter,
+        // final join) and each would re-run the 1.1M-token aggregation —
+        // checkpoint the ~docs-sized result so it aggregates exactly once
+        val labels = graft.operators.ScaleOps.checkpointed(
+          tk.groupBy("doc_id").agg(
             count(lit(1)).as("n_words"),
             avg(length(col("tok"))).as("mean_raw"),
             countDistinct(when(col("tok").isin(stopwords: _*), col("tok")))
@@ -588,7 +592,7 @@ object QualityQueries extends QuerySet {
             (col("n_words").between(50, 100000) &&
               col("mean_raw").between(3.0, 10.0) &&
               (col("n_stop") >= 2)).cast("int").as("label"),
-            splitCol.as("split"))
+            splitCol.as("split")))
         val trainLabels = labels.filter(col("split") === "train")
           .select("doc_id", "label")
         val model = graft.text.NaiveBayes.train(tk, trainLabels, "doc_id")

@@ -512,9 +512,11 @@ object TextQueries extends QuerySet {
       (s, dir) => {
         // toks feeds the sketch build AND the exact top-20 baseline —
         // checkpoint so the corpus tokenizes once (t13/g09 discipline)
+        // spread before the checkpoint (the g17 note): the sketch's 1.1M
+        // md5 bucket hashes run over the checkpoint's pinned partitioning
         val toks = graft.operators.ScaleOps.checkpointed(
-          t(s, dir, "documents")
-            .select(explode(split(lower(normCol), " ")).as("tok")))
+          graft.operators.ScaleOps.spread(t(s, dir, "documents")
+            .select(explode(split(lower(normCol), " ")).as("tok"))))
         def bucket(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
           pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), tok)), 1, 15),
             16, 10).cast("long"), lit(CmsW.toLong))
