@@ -235,8 +235,12 @@ object QualityQueries extends QuerySet {
         // Graft.redactPii); the oracle below splices the SAME constants
         val masked = graft.operators.Curation.redactPii(
           col("norm"), maskLongTokens = true)
-        t(s, d, "documents")
-          .select(col("doc_id"), normCol.as("norm"))
+        // spread: eight regex passes per document (4 extract_all + the
+        // 4-stage masking chain) are a CPU kernel the single-file scan
+        // would otherwise run on one task
+        graft.operators.ScaleOps.spread(
+          t(s, d, "documents")
+          .select(col("doc_id"), normCol.as("norm")))
           .select(col("doc_id"),
             (size(regexp_extract_all(col("norm"),
               lit(graft.operators.Curation.EmailPattern), lit(0)))
@@ -365,8 +369,12 @@ object QualityQueries extends QuerySet {
     Q("g11_contamination",
       (s, d) => {
         val k = 8
-        val docsT = t(s, d, "documents")
-          .select(col("doc_id"), split(normCol, " ").as("toks"))
+        // spread: the tokenize + 8-gram array build + explode all run
+        // map-side before the distinct's shuffle — on the single-file
+        // scan that whole kernel was one task
+        val docsT = graft.operators.ScaleOps.spread(
+          t(s, d, "documents")
+            .select(col("doc_id"), split(normCol, " ").as("toks")))
         // grams feeds BOTH the bench and corpus filters — checkpoint so
         // the tokenize + gram explode + distinct runs once (g09 discipline)
         val grams = graft.operators.ScaleOps.checkpointed(docsT

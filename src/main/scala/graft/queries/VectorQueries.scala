@@ -235,8 +235,11 @@ object VectorQueries extends QuerySet {
       (s, d) => {
         // nrm is BOUND before the lambda uses it (v11 discipline: a lambda
         // referencing an outer aggregate re-evaluates it per element)
-        t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"))
+        // spread: 1536-element norm + transform per row is CPU-kernel
+        // work, and the single-file scan otherwise runs it on one task
+        graft.operators.ScaleOps.spread(
+          t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding")))
           .withColumn("nrm", norm(col("embedding")))
           .filter(col("nrm") > 0)
           .withColumn("unit", transform(col("embedding").cast("array<double>"),
@@ -475,16 +478,27 @@ object VectorQueries extends QuerySet {
           val k = graft.operators.ScaleOps.checkpointed(topk.select("vec_id"))
           (k.count(), k.join(exactIds, "vec_id").count())
         }
+        // the three grades are independent small actions over the shared
+        // exact checkpoint — submit concurrently (v17 discipline); the
+        // ensures run before the fork (different artifacts, but keeping
+        // artifact publication out of the racing branches is simpler to
+        // reason about and costs nothing — they're memoized after rep 1)
         val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
-        val (ivfN, ivfHits) = grade(graft.operators.IvfIndex.search(s,
-          graft.operators.IvfIndex.loadVectors(s, ivfPath).filter(col("vec_id") =!= 0),
-          graft.operators.IvfIndex.loadModel(s, ivfPath), query, k = 10))
         val pqPath = graft.sources.VectorIndexStore.ensurePq(s, d)
-        val (pqN, pqHits) = grade(graft.operators.PqIndex.search(s,
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val ivfF = Future(grade(graft.operators.IvfIndex.search(s,
+          graft.operators.IvfIndex.loadVectors(s, ivfPath).filter(col("vec_id") =!= 0),
+          graft.operators.IvfIndex.loadModel(s, ivfPath), query, k = 10)))
+        val pqF = Future(grade(graft.operators.PqIndex.search(s,
           graft.operators.PqIndex.loadEncoded(s, pqPath).filter(col("vec_id") =!= 0),
           emb, graft.operators.PqIndex.loadModel(s, pqPath), query,
-          k = 10, shortlist = 50))
-        val (lshN, lshHits) = grade(lshKnn(s, d, query, k = 10, radius = 3))
+          k = 10, shortlist = 50)))
+        val lshF = Future(grade(lshKnn(s, d, query, k = 10, radius = 3)))
+        val (ivfN, ivfHits) = Await.result(ivfF, Duration.Inf)
+        val (pqN, pqHits) = Await.result(pqF, Duration.Inf)
+        val (lshN, lshHits) = Await.result(lshF, Duration.Inf)
         Seq(("ivf", ivfN, ivfHits >= 3), ("ivfpq", pqN, pqHits >= 3),
             ("lsh", lshN, lshHits >= 3))
           .toDF("path", "n", "ok")
@@ -515,14 +529,31 @@ object VectorQueries extends QuerySet {
         val corpus = emb.filter(col("vec_id") =!= 0)
         val exact = graft.operators.ScaleOps.checkpointed(
           graft.operators.AnnEval.exactTopK(s, corpus, queries, k = 10))
+        // meanRecall re-counts the (checkpointed) exact frame per path —
+        // count it once and share the denominator across all three
+        val exactTotal = exact.count()
+        require(exactTotal > 0, "empty exact ground truth — no panel queries?")
         def recall(topk: org.apache.spark.sql.DataFrame): Double =
-          graft.operators.AnnEval.meanRecall(topk, exact)
-        val ivfR = recall(graft.operators.AnnEval.ivfTopK(s,
-          graft.sources.VectorIndexStore.ensureIvf(s, d), queries, k = 10))
-        val pqR = recall(graft.operators.AnnEval.pqTopK(s,
-          graft.sources.VectorIndexStore.ensurePq(s, d), corpus, queries,
-          k = 10, shortlist = 50))
-        val lshR = recall(lshTopKBatch(s, d, queries, k = 10, radius = 3))
+          topk.join(exact, Seq("qid", "vec_id")).count().toDouble / exactTotal
+        // the three probe+recall branches are independent single-value
+        // actions over the shared checkpoint — ensure the artifacts up
+        // front, then submit the probes concurrently; sequential
+        // submission left the cluster idle between each branch's
+        // scheduler round trips
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val ivfPath = graft.sources.VectorIndexStore.ensureIvf(s, d)
+        val pqPath = graft.sources.VectorIndexStore.ensurePq(s, d)
+        val ivfF = Future(recall(graft.operators.AnnEval.ivfTopK(s,
+          ivfPath, queries, k = 10)))
+        val pqF = Future(recall(graft.operators.AnnEval.pqTopK(s,
+          pqPath, corpus, queries,
+          k = 10, shortlist = 50)))
+        val lshF = Future(recall(lshTopKBatch(s, d, queries, k = 10, radius = 3)))
+        val ivfR = Await.result(ivfF, Duration.Inf)
+        val pqR = Await.result(pqF, Duration.Inf)
+        val lshR = Await.result(lshF, Duration.Inf)
         Seq(("ivf", ivfR, IvfRecallFloor), ("ivfpq", pqR, PqRecallFloor),
             ("lsh", lshR, LshRecallFloor))
           .toDF("path", "recall", "floor")
