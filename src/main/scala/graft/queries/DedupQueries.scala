@@ -507,23 +507,45 @@ object DedupQueries extends QuerySet {
         // both the boilerplate cap and the prefix rank — pre-cap df is
         // still one consistent global order, which is all the pigeonhole
         // argument needs
+        val spark = s
+        import spark.implicits._
         val dfTab = shingleDf(s, d)
         val hot = dfTab.filter(col("df") > ShingleDfCap).select("sh")
+        // (A round-18 rework folding the prefix rank into the docSets
+        // aggregation as sort_array(collect_list(struct(df, sh))) MEASURED
+        // SLOWER — 4.7 → 7.5 s at sf0.1: per-doc struct-array sorts and the
+        // doubled collected bytes cost more than the window they replaced;
+        // kept the window form.)
+        //
+        // DENSE NUMERIC SHINGLE IDS (round 18, measured): the verify step
+        // ships and hash-intersects two ~sz-element arrays per candidate
+        // pair, and doing that over 3-word shingle STRINGS paid string
+        // hashing + ~24 B/element shuffle width (phase-probed at 4.0 s of
+        // the query's 5.8). `sid` is the shingle's rank in sh order over
+        // the capped vocabulary (sorted zipWithIndex — distributed, no
+        // single-partition window), an ORDER-COMPATIBLE bijection: sid
+        // order == sh order, so the (df, sid) prefix rank picks exactly
+        // the (df, sh) prefix, candidates and intersection counts are
+        // row-for-row identical, and every downstream array is 8-byte
+        // longs with specialized-hashset intersects (verify 4.0 → 2.4 s).
+        // The ids join replaces the hot anti-join (ids excludes hot) AND
+        // the prefix's dfTab join (df rides along).
+        val ids = (dfTab.join(broadcast(hot), Seq("sh"), "left_anti")
+          .select(col("sh"), col("df").cast("long").as("df"))
+          .orderBy("sh").as[(String, Long)].rdd.zipWithIndex()
+          .map { case ((shv, dfv), i) => (shv, dfv, i) }
+          .toDF("sh", "df", "sid")).graftCheckpoint()
         // sh feeds the per-doc set aggregation, the prefix rank and the
-        // candidate probe — checkpoint so the posting scan + cap
-        // anti-join runs once instead of per consumer (t13/g09 discipline).
-        // (A round-18 rework folding the prefix rank into this aggregation
-        // as sort_array(collect_list(struct(df, sh))) MEASURED SLOWER —
-        // 4.7 → 7.5 s at sf0.1: per-doc struct-array sorts and the doubled
-        // collected bytes cost more than the window they replaced; kept
-        // the window form.)
+        // candidate probe — checkpoint so the posting scan + vocabulary
+        // join runs once instead of per consumer (t13/g09 discipline)
         val sh = (shingleRows(s, d)
-          .join(broadcast(hot), Seq("sh"), "left_anti")).graftCheckpoint()
+          .join(ids, Seq("sh"))
+          .select(col("doc_id"), col("sid"), col("df"))).graftCheckpoint()
         // one aggregation serves the prefix-length arithmetic (sz) AND the
         // verify sets: shingle rows are distinct per doc, so collect_list
         // IS the doc's set (checkpointed — read by prefix + both pair sides)
         val docSets = (sh.groupBy("doc_id")
-          .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("sz")))
+          .agg(collect_list(col("sid")).as("set"), count(lit(1)).as("sz")))
           .graftCheckpoint()
         val sizes = docSets.select(col("doc_id"), col("sz"))
         // prefix size = floor((1-t)·sz) + 2, NOT +1: (1-t) in binary64 is
@@ -532,17 +554,21 @@ object DedupQueries extends QuerySet {
         // by the sf0.1 oracle). Float error is ≪ 1 at any real sz, so one
         // extra rank provably restores exact pigeonhole recall; the cost is
         // one more prefix shingle per doc.
-        val prefix = sh.join(dfTab, "sh")
+        val prefix = sh
           .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sid"))))
           .join(sizes, "doc_id")
           .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 2)
-          .select(col("doc_id"), col("sh"))
+          .select(col("doc_id"), col("sid"))
         val cands = prefix.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+            col("a.sid") === col("b.sid") && col("a.doc_id") =!= col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
-        cands
+        // checkpoint the RESULT-sized verified pairs before the declared
+        // global sort: orderBy's range-partition sampling pass otherwise
+        // RE-EXECUTES the whole candidate+verify chain (phase-probed:
+        // +1.1 s of pure recompute at sf0.1)
+        (cands
           .join(docSets.select(col("doc_id").as("da"),
             col("set").as("seta"), col("sz").as("sa")), Seq("da"))
           .join(docSets.select(col("doc_id").as("db"),
@@ -551,7 +577,8 @@ object DedupQueries extends QuerySet {
           .withColumn("containment", col("i") / col("sa").cast("double"))
           .filter(col("containment") >= threshold)
           .select(col("da").as("contained_id"), col("db").as("container_id"),
-            round(col("containment"), 6).as("containment"))
+            round(col("containment"), 6).as("containment")))
+          .graftCheckpoint()
           .orderBy("contained_id", "container_id")
       },
       Some(s"""WITH $cappedShingleSql,
