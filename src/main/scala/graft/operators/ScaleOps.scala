@@ -115,4 +115,18 @@ object ScaleOps {
   implicit class CheckpointSyntax(private val df: DataFrame) extends AnyVal {
     def graftCheckpoint(): DataFrame = ScaleOps.checkpointed(df)
   }
+
+  /** Declared-output global sort over an expensive chain: materialize the
+    * frame, THEN sort. A global `orderBy` shuffles by RangePartitioning,
+    * and building the range bounds runs a sampling pass that RE-EXECUTES
+    * the entire upstream chain just to learn the key distribution — for a
+    * query whose chain is expensive relative to its output, the declared
+    * sort silently doubles the query (measured on x07's candidate+verify
+    * chain: +1.1 s of pure recompute at sf0.1). Checkpointing first makes
+    * the sampling pass a re-read of the materialized result. Use on final
+    * declared sorts whose upstream is nontrivial; the materialization
+    * honors `spark.graft.checkpoint.mode` ([[checkpointed]]).
+    */
+  def sortedOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    checkpointed(df).orderBy(cols: _*)
 }

@@ -445,7 +445,10 @@ object DedupQueries extends QuerySet {
         // alternating stays the default — both verified label-identical
         // (NearDupSpec) and against the oracle's transitive closure
         val algo = s.conf.getOption(NearDup.CcAlgorithmConf).getOrElse("alternating")
-        NearDup.connectedComponents(s, pairs, algo).orderBy("id")
+        // sortedOnce: CC's iterative chain would otherwise re-execute
+        // under the declared sort's range-sampling pass
+        graft.operators.ScaleOps.sortedOnce(
+          NearDup.connectedComponents(s, pairs, algo), col("id"))
       },
       Some(s"""WITH RECURSIVE $exactJaccardPairsSql,
         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
@@ -677,6 +680,7 @@ object DedupQueries extends QuerySet {
           .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
           .filter(col("dist") >= 0)
           .select(col("id_a"), col("id_b"), col("dist"))
+          .graftCheckpoint() // before the declared sort (x07 discipline)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH titles AS (
@@ -936,9 +940,9 @@ object DedupQueries extends QuerySet {
           .select(col("doc_id"), md5(normCol).as("text_hash"))
         val fresh = hashed.filter(col("doc_id") >= 250)
         val existing = hashed.filter(col("doc_id") < 250)
-        graft.operators.Ingest.bloomDedupAgainstExisting(fresh, existing)
-          .select("doc_id", "text_hash")
-          .orderBy("doc_id")
+        graft.operators.ScaleOps.sortedOnce(
+          graft.operators.Ingest.bloomDedupAgainstExisting(fresh, existing)
+            .select("doc_id", "text_hash"), col("doc_id"))
       },
       Some(s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents),
         |existing AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 250)
