@@ -295,14 +295,18 @@ object PipelineQueries extends QuerySet {
       (s, d) => {
         import s.implicits._
         val emb = new HashingEmbedder()
-        val withVec = graft.operators.ScaleOps.spread(
+        // checkpoint: TWO consumers (the observed count and the exact
+        // countDistinct saturation guard) would otherwise each re-run the
+        // embed kernel over the corpus
+        val withVec = graft.operators.ScaleOps.checkpointed(
+          graft.operators.ScaleOps.spread(
           t(s, d, "documents")
             .select(col("doc_id"), normCol.as("content"), col("source").as("filename"))
             .as[(Long, String, String)])
           .mapPartitions { it =>
             it.map { case (id, content, fn) => (id, content, fn, emb.embed(content)) }
           }
-          .toDF("doc_id", "content", "filename", "content_vector")
+          .toDF("doc_id", "content", "filename", "content_vector"))
         val (observed, obs) = Metrics.observeIngest(withVec)
         observed.count() // the action that populates the observation
         val m = obs.get

@@ -354,7 +354,10 @@ object VectorQueries extends QuerySet {
     Q("v12_cosine_dup_clusters",
       (s, d) => {
         val pairs = cosinePairsMemo(s, d)
-        graft.operators.NearDup.connectedComponents(s, pairs).orderBy("id")
+        // sortedOnce: CC's iterative chain would otherwise re-execute
+        // under the declared sort's range-sampling pass (x06 discipline)
+        graft.operators.ScaleOps.sortedOnce(
+          graft.operators.NearDup.connectedComponents(s, pairs), col("id"))
       },
       Some(s"""WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS da, b.vec_id AS db
