@@ -221,6 +221,15 @@ object Ingest {
   def pipeline(spark: SparkSession, docs: DataFrame,
                embedder: Embedder = new HashingEmbedder()): DataFrame = {
     val chunks = chunkDocuments(spark, docs)
+    // NOT pre-repartitioned by text_hash (round-19 note): an explicit
+    // REPARTITION_BY_NUM here satisfies the window's distribution and
+    // pins embed-stage parallelism, but it REPLACES the planner's
+    // exchange and with it the map-side Partial WindowGroupLimit — the
+    // rank<=1 reduction that drops duplicate payloads BEFORE they cross
+    // the wire, the pipeline's key shuffle saving at scale. Measured
+    // locally ~0.5 s faster, rejected for the scale regression; the
+    // planner's shape keeps Partial WGL and AQE's parallelismFirst
+    // coalescing keeps the post-shuffle embed stage adequately split.
     val deduped = dedupExactDeterministic(chunks.toDF(), Seq("filename", "chunk_id", "id"))
     import spark.implicits._
     val withVec = withEmbeddings(spark, deduped.as[Chunk], embedder)

@@ -53,7 +53,30 @@ object ScaleOps {
     if (ds.isStreaming) ds
     else {
       val target = ds.sparkSession.sparkContext.defaultParallelism
-      if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+      // Deciding from ds.rdd is only safe on SHUFFLE-FREE plans: under AQE
+      // (on in every driver main) Dataset.rdd finalizes the adaptive plan,
+      // which MATERIALIZES every upstream shuffle stage — the input chain
+      // would run once here at plan-construction time and again under the
+      // real action (round-19 fix; measured 2x on the d10/m06 ingest
+      // pipeline, whose spread input is the dedup window's exchange).
+      // A frame with a shuffle below is already distributed by that
+      // exchange (spark.sql.shuffle.partitions / AQE policy), so spread
+      // restricts itself to scan-level frames, where building the RDD
+      // schedules no job.
+      // executedPlan (NOT sparkPlan: EnsureRequirements hasn't inserted
+      // distribution exchanges there yet) — under AQE the prepared plan is
+      // wrapped in AdaptiveSparkPlanExec, whose initialPlan (inputPlan run
+      // through the stage-preparation rules, EnsureRequirements included)
+      // carries them; inspecting it plans the query but executes nothing
+      val planned = ds.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val hasShuffle = planned.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      if (hasShuffle) ds
+      else if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
     }
   }
 
