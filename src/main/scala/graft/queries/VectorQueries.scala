@@ -186,26 +186,28 @@ object VectorQueries extends QuerySet {
         val assigned = graft.operators.IvfIndex.assign(s, emb, model)
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        // materialized once — read by the hits count AND the returned agg
-        val ivf = graft.operators.ScaleOps.checkpointed(
-          graft.operators.IvfIndex.search(s,
-            assigned.filter(col("vec_id") =!= 0), model, query, k = 10))
         // Graded via a tolerance flag (the t14 pattern): the IVF top-k is
         // approximate, but its recall against the exact cosine top-k is a
         // DETERMINISTIC number (seeded k-means, fixed data), so the engine
         // emits recall@10 >= 0.3 (the IvfIndexSpec bound for nProbe=4/16)
         // and the oracle asserts the constant — a wrong IVF implementation
         // (bad cell assignment, broken probe pruning) breaks the flag.
+        // ONE lazy plan (round-19, the v14 rework): inline left-join hit
+        // marking replaces the checkpoint + separate hits-count action.
+        val ivf = graft.operators.IvfIndex.search(s,
+          assigned.filter(col("vec_id") =!= 0), model, query, k = 10)
         val qCol = lit(query.toArray).cast("array<float>")
         val exact = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
           .orderBy(desc("sim"), col("vec_id"))
           .limit(10)
-        val hits = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
-        ivf.agg(
-          count(lit(1)).cast("int").as("n_results"),
-          (lit(hits) >= 3).cast("int").as("recall_ok"))
+        ivf.select("vec_id")
+          .join(broadcast(exact.select(col("vec_id"), lit(1).as("__hit"))),
+            Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).cast("int").as("n_results"),
+            (coalesce(sum("__hit"), lit(0)) >= 3).cast("int").as("recall_ok"))
       },
       Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
 
@@ -390,23 +392,29 @@ object VectorQueries extends QuerySet {
         val encoded = graft.operators.PqIndex.encode(s, emb, model)
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        // materialized once: both the hits count and the returned agg read
-        // this 10-row frame — without it each would re-run corpus encode +
-        // ADC shortlist + re-rank
-        val pq = graft.operators.ScaleOps.checkpointed(
-          graft.operators.PqIndex.search(s,
-            encoded.filter(col("vec_id") =!= 0), emb, model, query,
-            k = 10, shortlist = 50))
+        // ONE lazy plan (round-19): the old shape checkpointed the 10-row
+        // search result and ran a separate hits-count action — 10 driver
+        // round-trips per rep for 10 tasks of work (probed; the driver
+        // host charges ~0.3 s per action at 32 cores). The left join
+        // against the exact top-k marks hits inline, so the declared agg
+        // computes n_results AND the recall flag in the single plan the
+        // bench's noop sink executes: no checkpoint, no count action.
+        // hits ≡ |pq ⋈ exact| (vec_id unique on both sides).
+        val pq = graft.operators.PqIndex.search(s,
+          encoded.filter(col("vec_id") =!= 0), emb, model, query,
+          k = 10, shortlist = 50)
         val qCol = lit(query.toArray).cast("array<float>")
         val exact = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
           .orderBy(desc("sim"), col("vec_id"))
           .limit(10)
-        val hits = pq.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
-        pq.agg(
-          count(lit(1)).cast("int").as("n_results"),
-          (lit(hits) >= 3).cast("int").as("recall_ok"))
+        pq.select("vec_id")
+          .join(broadcast(exact.select(col("vec_id"), lit(1).as("__hit"))),
+            Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).cast("int").as("n_results"),
+            (coalesce(sum("__hit"), lit(0)) >= 3).cast("int").as("recall_ok"))
       },
       Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
 
@@ -430,21 +438,24 @@ object VectorQueries extends QuerySet {
         val emb = t(s, d, "embeddings")
         val query = emb.filter(col("vec_id") === 0).select("embedding")
           .as[Seq[Float]].head()
-        val ivf = graft.operators.ScaleOps.checkpointed(
-          graft.operators.IvfIndex.search(s,
-            vectors.filter(col("vec_id") =!= 0), model, query, k = 10))
         // graded exactly like v08: deterministic recall@10 vs the exact
-        // cosine top-k, emitted as a tolerance flag
+        // cosine top-k, emitted as a tolerance flag — in ONE lazy plan
+        // (round-19, the v14 rework): inline left-join hit marking replaces
+        // the checkpoint + separate hits-count action
+        val ivf = graft.operators.IvfIndex.search(s,
+          vectors.filter(col("vec_id") =!= 0), model, query, k = 10)
         val qCol = lit(query.toArray).cast("array<float>")
         val exact = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
           .orderBy(desc("sim"), col("vec_id"))
           .limit(10)
-        val hits = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
-        ivf.agg(
-          count(lit(1)).cast("int").as("n_results"),
-          (lit(hits) >= 3).cast("int").as("recall_ok"))
+        ivf.select("vec_id")
+          .join(broadcast(exact.select(col("vec_id"), lit(1).as("__hit"))),
+            Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).cast("int").as("n_results"),
+            (coalesce(sum("__hit"), lit(0)) >= 3).cast("int").as("recall_ok"))
       },
       Some("""SELECT 10 AS n_results, 1 AS recall_ok""")),
 
@@ -477,9 +488,16 @@ object VectorQueries extends QuerySet {
               round(graft.expressions.GraftFunctions.cosine_sim(col("embedding"), qCol), 6).as("sim"))
             .orderBy(desc("sim"), col("vec_id"))
             .limit(10).select("vec_id"))
+        // one action per path (round-19, the v14 rework): inline left-join
+        // hit marking — n and hits come back in a single head() instead of
+        // a checkpoint + two count actions per graded path
         def grade(topk: org.apache.spark.sql.DataFrame): (Long, Long) = {
-          val k = graft.operators.ScaleOps.checkpointed(topk.select("vec_id"))
-          (k.count(), k.join(exactIds, "vec_id").count())
+          val r = topk.select("vec_id")
+            .join(broadcast(exactIds.withColumn("__hit", lit(1))),
+              Seq("vec_id"), "left")
+            .agg(count(lit(1)), coalesce(sum("__hit"), lit(0L)))
+            .head()
+          (r.getLong(0), r.getLong(1))
         }
         // the three grades are independent small actions over the shared
         // exact checkpoint — submit concurrently (v17 discipline); the
