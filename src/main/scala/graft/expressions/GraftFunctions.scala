@@ -18,6 +18,9 @@ object GraftFunctions {
   def nfc_normalize(s: Column): Column =
     GraftShim.column(NfcNormalize(GraftShim.expression(s)))
 
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCount(GraftShim.expression(a), GraftShim.expression(b)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_sim",
@@ -30,6 +33,8 @@ object GraftFunctions {
       exprs => ChunkTextGenerator(exprs), "built-in")
     registry.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSq))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNormSq

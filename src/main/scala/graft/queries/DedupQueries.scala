@@ -546,9 +546,15 @@ object DedupQueries extends QuerySet {
           .select(col("doc_id"), col("sid"), col("df"))).graftCheckpoint()
         // one aggregation serves the prefix-length arithmetic (sz) AND the
         // verify sets: shingle rows are distinct per doc, so collect_list
-        // IS the doc's set (checkpointed — read by prefix + both pair sides)
+        // IS the doc's set (checkpointed — read by prefix + both pair
+        // sides). SORTED (round-19): per-doc sort once at build time lets
+        // the verify intersect be a zero-allocation merge walk
+        // (sorted_intersect_count) instead of a per-pair hash set +
+        // materialized intersection array — and makes the collected order
+        // deterministic rather than task-ordered.
         val docSets = (sh.groupBy("doc_id")
-          .agg(collect_list(col("sid")).as("set"), count(lit(1)).as("sz")))
+          .agg(sort_array(collect_list(col("sid"))).as("set"),
+            count(lit(1)).as("sz")))
           .graftCheckpoint()
         val sizes = docSets.select(col("doc_id"), col("sz"))
         // prefix size = floor((1-t)·sz) + 2, NOT +1: (1-t) in binary64 is
@@ -576,7 +582,11 @@ object DedupQueries extends QuerySet {
             col("set").as("seta"), col("sz").as("sa")), Seq("da"))
           .join(docSets.select(col("doc_id").as("db"),
             col("set").as("setb")), Seq("db"))
-          .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
+          // merge-walk |A∩B| over the sorted sets (sets are duplicate-free,
+          // so this equals size(array_intersect) row for row — see
+          // SortedIntersectCount's precondition note)
+          .withColumn("i", graft.expressions.GraftFunctions
+            .sorted_intersect_count(col("seta"), col("setb")))
           .withColumn("containment", col("i") / col("sa").cast("double"))
           .filter(col("containment") >= threshold)
           .select(col("da").as("contained_id"), col("db").as("container_id"),
