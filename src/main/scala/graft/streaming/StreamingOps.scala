@@ -196,6 +196,14 @@ object StreamingOps {
           prevNoData.getOrElse("true"))
         import scala.reflect.io.Directory
         new Directory(ckpt.toFile).deleteRecursively()
+        // Unload the drained query's state-store providers (round 19):
+        // the bounded drain's checkpoint is gone (deleted above), but the
+        // JVM-global provider registry would keep every store's in-memory
+        // state map alive and its maintenance thread snapshotting into the
+        // DELETED checkpoint for the rest of the process — accumulated
+        // across the streaming family that is pure memory + background-IO
+        // interference charged to whatever queries run later.
+        org.apache.spark.sql.GraftShim.stopStateStores()
       }
     }
     import scala.jdk.CollectionConverters._
