@@ -343,6 +343,12 @@ object DedupQueries extends QuerySet {
           .groupBy(col("p.da").as("da"), col("p.db").as("db"),
             col("p.sa").as("sa"), col("p.sb").as("sb"))
           .agg(count(lit(1)).as("i"))
+          // NOT a salted two-level aggregation (round-19 re-measure, closing
+          // the round-13/18 deferral permanently): pair keys are near-unique
+          // — a key's multiplicity is its pair's shared-shingle count,
+          // bounded by the df cap — so salting cannot relieve any hot key
+          // and only doubles the aggregated mass. Measured at sf0.1 with a
+          // 16-way salt: 1.57 -> 1.86 s, shuffle_rows 1.58M -> 2.86M.
           .withColumn("jac", col("i") / (col("sa") + col("sb") - col("i")).cast("double"))
         jac.agg(
           count(lit(1)).as("n_pairs"),

@@ -458,7 +458,10 @@ class PlanSpec extends SparkTestBase {
     // conditional ScaleOps.spread (round 18) may add one ROUND-ROBIN
     // exchange on under-split local scans — a no-op on real inputs, and
     // never a keyed shuffle
-    val exchanges = "Exchange [a-z]+[Pp]artitioning".r.findAllIn(p).toList
+    // [A-Za-z] (round-19 fix): the old [a-z]+ head could never match
+    // "Exchange RoundRobinPartitioning" or "Exchange SinglePartition", so
+    // uppercase-named exchange kinds were silently excluded from the audit
+    val exchanges = "Exchange [A-Za-z]+[Pp]artition(ing)?".r.findAllIn(p).toList
     assert(exchanges.count(_.contains("hashpartitioning")) == 1, p)
     assert(exchanges.forall(e =>
       e.contains("hashpartitioning") || e.contains("RoundRobinPartitioning")), p)
